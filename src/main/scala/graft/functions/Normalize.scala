@@ -1,0 +1,226 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar normalizer pack — the reference's per-value Python helpers
+  * re-expressed as pure Catalyst `Column` expressions (SURVEY.md §2.6).
+  * No UDFs anywhere: every function below stays inside whole-stage
+  * codegen and is usable at 100 TB without serialization overhead.
+  *
+  * Reference citations (`/root/reference/`) are per-function; semantics
+  * were derived by reading the Python, not by porting it.
+  */
+object Normalize {
+
+  /** F1 `_norm`: trim, lower, collapse internal whitespace.
+    * Ref: core/excel/import_from_xlsm.py:25-28. */
+  def norm(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** F2 `canonicalize_id`: numeric-looking → str(trunc(v)) ("7.0"→"7");
+    * else strip + newlines→spaces. Ref: core/excel/update_from_json.py:17-26. */
+  def canonicalizeId(c: Column): Column = {
+    val d = c.cast("string").cast("double")
+    when(d.isNotNull, d.cast("long").cast("string"))
+      .otherwise(trim(regexp_replace(c.cast("string"), "[\\n\\r]", " ")))
+  }
+
+  /** F3 `normalize_color`: substring → Black/Cyan/Magenta/Yellow; also
+    * single letters k/c/m/y; else null. Ref: update_from_json.py:28-40. */
+  def normalizeColor(c: Column): Column = {
+    val s = norm(c)
+    when(s.contains("black") || s === "k" || s === "bk", "Black")
+      .when(s.contains("cyan") || s === "c", "Cyan")
+      .when(s.contains("magenta") || s === "m", "Magenta")
+      .when(s.contains("yellow") || s === "y", "Yellow")
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** F4 `_status_online_offline`: keyword sets → online/offline with
+    * ordered fallbacks — "offline" contains "on" so the offline check
+    * MUST precede the online one; null/blank → offline.
+    * Ref: update_from_json.py:42-58. */
+  def statusOnlineOffline(c: Column): Column = {
+    val s = norm(coalesce(c, lit("")))
+    val onlineWords  = Seq("online", "ready", "ok", "idle", "running")
+    val offlineWords = Seq("offline", "down", "unreachable", "error", "off")
+    when(s.isin(onlineWords: _*), "online")
+      .when(s.isin(offlineWords: _*), "offline")
+      .when(s.contains("off"), "offline") // before the "on" fallback
+      .when(s.contains("on"), "online")
+      .otherwise("offline")
+  }
+
+  /** F5 `dash_if_blank`: null/blank → "-". Ref: update_from_json.py:60-65. */
+  def dashIfBlank(c: Column): Column =
+    when(c.isNull || trim(c.cast("string")) === "", "-")
+      .otherwise(c.cast("string"))
+
+  /** F6 `sanitize_excel_value`: strip XML-illegal control chars.
+    * Ref: update_from_json.py:8-15. */
+  def sanitizeCell(c: Column): Column =
+    regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+
+  /** F7 `_split_postal`: trailing 7-digit run → postal; strip it (plus
+    * separator debris) from the address. Ref: core/enrich/locations.py:27-35.
+    * Returns (postal, cleanedAddress). */
+  def splitPostal(addr: Column): (Column, Column) = {
+    val postal = regexp_extract(addr, "(\\d{7})\\s*$", 1)
+    val cleaned = trim(regexp_replace(
+      regexp_replace(addr, "\\d{7}\\s*$", ""), "[\\s,:\\-]+$", ""))
+    (postal, cleaned)
+  }
+
+  /** F8 `_safe_int`: int(float(str(x))) else null. Ref: locations.py:11-17. */
+  def safeInt(c: Column): Column =
+    c.cast("string").cast("double").cast("long")
+
+  /** F9 `_compute_percent`: unit==19 → clamp(level,0,100); elif max>0 and
+    * level>=0 → round(100*level/max) clamped; sentinel levels −1/−2/−3
+    * (and other negatives) → null. Ref: adapters/snmp_toner.py:61-69. */
+  def computePercent(unit: Column, level: Column, max: Column): Column =
+    when(level.isNull, lit(null).cast("long"))
+      .when(unit === 19, greatest(least(level.cast("long"), lit(100L)), lit(0L)))
+      .when(max > 0 && level >= 0,
+        greatest(least(round(lit(100.0) * level / max).cast("long"), lit(100L)), lit(0L)))
+      .otherwise(lit(null).cast("long"))
+
+  /** F10 `_pct_with_symbol`: int → "N%". Ref: snmp_toner.py:71-72. */
+  def pctWithSymbol(c: Column): Column =
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(format_string("%d%%", c.cast("long")))
+
+  /** F11 `_friendly_color`: keyword scan over colorant name then desc,
+    * Hebrew map, Title-case fallback. Ref: snmp_toner.py:74-88. */
+  def friendlyColor(name: Column, desc: Column): Column = {
+    def pick(c: Column): Column = {
+      val s = norm(coalesce(c, lit("")))
+      when(s.contains("black") || s.contains("שחור"), "black")
+        .when(s.contains("cyan") || s.contains("כחול"), "cyan")
+        .when(s.contains("magenta") || s.contains("אדום"), "magenta")
+        .when(s.contains("yellow") || s.contains("צהוב"), "yellow")
+        .otherwise(lit(null).cast("string"))
+    }
+    initcap(coalesce(pick(name), pick(desc), lit("unknown")))
+  }
+
+  /** F13 OID structural parse: find marker subsequence in a dotted OID,
+    * emit (col = parts[i+4], row = parts[i+6]) — 1-based `array_position`.
+    * Ref: snmp_toner.py:35-59 (marker "43.11.1.1"). */
+  def oidColRow(oid: Column, markerHead: String = "43"): Column = {
+    val parts = split(oid, "\\.")
+    val i = array_position(parts, markerHead) // 1-based; 0 when absent
+    when(i > 0 && element_at(parts, (i + 1).cast("int")) === "11",
+      struct(
+        element_at(parts, (i + 4).cast("int")).cast("int").as("col"),
+        element_at(parts, (i + 6).cast("int")).cast("int").as("row")))
+      .otherwise(lit(null).cast("struct<col:int,row:int>"))
+  }
+
+  /** F14 `_severity_tag`: 1→other, 2→unknown, 3→warning, 4→critical.
+    * Ref: snmp_alerts.py:57-72. */
+  def severityTag(c: Column): Column =
+    when(c === 1, "other").when(c === 2, "unknown")
+      .when(c === 3, "warning").when(c === 4, "critical")
+      .otherwise("unknown")
+
+  /** F15 `_hr_bits_as_flags`: 15-bit hrPrinterDetectedErrorState mask →
+    * array of set-flag names; severity critical iff offline(bit6) or
+    * serviceRequested(bit3) else warning (0 mask → empty, informational).
+    * Ref: snmp_alerts.py:16-34,92-97,136-150. */
+  val HrFlagNames: Seq[(Int, String)] = Seq(
+    0 -> "lowPaper", 1 -> "noPaper", 2 -> "lowToner", 3 -> "noToner",
+    4 -> "doorOpen", 5 -> "jammed", 6 -> "offline", 7 -> "serviceRequested",
+    8 -> "inputTrayMissing", 9 -> "outputTrayMissing",
+    10 -> "markerSupplyMissing", 11 -> "outputNearFull", 12 -> "outputFull",
+    13 -> "inputTrayEmpty", 14 -> "overduePreventMaint")
+
+  def hrFlags(mask: Column): Column = {
+    val flags = HrFlagNames.map { case (bit, name) =>
+      when(shiftright(mask, bit).bitwiseAND(1) === 1, name)
+        .otherwise(lit(null).cast("string"))
+    }
+    filter(array(flags: _*), c => c.isNotNull)
+  }
+
+  def hrSeverity(mask: Column): Column =
+    when(mask.isNull || mask === 0, "informational")
+      .when(shiftright(mask, 6).bitwiseAND(1) === 1 ||
+            shiftright(mask, 7).bitwiseAND(1) === 1, "critical")
+      .otherwise("warning")
+
+  /** F17 `_triage_three`: numeric codes: ≥6 critical, ≥3 warning, else
+    * informational; words: critical/fatal/severe/error → critical,
+    * attention/warn → warning. Ref: ews_alerts.py:14-32; ledm_client.py:46-64. */
+  def triage(c: Column): Column = {
+    val s = norm(coalesce(c.cast("string"), lit("")))
+    val n = s.cast("double")
+    when(n.isNotNull && n >= 6, "critical")
+      .when(n.isNotNull && n >= 3, "warning")
+      .when(n.isNotNull, "informational")
+      .when(s.contains("critical") || s.contains("fatal") ||
+            s.contains("severe") || s.contains("error"), "critical")
+      .when(s.contains("attention") || s.contains("warn"), "warning")
+      .otherwise("informational")
+  }
+
+  /** F18 `_severity_rank`: word/number → ordinal for argmax elections.
+    * Ref: ews_alerts.py:144-171. */
+  def severityRank(c: Column): Column = {
+    val s = norm(coalesce(c.cast("string"), lit("")))
+    when(s.contains("critical") || s.contains("fatal"), 9)
+      .when(s.contains("error"), 7)
+      .when(s.contains("warn") || s.contains("attention"), 5)
+      .when(s.contains("info"), 2)
+      .otherwise(0)
+  }
+
+  /** F19 `_short_label_for`: catalog info wins; else keyword decision
+    * list; default "Check printer". Ref: ews_alerts.py:173-199. */
+  def shortLabel(catalogInfo: Column, desc: Column): Column = {
+    val s = norm(coalesce(desc, lit("")))
+    coalesce(
+      when(length(trim(coalesce(catalogInfo, lit("")))) > 0, catalogInfo),
+      when(s.contains("door") || s.contains("cover"), "Close the door/cover"),
+      when(s.contains("jam"), "Clear paper jam"),
+      when(s.contains("toner"), "Replace toner"),
+      when(s.contains("drum"), "Replace drum"),
+      when(s.contains("transfer"), "Replace transfer kit"),
+      when(s.contains("scanner"), "Scanner error"),
+      when(s.contains("fuser"), "Replace fuser"),
+      lit("Check printer"))
+  }
+
+  /** F21 `derive_severity_from_problem`: keyword sets → critical /
+    * warning / informational. Ref: ledm_client.py:149-157. */
+  def severityFromProblem(c: Column): Column = {
+    val s = norm(coalesce(c, lit("")))
+    val crit = Seq("jam", "door", "open", "missing", "failure", "offline")
+    val warn = Seq("low", "depleted", "empty", "replace", "order")
+    when(crit.map(k => s.contains(k)).reduce(_ || _), "critical")
+      .when(warn.map(k => s.contains(k)).reduce(_ || _), "warning")
+      .otherwise("informational")
+  }
+
+  /** F22 error-code regexes. Ref: ews_alerts.py:12; toner_type_web.py:8-9;
+    * toner_type_snmp.py:11-13. */
+  val EwsCodeRe = "[A-Z]\\d-\\d{3,5}"
+  val TonerIdRes = Seq("W\\d{4}[A-Z]X?", "MLT-[A-Z]\\d{3,5}[A-Z]*", "[A-Z]{2}\\d{3}[A-Z]")
+
+  def extractEwsCode(c: Column): Column = regexp_extract(c, s"($EwsCodeRe)", 1)
+
+  /** F23 label normalize: alpha-only upper; BK/K/BLK unify.
+    * Ref: brother_toner_web.py:10-24. */
+  def labelNormalize(c: Column): Column = {
+    val u = upper(regexp_replace(c, "[^A-Za-z]", ""))
+    when(u.isin("BK", "K", "BLK"), "BK").otherwise(u)
+  }
+
+  def labelPretty(c: Column): Column = {
+    val u = labelNormalize(c)
+    when(u === "BK", "Black").when(u === "C", "Cyan")
+      .when(u === "M", "Magenta").when(u === "Y", "Yellow")
+      .otherwise(initcap(lower(u)))
+  }
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Dev-only mirror of the driver's correctness gate (NOT engine code —
+the Scala engine never touches DuckDB; this script exists so mismatches
+are caught before the round verify).
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+  - expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run
+  - loads each <outDir>/<name> parquet (Spark result)
+  - runs <outDir>/oracle_sql.json[name] in DuckDB over <sfDir> tables
+  - compares: column names (sorted), row count, and cell values with
+    rows sorted by all columns; floats exact-or-1e-9-relative.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')"
+            ).fetch_arrow_table()
+            want = con.execute(sql).fetch_arrow_table()
+            ok, msg = compare(got, want)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"exception: {e}"
+        if ok:
+            n_pass += 1
+            print(f"PASS {name} ({msg})")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {msg}")
+    print(f"== {n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+def compare(got, want):
+    gcols, wcols = sorted(got.column_names), sorted(want.column_names)
+    if gcols != wcols:
+        return False, f"columns differ: spark={gcols} oracle={wcols}"
+    if got.num_rows != want.num_rows:
+        return False, f"row count differs: spark={got.num_rows} oracle={want.num_rows}"
+    g = sort_rows(got, gcols)
+    w = sort_rows(want, wcols)
+    n_exact = 0
+    for ci, cname in enumerate(gcols):
+        for ri in range(len(g[0])):
+            a, b = g[ci][ri], w[ci][ri]
+            if a == b or (a is None and b is None):
+                n_exact += 1
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                if a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b)):
+                    continue  # near but not exact — count separately
+            return False, (f"cell mismatch col={cname} row={ri}: "
+                           f"spark={a!r} oracle={b!r}")
+    total = len(gcols) * (len(g[0]) if g else 0)
+    return True, f"rows={want.num_rows} exact_cells={n_exact}/{total}"
+
+
+def sort_rows(tbl, cols):
+    pycols = [tbl.column(c).to_pylist() for c in cols]
+    rows = list(zip(*pycols)) if pycols and pycols[0] is not None else []
+    rows.sort(key=lambda r: tuple(
+        (x is None, str(type(x)), str(x)) for x in r))
+    return [list(c) for c in zip(*rows)] if rows else [[] for _ in cols]
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
