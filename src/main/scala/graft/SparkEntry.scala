@@ -10,7 +10,8 @@ import graft.queries._
   * DuckDB-equivalent SQL with IDENTICAL column names and row order. */
 object SparkEntry {
 
-  private def registry: Seq[QuerySpec] = CoreQueries.all
+  private def registry: Seq[QuerySpec] =
+    CoreQueries.all ++ FunctionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

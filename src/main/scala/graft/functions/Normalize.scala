@@ -21,7 +21,7 @@ object Normalize {
   /** F2 `canonicalize_id`: numeric-looking → str(trunc(v)) ("7.0"→"7");
     * else strip + newlines→spaces. Ref: core/excel/update_from_json.py:17-26. */
   def canonicalizeId(c: Column): Column = {
-    val d = c.cast("string").cast("double")
+    val d = c.cast("string").try_cast("double")
     when(d.isNotNull, d.cast("long").cast("string"))
       .otherwise(trim(regexp_replace(c.cast("string"), "[\\n\\r]", " ")))
   }
@@ -74,7 +74,7 @@ object Normalize {
 
   /** F8 `_safe_int`: int(float(str(x))) else null. Ref: locations.py:11-17. */
   def safeInt(c: Column): Column =
-    c.cast("string").cast("double").cast("long")
+    c.cast("string").try_cast("double").cast("long")
 
   /** F9 `_compute_percent`: unit==19 → clamp(level,0,100); elif max>0 and
     * level>=0 → round(100*level/max) clamped; sentinel levels −1/−2/−3
@@ -113,8 +113,8 @@ object Normalize {
     val i = array_position(parts, markerHead) // 1-based; 0 when absent
     when(i > 0 && element_at(parts, (i + 1).cast("int")) === "11",
       struct(
-        element_at(parts, (i + 4).cast("int")).cast("int").as("col"),
-        element_at(parts, (i + 6).cast("int")).cast("int").as("row")))
+        element_at(parts, (i + 4).cast("int")).try_cast("int").as("col"),
+        element_at(parts, (i + 6).cast("int")).try_cast("int").as("row")))
       .otherwise(lit(null).cast("struct<col:int,row:int>"))
   }
 
@@ -155,7 +155,7 @@ object Normalize {
     * attention/warn → warning. Ref: ews_alerts.py:14-32; ledm_client.py:46-64. */
   def triage(c: Column): Column = {
     val s = norm(coalesce(c.cast("string"), lit("")))
-    val n = s.cast("double")
+    val n = s.try_cast("double")
     when(n.isNotNull && n >= 6, "critical")
       .when(n.isNotNull && n >= 3, "warning")
       .when(n.isNotNull, "informational")

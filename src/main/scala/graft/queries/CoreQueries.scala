@@ -437,7 +437,7 @@ object CoreQueries {
       |ORDER BY rn""".stripMargin) { (s, d) =>
     val alphaKey = lower(regexp_replace(col("c_name"), "[0-9]+", ""))
     val numKey = coalesce(
-      regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long"), lit(-1L))
+      regexp_extract(col("c_name"), "([0-9]+)", 1).try_cast("long"), lit(-1L))
     val w = Window.orderBy(alphaKey, numKey, col("c_custkey"))
     Tables.customer(s, d)
       .select(row_number().over(w).as("rn"), col("c_custkey"), col("c_name"))
