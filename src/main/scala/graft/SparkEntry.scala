@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QuerySpec] =
-    CoreQueries.all ++ FunctionQueries.all
+    CoreQueries.all ++ FunctionQueries.all ++ TextQueries.all ++
+      VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis._
+
+/** Training-data curation operators over `documents` (beyond-reference
+  * north star): exact + near dedup (MinHash/LSH, SimHash, n-gram
+  * Jaccard), language ID, quality scoring, token counting, document
+  * fingerprinting. All hashes are portable md5-hex (see TextAnalysis)
+  * so every query has a full DuckDB oracle.
+  *
+  * Scale shape: tokenize/shingle/signature stages are scan-local
+  * (narrow); the only shuffles are the LSH band self-join (keyed on
+  * band buckets — at 100 TB this is the classic band-bucket join whose
+  * fan-in is bounded by bucket size) and the final groupBys. No
+  * all-pairs products anywhere except inside a bucket / lang partition.
+  */
+object TextQueries {
+
+  // Shared SQL snippets (DuckDB side) — keep in lockstep with
+  // TextAnalysis.normText/tokens/shingles.
+  private val NormSql =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val ToksSql = s"string_split($NormSql, ' ')"
+  private val ShinglesOverToks =
+    """CASE WHEN len(toks) >= 3
+      |     THEN list_transform(range(1, len(toks) - 1),
+      |            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |     ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  /** T1 — exact dedup by content hash of the canonical normal form:
+    * hash-groupBy, keeper = min doc_id (deterministic). */
+  val t1ExactDedup: QuerySpec = QuerySpec.sql(
+    "t1_exact_dedup",
+    s"""SELECT md5($NormSql) AS content_hash,
+       |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY content_hash""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(normText(col("text"))).as("content_hash"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+      .orderBy("content_hash")
+  }
+
+  private val K = 12 // minhash signature length
+  private val R = 3  // rows per LSH band
+  private val B = K / R
+
+  /** T2 — MinHash + LSH near-dup candidate pairs: shingle → K-element
+    * signature → B band keys → band-bucket self-join → signature
+    * agreement fraction. Pairs with ≥ K/2 matching signature elements
+    * (est. Jaccard ≥ 0.5) survive. */
+  val t2MinhashLsh: QuerySpec = {
+    val sigDefsSql = (0 until K).map(i =>
+      s"list_aggregate(list_transform(s, x -> md5(concat('$i', '|', x))), 'min') AS sig_$i")
+      .mkString(",\n  ")
+    val bandsSql = (0 until B).map { b =>
+      val cols = (0 until R).map(r => s"sig_${b * R + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val matchSql = (0 until K).map(i =>
+      s"CASE WHEN x.sig_$i = y.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+    QuerySpec.sql(
+      "t2_minhash_lsh",
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $ShinglesOverToks AS s FROM t),
+         |sigs AS (SELECT doc_id,
+         |  $sigDefsSql
+         |FROM sh),
+         |bands AS (
+         |  $bandsSql
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |)
+         |SELECT d1, d2, ($matchSql) AS sig_matches,
+         |  CAST(($matchSql) AS DOUBLE) / $K AS sig_frac
+         |FROM cand JOIN sigs x ON d1 = x.doc_id JOIN sigs y ON d2 = y.doc_id
+         |WHERE ($matchSql) >= ${K / 2}
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
+      val sigs = sh.select(
+        col("doc_id") +: (0 until K).map(i => minhashSig(col("s"), i).as(s"sig_$i")): _*)
+      val bands = (0 until B).map { b =>
+        sigs.select(col("doc_id"), lit(b).as("band"),
+          bandKey((0 until R).map(r => col(s"sig_${b * R + r}"))).as("bkey"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val matches = (0 until K)
+        .map(i => when(col(s"x.sig_$i") === col(s"y.sig_$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sigs.as("x"), col("d1") === col("x.doc_id"))
+        .join(sigs.as("y"), col("d2") === col("y.doc_id"))
+        .select(col("d1"), col("d2"), matches.as("sig_matches"),
+          (matches.cast("double") / K).as("sig_frac"))
+        .filter(col("sig_matches") >= K / 2)
+        .orderBy("d1", "d2")
+    }
+  }
+
+  /** T3 — 32-bit SimHash fingerprint (token-weighted, md5-nibble bits):
+    * one shuffle (groupBy doc) over exploded tokens; signature is a
+    * '0'/'1' string so it is engine-portable. */
+  val t3Simhash: QuerySpec = {
+    def bitSql(b: Int): String = {
+      val j = b / 4 + 1; val sh = 3 - b % 4
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(hh, $j, 1)) - 1) >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS s_$b"
+    }
+    val aggSql = (0 until 32).map(bitSql).mkString(",\n  ")
+    val fpSql = (0 until 32).map(b =>
+      s"CASE WHEN s_$b > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+    QuerySpec.sql(
+      "t3_simhash",
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+         |agg AS (SELECT doc_id,
+         |  $aggSql
+         |FROM h GROUP BY doc_id)
+         |SELECT doc_id, $fpSql AS simhash
+         |FROM agg
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("hh", md5(col("tok")))
+      val aggs = (0 until 32).map(b => sum(simhashContrib("hh", b)).as(s"s_$b"))
+      val fp = concat((0 until 32).map(b =>
+        when(col(s"s_$b") > 0, "1").otherwise("0")): _*)
+      h.groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), fp.as("simhash"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** T4 — n-gram (token-set) Jaccard near-dup pairs within a language
+    * partition: inverted-index self-join (token → docs), exact
+    * |∩|/|∪| ≥ 0.9. The `doc_id < 1000` screen bounds the partner set
+    * (at lake scale this is where LSH pre-candidates plug in — T2). */
+  val t4NgramJaccard: QuerySpec = QuerySpec.sql(
+    "t4_ngram_jaccard",
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, lang, unnest($ToksSql) AS tok
+       |  FROM documents WHERE doc_id < 1000
+       |), nt AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |  FROM dt a JOIN dt b
+       |    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2, i AS n_common,
+       |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+       |FROM inter JOIN nt x ON d1 = x.doc_id JOIN nt y ON d2 = y.doc_id
+       |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.9
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val dt = Tables.documents(s, d)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val nt = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = dt.as("a")
+      .join(dt.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("x.n") + col("y.n") - col("i"))
+    inter
+      .join(nt.as("x"), col("d1") === col("x.doc_id"))
+      .join(nt.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"), col("i").as("n_common"), jac.as("jaccard"))
+      .filter(jac >= 0.9)
+      .orderBy("d1", "d2")
+  }
+
+  /** T6 — language-ID heuristic: English function-word ratio over the
+    * token stream (scan-local; no shuffle). */
+  val t6LangId: QuerySpec = {
+    val stopList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    QuerySpec.sql(
+      "t6_langid",
+      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents)
+         |SELECT doc_id, lang,
+         |  len(list_filter(toks, x -> list_contains($stopList, x))) AS n_stop,
+         |  len(toks) AS n_toks,
+         |  CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |    / len(toks) AS stop_ratio,
+         |  CASE WHEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |            / len(toks) >= 0.05
+         |       THEN 'en' ELSE 'und' END AS predicted
+         |FROM t
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val nStop = stopwordCount(toks)
+      val ratio = nStop.cast("double") / size(toks)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          nStop.as("n_stop"),
+          size(toks).cast("long").as("n_toks"),
+          ratio.as("stop_ratio"),
+          when(ratio >= 0.05, "en").otherwise("und").as("predicted"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** T7 — document quality scoring: token count, mean token length,
+    * stopword + punctuation ratios combined into a deterministic score. */
+  val t7QualityScore: QuerySpec = {
+    val stopList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    QuerySpec.sql(
+      "t7_quality_score",
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $ToksSql AS toks, $NormSql AS norm FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    len(toks) AS n_toks,
+         |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_tok_len,
+         |    CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |      / len(toks) AS stop_ratio,
+         |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio
+         |  FROM t
+         |)
+         |SELECT doc_id, n_toks, avg_tok_len, stop_ratio, punct_ratio,
+         |  least(1.0, CAST(n_toks AS DOUBLE) / 100)
+         |    * (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
+         |    * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) AS quality
+         |FROM m
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val norm = normText(col("text"))
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        (length(regexp_replace(norm, " ", "")).cast("double") / size(toks))
+          .as("avg_tok_len"),
+        (stopwordCount(toks).cast("double") / size(toks)).as("stop_ratio"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))).cast("double") /
+          length(col("text"))).as("punct_ratio"))
+      base.select(col("doc_id"), col("n_toks"), col("avg_tok_len"),
+        col("stop_ratio"), col("punct_ratio"),
+        (least(lit(1.0), col("n_toks").cast("double") / 100) *
+          when(col("stop_ratio") >= 0.01 && col("stop_ratio") <= 0.3, 1.0).otherwise(0.5) *
+          when(col("punct_ratio") <= 0.2, 1.0).otherwise(0.5)).as("quality"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** T8 — token counting two ways: raw whitespace split vs a BPE-ish
+    * regex segmentation (letters / digits / single symbols). */
+  val t8TokenCount: QuerySpec = QuerySpec.sql(
+    "t8_token_count",
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+          .as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** T9 — document fingerprints: full-content hash + min-shingle hash
+    * (winnowing-style representative; equals MinHash with k=1, seedless). */
+  val t9Fingerprint: QuerySpec = QuerySpec.sql(
+    "t9_fingerprint",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks, $NormSql AS norm FROM documents),
+       |sh AS (SELECT doc_id, norm, $ShinglesOverToks AS s FROM t)
+       |SELECT doc_id, md5(norm) AS content_fp,
+       |  list_aggregate(list_transform(s, x -> md5(x)), 'min') AS min_shingle_fp
+       |FROM sh
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), normText(col("text")).as("norm"),
+        shingles(tokens(col("text")), 3).as("s"))
+      .select(col("doc_id"), md5(col("norm")).as("content_fp"),
+        array_min(transform(col("s"), x => md5(x))).as("min_shingle_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
+    t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint)
+}

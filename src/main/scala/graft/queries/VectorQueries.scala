@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the correctness baseline and a
+  * sign-bit LSH-bucketed variant as the scale path.
+  *
+  * Float discipline: float×float is exact in double (24+24 < 53 bits),
+  * and each product goes through DECIMAL(28,12) before summing, so the
+  * dot products are order-independent and bit-identical across engines;
+  * sqrt/division on identical doubles are IEEE-deterministic. No
+  * rounding fudge needed anywhere.
+  *
+  * Scale shape: norms are a narrow per-row pass; brute force is a
+  * broadcast of the (small) query set against the corpus — shuffle-free;
+  * the LSH variant turns all-pairs into per-bucket joins (bucket key =
+  * 6 sign bits), the standard way to keep ANN sub-quadratic on a
+  * cluster. */
+object VectorQueries {
+
+  private def prodDec(x: Column, y: Column): Column =
+    (x.cast("double") * y.cast("double")).cast("decimal(28,12)")
+
+  /** Per-vector squared norms with exact decimal accumulation. */
+  private def normsDf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), explode(col("embedding")).as("x"))
+      .groupBy("vec_id")
+      .agg(sum(prodDec(col("x"), col("x"))).cast("double").as("ss"))
+
+  private val NormsSql =
+    """SELECT vec_id,
+      |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ss
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id""".stripMargin
+
+  /** T5 — brute-force cosine top-5 for the first 10 query vectors. */
+  val t5AnnBruteForce: QuerySpec = QuerySpec.sql(
+    "t5_ann_brute_force",
+    s"""WITH sq AS ($NormsSql),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |prods AS (
+       |  SELECT qid, e.vec_id AS nid,
+       |    CAST(CAST(qe[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE) AS DECIMAL(28,12)) AS p
+       |  FROM q, embeddings e, range(0, 64) t(i)
+       |  WHERE e.vec_id <> qid
+       |),
+       |dots AS (SELECT qid, nid, CAST(SUM(p) AS DOUBLE) AS dot FROM prods GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT qid, nid, dot / (sqrt(a.ss) * sqrt(b.ss)) AS cosine
+       |  FROM dots JOIN sq a ON qid = a.vec_id JOIN sq b ON nid = b.vec_id
+       |),
+       |ranked AS (
+       |  SELECT qid, nid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM cos
+       |)
+       |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val dots = broadcast(q)
+      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        explode(zip_with(col("qe"), col("ne"), (x, y) => prodDec(x, y))).as("p"))
+      .groupBy("qid", "nid")
+      .agg(sum("p").cast("double").as("dot"))
+    val sq = normsDf(s, d)
+    val cos = dots
+      .join(sq.select(col("vec_id").as("qv"), col("ss").as("ss_a")), col("qid") === col("qv"))
+      .join(sq.select(col("vec_id").as("nv"), col("ss").as("ss_b")), col("nid") === col("nv"))
+      .select(col("qid"), col("nid"),
+        (col("dot") / (sqrt(col("ss_a")) * sqrt(col("ss_b")))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    cos.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "nid", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  /** T10 — LSH-bucketed ANN: bucket key = sign bits of the first 6
+    * dimensions (random-hyperplane LSH with axis hyperplanes); cosine
+    * top-3 within each bucket. Recall trades against the all-pairs cost
+    * — the bucket join is the 100 TB-viable plan. */
+  val t10AnnLshBuckets: QuerySpec = {
+    val bucketSqlFor = (alias: String) => (1 to 6).map(i =>
+      s"CASE WHEN $alias.embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+    QuerySpec.sql(
+      "t10_ann_lsh_buckets",
+      s"""WITH sq AS ($NormsSql),
+         |b AS (SELECT vec_id, embedding, ${bucketSqlFor("embeddings")} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT x.vec_id AS qid, y.vec_id AS nid, x.bucket, x.embedding AS qe, y.embedding AS ne
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |),
+         |dots AS (
+         |  SELECT qid, nid, bucket, CAST(SUM(p) AS DOUBLE) AS dot
+         |  FROM (
+         |    SELECT qid, nid, bucket,
+         |      CAST(CAST(qe[i+1] AS DOUBLE) * CAST(ne[i+1] AS DOUBLE) AS DECIMAL(28,12)) AS p
+         |    FROM pairs, range(0, 64) t(i)
+         |  ) GROUP BY 1, 2, 3
+         |),
+         |cos AS (
+         |  SELECT qid, nid, bucket, dot / (sqrt(a.ss) * sqrt(b2.ss)) AS cosine
+         |  FROM dots JOIN sq a ON qid = a.vec_id JOIN sq b2 ON nid = b2.vec_id
+         |),
+         |ranked AS (
+         |  SELECT qid, nid, bucket, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM cos
+         |)
+         |SELECT qid, rank, nid, bucket, cosine FROM ranked WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val bucket = concat((1 to 6).map(i =>
+        when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+      val pairs = b.as("x")
+        .join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
+          col("x.bucket").as("bucket"),
+          col("x.embedding").as("qe"), col("y.embedding").as("ne"))
+      val dots = pairs
+        .select(col("qid"), col("nid"), col("bucket"),
+          explode(zip_with(col("qe"), col("ne"), (x, y) => prodDec(x, y))).as("p"))
+        .groupBy("qid", "nid", "bucket")
+        .agg(sum("p").cast("double").as("dot"))
+      val sq = normsDf(s, d)
+      val cos = dots
+        .join(sq.select(col("vec_id").as("qv"), col("ss").as("ss_a")), col("qid") === col("qv"))
+        .join(sq.select(col("vec_id").as("nv"), col("ss").as("ss_b")), col("nid") === col("nv"))
+        .select(col("qid"), col("nid"), col("bucket"),
+          (col("dot") / (sqrt(col("ss_a")) * sqrt(col("ss_b")))).as("cosine"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+      cos.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid", "bucket", "cosine")
+        .orderBy("qid", "rank")
+    }
+  }
+
+  val all: Seq[QuerySpec] = Seq(t5AnnBruteForce, t10AnnLshBuckets)
+}
