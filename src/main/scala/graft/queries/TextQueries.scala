@@ -83,26 +83,30 @@ object TextQueries {
          |FROM cand JOIN sigs x ON d1 = x.doc_id JOIN sigs y ON d2 = y.doc_id
          |WHERE ($matchSql) >= ${K / 2}
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val sh = Tables.documents(s, d)
+      // Plan shape (the 100 TB-critical part): the shingle+signature
+      // scan is computed ONCE per join side. Signatures live in one
+      // array column carried THROUGH the band explode and self-join, so
+      // no join-back to a signature table is ever needed; the only
+      // shuffles are the band-bucket self-join and the pair dedup.
+      val sigs = Tables.documents(s, d)
         .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
-      val sigs = sh.select(
-        col("doc_id") +: (0 until K).map(i => minhashSig(col("s"), i).as(s"sig_$i")): _*)
-      val bands = (0 until B).map { b =>
-        sigs.select(col("doc_id"), lit(b).as("band"),
-          bandKey((0 until R).map(r => col(s"sig_${b * R + r}"))).as("bkey"))
-      }.reduce(_ unionByName _)
+        .select(col("doc_id"),
+          array((0 until K).map(i => minhashSig(col("s"), i)): _*).as("sig"))
+      val bandCols = (0 until B).map { b =>
+        bandKey((0 until R).map(r => element_at(col("sig"), b * R + r + 1)))
+      }
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      val matches = (0 until K)
-        .map(i => when(col(s"x.sig_$i") === col(s"y.sig_$i"), 1).otherwise(0))
-        .reduce(_ + _)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.sig").as("sx"), col("b.sig").as("sy"))
+        .dropDuplicates("d1", "d2") // sx/sy are functions of d1/d2
+      val matches =
+        size(filter(zip_with(col("sx"), col("sy"), (x, y) => x === y), b => b))
       cand
-        .join(sigs.as("x"), col("d1") === col("x.doc_id"))
-        .join(sigs.as("y"), col("d2") === col("y.doc_id"))
         .select(col("d1"), col("d2"), matches.as("sig_matches"),
           (matches.cast("double") / K).as("sig_frac"))
         .filter(col("sig_matches") >= K / 2)

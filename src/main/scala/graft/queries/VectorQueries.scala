@@ -16,22 +16,37 @@ import graft.Tables
   * sqrt/division on identical doubles are IEEE-deterministic. No
   * rounding fudge needed anywhere.
   *
-  * Scale shape: norms are a narrow per-row pass; brute force is a
-  * broadcast of the (small) query set against the corpus — shuffle-free;
-  * the LSH variant turns all-pairs into per-bucket joins (bucket key =
-  * 6 sign bits), the standard way to keep ANN sub-quadratic on a
-  * cluster. */
+  * Scale shape: dot products and norms are computed PER ROW with
+  * `zip_with`/`aggregate` higher-order functions — no element explode,
+  * no 64×-row blow-up, no shuffle for the reductions. Norms ride along
+  * in the projections, so there are zero auxiliary joins. Brute force
+  * is a broadcast of the (small) query set against the corpus —
+  * shuffle-free up to the final top-k window; the LSH variant turns
+  * all-pairs into per-bucket joins (bucket key = 6 sign bits), the
+  * standard way to keep ANN sub-quadratic on a cluster. */
 object VectorQueries {
 
   private def prodDec(x: Column, y: Column): Column =
     (x.cast("double") * y.cast("double")).cast("decimal(28,12)")
 
-  /** Per-vector squared norms with exact decimal accumulation. */
-  private def normsDf(s: SparkSession, d: String): DataFrame =
+  /** Exact decimal Σ over an array column, per row (no shuffle). The
+    * running cast keeps the accumulator at decimal(28,12) — lossless
+    * here (|Σ| far below 16 integer digits), and exactness makes the
+    * result order-independent, matching the oracle's grouped SUM. */
+  private def sumDec(arr: Column): Column =
+    aggregate(arr, lit(0).cast("decimal(28,12)"),
+      (acc, x) => (acc + x).cast("decimal(28,12)")).cast("double")
+
+  private def dot(a: Column, b: Column): Column =
+    sumDec(zip_with(a, b, (x, y) => prodDec(x, y)))
+
+  private def normSq(e: Column): Column =
+    sumDec(transform(e, x => prodDec(x, x)))
+
+  /** Embeddings with the squared norm carried per row. */
+  private def embWithSs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), explode(col("embedding")).as("x"))
-      .groupBy("vec_id")
-      .agg(sum(prodDec(col("x"), col("x"))).cast("double").as("ss"))
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("ss"))
 
   private val NormsSql =
     """SELECT vec_id,
@@ -61,22 +76,17 @@ object VectorQueries {
        |)
        |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
+    val emb = embWithSs(s, d)
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val dots = broadcast(q)
-      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("ss").as("ss_a"))
+    val cos = broadcast(q)
+      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("ss").as("ss_b")))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        explode(zip_with(col("qe"), col("ne"), (x, y) => prodDec(x, y))).as("p"))
-      .groupBy("qid", "nid")
-      .agg(sum("p").cast("double").as("dot"))
-    val sq = normsDf(s, d)
-    val cos = dots
-      .join(sq.select(col("vec_id").as("qv"), col("ss").as("ss_a")), col("qid") === col("qv"))
-      .join(sq.select(col("vec_id").as("nv"), col("ss").as("ss_b")), col("nid") === col("nv"))
-      .select(col("qid"), col("nid"),
-        (col("dot") / (sqrt(col("ss_a")) * sqrt(col("ss_b")))).as("cosine"))
+        (dot(col("qe"), col("ne")) / (sqrt(col("ss_a")) * sqrt(col("ss_b"))))
+          .as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     cos.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -120,25 +130,14 @@ object VectorQueries {
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
       val bucket = concat((1 to 6).map(i =>
         when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
-      val b = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
-      val pairs = b.as("x")
+      val b = embWithSs(s, d).withColumn("bucket", bucket)
+      val cos = b.as("x")
         .join(b.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
           col("x.bucket").as("bucket"),
-          col("x.embedding").as("qe"), col("y.embedding").as("ne"))
-      val dots = pairs
-        .select(col("qid"), col("nid"), col("bucket"),
-          explode(zip_with(col("qe"), col("ne"), (x, y) => prodDec(x, y))).as("p"))
-        .groupBy("qid", "nid", "bucket")
-        .agg(sum("p").cast("double").as("dot"))
-      val sq = normsDf(s, d)
-      val cos = dots
-        .join(sq.select(col("vec_id").as("qv"), col("ss").as("ss_a")), col("qid") === col("qv"))
-        .join(sq.select(col("vec_id").as("nv"), col("ss").as("ss_b")), col("nid") === col("nv"))
-        .select(col("qid"), col("nid"), col("bucket"),
-          (col("dot") / (sqrt(col("ss_a")) * sqrt(col("ss_b")))).as("cosine"))
+          (dot(col("x.embedding"), col("y.embedding")) /
+            (sqrt(col("x.ss")) * sqrt(col("y.ss")))).as("cosine"))
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
       cos.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)

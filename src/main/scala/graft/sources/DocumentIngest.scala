@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Printers-document ingest (SURVEY.md §2 P1/P2/U1, S2).
+  *
+  * The reference's central dataset is one JSON document with two group
+  * arrays (`Company_Grouped`, `Branches_Grouped`); every step iterates
+  * both as a single record stream (core/printers.py:4-17). Here the
+  * document lands once as a *table*: explode each group with its
+  * positional index (order-sensitivity: last-wins / first-seen merges
+  * downstream need an explicit source row index, SURVEY.md §4.3), tag a
+  * `group` discriminator, and union by name with missing columns
+  * allowed (Company has `Floor`; Branches have `Name`/`BO IP`/
+  * `storeInfo` — import_from_xlsm.py:14-23).
+  *
+  * Scale: a real fleet document is small (thousands of printers), but
+  * the same shape holds for millions of devices: the explode is
+  * narrow (no shuffle), and all downstream enrichment joins broadcast
+  * the small side.
+  */
+object DocumentIngest {
+
+  val GroupKeys: Seq[String] = Seq("Company_Grouped", "Branches_Grouped")
+
+  /** Whole-document JSON read: one row, one column per group array
+    * (adapters/printers_store.py:33-35). `multiLine` because the file
+    * is a single pretty-printed object, not JSON-lines. */
+  def readDocument(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+
+  /** Document → unified printer-record stream with `group` discriminator
+    * and per-group positional `row_idx` (core/printers.py:6-17).
+    *
+    * The JSON reader infers each group array's element schema
+    * independently, and the reference's data makes them genuinely
+    * diverge (dual-typed `tonerType`, int-vs-string `ID`) — so each
+    * frame is harmonized to the canonical types BEFORE the union:
+    * `ID` → string, `printerInfo.tonerType` → array<string>. */
+  def printers(doc: DataFrame): DataFrame = {
+    val frames = GroupKeys.filter(doc.columns.contains).map { g =>
+      harmonize(doc
+        .select(posexplode(col(g)).as(Seq("row_idx", "rec")))
+        .select(lit(g).as("group"), col("row_idx"), col("rec.*")))
+    }
+    require(frames.nonEmpty, s"document has none of $GroupKeys")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def harmonize(df: DataFrame): DataFrame = {
+    val withId =
+      if (df.columns.contains("ID")) df.withColumn("ID", col("ID").cast(StringType))
+      else df
+    piTonerTypeField(withId) match {
+      case Some(StringType) =>
+        withId.withColumn("printerInfo", col("printerInfo")
+          .withField("tonerType", unifyTonerType(col("printerInfo.tonerType"))))
+      case _ => withId // already array<string>, or absent
+    }
+  }
+
+  private def piTonerTypeField(df: DataFrame): Option[DataType] =
+    df.schema.fields.find(_.name == "printerInfo").map(_.dataType).flatMap {
+      case s: StructType => s.fields.find(_.name == "tonerType").map(_.dataType)
+      case _ => None
+    }
+
+  /** Unify the dual-typed `tonerType` (SURVEY.md §1.2 hard part 1):
+    * the SNMP path writes array<string>
+    * (plugins/tonerType/toner_type_snmp.py:49), the web path a plain
+    * string (toner_type_web.py:44). Spark's JSON reader resolves the
+    * type conflict to StringType, rendering arrays as JSON text — so:
+    * JSON-array-looking text parses back to array, anything else wraps
+    * as a 1-element array, null stays null. */
+  def unifyTonerType(c: Column): Column = {
+    val t = trim(c)
+    when(c.isNull, lit(null).cast(ArrayType(StringType)))
+      .when(t.startsWith("["), from_json(t, ArrayType(StringType)))
+      .otherwise(array(c))
+  }
+
+  /** Alias kept for call sites that want to be explicit that the
+    * dual-typed `tonerType` has been unified — `printers` already
+    * harmonizes each group frame before the union. */
+  def printersUnified(doc: DataFrame): DataFrame = printers(doc)
+
+  /** P3: keep printers whose IP is real (core/printers.py:26-36). Runs
+    * BEFORE any expensive fan-out — the reference's manual predicate
+    * pushdown, kept manual here too because Catalyst cannot push
+    * through an opaque mapPartitions poll. */
+  val BadIps: Seq[String] = Seq("", "-", "n/a", "na", "none", "0.0.0.0", "null")
+
+  def ipOf(df: DataFrame): Column = {
+    val candidates = Seq("Printer IP", "IP", "ip").filter(df.columns.contains)
+    trim(coalesce(candidates.map(col) :+ lit(null).cast(StringType): _*))
+  }
+
+  def withValidIp(df: DataFrame): DataFrame =
+    df.withColumn("ip", ipOf(df))
+      .where(col("ip").isNotNull && !lower(col("ip")).isin(BadIps: _*))
+}
