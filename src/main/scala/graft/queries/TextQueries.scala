@@ -54,8 +54,9 @@ object TextQueries {
     * agreement fraction. Pairs with ≥ K/2 matching signature elements
     * (est. Jaccard ≥ 0.5) survive. */
   val t2MinhashLsh: QuerySpec = {
+    val P = MinhashP
     val sigDefsSql = (0 until K).map(i =>
-      s"list_aggregate(list_transform(s, x -> md5(concat('$i', '|', x))), 'min') AS sig_$i")
+      s"list_aggregate(list_transform(hv, v -> (v * ${minhashA(i)} + ${minhashB(i)}) % $P), 'min') AS sig_$i")
       .mkString(",\n  ")
     val bandsSql = (0 until B).map { b =>
       val cols = (0 until R).map(r => s"sig_${b * R + r}").mkString(", ")
@@ -67,9 +68,11 @@ object TextQueries {
       "t2_minhash_lsh",
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, $ShinglesOverToks AS s FROM t),
+         |hvs AS (SELECT doc_id, list_transform(s,
+         |  x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $P) AS hv FROM sh),
          |sigs AS (SELECT doc_id,
          |  $sigDefsSql
-         |FROM sh),
+         |FROM hvs),
          |bands AS (
          |  $bandsSql
          |),
@@ -90,8 +93,9 @@ object TextQueries {
       // shuffles are the band-bucket self-join and the pair dedup.
       val sigs = Tables.documents(s, d)
         .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
+        .select(col("doc_id"), minhashBase(col("s")).as("hv"))
         .select(col("doc_id"),
-          array((0 until K).map(i => minhashSig(col("s"), i)): _*).as("sig"))
+          array((0 until K).map(i => minhashSig(col("hv"), i)): _*).as("sig"))
       val bandCols = (0 until B).map { b =>
         bandKey((0 until R).map(r => element_at(col("sig"), b * R + r + 1)))
       }
