@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming analogue of the reference's snapshot-poll pattern
+  * (SURVEY.md §2.7). The reference has no streaming runtime — its
+  * whole pipeline is a periodic re-poll of live devices where each run
+  * snapshots time-varying status/alerts/toner, devices that do not
+  * answer default to offline (toner_hp.py:63-66), and the result
+  * replaces the previous document last-writer-wins
+  * (printers_store.py:38-42). The faithful Structured Streaming
+  * mapping, demonstrated on the `events` table:
+  *
+  *  - device poll results → an event stream (`readStream` over the
+  *    snapshot directory; `Trigger.AvailableNow` = one catch-up run, the
+  *    reference's batch re-poll cadence);
+  *  - per-run snapshot → tumbling window; the per-device status is the
+  *    LATEST event in the window (max_by over event time);
+  *  - timeout / late answers → watermark: events later than the bound
+  *    are dropped exactly like a poll answer arriving after the run;
+  *  - devices missing from a window → offline-fill at the sink (left
+  *    join against the roster in foreachBatch);
+  *  - last-writer-wins document replace → foreachBatch keyed upsert
+  *    (MERGE shape: new window rows overwrite the key's previous row).
+  *
+  * Scale: the only stateful operator is the windowed aggregation, keyed
+  * (window, user) — state size = active keys per window, bounded by the
+  * watermark horizon; the sink upsert is idempotent per (key, window),
+  * so retries are safe (exactly-once effect with a transactional sink).
+  */
+object SnapshotPoll {
+
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** `ts` arrives as int64 nanoseconds (nanosAsLong read of
+    * TIMESTAMP(NANOS)); event-time operators need a real timestamp. */
+  def eventTime(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros((tsNanos / 1000L).cast("long"))
+
+  /** Core transform, identical for batch and streaming inputs: tumbling
+    * per-device window → latest event wins (max_by on event time, the
+    * deterministic "last answer in this poll run"), plus activity
+    * stats. */
+  def windowedStatus(events: DataFrame, windowDur: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withColumn("etime", eventTime(col("ts")))
+      .withWatermark("etime", watermarkDelay)
+      .groupBy(window(col("etime"), windowDur).as("w"), col("user_id"))
+      .agg(
+        max_by(col("event_type"), col("ts")).as("last_status"),
+        count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("user_id"),
+        col("last_status"), col("n_events"), col("sum_value"))
+
+  /** One poll run over a snapshot directory: AvailableNow micro-batches,
+    * foreachBatch keyed upsert into an in-memory store with
+    * offline-fill for roster devices that produced no events.
+    * Returns the started query (caller awaits termination). */
+  def run(spark: SparkSession, eventsDir: String, roster: DataFrame,
+      store: SnapshotStore, windowDur: String = "1 hour",
+      watermarkDelay: String = "1 hour"): StreamingQuery = {
+    val stream = spark.readStream.schema(EventsSchema).parquet(eventsDir)
+    val agg = windowedStatus(stream, windowDur, watermarkDelay)
+    val rosterRows = roster.select(col("user_id").cast("long")).collect()
+      .map(_.getLong(0))
+    agg.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Last-writer-wins upsert per (user, window); offline-fill =
+        // roster keys never seen get the reference's unreachable default.
+        val rows = batch.collect()
+        store.upsertAll(rows.map { r =>
+          val key = (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("window_start"))
+          key -> r.getAs[String]("last_status")
+        })
+        store.fillMissing(rosterRows, "offline")
+        ()
+      }
+      .start()
+  }
+}
+
+/** Minimal keyed sink for tests/demos: thread-safe last-writer-wins
+  * map keyed (user_id, window_start) + per-user latest status. A
+  * production sink would be a Delta/Iceberg MERGE INTO — the calls are
+  * shaped for that swap. */
+final class SnapshotStore {
+  private val m =
+    scala.collection.concurrent.TrieMap.empty[(Long, java.sql.Timestamp), String]
+  private val seen = scala.collection.concurrent.TrieMap.empty[Long, String]
+
+  def upsertAll(kvs: Seq[((Long, java.sql.Timestamp), String)]): Unit =
+    kvs.foreach { case (k, v) => m.put(k, v); seen.put(k._1, v) }
+
+  def fillMissing(roster: Seq[Long], default: String): Unit =
+    roster.foreach(u => seen.putIfAbsent(u, default))
+
+  def latest: Map[Long, String] = seen.toMap
+  def windows: Map[(Long, java.sql.Timestamp), String] = m.toMap
+}

@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.fixture(spark, 30, parts = 4)
+
+  test("fixture: deterministic binary + typed metadata, partitioned") {
+    assert(media.rdd.getNumPartitions == 4)
+    val a = media.collect().sortBy(_.mediaId)
+    val b = Multimodal.fixture(spark, 30, parts = 4).collect().sortBy(_.mediaId)
+    assert(a.map(_.content.toSeq) sameElements b.map(_.content.toSeq))
+    assert(a.map(_.kind).distinct.toSet == Set("image", "audio", "video"))
+  }
+
+  test("decode: per-partition batch shape, deterministic summaries") {
+    val d = Multimodal.decode(media).collect().map(x => x.mediaId -> x).toMap
+    assert(d.size == 30)
+    val m0 = media.filter(col("mediaId") === 0).collect().head
+    assert(d(0).nBytes == m0.content.length)
+    assert(d(0).meanByte ==
+      m0.content.map(_ & 0xff).sum.toDouble / m0.content.length)
+    // stable across runs
+    val d2 = Multimodal.decode(media).collect().map(x => x.mediaId -> x.checksum).toMap
+    assert(d.view.mapValues(_.checksum).toMap == d2)
+  }
+
+  test("features: fixed-dim embeddings, deterministic") {
+    val f = Multimodal.features(media, dim = 16).collect()
+    assert(f.length == 30)
+    assert(f.forall(_.embedding.length == 16))
+    val f2 = Multimodal.features(media, dim = 16).collect()
+      .map(x => x.mediaId -> x.embedding.toSeq).toMap
+    f.foreach(x => assert(f2(x.mediaId) == x.embedding.toSeq))
+  }
+
+  test("resizePlan: aspect-preserving bounds, images only, no upscale") {
+    val r = Multimodal.resizePlan(media.toDF(), maxSide = 320).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (w, h) = (row.getAs[Int]("target_width"), row.getAs[Int]("target_height"))
+      assert(w <= 320 && h <= 320 && w > 0 && h > 0)
+    }
+    // no upscale beyond original
+    val small = Multimodal.resizePlan(media.toDF(), maxSide = 10000).collect()
+    small.foreach { row =>
+      assert(row.getAs[Int]("target_width") == 640)
+      assert(row.getAs[Int]("target_height") == 480)
+    }
+  }
+
+  test("frameSample: k evenly spaced frames within duration") {
+    val fs = Multimodal.frameSample(media.toDF(), k = 4)
+    val byId = fs.collect().groupBy(_.getAs[Long]("mediaId"))
+    assert(byId.nonEmpty)
+    byId.foreach { case (_, rows) =>
+      assert(rows.length == 4)
+      val ts = rows.sortBy(_.getAs[Int]("frame_idx")).map(_.getAs[Long]("frame_ts_ms"))
+      val dur = rows.head.getAs[Long]("duration_ms")
+      assert(ts.head == 0 && ts.forall(_ < dur))
+      assert(ts.sameElements(ts.sorted))
+    }
+  }
+}
