@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Engine extension point (SURVEY.md §2.8): registers the custom
+  * generators as SQL-callable functions. Two install paths:
+  *
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  *    build (the idiomatic cluster deployment), or
+  *  - `GraftExtensions.register(spark)` on a live session (tests,
+  *    notebooks).
+  *
+  * Usage: `SELECT doc_id, t.* FROM payloads
+  *         LATERAL VIEW json_alert_extract(body) t` or in a select list
+  * like explode: `df.selectExpr("json_alert_extract(body) AS (path, severity, code, description)")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name takes exactly 1 argument")
+    args.head
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("json_alert_extract"),
+      new ExpressionInfo(classOf[JsonAlertExtract].getName, "json_alert_extract"),
+      (args: Seq[Expression]) =>
+        JsonAlertExtract(one(args, "json_alert_extract"))),
+    (FunctionIdentifier("json_toner_ids"),
+      new ExpressionInfo(classOf[JsonTonerIds].getName, "json_toner_ids"),
+      (args: Seq[Expression]) => JsonTonerIds(one(args, "json_toner_ids"))))
+
+  /** Late registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -1,0 +1,175 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Schema-free recursive JSON walkers (SURVEY.md §2.6 F24/F25, §2.8) —
+  * the one reference behavior Spark's built-ins genuinely cannot
+  * express: the payload's shape is unknown (any nesting of
+  * objects/arrays), so `from_json` with a schema cannot apply; the
+  * reference recurses over whatever arrives and pattern-matches keys
+  * (adapters/ews_alerts.py:47-73; adapters/toner_type_web.py:28-53).
+  *
+  * Implemented as native Catalyst `Generator`s (UDTF-shaped): one input
+  * string column → 0..n extracted rows, usable in a SELECT list like
+  * `explode`. Registered SQL names via [[GraftExtensions]]:
+  * `json_alert_extract(json)` and `json_toner_ids(json)`.
+  *
+  * Lax parse (S10, ews_alerts.py:34-45): strict JSON first, then a
+  * bare-key-quoting regex repair pass, else no rows.
+  *
+  * Scale: per-row generation, no state, no shuffle; CodegenFallback
+  * only affects the generator node itself (inputs/outputs still flow
+  * through Tungsten rows).
+  */
+abstract class JsonWalkGenerator
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  @transient protected lazy val mapper = new ObjectMapper()
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"${prettyName} requires a string column, got ${child.dataType.sql}")
+
+  /** S10 lax parse: strict → quote bare keys → None. */
+  protected def parseLax(s: String): Option[JsonNode] = {
+    def tryParse(x: String): Option[JsonNode] =
+      try Option(mapper.readTree(x)) catch { case _: Exception => None }
+    tryParse(s).orElse {
+      val repaired = s.replaceAll("([{,]\\s*)([A-Za-z_][A-Za-z0-9_]*)(\\s*:)", "$1\"$2\"$3")
+      tryParse(repaired)
+    }
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else parseLax(v.toString) match {
+      case Some(node) => walk(node)
+      case None => Iterator.empty
+    }
+  }
+
+  protected def walk(root: JsonNode): Iterator[InternalRow]
+
+  protected def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+}
+
+/** F24 — candidate alert records from arbitrary JSON: any object node
+  * with a severity-ish / code-ish / description-ish key yields a row;
+  * bare strings matching the EWS code pattern yield code-only rows.
+  * Output: (path, severity, code, description). */
+case class JsonAlertExtract(child: Expression) extends JsonWalkGenerator {
+
+  private val CodeRe = "[A-Z]\\d-\\d{3,5}".r
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("path", StringType), StructField("severity", StringType),
+    StructField("code", StringType), StructField("description", StringType)))
+
+  override protected def withNewChildInternal(c: Expression): JsonAlertExtract =
+    copy(child = c)
+
+  private def keyIs(k: String, hints: Seq[String]): Boolean = {
+    val lk = k.toLowerCase
+    hints.exists(lk.contains)
+  }
+
+  override protected def walk(root: JsonNode): Iterator[InternalRow] = {
+    val out = mutable.ArrayBuffer.empty[InternalRow]
+    def textOf(n: JsonNode): String =
+      if (n == null || n.isNull || n.isContainerNode) null else n.asText()
+    def rec(node: JsonNode, path: String): Unit = {
+      if (node.isObject) {
+        var sev: String = null; var code: String = null; var desc: String = null
+        val it = node.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next(); val k = e.getKey; val v = e.getValue
+          if (!v.isContainerNode) {
+            if (sev == null && keyIs(k, Seq("sever", "level", "urg"))) sev = textOf(v)
+            else if (code == null && keyIs(k, Seq("code", "errorid", "error_id"))) code = textOf(v)
+            else if (desc == null && keyIs(k, Seq("desc", "message", "text", "status"))) desc = textOf(v)
+          }
+        }
+        if (sev != null || code != null || desc != null)
+          out += InternalRow(utf8(path), utf8(sev), utf8(code), utf8(desc))
+        val it2 = node.properties().iterator()
+        while (it2.hasNext) {
+          val e = it2.next()
+          rec(e.getValue, s"$path.${e.getKey}")
+        }
+      } else if (node.isArray) {
+        var i = 0
+        val it = node.elements()
+        while (it.hasNext) { rec(it.next(), s"$path[$i]"); i += 1 }
+      } else if (node.isTextual) {
+        CodeRe.findFirstIn(node.asText()).foreach { c =>
+          out += InternalRow(utf8(path), null, utf8(c), null)
+        }
+      }
+    }
+    rec(root, "$")
+    out.iterator
+  }
+}
+
+/** F25 — toner part codes from arbitrary JSON, tracking key-path
+  * context: only strings reached through a toner/supply/id-ish key
+  * count; matches of the three part-code patterns are emitted with a
+  * `preferred` flag for codes starting with "W"
+  * (toner_type_web.py:28-53 — the caller prefers W-codes).
+  * Output: (path, code, preferred). */
+case class JsonTonerIds(child: Expression) extends JsonWalkGenerator {
+
+  private val IdRes = Seq("W\\d{4}[A-Z]X?", "MLT-[A-Z]\\d{3,5}[A-Z]*",
+    "[A-Z]{2}\\d{3}[A-Z]").map(_.r)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("path", StringType), StructField("code", StringType),
+    StructField("preferred", BooleanType)))
+
+  override protected def withNewChildInternal(c: Expression): JsonTonerIds =
+    copy(child = c)
+
+  private def contextual(k: String): Boolean = {
+    val lk = k.toLowerCase
+    Seq("toner", "suppl", "cartridge", "id", "sku", "part")
+      .exists(lk.contains)
+  }
+
+  override protected def walk(root: JsonNode): Iterator[InternalRow] = {
+    val out = mutable.ArrayBuffer.empty[InternalRow]
+    def rec(node: JsonNode, path: String, inContext: Boolean): Unit = {
+      if (node.isObject) {
+        val it = node.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          rec(e.getValue, s"$path.${e.getKey}",
+            inContext || contextual(e.getKey))
+        }
+      } else if (node.isArray) {
+        var i = 0
+        val it = node.elements()
+        while (it.hasNext) { rec(it.next(), s"$path[$i]", inContext); i += 1 }
+      } else if (node.isTextual && inContext) {
+        val s = node.asText()
+        IdRes.flatMap(_.findAllIn(s)).distinct.foreach { c =>
+          out += InternalRow(utf8(path), utf8(c), c.startsWith("W"))
+        }
+      }
+    }
+    rec(root, "$", inContext = false)
+    out.iterator
+  }
+}

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Normalize
+
+/** Coverage pack 2 (SURVEY.md §2.6/§2.3 remaining ◆ rows): F1 norm,
+  * F3 color normalize, F11 friendly color, F14 severity tag, F19 short
+  * label, F21 severity-from-problem, J6 catalog lookup, plus the
+  * embedding-cosine near-dup (the fifth dedup family from the
+  * training-data north star). All scan-local expressions except the
+  * two joins, which broadcast their tiny side. */
+object ExtraQueries {
+
+  /** F1 — `_norm`: trim, lower, collapse internal whitespace
+    * (import_from_xlsm.py:25-28), over part names. */
+  val f1Norm: QuerySpec = QuerySpec.sql(
+    "f1_norm",
+    """SELECT p_partkey,
+      |  lower(regexp_replace(trim(concat('  ', p_name, '   x')), '\s+', ' ', 'g')) AS normed
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        Normalize.norm(concat(lit("  "), col("p_name"), lit("   x"))).as("normed"))
+      .orderBy("p_partkey")
+  }
+
+  /** F3 — normalize_color: substring → canonical color or null
+    * (update_from_json.py:28-40). TPC-H part names are color lists, so
+    * the hit rate is real. */
+  val f3ColorNormalize: QuerySpec = QuerySpec.sql(
+    "f3_color_normalize",
+    """WITH t AS (SELECT p_partkey,
+      |  lower(regexp_replace(trim(p_name), '\s+', ' ', 'g')) AS s FROM part)
+      |SELECT p_partkey,
+      |  CASE WHEN s LIKE '%black%' OR s = 'k' OR s = 'bk' THEN 'Black'
+      |       WHEN s LIKE '%cyan%' OR s = 'c' THEN 'Cyan'
+      |       WHEN s LIKE '%magenta%' OR s = 'm' THEN 'Magenta'
+      |       WHEN s LIKE '%yellow%' OR s = 'y' THEN 'Yellow'
+      |       ELSE NULL END AS color
+      |FROM t
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"), Normalize.normalizeColor(col("p_name")).as("color"))
+      .orderBy("p_partkey")
+  }
+
+  /** F11 — friendly color: name wins over desc, fixed fallback,
+    * title-case (snmp_toner.py:74-88). p_name as colorant name, p_type
+    * as description. */
+  val f11FriendlyColor: QuerySpec = {
+    def pickSql(c: String) =
+      s"""CASE WHEN $c LIKE '%black%' THEN 'Black'
+         |     WHEN $c LIKE '%cyan%' THEN 'Cyan'
+         |     WHEN $c LIKE '%magenta%' THEN 'Magenta'
+         |     WHEN $c LIKE '%yellow%' THEN 'Yellow'
+         |     ELSE NULL END""".stripMargin
+    QuerySpec.sql(
+      "f11_friendly_color",
+      s"""WITH t AS (SELECT p_partkey,
+         |  lower(regexp_replace(trim(coalesce(p_name, '')), '\\s+', ' ', 'g')) AS nm,
+         |  lower(regexp_replace(trim(coalesce(p_type, '')), '\\s+', ' ', 'g')) AS ds
+         |FROM part)
+         |SELECT p_partkey,
+         |  coalesce(${pickSql("nm")}, ${pickSql("ds")}, 'Unknown') AS friendly
+         |FROM t
+         |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          Normalize.friendlyColor(col("p_name"), col("p_type")).as("friendly"))
+        .orderBy("p_partkey")
+    }
+  }
+
+  /** F14 — severity tag map 1/2/3/4 → other/unknown/warning/critical
+    * (snmp_alerts.py:57-72), keyed off a synthesized 1..5 code. */
+  val f14SeverityTag: QuerySpec = QuerySpec.sql(
+    "f14_severity_tag",
+    """SELECT l_orderkey, l_linenumber, l_partkey,
+      |  CASE (l_partkey % 5) + 1
+      |    WHEN 1 THEN 'other' WHEN 2 THEN 'unknown'
+      |    WHEN 3 THEN 'warning' WHEN 4 THEN 'critical'
+      |    ELSE 'unknown' END AS severity
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        Normalize.severityTag(col("l_partkey") % 5 + 1).as("severity"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
+  /** F19 — short label: catalog info wins, else keyword decision list,
+    * default "Check printer" (ews_alerts.py:173-199). Docs text as the
+    * alert description; every third row has catalog info. */
+  val f19ShortLabel: QuerySpec = QuerySpec.sql(
+    "f19_short_label",
+    """WITH t AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'From catalog' ELSE NULL END AS info,
+      |  lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS s
+      |FROM documents)
+      |SELECT doc_id,
+      |  coalesce(
+      |    CASE WHEN length(trim(coalesce(info, ''))) > 0 THEN info END,
+      |    CASE WHEN s LIKE '%door%' OR s LIKE '%cover%' THEN 'Close the door/cover' END,
+      |    CASE WHEN s LIKE '%jam%' THEN 'Clear paper jam' END,
+      |    CASE WHEN s LIKE '%toner%' THEN 'Replace toner' END,
+      |    CASE WHEN s LIKE '%drum%' THEN 'Replace drum' END,
+      |    CASE WHEN s LIKE '%transfer%' THEN 'Replace transfer kit' END,
+      |    CASE WHEN s LIKE '%scanner%' THEN 'Scanner error' END,
+      |    CASE WHEN s LIKE '%fuser%' THEN 'Replace fuser' END,
+      |    'Check printer') AS label
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("From catalog")).as("info"),
+        col("text"))
+      .select(col("doc_id"),
+        Normalize.shortLabel(col("info"), col("text")).as("label"))
+      .orderBy("doc_id")
+  }
+
+  /** F21 — severity from problem text: keyword sets → critical/warning/
+    * informational (ledm_client.py:149-157), over document text. */
+  val f21SeverityProblem: QuerySpec = QuerySpec.sql(
+    "f21_severity_problem",
+    """WITH t AS (SELECT doc_id,
+      |  lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS s
+      |FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN s LIKE '%jam%' OR s LIKE '%door%' OR s LIKE '%open%'
+      |         OR s LIKE '%missing%' OR s LIKE '%failure%' OR s LIKE '%offline%'
+      |       THEN 'critical'
+      |       WHEN s LIKE '%low%' OR s LIKE '%depleted%' OR s LIKE '%empty%'
+      |         OR s LIKE '%replace%' OR s LIKE '%order%'
+      |       THEN 'warning'
+      |       ELSE 'informational' END AS severity
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Normalize.severityFromProblem(col("text")).as("severity"))
+      .orderBy("doc_id")
+  }
+
+  /** J6 — code → catalog broadcast lookup with label fallback
+    * (ews_alerts.py:262-284): nation joined to the 5-row region catalog;
+    * missing codes degrade to the default label, the reference's
+    * rank-refine shape. */
+  val j6CatalogLookup: QuerySpec = QuerySpec.sql(
+    "j6_catalog_lookup",
+    """SELECT n_nationkey, n_name,
+      |  coalesce(CASE WHEN r_regionkey % 2 = 0 THEN NULL ELSE r_name END,
+      |           'Check printer') AS label,
+      |  CASE WHEN r_regionkey IS NULL THEN 9 ELSE r_regionkey END AS refined_rank
+      |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val catalog = broadcast(Tables.region(s, d))
+    Tables.nation(s, d)
+      .join(catalog, col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(when(col("r_regionkey") % 2 === 0, lit(null))
+          .otherwise(col("r_name")), lit("Check printer")).as("label"),
+        when(col("r_regionkey").isNull, 9).otherwise(col("r_regionkey"))
+          .as("refined_rank"))
+      .orderBy("n_nationkey")
+  }
+
+  /** T11 — embedding-cosine near-dup pairs (fifth dedup family):
+    * sign-bit LSH bucket join, keep pairs with cosine above threshold —
+    * threshold dedup, not top-k (that is T10). Same exact-decimal dot
+    * products as VectorQueries. */
+  val t11CosineNeardup: QuerySpec = QuerySpec.sql(
+    "t11_cosine_neardup",
+    """WITH sq AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ss
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      |b AS (SELECT vec_id, embedding,
+      |  concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+      |         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+      |         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+      |         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+      |         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+      |         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT x.vec_id AS d1, y.vec_id AS d2, x.embedding AS qe, y.embedding AS ne
+      |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      |dots AS (
+      |  SELECT d1, d2, CAST(SUM(p) AS DOUBLE) AS dot
+      |  FROM (SELECT d1, d2,
+      |          CAST(CAST(qe[i+1] AS DOUBLE) * CAST(ne[i+1] AS DOUBLE) AS DECIMAL(28,12)) AS p
+      |        FROM pairs, range(0, 64) t(i)) GROUP BY 1, 2)
+      |SELECT d1, d2, dot / (sqrt(a.ss) * sqrt(c.ss)) AS cosine
+      |FROM dots JOIN sq a ON d1 = a.vec_id JOIN sq c ON d2 = c.vec_id
+      |WHERE dot / (sqrt(a.ss) * sqrt(c.ss)) >= 0.35
+      |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val prodDec = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      (x.cast("double") * y.cast("double")).cast("decimal(28,12)")
+    val sumDec = (arr: org.apache.spark.sql.Column) =>
+      aggregate(arr, lit(0).cast("decimal(28,12)"),
+        (acc, x) => (acc + x).cast("decimal(28,12)")).cast("double")
+    val bucket = concat((1 to 6).map(i =>
+      when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sumDec(transform(col("embedding"), x => prodDec(x, x))).as("ss"),
+        bucket.as("bucket"))
+    val cos = b.as("x")
+      .join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
+        (sumDec(zip_with(col("x.embedding"), col("y.embedding"), prodDec)) /
+          (sqrt(col("x.ss")) * sqrt(col("y.ss")))).as("cosine"))
+    cos.filter(col("cosine") >= 0.35).orderBy("d1", "d2")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    f1Norm, f3ColorNormalize, f11FriendlyColor, f14SeverityTag,
+    f19ShortLabel, f21SeverityProblem, j6CatalogLookup, t11CosineNeardup)
+}

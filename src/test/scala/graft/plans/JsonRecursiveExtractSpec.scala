@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.SparkSpec
+
+class JsonRecursiveExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("F24: alert records surface from arbitrary nesting") {
+    val payload =
+      """{"status": {"alerts": [
+        |  {"Severity": "Warning", "StatusCode": "C4-1001", "Description": "Toner low"},
+        |  {"level": 3, "message": "Door open"}
+        |]},
+        |"misc": {"deep": {"text": "E2-210"}}}""".stripMargin
+    val rows = Seq(payload).toDF("body")
+      .selectExpr("json_alert_extract(body) AS (path, severity, code, description)")
+      .collect()
+    val byDesc = rows.map(r => Option(r.getString(3)) -> r).toMap
+    // object candidates
+    assert(byDesc.contains(Some("Toner low")))
+    val toner = byDesc(Some("Toner low"))
+    assert(toner.getString(1) == "Warning" && toner.getString(2) == "C4-1001")
+    assert(byDesc.contains(Some("Door open")))
+    assert(byDesc(Some("Door open")).getString(1) == "3")
+    // bare string matching the EWS code regex emits a code-only row
+    assert(rows.exists(r => r.getString(2) == "E2-210" && r.getString(1) == null))
+    // paths are recorded
+    assert(rows.forall(_.getString(0).startsWith("$")))
+  }
+
+  test("S10: lax parse repairs bare keys, garbage yields zero rows") {
+    val lax = """{severity: "critical", desc: "Fuser error"}"""
+    val rows = Seq(lax).toDF("body")
+      .selectExpr("json_alert_extract(body) AS (path, severity, code, description)")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(1) == "critical")
+    assert(Seq("not json at all {{{").toDF("body")
+      .selectExpr("json_alert_extract(body) AS (path, severity, code, description)")
+      .count() == 0)
+  }
+
+  test("F25: toner ids only from contextual paths; W-codes preferred") {
+    val payload =
+      """{"supplies": {"black": {"PartNumber": "W1470A desc"}},
+        |"noise": {"value": "W9999Z"},
+        |"cartridgeInfo": ["MLT-D203E", "ZZ123X"]}""".stripMargin
+    val rows = Seq(payload).toDF("body")
+      .selectExpr("json_toner_ids(body) AS (path, code, preferred)")
+      .collect()
+    val codes = rows.map(_.getString(1)).toSet
+    assert(codes == Set("W1470A", "MLT-D203E", "ZZ123X")) // noise path excluded
+    val pref = rows.map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(pref("W1470A") && !pref("MLT-D203E") && !pref("ZZ123X"))
+  }
+
+  test("null input and LATERAL VIEW shape") {
+    val df = Seq((1L, """{"alerts": [{"code": "X1-100", "desc": "d"}]}"""),
+      (2L, null.asInstanceOf[String])).toDF("id", "body")
+    df.createOrReplaceTempView("payloads")
+    val rows = spark.sql(
+      """SELECT id, t.code FROM payloads
+        |LATERAL VIEW json_alert_extract(body) t AS path, severity, code, description
+        |""".stripMargin).collect()
+    // Two rows by design: the object candidate AND the bare-string code
+    // match (ews_alerts emits both; A5 dedup happens downstream). The
+    // null body contributes nothing.
+    assert(rows.length == 2 && rows.forall(_.getLong(0) == 1L))
+    assert(rows.forall(_.getString(1) == "X1-100"))
+  }
+}
