@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Warehouse-operator pack: the aggregation/set/window machinery the
+  * reference never had but an engine at lake scale must (SURVEY.md
+  * §2.4/§2.5 "missing-vs-Spark" notes — grouping sets, set ops,
+  * session windows are free in Spark; exposed here as oracle-checked
+  * queries so the capability is verified, not just claimed). */
+object WarehouseQueries {
+
+  /** S2 — ROLLUP over (returnflag, linestatus) with grouping level:
+    * partial-aggregate-friendly (map-side combine per level). */
+  val s2Rollup: QuerySpec = QuerySpec.sql(
+    "s2_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |       coalesce(l_linestatus, 'ALL') AS ls,
+      |       GROUPING(l_returnflag, l_linestatus) AS lvl,
+      |       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls, lvl""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("lvl"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("lvl"), col("sum_qty"), col("n"))
+      .orderBy("rf", "ls", "lvl")
+  }
+
+  /** S3 — set ops (absent from the reference, §2.5): customers active
+    * in both statuses minus a third, via INTERSECT/EXCEPT. */
+  val s3SetOps: QuerySpec = QuerySpec.sql(
+    "s3_setops",
+    """(SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      | INTERSECT
+      | SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |EXCEPT
+      |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def keys(status: String) =
+      o.where(col("o_orderstatus") === status).select("o_custkey").distinct()
+    keys("O").intersect(keys("F")).except(keys("P")).orderBy("o_custkey")
+  }
+
+  /** S4 — session windows per user with a 10-minute gap
+    * (session_window; oracle = gaps-and-islands lag/cumsum). Session
+    * start is reported in MICROSECONDS: DuckDB reads the nanos
+    * timestamp at micro resolution, and min() commutes with the
+    * monotonic ns→µs truncation, so both engines agree exactly. Break
+    * condition `>=` matches Spark's merge-while-diff-<-gap semantics. */
+  val s4SessionWindow: QuerySpec = QuerySpec.sql(
+    "s4_session_window",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |o AS (SELECT user_id, us,
+      |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |            >= 600000000 THEN 1 ELSE 0 END AS brk FROM e),
+      |s AS (SELECT user_id, us,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+      |                 ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+      |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("etime", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("etime"), "10 minutes"), col("user_id"))
+      // integer `div`, NOT `/`: ns epochs (~1.7e18) exceed double's
+      // 53-bit mantissa, float division would corrupt low digits
+      .agg(expr("min(ts) div 1000").as("session_start_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start_us", "n_events")
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val all: Seq[QuerySpec] = Seq(s2Rollup, s3SetOps, s4SessionWindow)
+}

@@ -39,9 +39,11 @@ object SnapshotPoll {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** `ts` arrives as int64 nanoseconds (nanosAsLong read of
-    * TIMESTAMP(NANOS)); event-time operators need a real timestamp. */
+    * TIMESTAMP(NANOS)); event-time operators need a real timestamp.
+    * Integer `div`, not `/`: ns epochs exceed double's 53-bit mantissa
+    * and float division corrupts the low microseconds. */
   def eventTime(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros((tsNanos / 1000L).cast("long"))
+    timestamp_micros((tsNanos.cast("decimal(20,0)") / lit(1000)).cast("long"))
 
   /** Core transform, identical for batch and streaming inputs: tumbling
     * per-device window → latest event wins (max_by on event time, the
