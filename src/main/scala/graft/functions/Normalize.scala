@@ -105,6 +105,36 @@ object Normalize {
     initcap(coalesce(pick(name), pick(desc), lit("unknown")))
   }
 
+  /** F12 `_to_text`: decode bytes (UTF-8), strip NULs, and un-repr
+    * Python-style "b'...'" wrappers that leak from scraped payloads.
+    * Ref: snmp_toner.py:17-33; toner_type_snmp.py:15-28. */
+  def toText(c: Column): Column = {
+    val s = when(c.isNull, lit(null).cast("string")).otherwise(c.cast("string"))
+    val unreprd = regexp_replace(s, "^b'(.*)'$", "$1")
+    regexp_replace(unreprd, "\\x00", "")
+  }
+
+  /** F16 `_clean_desc`: exact-match Hebrew→English translation map,
+    * then a suppression set (sleep-mode phrases → "").
+    * Ref: snmp_alerts.py:36-50,74-82. */
+  val DescTranslations: Map[String, String] = Map(
+    "נייר תקוע" -> "Paper jam",
+    "דלת פתוחה" -> "Door open",
+    "טונר נמוך" -> "Toner low",
+    "מגש ריק" -> "Tray empty",
+    "מוכן" -> "Ready")
+
+  val SuppressedDescs: Seq[String] =
+    Seq("sleep mode", "power save", "מצב שינה")
+
+  def cleanDesc(c: Column): Column = {
+    val t = trim(coalesce(c, lit("")))
+    val translated = coalesce(
+      element_at(typedLit(DescTranslations), t), t)
+    when(lower(translated).isin(SuppressedDescs: _*), "")
+      .otherwise(translated)
+  }
+
   /** F13 OID structural parse: find marker subsequence in a dotted OID,
     * emit (col = parts[i+4], row = parts[i+6]) — 1-based `array_position`.
     * Ref: snmp_toner.py:35-59 (marker "43.11.1.1"). */

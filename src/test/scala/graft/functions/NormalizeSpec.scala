@@ -104,6 +104,27 @@ class NormalizeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got == Seq("Cyan", "Black", "Unknown"))
   }
 
+  test("F12 to_text: un-repr b'...' wrapper, strip NULs") {
+    val cases = Table(("in", "out"),
+      ("b'W1470A'", "W1470A"), ("ok\u0000ok", "okok"), ("plain", "plain"))
+    forAll(cases) { (in, out) =>
+      assert(eval1(Normalize.toText(col("v")), in) == out, s"for $in")
+    }
+    assert(eval1(Normalize.toText(col("v")), null) == null)
+  }
+
+  test("F16 clean_desc: Hebrew translation map + sleep suppression") {
+    val cases = Table(("in", "out"),
+      ("\u05e0\u05d9\u05d9\u05e8 \u05ea\u05e7\u05d5\u05e2", "Paper jam"),
+      (" \u05d8\u05d5\u05e0\u05e8 \u05e0\u05de\u05d5\u05da ", "Toner low"),
+      ("Sleep Mode", ""), ("\u05de\u05e6\u05d1 \u05e9\u05d9\u05e0\u05d4", ""),
+      ("Fuser error", "Fuser error"))
+    forAll(cases) { (in, out) =>
+      assert(eval1(Normalize.cleanDesc(col("v")), in) == out, s"for $in")
+    }
+    assert(eval1(Normalize.cleanDesc(col("v")), null) == "")
+  }
+
   test("F23 label normalize + pretty") {
     assert(eval1(Normalize.labelPretty(col("v")), "BK:") == "Black")
     assert(eval1(Normalize.labelPretty(col("v")), "k") == "Black")
