@@ -176,7 +176,7 @@ object ExtraQueries {
     "t11_cosine_neardup",
     """WITH sq AS (
       |  SELECT vec_id,
-      |    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ss
+      |    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE) AS ss
       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
       |b AS (SELECT vec_id, embedding,
       |  concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
@@ -192,17 +192,17 @@ object ExtraQueries {
       |dots AS (
       |  SELECT d1, d2, CAST(SUM(p) AS DOUBLE) AS dot
       |  FROM (SELECT d1, d2,
-      |          CAST(CAST(qe[i+1] AS DOUBLE) * CAST(ne[i+1] AS DOUBLE) AS DECIMAL(28,12)) AS p
+      |          CAST(CAST(qe[i+1] AS DOUBLE) * CAST(ne[i+1] AS DOUBLE) AS DECIMAL(18,12)) AS p
       |        FROM pairs, range(0, 64) t(i)) GROUP BY 1, 2)
       |SELECT d1, d2, dot / (sqrt(a.ss) * sqrt(c.ss)) AS cosine
       |FROM dots JOIN sq a ON d1 = a.vec_id JOIN sq c ON d2 = c.vec_id
       |WHERE dot / (sqrt(a.ss) * sqrt(c.ss)) >= 0.35
       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
     val prodDec = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
-      (x.cast("double") * y.cast("double")).cast("decimal(28,12)")
+      (x.cast("double") * y.cast("double")).cast("decimal(18,12)")
     val sumDec = (arr: org.apache.spark.sql.Column) =>
-      aggregate(arr, lit(0).cast("decimal(28,12)"),
-        (acc, x) => (acc + x).cast("decimal(28,12)")).cast("double")
+      aggregate(arr, lit(0).cast("decimal(18,12)"),
+        (acc, x) => (acc + x).cast("decimal(18,12)")).cast("double")
     val bucket = concat((1 to 6).map(i =>
       when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
     val b = Tables.embeddings(s, d)

@@ -11,7 +11,7 @@ import graft.Tables
   * sign-bit LSH-bucketed variant as the scale path.
   *
   * Float discipline: float×float is exact in double (24+24 < 53 bits),
-  * and each product goes through DECIMAL(28,12) before summing, so the
+  * and each product goes through DECIMAL(18,12) before summing, so the
   * dot products are order-independent and bit-identical across engines;
   * sqrt/division on identical doubles are IEEE-deterministic. No
   * rounding fudge needed anywhere.
@@ -27,15 +27,15 @@ import graft.Tables
 object VectorQueries {
 
   private def prodDec(x: Column, y: Column): Column =
-    (x.cast("double") * y.cast("double")).cast("decimal(28,12)")
+    (x.cast("double") * y.cast("double")).cast("decimal(18,12)")
 
   /** Exact decimal Σ over an array column, per row (no shuffle). The
-    * running cast keeps the accumulator at decimal(28,12) — lossless
+    * running cast keeps the accumulator at decimal(18,12) — lossless
     * here (|Σ| far below 16 integer digits), and exactness makes the
     * result order-independent, matching the oracle's grouped SUM. */
   private def sumDec(arr: Column): Column =
-    aggregate(arr, lit(0).cast("decimal(28,12)"),
-      (acc, x) => (acc + x).cast("decimal(28,12)")).cast("double")
+    aggregate(arr, lit(0).cast("decimal(18,12)"),
+      (acc, x) => (acc + x).cast("decimal(18,12)")).cast("double")
 
   private def dot(a: Column, b: Column): Column =
     sumDec(zip_with(a, b, (x, y) => prodDec(x, y)))
@@ -50,7 +50,7 @@ object VectorQueries {
 
   private val NormsSql =
     """SELECT vec_id,
-      |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ss
+      |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE) AS ss
       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id""".stripMargin
 
   /** T5 — brute-force cosine top-5 for the first 10 query vectors. */
@@ -60,7 +60,7 @@ object VectorQueries {
        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
        |prods AS (
        |  SELECT qid, e.vec_id AS nid,
-       |    CAST(CAST(qe[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE) AS DECIMAL(28,12)) AS p
+       |    CAST(CAST(qe[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE) AS DECIMAL(18,12)) AS p
        |  FROM q, embeddings e, range(0, 64) t(i)
        |  WHERE e.vec_id <> qid
        |),
@@ -113,7 +113,7 @@ object VectorQueries {
          |  SELECT qid, nid, bucket, CAST(SUM(p) AS DOUBLE) AS dot
          |  FROM (
          |    SELECT qid, nid, bucket,
-         |      CAST(CAST(qe[i+1] AS DOUBLE) * CAST(ne[i+1] AS DOUBLE) AS DECIMAL(28,12)) AS p
+         |      CAST(CAST(qe[i+1] AS DOUBLE) * CAST(ne[i+1] AS DOUBLE) AS DECIMAL(18,12)) AS p
          |    FROM pairs, range(0, 64) t(i)
          |  ) GROUP BY 1, 2, 3
          |),
