@@ -73,6 +73,20 @@ object FleetSnapshot {
       .select(col("id") +: valueCols.map(c => col(s"v.`$c`").as(c)): _*)
   }
 
+  /** Legacy header upgrade (SURVEY.md §7.4 hard part 3,
+    * update_from_json.py:167-177): when no "Toner Type" column exists,
+    * the FIRST column headed "type" (case-insensitive, trimmed) is
+    * renamed to "Toner Type" — faithfully including the reference's
+    * quirk that this may claim the model column on legacy sheets. */
+  def upgradeHeaders(sheet: DataFrame): DataFrame = {
+    val lower = sheet.columns.map(_.trim.toLowerCase)
+    if (lower.contains("toner type")) sheet
+    else lower.indexOf("type") match {
+      case -1 => sheet
+      case i => sheet.withColumnRenamed(sheet.columns(i), "Toner Type")
+    }
+  }
+
   /** Apply the id-map to a sheet: rows with a matching canonical ID take
     * the new values; others pass through unchanged (left join +
     * conditional update — the reference's "update only matching rows"). */

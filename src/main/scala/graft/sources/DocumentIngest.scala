@@ -86,6 +86,39 @@ object DocumentIngest {
     * harmonizes each group frame before the union. */
   def printersUnified(doc: DataFrame): DataFrame = printers(doc)
 
+  /** Write-back: reassemble the printer stream into the single-document
+    * shape and atomically replace the store (adapters/printers_store.py:
+    * 38-42 writes tmp-then-rename; here: write to a tmp file, then
+    * atomic move). Group arrays are rebuilt in `row_idx` order so a
+    * read→write round-trip is stable; `group`/`row_idx` bookkeeping
+    * columns are folded away. The document is one JSON object by
+    * contract (a fleet register, not a fact table) — the final
+    * assembly is intentionally driver-side; everything upstream of it
+    * is distributed. */
+  def writeDocument(printers: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.{to_json, sort_array, collect_list, struct}
+    val recCols = printers.columns.filterNot(Seq("group", "row_idx").contains)
+    val grouped = printers
+      .groupBy("group")
+      .agg(sort_array(collect_list(struct(
+        col("row_idx") +: recCols.map(c => col(s"`$c`")): _*))).as("recs"))
+      .select(col("group"),
+        to_json(expr("transform(recs, r -> " +
+          s"struct(${recCols.map(c => s"r.`$c`").mkString(", ")}))"),
+          Map("ignoreNullFields" -> "true")).as("recs_json"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val body = grouped.sortBy { case (g, _) => GroupKeys.indexOf(g) }
+      .map { case (g, js) => s""""$g": $js""" }
+      .mkString("{\n", ",\n", "\n}")
+    val target = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** P3: keep printers whose IP is real (core/printers.py:26-36). Runs
     * BEFORE any expensive fan-out — the reference's manual predicate
     * pushdown, kept manual here too because Catalyst cannot push
