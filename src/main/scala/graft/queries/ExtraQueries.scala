@@ -170,52 +170,58 @@ object ExtraQueries {
 
   /** T11 — embedding-cosine near-dup pairs (fifth dedup family):
     * sign-bit LSH bucket join, keep pairs with cosine above threshold —
-    * threshold dedup, not top-k (that is T10). Same exact-decimal dot
-    * products as VectorQueries. */
-  val t11CosineNeardup: QuerySpec = QuerySpec.sql(
-    "t11_cosine_neardup",
-    """WITH sq AS (
-      |  SELECT vec_id,
-      |    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE) AS ss
-      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
-      |b AS (SELECT vec_id, embedding,
-      |  concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-      |         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-      |         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-      |         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-      |         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-      |         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
-      |  FROM embeddings),
-      |pairs AS (
-      |  SELECT x.vec_id AS d1, y.vec_id AS d2, x.embedding AS qe, y.embedding AS ne
-      |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
-      |dots AS (
-      |  SELECT d1, d2, CAST(SUM(p) AS DOUBLE) AS dot
-      |  FROM (SELECT d1, d2,
-      |          CAST(CAST(qe[i+1] AS DOUBLE) * CAST(ne[i+1] AS DOUBLE) AS DECIMAL(18,12)) AS p
-      |        FROM pairs, range(0, 64) t(i)) GROUP BY 1, 2)
-      |SELECT d1, d2, dot / (sqrt(a.ss) * sqrt(c.ss)) AS cosine
-      |FROM dots JOIN sq a ON d1 = a.vec_id JOIN sq c ON d2 = c.vec_id
-      |WHERE dot / (sqrt(a.ss) * sqrt(c.ss)) >= 0.35
-      |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    val prodDec = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
-      (x.cast("double") * y.cast("double")).cast("decimal(18,12)")
-    val sumDec = (arr: org.apache.spark.sql.Column) =>
-      aggregate(arr, lit(0).cast("decimal(18,12)"),
-        (acc, x) => (acc + x).cast("decimal(18,12)")).cast("double")
-    val bucket = concat((1 to 6).map(i =>
-      when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
-    val b = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        sumDec(transform(col("embedding"), x => prodDec(x, x))).as("ss"),
-        bucket.as("bucket"))
-    val cos = b.as("x")
-      .join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
-        (sumDec(zip_with(col("x.embedding"), col("y.embedding"), prodDec)) /
-          (sqrt(col("x.ss")) * sqrt(col("y.ss")))).as("cosine"))
-    cos.filter(col("cosine") >= 0.35).orderBy("d1", "d2")
+    * threshold dedup, not top-k (that is T10). Same scaled-long exact
+    * dot products as VectorQueries (see its scaladoc for the parity
+    * argument). */
+  val t11CosineNeardup: QuerySpec = {
+    def prodLSql(a: String, b: String): String = {
+      val v = s"CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e12"
+      s"CAST(CASE WHEN $v >= 0 THEN floor(($v) + 0.5) ELSE -floor(-($v) + 0.5) END AS BIGINT)"
+    }
+    QuerySpec.sql(
+      "t11_cosine_neardup",
+      s"""WITH sq AS (
+         |  SELECT vec_id, CAST(SUM(${prodLSql("x", "x")}) AS DOUBLE) / 1e12 AS ss
+         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+         |b AS (SELECT vec_id, embedding,
+         |  concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+         |         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+         |         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+         |         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+         |         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+         |         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT x.vec_id AS d1, y.vec_id AS d2, x.embedding AS qe, y.embedding AS ne
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |dots AS (
+         |  SELECT d1, d2, CAST(SUM(p) AS DOUBLE) / 1e12 AS dot
+         |  FROM (SELECT d1, d2, ${prodLSql("qe[i+1]", "ne[i+1]")} AS p
+         |        FROM pairs, range(0, 64) t(i)) GROUP BY 1, 2)
+         |SELECT d1, d2, dot / (sqrt(a.ss) * sqrt(c.ss)) AS cosine
+         |FROM dots JOIN sq a ON d1 = a.vec_id JOIN sq c ON d2 = c.vec_id
+         |WHERE dot / (sqrt(a.ss) * sqrt(c.ss)) >= 0.35
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      def rnd(v: org.apache.spark.sql.Column) =
+        when(v >= 0, floor(v + 0.5)).otherwise(-floor(-v + 0.5))
+      val prodL = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        rnd(x.cast("double") * y.cast("double") * lit(1e12)).cast("long")
+      val sumL = (arr: org.apache.spark.sql.Column) =>
+        aggregate(arr, lit(0L), (acc, x) => acc + x)
+      val bucket = concat((1 to 6).map(i =>
+        when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          (sumL(transform(col("embedding"), x => prodL(x, x))).cast("double") / lit(1e12)).as("ss"),
+          bucket.as("bucket"))
+      val cos = b.as("x")
+        .join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
+          ((sumL(zip_with(col("x.embedding"), col("y.embedding"), prodL)).cast("double") / lit(1e12)) /
+            (sqrt(col("x.ss")) * sqrt(col("y.ss")))).as("cosine"))
+      cos.filter(col("cosine") >= 0.35).orderBy("d1", "d2")
+    }
   }
 
   val all: Seq[QuerySpec] = Seq(
