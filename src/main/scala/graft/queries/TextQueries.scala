@@ -86,16 +86,20 @@ object TextQueries {
          |FROM cand JOIN sigs x ON d1 = x.doc_id JOIN sigs y ON d2 = y.doc_id
          |WHERE ($matchSql) >= ${K / 2}
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      // Plan shape (the 100 TB-critical part): the shingle+signature
-      // scan is computed ONCE per join side. Signatures live in one
+      // Plan shape (the 100 TB-critical part): signatures live in one
       // array column carried THROUGH the band explode and self-join, so
       // no join-back to a signature table is ever needed; the only
       // shuffles are the band-bucket self-join and the pair dedup.
+      // localCheckpoint materializes the signature table ONCE and
+      // truncates lineage — otherwise each side of the self-join
+      // recomputes the whole shingle+hash scan (the standard move for
+      // reuse-heavy self-joins over expensive derivations).
       val sigs = Tables.documents(s, d)
         .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
         .select(col("doc_id"), minhashBase(col("s")).as("hv"))
         .select(col("doc_id"),
           array((0 until K).map(i => minhashSig(col("hv"), i)): _*).as("sig"))
+        .localCheckpoint()
       val bandCols = (0 until B).map { b =>
         bandKey((0 until R).map(r => element_at(col("sig"), b * R + r + 1)))
       }
