@@ -67,6 +67,12 @@ object Enrich {
       .drop("emp_id", "emp_name", "emp_phone")
   }
 
+  /** Branch ids are canonicalized NUMERICALLY on both sides
+    * (`_safe_int`, locations.py:51,61,82 — "105.0" and "105" are the
+    * same branch); non-numeric ids drop out like the reference's
+    * `continue`. */
+  private def bidOf(c: Column): Column = Normalize.safeInt(c)
+
   /** J2 sub-op (a) — last-wins branch→address map over an ordered input
     * (core/enrich/locations.py:47-56): max_by on the explicit row
     * index, NOT last() (distributed order is undefined). Input:
@@ -74,19 +80,26 @@ object Enrich {
     * subscriber)` + `row_idx`. */
   def addressMap(locations: DataFrame): DataFrame =
     locations
-      .where(length(trim(coalesce(col("address"), lit("")))) > 0)
-      .groupBy(trim(col("branch_id")).as("bid"))
-      .agg(max_by(col("address"), col("row_idx")).as("address"))
+      .where(bidOf(col("branch_id")).isNotNull &&
+        length(trim(coalesce(col("address"), lit("")))) > 0)
+      .groupBy(bidOf(col("branch_id")).as("bid"))
+      .agg(max_by(trim(col("address")), col("row_idx")).as("address"))
 
   /** J2 sub-op (b) — per-branch first-seen-ordered distinct
-    * (primary, secondary) pairs, each carrying the subscriber list in
-    * row order; ranks 1–2 kept (locations.py:57-78 + W1). */
+    * (primary, secondary) pairs, each carrying the non-null subscriber
+    * list in row order; ranks 1–2 kept (locations.py:57-78 + W1). Rows
+    * where BOTH descriptions are null are skipped; a single null half
+    * coerces to "" for pair identity (:67-70). */
   def rankedPairs(locations: DataFrame): DataFrame = {
     val pairs = locations
-      .groupBy(trim(col("branch_id")).as("bid"),
-        col("primary_desc"), col("secondary_desc"))
+      .where(bidOf(col("branch_id")).isNotNull &&
+        (col("primary_desc").isNotNull || col("secondary_desc").isNotNull))
+      .groupBy(bidOf(col("branch_id")).as("bid"),
+        coalesce(trim(col("primary_desc")), lit("")).as("primary_desc"),
+        coalesce(trim(col("secondary_desc")), lit("")).as("secondary_desc"))
       .agg(min("row_idx").as("first_seen"),
-        array_sort(collect_list(struct(col("row_idx"), col("subscriber"))))
+        array_sort(collect_list(when(col("subscriber").isNotNull,
+          struct(col("row_idx"), trim(col("subscriber")).as("subscriber")))))
           .as("subs0"))
       .withColumn("subscribers",
         transform(col("subs0"), s => s.getField("subscriber")))
@@ -104,7 +117,8 @@ object Enrich {
     val pairs = rankedPairs(locs)
     def descStruct(rank: Int): Column =
       max_by(when(col("rank") === rank, struct(
-        get(col("subscribers"), lit(0)).as("LineID"),
+        // missing subscriber → "" (locations.py:98: nums[0] if nums else "")
+        coalesce(get(col("subscribers"), lit(0)), lit("")).as("LineID"),
         col("primary_desc").as("PrimaryDescription"),
         // (sic) the typo is part of the reference schema,
         // core/enrich/locations.py:95-103
@@ -121,7 +135,7 @@ object Enrich {
       .withColumn("b_location", cleanAddr))
     val isBranch = col("group") === "Branches_Grouped"
     val joined = printers.join(side,
-      isBranch && trim(col("ID").cast("string")) === col("bid"), "left")
+      isBranch && bidOf(col("ID")) === col("bid"), "left")
     val si = siBase(printers)
     joined
       .withColumn("storeInfo",

@@ -74,11 +74,14 @@ final class DeterministicSnmpFake(failEvery: Int = 17) extends DeviceClient {
       throw new java.io.IOException(s"timeout polling $ip")
     val nCart = 1 + (h % 4) // mono → 4-color device
     if (baseOid.endsWith("43.11.1.1")) {
+      // supplies OID layout: base.{col}.{dev}.{rowIdx}; columns 2/3
+      // carry the row's marker/colorant link VALUES (snmp_toner.py:9)
       (1 to nCart).flatMap { row =>
         val level = (h / row) % 111 - 5 // some negatives → sentinel path
         val max = if (row % 3 == 0) 0 else 100 + (h % 5) * 50
         val unit = if (row % 2 == 0) 19 else 7
         Seq(
+          s"$baseOid.2.1.$row" -> "1",          // marker index
           s"$baseOid.3.1.$row" -> row.toString, // colorant link
           s"$baseOid.5.1.$row" -> (if (row == 4) "5" else "3").toString,
           s"$baseOid.6.1.$row" -> s"${Colors((row - 1) % 4)} cartridge ${ip}",
@@ -87,7 +90,8 @@ final class DeterministicSnmpFake(failEvery: Int = 17) extends DeviceClient {
           s"$baseOid.9.1.$row" -> level.toString)
       }
     } else if (baseOid.endsWith("43.12.1.1.4")) {
-      (1 to nCart).map(i => s"$baseOid.1.$i" -> Colors((i - 1) % 4))
+      // colorant OID layout: base.{dev}.{marker}.{color}, dev == 1
+      (1 to nCart).map(i => s"$baseOid.1.1.$i" -> Colors((i - 1) % 4))
     } else Seq.empty
   }
 }

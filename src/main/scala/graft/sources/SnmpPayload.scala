@@ -8,7 +8,19 @@ import graft.functions.Normalize
 /** SNMP payload → cartridges: the reference's `get_snmp_toner` pipeline
   * (adapters/snmp_toner.py:90-138) as declarative relational transforms
   * over walk rows `(ip, oid, value)` — SURVEY.md §2 A1 (pivot), J4
-  * (colorant join), F9/F10/F11/F13 (percent/format/color/OID parse).
+  * (colorant join), F9/F10/F11/F12/F13 (percent/format/color/text/OID).
+  *
+  * Faithful layout (snmp_toner.py:6-14):
+  *  - supplies OID = …43.11.1.1.{col}.{dev}.{rowIdx} — col at marker+4,
+  *    rowIdx at marker+6 (:36-45); columns 2=marker-idx 3=colorant-idx
+  *    5=type 6=description 7=unit 8=max 9=level are table VALUES,
+  *    including the row's marker/colorant link;
+  *  - colorant OID = …43.12.1.1.4.{dev}.{marker}.{color} with dev
+  *    required to be "1" (:47-59);
+  *  - join defaults: marker None-or-0 → 1, colorant None → 0
+  *    (`r.get(col) or default`, :128-129);
+  *  - toner-type filter ∈ {3,5,6,10,21} (:109-110), rows in ascending
+  *    SNMP row order (:124), text fields through `_to_text` (F12).
   *
   * All expressions are built-in (codegen'd); the only shuffles are the
   * two pivot groupBys and the final per-device collect — each keyed by
@@ -20,63 +32,63 @@ object SnmpPayload {
   val SuppliesBase = "1.3.6.1.2.1.43.11.1.1"
   val ColorantBase = "1.3.6.1.2.1.43.12.1.1.4"
 
-  /** Toner-ish supply types kept by the reference (snmp_toner.py:109-110). */
+  /** Toner-ish supply types kept by the reference (snmp_toner.py:13). */
   val TonerTypes: Seq[Int] = Seq(3, 5, 6, 10, 21)
 
-  /** Supplies table: OID triples → one row per (ip, marker, rowIdx) with
-    * columns colorant_link/type/desc/unit/max/level (A1 pivot;
-    * snmp_toner.py:91-105). Column ids per the prtMarkerSupplies layout
-    * the reference walks: 3=colorant-link 5=type 6=description
-    * 7=supply-unit 8=max-capacity 9=level. */
+  /** Supplies table: OID triples → one row per (ip, rowIdx) with the
+    * reference's column set (A1 pivot; snmp_toner.py:91-105). */
   def suppliesTable(walk: DataFrame): DataFrame = {
     val parts = split(col("oid"), "\\.")
     val i = array_position(parts, lit("43"))
     def p(off: Int): Column = element_at(parts, (i + off).cast("int"))
     walk
-      .where(i > 0 && p(1) === "11")
+      .where(i > 0 && p(1) === "11" && p(2) === "1" && p(3) === "1")
       .select(col("ip"),
         p(4).try_cast("int").as("colId"),
-        p(5).try_cast("int").as("marker"),
         p(6).try_cast("int").as("rowIdx"),
         col("value"))
-      .groupBy("ip", "marker", "rowIdx")
-      .pivot("colId", Seq(3, 5, 6, 7, 8, 9))
+      .groupBy("ip", "rowIdx")
+      .pivot("colId", Seq(2, 3, 5, 6, 7, 8, 9))
       .agg(first("value"))
-      .select(col("ip"), col("marker"), col("rowIdx"),
+      .select(col("ip"), col("rowIdx"),
+        col("2").try_cast("int").as("marker_idx"),
         col("3").try_cast("int").as("colorant_idx"),
         col("5").try_cast("int").as("supply_type"),
-        col("6").as("description"),
+        Normalize.toText(col("6")).as("description"),
         col("7").try_cast("int").as("unit"),
         col("8").try_cast("long").as("max_capacity"),
         col("9").try_cast("long").as("level"))
   }
 
-  /** Colorant-name table keyed (ip, marker, colorant_idx)
-    * (snmp_toner.py:47-59). */
+  /** Colorant-name table keyed (ip, marker, colorant_idx): value column
+    * "4", device sub-index must be "1" (snmp_toner.py:48-59). */
   def colorantTable(walk: DataFrame): DataFrame = {
     val parts = split(col("oid"), "\\.")
     val i = array_position(parts, lit("43"))
     def p(off: Int): Column = element_at(parts, (i + off).cast("int"))
     walk
-      .where(i > 0 && p(1) === "12" && p(4) === "4")
+      .where(i > 0 && p(1) === "12" && p(4) === "4" && p(5) === "1")
       .select(col("ip"),
-        p(5).try_cast("int").as("marker"),
-        p(6).try_cast("int").as("colorant_idx"),
-        col("value").as("colorant_name"))
+        p(6).try_cast("int").as("marker"),
+        p(7).try_cast("int").as("colorant_idx"),
+        Normalize.toText(col("value")).as("colorant_name"))
   }
 
-  /** Full pipeline: supplies ⋈ colorant (J4: defaults marker→1,
-    * colorant→0 on null, snmp_toner.py:112-129) → type filter →
+  /** Full pipeline: type filter → supplies ⋈ colorant (J4 with the
+    * reference's `or`-defaults: marker 0/None→1, colorant None→0) →
     * percent (F9/F10) + friendly color (F11) → per-device cartridge
-    * array in ascending SNMP row order (W3, snmp_toner.py:124). */
+    * array in ascending SNMP row order (W3). */
   def cartridges(walk: DataFrame): DataFrame = {
     val s = suppliesTable(walk).alias("s")
     val c = colorantTable(walk).alias("c")
+    // Python `x or default` treats 0 AND None as falsy — marker 0 → 1.
+    val markerKey = when(col("s.marker_idx").isNull || col("s.marker_idx") === 0, 1)
+      .otherwise(col("s.marker_idx"))
     val joined = s
       .where(col("supply_type").isin(TonerTypes: _*))
       .join(c,
         col("s.ip") === col("c.ip") &&
-          coalesce(col("s.marker"), lit(1)) === col("c.marker") &&
+          markerKey === col("c.marker") &&
           coalesce(col("s.colorant_idx"), lit(0)) === col("c.colorant_idx"),
         "left")
       .select(col("s.ip").as("ip"), col("s.rowIdx").as("rowIdx"),

@@ -39,8 +39,8 @@ class FirstSeenPairsAggSpec extends SparkSpec {
       .orderBy("bid", "rank")
       .select("bid", "primary_desc", "secondary_desc", "subscribers")
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2),
-        r.getSeq[String](3).toSeq))
+      .map(r => (r.getLong(0).toString, r.getString(1), r.getString(2),
+        r.getSeq[String](3).toSeq)) // bid is numeric-canonical (long)
     val fromAgg = agged.toSeq.sortBy(_._1).flatMap { case (bid, ps) =>
       ps.map(p => (bid, p.primary, p.secondary, p.subscribers.toSeq))
     }
