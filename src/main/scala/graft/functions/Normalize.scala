@@ -27,26 +27,31 @@ object Normalize {
   }
 
   /** F3 `normalize_color`: substring → Black/Cyan/Magenta/Yellow; also
-    * single letters k/c/m/y; else null. Ref: update_from_json.py:28-40. */
+    * single letters k/c/m/y (exactly those four — "bk" is NOT accepted);
+    * else null. Ref: update_from_json.py:28-40. */
   def normalizeColor(c: Column): Column = {
     val s = norm(c)
-    when(s.contains("black") || s === "k" || s === "bk", "Black")
+    when(s.contains("black") || s === "k", "Black")
       .when(s.contains("cyan") || s === "c", "Cyan")
       .when(s.contains("magenta") || s === "m", "Magenta")
       .when(s.contains("yellow") || s === "y", "Yellow")
       .otherwise(lit(null).cast("string"))
   }
 
-  /** F4 `_status_online_offline`: keyword sets → online/offline with
-    * ordered fallbacks — "offline" contains "on" so the offline check
-    * MUST precede the online one; null/blank → offline.
+  /** F4 `_status_online_offline`: SUBSTRING keyword scan (`k in s`, not
+    * equality) over the reference's exact tuples, online first, then
+    * the "off"-before-"on" fallbacks; null/blank → offline.
     * Ref: update_from_json.py:42-58. */
+  val OnlineKeys: Seq[String] = Seq("online", "ready", "idle", "sleep",
+    "printing", "working", "active", "ok", "connected")
+  val OfflineKeys: Seq[String] = Seq("offline", "down", "disconnected",
+    "error", "unknown", "not reachable", "unreachable", "no connection",
+    "disabled")
+
   def statusOnlineOffline(c: Column): Column = {
-    val s = norm(coalesce(c, lit("")))
-    val onlineWords  = Seq("online", "ready", "ok", "idle", "running")
-    val offlineWords = Seq("offline", "down", "unreachable", "error", "off")
-    when(s.isin(onlineWords: _*), "online")
-      .when(s.isin(offlineWords: _*), "offline")
+    val s = lower(trim(coalesce(c.cast("string"), lit(""))))
+    when(OnlineKeys.map(k => s.contains(k)).reduce(_ || _), "online")
+      .when(OfflineKeys.map(k => s.contains(k)).reduce(_ || _), "offline")
       .when(s.contains("off"), "offline") // before the "on" fallback
       .when(s.contains("on"), "online")
       .otherwise("offline")

@@ -35,7 +35,7 @@ object ExtraQueries {
     """WITH t AS (SELECT p_partkey,
       |  lower(regexp_replace(trim(p_name), '\s+', ' ', 'g')) AS s FROM part)
       |SELECT p_partkey,
-      |  CASE WHEN s LIKE '%black%' OR s = 'k' OR s = 'bk' THEN 'Black'
+      |  CASE WHEN s LIKE '%black%' OR s = 'k' THEN 'Black'
       |       WHEN s LIKE '%cyan%' OR s = 'c' THEN 'Cyan'
       |       WHEN s LIKE '%magenta%' OR s = 'm' THEN 'Magenta'
       |       WHEN s LIKE '%yellow%' OR s = 'y' THEN 'Yellow'

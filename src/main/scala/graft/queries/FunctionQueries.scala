@@ -40,27 +40,30 @@ object FunctionQueries {
       .orderBy("o_orderkey")
   }
 
-  /** F4 — ordered-keyword status classification ("offline" ⊃ "on": the
-    * chain order IS the semantics). */
-  val f4StatusClassify: QuerySpec = QuerySpec.sql(
-    "f4_status_classify",
-    """SELECT event_id, event_type,
-      |  CASE
-      |    WHEN lower(trim(regexp_replace(coalesce(event_type,''), '\s+', ' ', 'g')))
-      |         IN ('online','ready','ok','idle','running') THEN 'online'
-      |    WHEN lower(trim(regexp_replace(coalesce(event_type,''), '\s+', ' ', 'g')))
-      |         IN ('offline','down','unreachable','error','off') THEN 'offline'
-      |    WHEN lower(trim(regexp_replace(coalesce(event_type,''), '\s+', ' ', 'g')))
-      |         LIKE '%off%' THEN 'offline'
-      |    WHEN lower(trim(regexp_replace(coalesce(event_type,''), '\s+', ' ', 'g')))
-      |         LIKE '%on%' THEN 'online'
-      |    ELSE 'offline' END AS status
-      |FROM events
-      |ORDER BY event_id""".stripMargin) { (s, d) =>
+  /** F4 — substring-keyword status classification, online scan first,
+    * then the "off"-before-"on" fallbacks (the chain order IS the
+    * semantics — update_from_json.py:42-58). */
+  val f4StatusClassify: QuerySpec = {
+    def likes(keys: Seq[String]): String =
+      keys.map(k => s"s LIKE '%$k%'").mkString(" OR ")
+    QuerySpec.sql(
+      "f4_status_classify",
+      s"""WITH t AS (SELECT event_id, event_type,
+         |  lower(trim(coalesce(event_type, ''))) AS s FROM events)
+         |SELECT event_id, event_type,
+         |  CASE
+         |    WHEN ${likes(Normalize.OnlineKeys)} THEN 'online'
+         |    WHEN ${likes(Normalize.OfflineKeys)} THEN 'offline'
+         |    WHEN s LIKE '%off%' THEN 'offline'
+         |    WHEN s LIKE '%on%' THEN 'online'
+         |    ELSE 'offline' END AS status
+         |FROM t
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         Normalize.statusOnlineOffline(col("event_type")).as("status"))
       .orderBy("event_id")
+    }
   }
 
   /** F5 — dash_if_blank edge fill (nulls synthesized via nullif). */

@@ -34,7 +34,12 @@ class NormalizeSpec extends SparkSpec with TableDrivenPropertyChecks {
       ("Online", "online"), ("READY", "online"), ("offline", "offline"),
       ("going offline now", "offline"), // contains "off" before "on" rule
       ("power on", "online"), ("", "offline"), (null, "offline"),
-      ("mystery", "offline"))
+      ("mystery", "offline"),
+      // substring semantics over the reference's exact tuples:
+      ("Sleep mode", "online"), ("now printing p.2", "online"),
+      // reference quirk, faithfully kept: "connected" ⊂ "disconnected"
+      // and the online scan runs FIRST (update_from_json.py:47-51)
+      ("disconnected", "online"), ("status unknown", "offline"))
     forAll(cases) { (in, out) =>
       assert(eval1(Normalize.statusOnlineOffline(col("v")), in) == out, s"for $in")
     }
