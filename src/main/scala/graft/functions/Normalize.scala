@@ -120,17 +120,20 @@ object Normalize {
   }
 
   /** F16 `_clean_desc`: exact-match Hebrew→English translation map,
-    * then a suppression set (sleep-mode phrases → "").
-    * Ref: snmp_alerts.py:36-50,74-82. */
+    * then a lowercase suppression set → "". Tables are the reference's
+    * verbatim (snmp_alerts.py:36-50 HEB_EN, :36-41 SUPPRESS_PHRASES;
+    * applied :74-82 — translate first, then suppress). */
   val DescTranslations: Map[String, String] = Map(
-    "נייר תקוע" -> "Paper jam",
-    "דלת פתוחה" -> "Door open",
-    "טונר נמוך" -> "Toner low",
-    "מגש ריק" -> "Tray empty",
-    "מוכן" -> "Ready")
+    "תוף שחור ברמה נמוכה מאוד" -> "Black drum very low",
+    "אי-התאמת גודל ב-מגש 1" -> "Tray 1 size mismatch",
+    "גודל בלתי צפוי ב-מגש 1" -> "Unexpected size in Tray 1",
+    "מושהה" -> "Paused",
+    "41.03.B1 גודל בלתי צפוי ב-מגש 1" -> "Unexpected size in Tray 1",
+    "66044" -> "Service requested")
 
-  val SuppressedDescs: Seq[String] =
-    Seq("sleep mode", "power save", "מצב שינה")
+  val SuppressedDescs: Seq[String] = Seq(
+    "sleep mode on", "power saver mode", "מצב שינה פועל",
+    "genuine hp cartridge installed")
 
   def cleanDesc(c: Column): Column = {
     val t = trim(coalesce(c, lit("")))

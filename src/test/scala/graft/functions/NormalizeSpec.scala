@@ -118,12 +118,13 @@ class NormalizeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(eval1(Normalize.toText(col("v")), null) == null)
   }
 
-  test("F16 clean_desc: Hebrew translation map + sleep suppression") {
+  test("F16 clean_desc: reference translation map + suppression set") {
     val cases = Table(("in", "out"),
-      ("\u05e0\u05d9\u05d9\u05e8 \u05ea\u05e7\u05d5\u05e2", "Paper jam"),
-      (" \u05d8\u05d5\u05e0\u05e8 \u05e0\u05de\u05d5\u05da ", "Toner low"),
-      ("Sleep Mode", ""), ("\u05de\u05e6\u05d1 \u05e9\u05d9\u05e0\u05d4", ""),
-      ("Fuser error", "Fuser error"))
+    ("\u05de\u05d5\u05e9\u05d4\u05d4", "Paused"),
+    ("66044", "Service requested"),
+    ("Sleep Mode On", ""),
+    ("genuine hp cartridge installed", ""),
+    ("Fuser error", "Fuser error"))
     forAll(cases) { (in, out) =>
       assert(eval1(Normalize.cleanDesc(col("v")), in) == out, s"for $in")
     }
