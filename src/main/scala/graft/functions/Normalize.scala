@@ -203,31 +203,49 @@ object Normalize {
       .otherwise("informational")
   }
 
-  /** F18 `_severity_rank`: word/number → ordinal for argmax elections.
-    * Ref: ews_alerts.py:144-171. */
+  /** F18 `_severity_rank`: all-digit strings → their integer value;
+    * otherwise EXACT-match tiers (fatal/critical 9, error/severe 6,
+    * attention 5, warning 3, info/informational 1, else 0).
+    * Ref: ews_alerts.py:144-161. */
   def severityRank(c: Column): Column = {
-    val s = norm(coalesce(c.cast("string"), lit("")))
-    when(s.contains("critical") || s.contains("fatal"), 9)
-      .when(s.contains("error"), 7)
-      .when(s.contains("warn") || s.contains("attention"), 5)
-      .when(s.contains("info"), 2)
+    val t = trim(coalesce(c.cast("string"), lit("")))
+    val s = lower(t)
+    when(t.rlike("^[0-9]+$"), t.cast("int"))
+      .when(s.isin("fatal", "critical"), 9)
+      .when(s.isin("error", "severe"), 6)
+      .when(s === "attention", 5)
+      .when(s === "warning", 3)
+      .when(s.isin("info", "informational"), 1)
       .otherwise(0)
   }
 
-  /** F19 `_short_label_for`: catalog info wins; else keyword decision
-    * list; default "Check printer". Ref: ews_alerts.py:173-199. */
+  /** F19 `_short_label_for`: when the code matched the catalog, the
+    * entry's info (or "Check printer" if blank) wins unconditionally —
+    * pass `catalogInfo` NON-NULL exactly when the code matched, null
+    * otherwise. Unmatched codes run the keyword decision list over the
+    * description, blank → "Normal", default "Check printer".
+    * Ref: ews_alerts.py:173-199. */
   def shortLabel(catalogInfo: Column, desc: Column): Column = {
-    val s = norm(coalesce(desc, lit("")))
-    coalesce(
-      when(length(trim(coalesce(catalogInfo, lit("")))) > 0, catalogInfo),
-      when(s.contains("door") || s.contains("cover"), "Close the door/cover"),
-      when(s.contains("jam"), "Clear paper jam"),
-      when(s.contains("toner"), "Replace toner"),
-      when(s.contains("drum"), "Replace drum"),
-      when(s.contains("transfer"), "Replace transfer kit"),
-      when(s.contains("scanner"), "Scanner error"),
-      when(s.contains("fuser"), "Replace fuser"),
-      lit("Check printer"))
+    val s = lower(trim(coalesce(desc, lit(""))))
+    val drumish = s.contains("drum") || s.contains("imaging unit")
+    when(catalogInfo.isNotNull,
+      coalesce(when(length(trim(catalogInfo)) > 0, catalogInfo),
+        lit("Check printer")))
+      .otherwise(coalesce(
+        when(s === "", "Normal"),
+        when(s.contains("door"), "Door open"),
+        when(s.contains("jam"), "Paper jam"),
+        when(s.contains("toner") && s.contains("detect"), "Toner not detected"),
+        when(s.contains("toner") && (s.contains("empty") || s.contains("end")),
+          "Toner empty"),
+        when(drumish && s.contains("not") && s.contains("install"),
+          "Drum not installed"),
+        when(drumish && (s.contains("end") || s.contains("replace")),
+          "Replace drum now"),
+        when(s.contains("transfer"), "Transfer roller fault"),
+        when(s.contains("scanner"), "Scanner error"),
+        when(s.contains("fuser"), "Fuser error"),
+        lit("Check printer")))
   }
 
   /** F21 `derive_severity_from_problem`: keyword sets → critical /

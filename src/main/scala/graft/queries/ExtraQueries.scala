@@ -91,31 +91,40 @@ object ExtraQueries {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey")
   }
 
-  /** F19 — short label: catalog info wins, else keyword decision list,
-    * default "Check printer" (ews_alerts.py:173-199). Docs text as the
-    * alert description; every third row has catalog info. */
+  /** F19 — short label (ews_alerts.py:173-199): catalog-matched rows
+    * (every third doc here; empty info on every ninth exercises the
+    * "Check printer" catalog fallback) take the entry info; the rest
+    * run the keyword decision list, blank desc → "Normal". */
   val f19ShortLabel: QuerySpec = QuerySpec.sql(
     "f19_short_label",
     """WITH t AS (SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN 'From catalog' ELSE NULL END AS info,
-      |  lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS s
+      |  CASE WHEN doc_id % 9 = 0 THEN ''
+      |       WHEN doc_id % 3 = 0 THEN 'From catalog' ELSE NULL END AS info,
+      |  lower(trim(coalesce(text, ''))) AS s
       |FROM documents)
       |SELECT doc_id,
-      |  coalesce(
-      |    CASE WHEN length(trim(coalesce(info, ''))) > 0 THEN info END,
-      |    CASE WHEN s LIKE '%door%' OR s LIKE '%cover%' THEN 'Close the door/cover' END,
-      |    CASE WHEN s LIKE '%jam%' THEN 'Clear paper jam' END,
-      |    CASE WHEN s LIKE '%toner%' THEN 'Replace toner' END,
-      |    CASE WHEN s LIKE '%drum%' THEN 'Replace drum' END,
-      |    CASE WHEN s LIKE '%transfer%' THEN 'Replace transfer kit' END,
+      |  CASE WHEN info IS NOT NULL THEN
+      |    coalesce(CASE WHEN length(trim(info)) > 0 THEN info END, 'Check printer')
+      |  ELSE coalesce(
+      |    CASE WHEN s = '' THEN 'Normal' END,
+      |    CASE WHEN s LIKE '%door%' THEN 'Door open' END,
+      |    CASE WHEN s LIKE '%jam%' THEN 'Paper jam' END,
+      |    CASE WHEN s LIKE '%toner%' AND s LIKE '%detect%' THEN 'Toner not detected' END,
+      |    CASE WHEN s LIKE '%toner%' AND (s LIKE '%empty%' OR s LIKE '%end%') THEN 'Toner empty' END,
+      |    CASE WHEN (s LIKE '%drum%' OR s LIKE '%imaging unit%')
+      |              AND s LIKE '%not%' AND s LIKE '%install%' THEN 'Drum not installed' END,
+      |    CASE WHEN (s LIKE '%drum%' OR s LIKE '%imaging unit%')
+      |              AND (s LIKE '%end%' OR s LIKE '%replace%') THEN 'Replace drum now' END,
+      |    CASE WHEN s LIKE '%transfer%' THEN 'Transfer roller fault' END,
       |    CASE WHEN s LIKE '%scanner%' THEN 'Scanner error' END,
-      |    CASE WHEN s LIKE '%fuser%' THEN 'Replace fuser' END,
-      |    'Check printer') AS label
+      |    CASE WHEN s LIKE '%fuser%' THEN 'Fuser error' END,
+      |    'Check printer') END AS label
       |FROM t
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, lit("From catalog")).as("info"),
+        when(col("doc_id") % 9 === 0, lit(""))
+          .when(col("doc_id") % 3 === 0, lit("From catalog")).as("info"),
         col("text"))
       .select(col("doc_id"),
         Normalize.shortLabel(col("info"), col("text")).as("label"))
