@@ -85,7 +85,7 @@ object Normalize {
     * level>=0 → round(100*level/max) clamped; sentinel levels −1/−2/−3
     * (and other negatives) → null. Ref: adapters/snmp_toner.py:61-69. */
   def computePercent(unit: Column, level: Column, max: Column): Column =
-    when(level.isNull, lit(null).cast("long"))
+    when(level.isNull || level.isin(-1, -2, -3), lit(null).cast("long"))
       .when(unit === 19, greatest(least(level.cast("long"), lit(100L)), lit(0L)))
       .when(max > 0 && level >= 0,
         greatest(least(round(lit(100.0) * level / max).cast("long"), lit(100L)), lit(0L)))
@@ -188,20 +188,42 @@ object Normalize {
             shiftright(mask, 7).bitwiseAND(1) === 1, "critical")
       .otherwise("warning")
 
-  /** F17 `_triage_three`: numeric codes: ≥6 critical, ≥3 warning, else
-    * informational; words: critical/fatal/severe/error → critical,
-    * attention/warn → warning. Ref: ews_alerts.py:14-32; ledm_client.py:46-64. */
-  def triage(c: Column): Column = {
-    val s = norm(coalesce(c.cast("string"), lit("")))
-    val n = s.try_cast("double")
-    when(n.isNotNull && n >= 6, "critical")
-      .when(n.isNotNull && n >= 3, "warning")
-      .when(n.isNotNull, "informational")
-      .when(s.contains("critical") || s.contains("fatal") ||
-            s.contains("severe") || s.contains("error"), "critical")
-      .when(s.contains("attention") || s.contains("warn"), "warning")
+  /** F17 `_triage_three`: all-digit strings (str.isdigit) → int with
+    * thresholds ≥6 critical / ≥3 warning / else informational; words
+    * match the tier sets EXACTLY (set membership, not substring) after
+    * strip+lower. The EWS and LEDM variants carry different sets —
+    * LEDM adds stricterror/strictwarning (ews_alerts.py:14-32 vs
+    * ledm_client.py:46-64). */
+  private def triageWith(critical: Seq[String], warning: Seq[String])(c: Column): Column = {
+    val t = trim(coalesce(c.cast("string"), lit("")))
+    val isDigit = t.rlike("^[0-9]+$")
+    val n = t.try_cast("long")
+    val s = lower(t)
+    when(isDigit && n.isNull, "critical") // > Long.Max digits: still >= 6
+      .when(isDigit && n >= 6, "critical")
+      .when(isDigit && n >= 3, "warning")
+      .when(isDigit, "informational")
+      .when(s.isin(critical: _*), "critical")
+      .when(s.isin(warning: _*), "warning")
       .otherwise("informational")
   }
+
+  /** EWS variant (ews_alerts.py:14-32). */
+  def triage(c: Column): Column =
+    triageWith(Seq("critical", "fatal", "severe", "error"),
+      Seq("attention", "warning", "warn"))(c)
+
+  /** LEDM variant (ledm_client.py:46-64). */
+  def triageLedm(c: Column): Column =
+    triageWith(Seq("critical", "fatal", "stricterror", "error", "severe"),
+      Seq("warning", "strictwarning", "warn", "attention"))(c)
+
+  /** LEDM `SEVERITY_ORDER` (ledm_client.py:10-17) — election ranks for
+    * EventTable events (default −1, ledm_client.py:96-109) and
+    * status-doc Alerts (same tiers, default 0, :130-147). */
+  val LedmSeverityOrder: Map[String, Int] = Map(
+    "CRITICAL" -> 3, "STRICTERROR" -> 3, "ERROR" -> 3,
+    "WARNING" -> 2, "STRICTWARNING" -> 2, "INFO" -> 1)
 
   /** F18 `_severity_rank`: all-digit strings → their integer value;
     * otherwise EXACT-match tiers (fatal/critical 9, error/severe 6,
@@ -248,20 +270,26 @@ object Normalize {
         lit("Check printer")))
   }
 
-  /** F21 `derive_severity_from_problem`: keyword sets → critical /
-    * warning / informational. Ref: ledm_client.py:149-157. */
+  /** F21 `derive_severity_from_problem`: substring keyword sets over the
+    * lowercased problem (no trim/collapse — the reference only lowers) →
+    * critical / warning / informational. Ref: ledm_client.py:149-157. */
+  val ProblemCriticalKeys: Seq[String] = Seq(
+    "jam", "door", "open", "cover", "fault", "failure", "error", "empty",
+    "replace")
+  val ProblemWarningKeys: Seq[String] = Seq(
+    "low", "depleted", "almost", "calibrat", "warming", "busy", "sleep",
+    "power saver", "attention")
+
   def severityFromProblem(c: Column): Column = {
-    val s = norm(coalesce(c, lit("")))
-    val crit = Seq("jam", "door", "open", "missing", "failure", "offline")
-    val warn = Seq("low", "depleted", "empty", "replace", "order")
-    when(crit.map(k => s.contains(k)).reduce(_ || _), "critical")
-      .when(warn.map(k => s.contains(k)).reduce(_ || _), "warning")
+    val s = lower(coalesce(c, lit("")))
+    when(ProblemCriticalKeys.map(k => s.contains(k)).reduce(_ || _), "critical")
+      .when(ProblemWarningKeys.map(k => s.contains(k)).reduce(_ || _), "warning")
       .otherwise("informational")
   }
 
   /** F22 error-code regexes. Ref: ews_alerts.py:12; toner_type_web.py:8-9;
     * toner_type_snmp.py:11-13. */
-  val EwsCodeRe = "[A-Z]\\d-\\d{3,5}"
+  val EwsCodeRe = "\\b[A-Z]\\d-\\d{3,5}\\b"
   val TonerIdRes = Seq("W\\d{4}[A-Z]X?", "MLT-[A-Z]\\d{3,5}[A-Z]*", "[A-Z]{2}\\d{3}[A-Z]")
 
   def extractEwsCode(c: Column): Column = regexp_extract(c, s"($EwsCodeRe)", 1)

@@ -39,7 +39,29 @@ object GraftExtensions {
         JsonAlertExtract(one(args, "json_alert_extract"))),
     (FunctionIdentifier("json_toner_ids"),
       new ExpressionInfo(classOf[JsonTonerIds].getName, "json_toner_ids"),
-      (args: Seq[Expression]) => JsonTonerIds(one(args, "json_toner_ids"))))
+      (args: Seq[Expression]) => JsonTonerIds(one(args, "json_toner_ids"))),
+    (FunctionIdentifier("xml_local_records"),
+      new ExpressionInfo(classOf[XmlLocalRecords].getName, "xml_local_records"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "xml_local_records(xml, container, sevTagsCsv, codeTagsCsv, descTagsCsv)")
+        XmlLocalRecords(args.head, foldedString(args(1)),
+          foldedCsv(args(2)), foldedCsv(args(3)), foldedCsv(args(4)))
+      }),
+    (FunctionIdentifier("xml_first_local_text"),
+      new ExpressionInfo(classOf[XmlFirstLocalText].getName, "xml_first_local_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "xml_first_local_text(xml, tagsCsv)")
+        XmlFirstLocalText(args.head, foldedCsv(args(1)))
+      }))
+
+  private def foldedString(e: Expression): String = {
+    require(e.foldable, s"expected a string literal, got $e")
+    String.valueOf(e.eval(null))
+  }
+
+  private def foldedCsv(e: Expression): Seq[String] =
+    foldedString(e).split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Late registration on an existing session. */
   def register(spark: SparkSession): Unit =

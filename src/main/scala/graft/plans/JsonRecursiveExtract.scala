@@ -66,13 +66,18 @@ abstract class JsonWalkGenerator
     if (s == null) null else UTF8String.fromString(s)
 }
 
-/** F24 — candidate alert records from arbitrary JSON: any object node
-  * with a severity-ish / code-ish / description-ish key yields a row;
-  * bare strings matching the EWS code pattern yield code-only rows.
+/** F24 — candidate alert records from arbitrary JSON, mirroring
+  * ews_alerts.py:47-79 exactly: an object yields a row when a
+  * severity-keyed / code-keyed / description-keyed scalar is present
+  * AND description-or-code is non-blank; missing severity defaults to
+  * "unknown", missing code/desc to ""; bare strings matching the
+  * word-bounded EWS code pattern yield (unknown, code, full-string)
+  * rows; output is first-seen-deduped on the full triple per payload.
   * Output: (path, severity, code, description). */
 case class JsonAlertExtract(child: Expression) extends JsonWalkGenerator {
 
-  private val CodeRe = "[A-Z]\\d-\\d{3,5}".r
+  private val CodeRe = "\\b[A-Z]\\d-\\d{3,5}\\b".r
+  private val DescHints = Seq("desc", "message", "detail", "reason")
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("path", StringType), StructField("severity", StringType),
@@ -81,29 +86,37 @@ case class JsonAlertExtract(child: Expression) extends JsonWalkGenerator {
   override protected def withNewChildInternal(c: Expression): JsonAlertExtract =
     copy(child = c)
 
-  private def keyIs(k: String, hints: Seq[String]): Boolean = {
-    val lk = k.toLowerCase
-    hints.exists(lk.contains)
-  }
-
   override protected def walk(root: JsonNode): Iterator[InternalRow] = {
     val out = mutable.ArrayBuffer.empty[InternalRow]
-    def textOf(n: JsonNode): String =
-      if (n == null || n.isNull || n.isContainerNode) null else n.asText()
+    val seen = mutable.HashSet.empty[(String, String, String)]
+    def emit(path: String, sev: String, code: String, desc: String): Unit =
+      if (seen.add((sev, code, desc)))
+        out += InternalRow(utf8(path), utf8(sev), utf8(code), utf8(desc))
+    // Python str(v) for the accepted scalar types (str | int, where
+    // bool <: int): True→"True", ints verbatim, strings verbatim.
+    def strIntOf(n: JsonNode): String =
+      if (n.isTextual) n.asText()
+      else if (n.isBoolean) { if (n.asBoolean()) "True" else "False" }
+      else if (n.isIntegralNumber) n.asText()
+      else null
     def rec(node: JsonNode, path: String): Unit = {
       if (node.isObject) {
-        var sev: String = null; var code: String = null; var desc: String = null
+        // kl = {k.lower(): k}: duplicate lowercased keys collapse with
+        // the LAST original key winning, in insertion order.
+        val byLower = mutable.LinkedHashMap.empty[String, JsonNode]
         val it = node.properties().iterator()
-        while (it.hasNext) {
-          val e = it.next(); val k = e.getKey; val v = e.getValue
-          if (!v.isContainerNode) {
-            if (sev == null && keyIs(k, Seq("sever", "level", "urg"))) sev = textOf(v)
-            else if (code == null && keyIs(k, Seq("code", "errorid", "error_id"))) code = textOf(v)
-            else if (desc == null && keyIs(k, Seq("desc", "message", "text", "status"))) desc = textOf(v)
-          }
+        while (it.hasNext) { val e = it.next(); byLower.update(e.getKey.toLowerCase, e.getValue) }
+        var sev: String = null; var code: String = null; var desc: String = null
+        byLower.foreach { case (k, v) =>
+          // independent ifs, later keys overwrite earlier matches
+          if (k.contains("severity")) { val s = strIntOf(v); if (s != null) sev = s.trim }
+          if (k.contains("code")) { val s = strIntOf(v); if (s != null) code = s.trim }
+          if (DescHints.exists(k.contains) && v.isTextual) desc = v.asText().trim
         }
-        if (sev != null || code != null || desc != null)
-          out += InternalRow(utf8(path), utf8(sev), utf8(code), utf8(desc))
+        val descS = if (desc == null) "" else desc
+        val codeS = if (code == null) "" else code
+        if (descS.nonEmpty || codeS.nonEmpty)
+          emit(path, if (sev == null) "unknown" else sev, codeS, descS)
         val it2 = node.properties().iterator()
         while (it2.hasNext) {
           val e = it2.next()
@@ -114,8 +127,9 @@ case class JsonAlertExtract(child: Expression) extends JsonWalkGenerator {
         val it = node.elements()
         while (it.hasNext) { rec(it.next(), s"$path[$i]"); i += 1 }
       } else if (node.isTextual) {
-        CodeRe.findFirstIn(node.asText()).foreach { c =>
-          out += InternalRow(utf8(path), null, utf8(c), null)
+        val s = node.asText()
+        CodeRe.findFirstIn(s).foreach { c =>
+          emit(path, "unknown", c, s.trim)
         }
       }
     }

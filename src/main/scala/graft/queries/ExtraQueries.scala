@@ -131,27 +131,29 @@ object ExtraQueries {
       .orderBy("doc_id")
   }
 
-  /** F21 — severity from problem text: keyword sets → critical/warning/
-    * informational (ledm_client.py:149-157), over document text. */
-  val f21SeverityProblem: QuerySpec = QuerySpec.sql(
-    "f21_severity_problem",
-    """WITH t AS (SELECT doc_id,
-      |  lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS s
-      |FROM documents)
-      |SELECT doc_id,
-      |  CASE WHEN s LIKE '%jam%' OR s LIKE '%door%' OR s LIKE '%open%'
-      |         OR s LIKE '%missing%' OR s LIKE '%failure%' OR s LIKE '%offline%'
-      |       THEN 'critical'
-      |       WHEN s LIKE '%low%' OR s LIKE '%depleted%' OR s LIKE '%empty%'
-      |         OR s LIKE '%replace%' OR s LIKE '%order%'
-      |       THEN 'warning'
-      |       ELSE 'informational' END AS severity
-      |FROM t
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        Normalize.severityFromProblem(col("text")).as("severity"))
-      .orderBy("doc_id")
+  /** F21 — severity from problem text: the reference's exact substring
+    * keyword sets over the lowercased (not collapsed) problem →
+    * critical/warning/informational (ledm_client.py:149-157). */
+  val f21SeverityProblem: QuerySpec = {
+    def likes(keys: Seq[String]): String =
+      keys.map(k => s"s LIKE '%$k%'").mkString(" OR ")
+    QuerySpec.sql(
+      "f21_severity_problem",
+      s"""WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS s
+         |FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN ${likes(Normalize.ProblemCriticalKeys)}
+         |       THEN 'critical'
+         |       WHEN ${likes(Normalize.ProblemWarningKeys)}
+         |       THEN 'warning'
+         |       ELSE 'informational' END AS severity
+         |FROM t
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Normalize.severityFromProblem(col("text")).as("severity"))
+        .orderBy("doc_id")
+    }
   }
 
   /** J6 — code → catalog broadcast lookup with label fallback

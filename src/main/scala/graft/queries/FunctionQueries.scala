@@ -96,21 +96,31 @@ object FunctionQueries {
       .orderBy("c_custkey")
   }
 
-  /** F9 — toner percent arithmetic (unit==19 clamp / ratio / negative
-    * sentinels → null), exercised with lineitem fields as (unit, level, max). */
+  /** F9 — toner percent arithmetic: sentinel levels −1/−2/−3 → null
+    * BEFORE the unit==19 clamp (snmp_toner.py:61-69 checks NEG_UNKNOWN
+    * first), then clamp / ratio. Level l_quantity−4 spans [−3,46] so the
+    * sentinel path is actually exercised; unit is 19 on even partkeys. */
   val f9PercentCompute: QuerySpec = QuerySpec.sql(
     "f9_percent_compute",
-    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
-      |  CASE WHEN l_quantity IS NULL THEN NULL
-      |       WHEN l_linenumber = 19 THEN greatest(least(CAST(l_quantity AS BIGINT), 100), 0)
-      |       WHEN 50 > 0 AND l_quantity >= 0
-      |         THEN greatest(least(CAST(round(100.0 * l_quantity / 50) AS BIGINT), 100), 0)
+    """WITH t AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |    CASE WHEN l_partkey % 2 = 0 THEN 19 ELSE l_linenumber END AS unit,
+      |    l_quantity - 4 AS level
+      |  FROM lineitem
+      |)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |  CASE WHEN level IS NULL OR level IN (-1, -2, -3) THEN NULL
+      |       WHEN unit = 19 THEN greatest(least(CAST(level AS BIGINT), 100), 0)
+      |       WHEN 50 > 0 AND level >= 0
+      |         THEN greatest(least(CAST(round(100.0 * level / 50) AS BIGINT), 100), 0)
       |       ELSE NULL END AS pct
-      |FROM lineitem
+      |FROM t
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"),
-        Normalize.computePercent(col("l_linenumber"), col("l_quantity"), lit(50)).as("pct"))
+        Normalize.computePercent(
+          when(col("l_partkey") % 2 === 0, 19).otherwise(col("l_linenumber")),
+          col("l_quantity") - 4, lit(50)).as("pct"))
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
   }
 
@@ -168,7 +178,9 @@ object FunctionQueries {
       .orderBy("event_id")
   }
 
-  /** F17 — triage chain: numeric value thresholds, else keyword scan. */
+  /** F17 — triage chain: all-digit strings through the numeric
+    * thresholds, else EXACT word-set membership (ews_alerts.py:14-32 —
+    * `s in {...}`, not substring). */
   val f17Triage: QuerySpec = QuerySpec.sql(
     "f17_triage",
     """WITH base AS (
@@ -177,18 +189,21 @@ object FunctionQueries {
       |  FROM events
       |), n AS (
       |  SELECT event_id, event_type, k_raw,
-      |    TRY_CAST(lower(trim(regexp_replace(coalesce(k_raw,''), '\s+', ' ', 'g'))) AS DOUBLE) AS k_num,
-      |    lower(trim(regexp_replace(coalesce(event_type,''), '\s+', ' ', 'g'))) AS w
+      |    trim(coalesce(k_raw, '')) AS kt,
+      |    lower(trim(coalesce(event_type, ''))) AS w
       |  FROM base
       |)
       |SELECT event_id, event_type, k_raw,
-      |  CASE WHEN k_num IS NOT NULL AND k_num >= 6 THEN 'critical'
-      |       WHEN k_num IS NOT NULL AND k_num >= 3 THEN 'warning'
-      |       WHEN k_num IS NOT NULL THEN 'informational'
+      |  CASE WHEN regexp_matches(kt, '^[0-9]+$') AND TRY_CAST(kt AS BIGINT) IS NULL
+      |            THEN 'critical'
+      |       WHEN regexp_matches(kt, '^[0-9]+$') AND TRY_CAST(kt AS BIGINT) >= 6
+      |            THEN 'critical'
+      |       WHEN regexp_matches(kt, '^[0-9]+$') AND TRY_CAST(kt AS BIGINT) >= 3
+      |            THEN 'warning'
+      |       WHEN regexp_matches(kt, '^[0-9]+$') THEN 'informational'
       |       ELSE 'informational' END AS k_severity,
-      |  CASE WHEN w LIKE '%critical%' OR w LIKE '%fatal%' OR w LIKE '%severe%'
-      |            OR w LIKE '%error%' THEN 'critical'
-      |       WHEN w LIKE '%attention%' OR w LIKE '%warn%' THEN 'warning'
+      |  CASE WHEN w IN ('critical', 'fatal', 'severe', 'error') THEN 'critical'
+      |       WHEN w IN ('attention', 'warning', 'warn') THEN 'warning'
       |       ELSE 'informational' END AS word_severity
       |FROM n
       |ORDER BY event_id""".stripMargin) { (s, d) =>

@@ -17,15 +17,15 @@ object WarehouseQueries {
     "s2_rollup",
     """SELECT coalesce(l_returnflag, 'ALL') AS rf,
       |       coalesce(l_linestatus, 'ALL') AS ls,
-      |       GROUPING(l_returnflag, l_linestatus) AS lvl,
-      |       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
       |       COUNT(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls, lvl""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(grouping_id().as("lvl"),
+      .agg(grouping_id().cast("long").as("lvl"),
         sum(col("l_quantity").cast("long")).as("sum_qty"),
         count(lit(1)).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),

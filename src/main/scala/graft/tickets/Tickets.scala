@@ -3,24 +3,29 @@ package graft.tickets
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Normalize
-
 /** Ticketing (SURVEY.md §3.3): point lookup → projection → pure HTML
   * render. The reference's three ticket plugins share search/extract
-  * and differ in items collected + template
+  * and differ in base subject, collected items, and template
   * (plugins/openticket/TonerOrder.py, DrumOrder.py,
-  * PrinterTechnician.py — the trio is structurally identical :26-82).
+  * PrinterTechnician.py — extract is identical across the trio,
+  * TonerOrder.py:59-82).
   *
   * Engine/app split (SURVEY.md §7.4 hard part 6): search + extract +
   * render are pure and live here; prompting and mail delivery are app
-  * shell, out of engine scope.
+  * shell, out of engine scope. Subjects and HTML are deterministic
+  * reference outputs and reproduce the reference templates exactly
+  * (TonerOrder.py:152-195; DrumOrder.py:89-132;
+  * PrinterTechnician.py:82-120).
   */
 final case class Ticket(
     customer: String, branchId: String, serial: String, model: String,
-    address: String, contact: String, phone: String,
+    address: String, contact: String, phone: String, group: String,
     colors: Seq[String])
 
-final case class TicketItem(color: String, qty: Int)
+/** Toner items carry a color, drum items a drum type — the reference
+  * stores both under items[i] with one label key; `label` is that key's
+  * value. */
+final case class TicketItem(label: String, qty: Int)
 
 object TicketSearch {
 
@@ -45,107 +50,181 @@ object TicketSearch {
     printers.where(col("group") === group && cond)
   }
 
+  /** Python `str(x or "")` + strip: null → "", everything else via
+    * string cast then trim. */
+  private def strStrip(c: Column): Column =
+    trim(coalesce(c.cast("string"), lit("")))
+
   /** P8 + A7 — projection to ticket fields (TonerOrder.py:59-82):
-    * model = Model else Type; Company group gets constant
-    * customer/branch; colors = first-seen-ordered distinct cartridge
-    * names (array order = stored order, :50-57). */
+    * customer is the constant "סטימצקי" for BOTH groups; the Company
+    * group carries fixed address/contact/phone; branch_id/serial are
+    * stripped strings ("" when absent); model = first TRUTHY of
+    * Model/Type then strip (Python `or` semantics — empty string falls
+    * through, blank-after-strip does not); colors = first-seen-ordered
+    * distinct of stripped non-empty cartridge names (:50-57). */
   def extract(found: DataFrame): DataFrame = {
     val isCompany = col("group") === "Company_Grouped"
-    val model =
-      if (found.columns.contains("Model")) coalesce(col("Model"), col("Type"))
-      else col("Type")
+    def truthy(c: Column): Column =
+      when(c.isNotNull && c.cast("string") =!= "", c.cast("string"))
+    val modelRaw =
+      if (found.columns.contains("Model"))
+        coalesce(truthy(col("Model")), truthy(col("Type")), lit(""))
+      else coalesce(truthy(col("Type")), lit(""))
     val si = if (found.columns.contains("storeInfo")) col("storeInfo")
              else lit(null)
+    // str(item.get("cartridge","")).strip(); skip falsy; first-seen dedup.
+    // A null cartridge value is Python None → str(None) == "None".
+    val colorNames = transform(
+      col("printerInfo").getField("cartridges"),
+      c => coalesce(trim(c.getField("cartridge").cast("string")), lit("None")))
     found.select(
-      when(isCompany, lit("Headquarters")).otherwise(coalesce(col("Name"),
-        concat(lit("Branch "), col("ID")))).as("customer"),
-      when(isCompany, lit("-")).otherwise(col("ID").cast("string")).as("branch_id"),
-      coalesce(col("Serial"), lit("-")).as("serial"),
-      coalesce(model, lit("-")).as("model"),
-      coalesce(si.getField("Location"), lit("-")).as("address"),
-      coalesce(si.getField("Manager"), lit("-")).as("contact"),
-      coalesce(si.getField("Phone"), lit("-")).as("phone"),
-      coalesce(array_distinct(transform(
-        col("printerInfo").getField("cartridges"),
-        c => c.getField("cartridge"))), array()).as("colors"))
+      lit("סטימצקי").as("customer"),
+      strStrip(col("ID")).as("branch_id"),
+      strStrip(col("Serial")).as("serial"),
+      trim(modelRaw).as("model"),
+      when(isCompany, lit("מתחם לב הארץ 0, ראש העין שדרות הדלקים"))
+        .otherwise(strStrip(si.getField("Location"))).as("address"),
+      when(isCompany, lit("דימה"))
+        .otherwise(strStrip(si.getField("Manager"))).as("contact"),
+      when(isCompany, lit("0542050462"))
+        .otherwise(strStrip(si.getField("Phone"))).as("phone"),
+      col("group"),
+      coalesce(array_distinct(filter(colorNames, c => c =!= "")), array())
+        .as("colors"))
   }
 
   def toTicket(r: Row): Ticket = Ticket(
     r.getAs[String]("customer"), r.getAs[String]("branch_id"),
     r.getAs[String]("serial"), r.getAs[String]("model"),
     r.getAs[String]("address"), r.getAs[String]("contact"),
-    r.getAs[String]("phone"),
+    r.getAs[String]("phone"), r.getAs[String]("group"),
     r.getSeq[String](r.fieldIndex("colors")).toSeq)
 }
 
-/** One ticket family: subject + HTML (F28, TonerOrder.py:152-195). */
+/** One ticket family: subject + HTML (F28). */
 trait TicketPlugin {
   def name: String
-  def subject(t: Ticket, items: Seq[TicketItem]): String
-  def html(t: Ticket, items: Seq[TicketItem]): String
 
-  /** html.escape equivalent (quote=True). */
+  /** The plugin's fixed subject base string. */
+  protected def subjectBase: String
+
+  /** make_subject (TonerOrder.py:152-160, identical in the other two):
+    * '<base> - customer | model' keeping only truthy parts, plus a
+    * ' [branch_id]' suffix for non-Company groups with a non-blank id. */
+  def subject(t: Ticket): String = {
+    val parts = Seq(t.customer, t.model).filter(p => p != null && p.nonEmpty)
+    val s = if (parts.nonEmpty) s"$subjectBase - " + parts.mkString(" | ")
+            else subjectBase
+    val bid = Option(t.branchId).getOrElse("").trim
+    if (t.group != "Company_Grouped" && bid.nonEmpty) s"$s [$bid]" else s
+  }
+
+  def html(t: Ticket, items: Seq[TicketItem], notes: String = "",
+      toAddr: String = ""): String
+
+  /** html.escape equivalent (quote=True): & first, then < > " '. */
   protected def esc(s: String): String =
     Option(s).getOrElse("").replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;").replace("'", "&#x27;")
 
-  /** Subject suffix: branch id in brackets only when meaningful
-    * (TonerOrder.py:147-150). */
-  protected def branchSuffix(t: Ticket): String =
-    if (t.branchId != null && t.branchId.nonEmpty && t.branchId != "-")
-      s" [${t.branchId}]" else ""
+  // Shared inline styles (verbatim template constants in all three
+  // reference plugins; tech narrows the label/table widths).
+  protected val tdValue = "padding:10px 12px;border:1px solid #ccc;"
+  protected val thStyle =
+    "padding:12px;border:1px solid #ccc;font-size:18px;text-align:center;font-weight:800;"
+  protected val wrapStyle = "white-space:pre-wrap;word-wrap:break-word;"
 
-  /** RTL two-column detail table shared by the three templates. */
-  protected def detailRows(t: Ticket, extra: Seq[(String, String)]): String = {
-    val base = Seq(
-      "לקוח" -> t.customer, "מס' סניף" -> t.branchId, "מק\"ט" -> t.serial,
-      "דגם" -> t.model, "כתובת" -> t.address, "איש קשר" -> t.contact,
-      "טלפון" -> t.phone)
-    (base ++ extra).map { case (k, v) =>
-      s"<tr><td><b>${esc(k)}</b></td><td>${esc(v)}</td></tr>"
-    }.mkString("\n")
-  }
+  protected def tableOpen(tableStyle: String): String =
+    "<div dir=\"rtl\" style=\"font-family:Arial, sans-serif;line-height:1.6;font-size:14px;\">" +
+      s"""<table style="$tableStyle" role="presentation">"""
 
-  protected def wrap(title: String, rows: String): String =
-    s"""<html dir="rtl"><body>
-       |<h3>${esc(title)}</h3>
-       |<table border="1" cellpadding="4" cellspacing="0">
-       |$rows
-       |</table>
-       |</body></html>""".stripMargin
+  protected def row(tdLabel: String, label: String, value: String,
+      valueStyleSuffix: String = ""): String =
+    s"""<tr><td style="$tdLabel">$label</td><td style="$tdValue$valueStyleSuffix">$value</td></tr>"""
 
   /** A9 — Σ qty (TonerOrder.py:170-175). */
   protected def qtyTotal(items: Seq[TicketItem]): Int = items.map(_.qty).sum
-
-  /** Multi-item "color × qty" display join (TonerOrder.py:164-169). */
-  protected def itemsDisplay(items: Seq[TicketItem]): String =
-    items.map(i => s"${i.color} × ${i.qty}").mkString(", ")
 }
 
-object TonerOrder extends TicketPlugin {
+/** Wide-table order plugins (toner/drum) share layout constants. */
+sealed trait OrderPlugin extends TicketPlugin {
+  protected val tdLabel =
+    "padding:10px 12px;border:1px solid #ccc;font-weight:600;width:260px;"
+  protected val tableStyle =
+    "border-collapse:collapse;width:100%;max-width:900px;mso-table-lspace:0pt;mso-table-rspace:0pt;"
+}
+
+object TonerOrder extends OrderPlugin {
   val name = "toner"
-  def subject(t: Ticket, items: Seq[TicketItem]): String =
-    s"הזמנת טונר - ${t.customer}${branchSuffix(t)}"
-  def html(t: Ticket, items: Seq[TicketItem]): String =
-    wrap(s"הזמנת טונר (${qtyTotal(items)})",
-      detailRows(t, Seq("פריטים" -> itemsDisplay(items))))
+  protected val subjectBase = "הזמנת טונרים"
+
+  /** TonerOrder.py:162-195: single item renders the bare color; multi
+    * renders 'color × qty' joined by ', '; totals summed. */
+  def html(t: Ticket, items: Seq[TicketItem], notes: String = "",
+      toAddr: String = ""): String = {
+    val (colorStr, total) =
+      if (items.length == 1) (esc(items.head.label), items.head.qty)
+      else (items.map(i => s"${esc(i.label)} × ${i.qty}").mkString(", "),
+        qtyTotal(items))
+    tableOpen(tableStyle) +
+      s"""<tr><th colspan="2" style="$thStyle">הזמנות טונרים</th></tr>""" +
+      row(tdLabel, "שם הלקוח", esc(t.customer)) +
+      row(tdLabel, "מספר סידורי", esc(t.serial)) +
+      row(tdLabel, "דגם המכשיר", esc(t.model)) +
+      row(tdLabel, "צבע טונר", colorStr) +
+      row(tdLabel, "כמות טונרים", total.toString) +
+      row(tdLabel, "כתובת מלאה לאספקת המשלוח", esc(t.address), wrapStyle) +
+      row(tdLabel, "שם איש קשר", esc(t.contact)) +
+      row(tdLabel, "מספר טלפון נייד", esc(t.phone)) +
+      "</table></div>"
+  }
 }
 
-object DrumOrder extends TicketPlugin {
+object DrumOrder extends OrderPlugin {
   val name = "drum"
-  def subject(t: Ticket, items: Seq[TicketItem]): String =
-    s"הזמנת תוף - ${t.customer}${branchSuffix(t)}"
-  def html(t: Ticket, items: Seq[TicketItem]): String =
-    wrap(s"הזמנת תוף (${qtyTotal(items)})",
-      detailRows(t, Seq("פריטים" -> itemsDisplay(items))))
+  protected val subjectBase = "הזמנת דרמים"
+
+  /** DrumOrder.py:99-132: single-item drum type + qty; empty → ("", 0). */
+  def html(t: Ticket, items: Seq[TicketItem], notes: String = "",
+      toAddr: String = ""): String = {
+    val (typeStr, total) =
+      if (items.nonEmpty) (esc(items.head.label), items.head.qty) else ("", 0)
+    tableOpen(tableStyle) +
+      s"""<tr><th colspan="2" style="$thStyle">הזמנת דרמים</th></tr>""" +
+      row(tdLabel, "שם הלקוח", esc(t.customer)) +
+      row(tdLabel, "מספר סידורי", esc(t.serial)) +
+      row(tdLabel, "דגם המכשיר", esc(t.model)) +
+      row(tdLabel, "סוג דרם", typeStr) +
+      row(tdLabel, "כמות דרמים", total.toString) +
+      row(tdLabel, "כתובת מלאה לאספקת המשלוח", esc(t.address), wrapStyle) +
+      row(tdLabel, "שם איש קשר", esc(t.contact)) +
+      row(tdLabel, "מספר טלפון נייד", esc(t.phone)) +
+      "</table></div>"
+  }
 }
 
 object PrinterTechnician extends TicketPlugin {
   val name = "tech"
-  def subject(t: Ticket, items: Seq[TicketItem]): String =
-    s"קריאת טכנאי - ${t.customer}${branchSuffix(t)}"
-  def html(t: Ticket, items: Seq[TicketItem]): String =
-    wrap("קריאת טכנאי", detailRows(t, Seq.empty))
+  protected val subjectBase = "פתיחת קריאת שירות"
+  private val tdLabel =
+    "padding:10px 12px;border:1px solid #ccc;font-weight:600;width:200px;"
+  private val tableStyle =
+    "border-collapse:collapse;width:100%;max-width:780px;mso-table-lspace:0pt;mso-table-rspace:0pt;"
+
+  /** PrinterTechnician.py:92-120: no items — remarks + recipient rows. */
+  def html(t: Ticket, items: Seq[TicketItem], notes: String = "",
+      toAddr: String = ""): String =
+    tableOpen(tableStyle) +
+      s"""<tr><th colspan="2" style="$thStyle">פתיחת קריאה למדפסת</th></tr>""" +
+      row(tdLabel, "שם הלקוח", esc(t.customer)) +
+      row(tdLabel, "מספר סידורי", esc(t.serial)) +
+      row(tdLabel, "דגם המכשיר", esc(t.model)) +
+      row(tdLabel, "כתובת", esc(t.address)) +
+      row(tdLabel, "איש קשר", esc(t.contact)) +
+      row(tdLabel, "טלפון", esc(t.phone)) +
+      row(tdLabel, "הערות", esc(notes), wrapStyle) +
+      row(tdLabel, "נמען", esc(toAddr)) +
+      "</table></div>"
 }
 
 object TicketPlugins {

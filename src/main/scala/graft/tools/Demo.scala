@@ -67,7 +67,7 @@ object Demo {
     val ticket = TicketSearch.toTicket(found.collect().head)
     val plugin = TicketPlugins.byAlias("toner")
     val items = Seq(TicketItem("Black", 2))
-    println(s"[demo] subject: ${plugin.subject(ticket, items)}")
+    println(s"[demo] subject: ${plugin.subject(ticket)}")
     println(plugin.html(ticket, items))
     spark.stop()
   }

@@ -63,7 +63,8 @@ class NormalizeSpec extends SparkSpec with TableDrivenPropertyChecks {
   test("F9 percent: unit-19 clamp, ratio path, negative sentinels → null") {
     val rows = Seq(
       (19, 137.0, 0, Some(100L)),  // unit 19: clamp to 100
-      (19, -5.0, 0, Some(0L)),     // unit 19: clamp to 0
+      (19, -5.0, 0, Some(0L)),     // unit 19: clamp to 0 (-5 is no sentinel)
+      (19, -2.0, 0, None),         // sentinel checked BEFORE the unit clamp
       (7, 37.0, 100, Some(37L)),   // ratio path
       (7, 1.0, 3, Some(33L)),      // round(100/3)=33
       (7, -2.0, 100, None),        // sentinel → null
@@ -96,9 +97,16 @@ class NormalizeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(eval1(Normalize.triage(col("v")), "7") == "critical")
     assert(eval1(Normalize.triage(col("v")), "4") == "warning")
     assert(eval1(Normalize.triage(col("v")), "1") == "informational")
-    assert(eval1(Normalize.triage(col("v")), "fatal error") == "critical")
-    assert(eval1(Normalize.triage(col("v")), "needs attention") == "warning")
+    // word tiers are EXACT set membership after strip+lower, not substring
+    assert(eval1(Normalize.triage(col("v")), " Fatal ") == "critical")
+    assert(eval1(Normalize.triage(col("v")), "fatal error") == "informational")
+    assert(eval1(Normalize.triage(col("v")), "Attention") == "warning")
+    assert(eval1(Normalize.triage(col("v")), "needs attention") == "informational")
     assert(eval1(Normalize.triage(col("v")), "fine") == "informational")
+    // LEDM variant adds the strict* severities (ledm_client.py:46-64)
+    assert(eval1(Normalize.triage(col("v")), "StrictError") == "informational")
+    assert(eval1(Normalize.triageLedm(col("v")), "StrictError") == "critical")
+    assert(eval1(Normalize.triageLedm(col("v")), "strictwarning") == "warning")
   }
 
   test("F11 friendly color: name wins over desc; Hebrew; unknown fallback") {

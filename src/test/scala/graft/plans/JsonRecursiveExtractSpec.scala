@@ -17,15 +17,17 @@ class JsonRecursiveExtractSpec extends SparkSpec {
     val rows = Seq(payload).toDF("body")
       .selectExpr("json_alert_extract(body) AS (path, severity, code, description)")
       .collect()
-    val byDesc = rows.map(r => Option(r.getString(3)) -> r).toMap
-    // object candidates
-    assert(byDesc.contains(Some("Toner low")))
-    val toner = byDesc(Some("Toner low"))
-    assert(toner.getString(1) == "Warning" && toner.getString(2) == "C4-1001")
-    assert(byDesc.contains(Some("Door open")))
-    assert(byDesc(Some("Door open")).getString(1) == "3")
-    // bare string matching the EWS code regex emits a code-only row
-    assert(rows.exists(r => r.getString(2) == "E2-210" && r.getString(1) == null))
+    val triples = rows.map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(triples == Set(
+      // object candidate: severity/statuscode/description keys
+      ("Warning", "C4-1001", "Toner low"),
+      // the bare "C4-1001" VALUE also matches CODE_RE when walked
+      ("unknown", "C4-1001", "C4-1001"),
+      // 'level' is NOT a severity hint (only 'severity' keys are,
+      // ews_alerts.py:53-54) → default "unknown"; no code → ""
+      ("unknown", "", "Door open"),
+      // bare string emits (unknown, code, full string)
+      ("unknown", "E2-210", "E2-210")))
     // paths are recorded
     assert(rows.forall(_.getString(0).startsWith("$")))
   }
@@ -37,6 +39,7 @@ class JsonRecursiveExtractSpec extends SparkSpec {
       .collect()
     assert(rows.length == 1)
     assert(rows.head.getString(1) == "critical")
+    assert(rows.head.getString(2) == "") // missing code defaults to ""
     assert(Seq("not json at all {{{").toDF("body")
       .selectExpr("json_alert_extract(body) AS (path, severity, code, description)")
       .count() == 0)

@@ -25,12 +25,14 @@ class TicketsSpec extends SparkSpec {
       " 10.5.0.12 ").count() == 1)
   }
 
-  test("P8/A7: extract — branch fields, company constants, ordered colors") {
+  test("P8/A7: extract — constant customer, company constants, ordered colors") {
     val b = TicketSearch.extract(
       TicketSearch.byField(printers, "Branches_Grouped", "id", "212"))
       .collect().head
-    assert(b.getAs[String]("customer") == "Branch 212")
+    // customer is the fixed retailer name for BOTH groups (TonerOrder.py:60-67)
+    assert(b.getAs[String]("customer") == "סטימצקי")
     assert(b.getAs[String]("branch_id") == "212")
+    assert(b.getAs[String]("group") == "Branches_Grouped")
     // first-seen order preserved: cyan, Magenta ink, Y
     assert(b.getSeq[String](b.fieldIndex("colors")).toSeq ==
       Seq("cyan", "Magenta ink", "Y"))
@@ -38,27 +40,50 @@ class TicketsSpec extends SparkSpec {
     val c = TicketSearch.extract(
       TicketSearch.byField(printers, "Company_Grouped", "serial", "PHB8C12345"))
       .collect().head
-    assert(c.getAs[String]("customer") == "Headquarters")
-    assert(c.getAs[String]("branch_id") == "-")
-    assert(c.getAs[String]("address") == "-") // no storeInfo for Company
+    assert(c.getAs[String]("customer") == "סטימצקי")
+    assert(c.getAs[String]("branch_id") == "3") // ID kept, not blanked
+    assert(c.getAs[String]("address") == "מתחם לב הארץ 0, ראש העין שדרות הדלקים")
+    assert(c.getAs[String]("contact") == "דימה")
+    assert(c.getAs[String]("phone") == "0542050462")
   }
 
-  test("F28/A9: render — RTL html, escaping, qty total, subject suffix") {
-    val t = Ticket("Branch <105>", "105", "E78K011223", "MFC-L9570CDW",
-      "הרצל 1, תל אביב", "דנה לוי", "0540000000", Seq("Black", "Cyan"))
-    val items = Seq(TicketItem("Black", 2), TicketItem("Cyan", 1))
-    val subject = TonerOrder.subject(t, items)
-    assert(subject == "הזמנת טונר - Branch <105> [105]")
-    val html = TonerOrder.html(t, items)
-    assert(html.contains("dir=\"rtl\""))
-    assert(html.contains("Branch &lt;105&gt;")) // escaped
-    assert(html.contains("הזמנת טונר (3)"))      // qty total A9
-    assert(html.contains("Black × 2, Cyan × 1")) // items display
-    assert(!html.contains("<105>"))
+  test("F28/A9: subject base+model segment, exact template render") {
+    val t = Ticket("סטימצקי", "105", "E78K011223", "MFC-L9570CDW",
+      "הרצל 1, תל אביב", "דנה <לוי>", "0540000000", "Branches_Grouped",
+      Seq("Black", "Cyan"))
+    // subject: '<base> - customer | model [bid]' (TonerOrder.py:152-160)
+    assert(TonerOrder.subject(t) ==
+      "הזמנת טונרים - סטימצקי | MFC-L9570CDW [105]")
+    assert(DrumOrder.subject(t) ==
+      "הזמנת דרמים - סטימצקי | MFC-L9570CDW [105]")
+    assert(PrinterTechnician.subject(t) ==
+      "פתיחת קריאת שירות - סטימצקי | MFC-L9570CDW [105]")
+    // blank model drops its segment
+    assert(TonerOrder.subject(t.copy(model = "")) ==
+      "הזמנת טונרים - סטימצקי [105]")
+    // Company group: no branch suffix even with a non-blank id
+    assert(!TonerOrder.subject(t.copy(group = "Company_Grouped")).contains("["))
 
-    // Company ticket: no branch suffix
-    val tc = t.copy(branchId = "-")
-    assert(!TonerOrder.subject(tc, items).contains("["))
+    val items = Seq(TicketItem("Black", 2), TicketItem("Cyan", 1))
+    val html = TonerOrder.html(t, items)
+    assert(html.startsWith(
+      "<div dir=\"rtl\" style=\"font-family:Arial, sans-serif;line-height:1.6;font-size:14px;\">"))
+    assert(html.contains("<th colspan=\"2\"")) // header row
+    assert(html.contains("הזמנות טונרים"))      // toner title
+    assert(html.contains("Black × 2, Cyan × 1")) // multi-item display
+    assert(html.contains(">3</td>"))             // qty total A9
+    assert(html.contains("דנה &lt;לוי&gt;"))     // escaped contact
+    assert(!html.contains("<לוי>"))
+    // single item renders the bare color and its own qty
+    val one = TonerOrder.html(t, Seq(TicketItem("Black", 2)))
+    assert(one.contains(">Black</td>") && one.contains(">2</td>"))
+    // drum: empty items → ("", 0)
+    val drum = DrumOrder.html(t, Nil)
+    assert(drum.contains("סוג דרם") && drum.contains(">0</td>"))
+    // tech: remarks + recipient rows
+    val tech = PrinterTechnician.html(t, Nil, notes = "a & b", toAddr = "x@y")
+    assert(tech.contains("פתיחת קריאה למדפסת"))
+    assert(tech.contains("a &amp; b") && tech.contains("x@y"))
     // plugin alias map resolves
     assert(TicketPlugins.byAlias("technician").name == "tech")
   }
