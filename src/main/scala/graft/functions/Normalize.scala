@@ -232,13 +232,22 @@ object Normalize {
   def severityRank(c: Column): Column = {
     val t = trim(coalesce(c.cast("string"), lit("")))
     val s = lower(t)
-    when(t.rlike("^[0-9]+$"), t.cast("int"))
-      .when(s.isin("fatal", "critical"), 9)
-      .when(s.isin("error", "severe"), 6)
-      .when(s === "attention", 5)
-      .when(s === "warning", 3)
-      .when(s.isin("info", "informational"), 1)
-      .otherwise(0)
+    when(t.rlike("^[0-9]+$"),
+      coalesce(t.try_cast("long"), lit(Long.MaxValue))) // unbounded in Python
+      .when(s.isin("fatal", "critical"), 9L)
+      .when(s.isin("error", "severe"), 6L)
+      .when(s === "attention", 5L)
+      .when(s === "warning", 3L)
+      .when(s.isin("info", "informational"), 1L)
+      .otherwise(0L)
+  }
+
+  /** `_catalog_status_to_rank` (ews_alerts.py:163-171): CRITICAL 9,
+    * ATTENTION 5, INFO 1, else 0 — exact match after strip+upper. */
+  def catalogStatusRank(c: Column): Column = {
+    val s = upper(trim(coalesce(c.cast("string"), lit(""))))
+    when(s === "CRITICAL", 9L).when(s === "ATTENTION", 5L)
+      .when(s === "INFO", 1L).otherwise(0L)
   }
 
   /** F19 `_short_label_for`: when the code matched the catalog, the
@@ -294,17 +303,25 @@ object Normalize {
 
   def extractEwsCode(c: Column): Column = regexp_extract(c, s"($EwsCodeRe)", 1)
 
-  /** F23 label normalize: alpha-only upper; BK/K/BLK unify.
-    * Ref: brother_toner_web.py:10-24. */
+  /** F23 `_normalize_label`: alpha-only upper, then EXACT sets —
+    * BK/K/BLK/BLACK→BK, C/CYAN→C, M/MAGENTA→M, Y/YELLOW→Y; empty→null;
+    * anything else passes through. Ref: brother_toner_web.py:12-25. */
   def labelNormalize(c: Column): Column = {
-    val u = upper(regexp_replace(c, "[^A-Za-z]", ""))
-    when(u.isin("BK", "K", "BLK"), "BK").otherwise(u)
+    val u = upper(regexp_replace(coalesce(c, lit("")), "[^A-Za-z]", ""))
+    when(u === "", lit(null).cast("string"))
+      .when(u.isin("BK", "K", "BLK", "BLACK"), "BK")
+      .when(u.isin("C", "CYAN"), "C")
+      .when(u.isin("M", "MAGENTA"), "M")
+      .when(u.isin("Y", "YELLOW"), "Y")
+      .otherwise(u)
   }
 
+  /** `COLOR_PRETTY.get(code, code)`: unknown codes pass through
+    * UNCHANGED (no re-casing). Ref: brother_toner_web.py:10,96. */
   def labelPretty(c: Column): Column = {
     val u = labelNormalize(c)
     when(u === "BK", "Black").when(u === "C", "Cyan")
       .when(u === "M", "Magenta").when(u === "Y", "Yellow")
-      .otherwise(initcap(lower(u)))
+      .otherwise(u)
   }
 }

@@ -174,48 +174,96 @@ object PayloadParsers {
       .withColumn("severity", coalesce(when(length(ns) > 0, ns), lit("informational")))
   }
 
-  // ---- S9/F23/F26: Brother ink-level HTML (brother_toner_web.py:38-95) ----
+  // ---- S9/F23/F26: Brother ink-level HTML (brother_toner_web.py:38-100) ----
 
-  /** Fixed-layout scrape: bar-image heights (levels) + labels, zipped
-    * positionally; percent = height clamped to [0,100] (the page's bars
-    * are 0–100 px); labels normalized BK/C/M/Y → pretty colors. */
+  private def nzs(c: Column): Column = when(length(c) > 0, c)
+
+  /** Faithful fixed-layout scrape (brother_toner_web.py:63-100): the
+    * `#inkLevel` (else `#inkLevelMono`) table needs ≥3 rows; bar
+    * heights come from row 1's `<td>`s — img height attr, img style
+    * height, td height attr, td style height, in that order — and
+    * labels from row 2's `<th>` texts, normalized with nulls REMOVED
+    * before the positional zip (zip truncates to the shorter list).
+    * A td with no readable height still emits its cartridge with a
+    * null percent. */
   def brotherInkLevels(payloads: DataFrame, keyCol: String,
       htmlCol: String = "html"): DataFrame = {
-    val heights = regexp_extract_all(col(htmlCol),
-      lit("height\\s*[:=]\\s*\"?(\\d+)"), lit(1))
-    val labels = regexp_extract_all(col(htmlCol),
-      lit("alt=\"([A-Za-z]+)\""), lit(1))
+    val html = col(htmlCol)
+    val table = coalesce(
+      nzs(regexp_extract(html, "(?s)<table[^>]*id=\"inkLevel\"[^>]*>.*?</table>", 0)),
+      nzs(regexp_extract(html, "(?s)<table[^>]*id=\"inkLevelMono\"[^>]*>.*?</table>", 0)))
+    val rows = regexp_extract_all(table, lit("(?s)<tr[^>]*>.*?</tr>"), lit(0))
+    val tds = regexp_extract_all(get(rows, lit(1)),
+      lit("(?s)<td[^>]*>.*?</td>"), lit(0))
+    val ths = regexp_extract_all(get(rows, lit(2)),
+      lit("(?s)<th[^>]*>.*?</th>"), lit(0))
+    // first digit run of an attr value / style height, reference order
+    def attrDigits(frag: Column, attr: String): Column =
+      nzs(regexp_extract(
+        regexp_extract(frag, s"(?i)$attr\\s*=\\s*(\"[^\"]*\"|[^\\s>]+)", 1),
+        "(\\d+)", 1))
+    def styleDigits(frag: Column): Column =
+      nzs(regexp_extract(frag, "(?i)height\\s*:\\s*(\\d+)", 1))
+    val heights = transform(tds, td => {
+      val img = nzs(regexp_extract(td, "(?s)<img[^>]*>", 0))
+      val tdOpen = regexp_extract(td, "(?s)^<td[^>]*>", 0)
+      coalesce(attrDigits(img, "height"), styleDigits(img),
+        attrDigits(tdOpen, "height"), styleDigits(tdOpen))
+        .try_cast("int")
+    })
+    val labels = filter(
+      transform(ths, th => Normalize.labelNormalize(
+        trim(regexp_replace(th, "<[^>]+>", "")))),
+      x => x.isNotNull)
+    val n = least(coalesce(size(labels), lit(0)), coalesce(size(heights), lit(0)))
+    val ok = table.isNotNull && coalesce(size(rows), lit(0)) >= 3
+    val pairs = when(ok,
+      arrays_zip(slice(labels, lit(1), n), slice(heights, lit(1), n)))
     payloads
-      .select(col(keyCol),
-        posexplode_outer(arrays_zip(heights, labels)).as(Seq("bar_idx", "z")))
+      .select(col(keyCol), posexplode(pairs).as(Seq("bar_idx", "z")))
       .select(col(keyCol), col("bar_idx"),
-        Normalize.labelPretty(col("z.1")).as("cartridge"),
+        Normalize.labelPretty(col("z.0")).as("cartridge"),
         Normalize.pctWithSymbol(
-          greatest(least(col("z.0").try_cast("long"), lit(100L)), lit(0L)))
+          greatest(least(col("z.1").cast("long"), lit(100L)), lit(0L)))
           .as("remaining_percent"))
   }
 
-  // ---- S11: code catalog, dict-or-list shapes (ews_alerts.py:118-142) ----
+  // ---- S11: code catalog, three accepted shapes (ews_alerts.py:118-142) ----
 
   private val ItemSchema = ArrayType(StructType(Seq(
     StructField("code", StringType), StructField("status", StringType),
     StructField("info", StringType))))
 
-  /** Accepts BOTH catalog shapes — a list of {code,status,info} items or
-    * a {code: {status,info}} map — and lands a uniform (code, status,
-    * info) table ready to broadcast into J6. */
+  /** `_load_code_catalog`: accepts a list of {code,status,info} items,
+    * a {"items": [...]} wrapper, or a {code: {status,info}} map, and
+    * lands a normalized (code, status, info) table — code stripped and
+    * non-empty, status stripped+UPPER defaulting to "INFO", info
+    * stripped defaulting to "". Duplicate codes: last wins (the
+    * reference builds a dict). Ready to broadcast into J6. */
   def codeCatalog(raw: DataFrame, jsonCol: String = "json"): DataFrame = {
     val t = trim(col(jsonCol))
-    val listRows = raw.where(t.startsWith("["))
-      .select(explode(from_json(t, ItemSchema)).as("e"))
-      .select(col("e.code"), col("e.status"), col("e.info"))
-    val mapRows = raw.where(t.startsWith("{"))
+    val wrapped = when(t.startsWith("{"), from_json(t,
+      StructType(Seq(StructField("items", ItemSchema)))).getField("items"))
+    val listArr = coalesce(when(t.startsWith("["), from_json(t, ItemSchema)), wrapped)
+    val listRows = raw
+      .select(posexplode(listArr).as(Seq("pos", "e")))
+      .select(col("pos"), col("e.code"), col("e.status"), col("e.info"))
+    val mapRows = raw.where(t.startsWith("{") && wrapped.isNull)
       .select(explode(from_json(t,
         MapType(StringType, StructType(Seq(
           StructField("status", StringType), StructField("info", StringType))))))
         .as(Seq("code", "v")))
-      .select(col("code"), col("v.status"), col("v.info"))
+      .where(col("v").isNotNull) // non-dict values are skipped
+      .select(lit(0).as("pos"), col("code"), col("v.status"), col("v.info"))
     listRows.unionByName(mapRows)
-      .where(col("code").isNotNull && trim(col("code")) =!= "")
+      .select(col("pos"), trim(coalesce(col("code"), lit(""))).as("code"),
+        col("status"), col("info"))
+      .where(col("code") =!= "")
+      .groupBy("code")
+      .agg(max(struct(col("pos"),
+        coalesce(nzs(upper(trim(coalesce(col("status"), lit(""))))), lit("INFO"))
+          .as("status"),
+        trim(coalesce(col("info"), lit(""))).as("info"))).as("m"))
+      .select(col("code"), col("m.status"), col("m.info"))
   }
 }

@@ -81,36 +81,56 @@ class PayloadParsersSpec extends SparkSpec {
     assert(rows("p2") == ("Replace cartridge soon", "warning"))
   }
 
-  test("S9/F23: Brother bar heights zip labels, clamp, pretty colors") {
+  test("S9/F23: Brother rows[1] td heights zip rows[2] th labels") {
+    // the real status.html layout: row 0 title, row 1 bar <td>s (img
+    // height attr / img style / td attr / td style), row 2 <th> labels
     val html =
-      """<table id="inkLevel"><tr>
-        |  <td><img alt="BK" style="height:42" /></td>
-        |  <td><img alt="C" style="height:130" /></td>
-        |  <td><img alt="M" height="0" /></td>
-        |  <td><img alt="Y" style="height:7" /></td>
-        |</tr></table>""".stripMargin
+      """<table id="inkLevel"><tbody>
+        |<tr><th colspan="5">Ink level</th></tr>
+        |<tr>
+        |  <td><img src="x" height="42"/></td>
+        |  <td><img src="x" style="height:130px"/></td>
+        |  <td height="0"></td>
+        |  <td style="HEIGHT: 7px"></td>
+        |  <td><img src="no-height"/></td>
+        |</tr>
+        |<tr><th>BK</th><th>Cyan</th><th>M.</th><th>YELLOW</th><th></th></tr>
+        |</tbody></table>""".stripMargin
     val rows = PayloadParsers.brotherInkLevels(
       Seq(("p1", html)).toDF("ip", "html"), "ip")
       .orderBy("bar_idx").collect()
+    // blank label removed BEFORE the zip (brother_toner_web.py:92-94),
+    // so the heightless 5th bar drops with it (zip truncates)
     assert(rows.map(_.getAs[String]("cartridge")).toSeq ==
       Seq("Black", "Cyan", "Magenta", "Yellow"))
     assert(rows.map(_.getAs[String]("remaining_percent")).toSeq ==
       Seq("42%", "100%", "0%", "7%")) // 130 clamps to 100
   }
 
-  test("S11: catalog accepts list shape AND map shape") {
+  test("S9: missing table or short table yields no cartridges") {
+    val short = """<table id="inkLevelMono"><tr><td></td></tr></table>"""
+    val df = Seq(("a", "<html>no table</html>"), ("b", short)).toDF("ip", "html")
+    assert(PayloadParsers.brotherInkLevels(df, "ip").count() == 0)
+  }
+
+  test("S11: catalog accepts list, items-wrapper AND map shapes, normalized") {
     val listJson =
       """[{"code": "C4-1001", "status": "warning", "info": "Toner low"},
         |  {"code": "", "status": "x", "info": "dropped"}]""".stripMargin
     val mapJson =
       """{"E2-210": {"status": "critical", "info": "Fuser"},
         |  "B1-100": {"status": "info", "info": null}}""".stripMargin
-    val out = PayloadParsers.codeCatalog(Seq(listJson, mapJson).toDF("json"))
+    val itemsJson =
+      """{"items": [{"code": "Z9-000", "status": "", "info": " pad "}]}""".stripMargin
+    val out = PayloadParsers.codeCatalog(
+      Seq(listJson, mapJson, itemsJson).toDF("json"))
       .orderBy("code").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // status strip+UPPER default INFO; info strip default "" (never null)
     assert(out.toSeq == Seq(
-      ("B1-100", "info", null),
-      ("C4-1001", "warning", "Toner low"),
-      ("E2-210", "critical", "Fuser")))
+      ("B1-100", "INFO", ""),
+      ("C4-1001", "WARNING", "Toner low"),
+      ("E2-210", "CRITICAL", "Fuser"),
+      ("Z9-000", "INFO", "pad")))
   }
 }
