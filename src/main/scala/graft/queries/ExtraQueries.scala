@@ -185,10 +185,7 @@ object ExtraQueries {
     * dot products as VectorQueries (see its scaladoc for the parity
     * argument). */
   val t11CosineNeardup: QuerySpec = {
-    def prodLSql(a: String, b: String): String = {
-      val v = s"CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e12"
-      s"CAST(CASE WHEN $v >= 0 THEN floor(($v) + 0.5) ELSE -floor(-($v) + 0.5) END AS BIGINT)"
-    }
+    import VectorQueries.{dotL, prodLSql, scaleL}
     QuerySpec.sql(
       "t11_cosine_neardup",
       s"""WITH sq AS (
@@ -213,23 +210,19 @@ object ExtraQueries {
          |FROM dots JOIN sq a ON d1 = a.vec_id JOIN sq c ON d2 = c.vec_id
          |WHERE dot / (sqrt(a.ss) * sqrt(c.ss)) >= 0.35
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      def rnd(v: org.apache.spark.sql.Column) =
-        when(v >= 0, floor(v + 0.5)).otherwise(-floor(-v + 0.5))
-      val prodL = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
-        rnd(x.cast("double") * y.cast("double") * lit(1e12)).cast("long")
-      val sumL = (arr: org.apache.spark.sql.Column) =>
-        aggregate(arr, lit(0L), (acc, x) => acc + x)
+      val sumSq = (eL: org.apache.spark.sql.Column) =>
+        aggregate(transform(eL, x => x * x), lit(0L), (acc, x) => acc + x)
+          .cast("double") / lit(1e12)
       val bucket = concat((1 to 6).map(i =>
         when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
       val b = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          (sumL(transform(col("embedding"), x => prodL(x, x))).cast("double") / lit(1e12)).as("ss"),
-          bucket.as("bucket"))
+        .select(col("vec_id"), scaleL(col("embedding")).as("eL"), bucket.as("bucket"))
+        .withColumn("ss", sumSq(col("eL")))
       val cos = b.as("x")
         .join(b.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
-          ((sumL(zip_with(col("x.embedding"), col("y.embedding"), prodL)).cast("double") / lit(1e12)) /
+          (dotL(col("x.eL"), col("y.eL")) /
             (sqrt(col("x.ss")) * sqrt(col("y.ss")))).as("cosine"))
       cos.filter(col("cosine") >= 0.35).orderBy("d1", "d2")
     }

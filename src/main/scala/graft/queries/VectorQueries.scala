@@ -10,14 +10,16 @@ import graft.Tables
   * vectors): brute-force cosine top-k as the correctness baseline and a
   * sign-bit LSH-bucketed variant as the scale path.
   *
-  * Float discipline: float×float is exact in double (24+24 < 53 bits).
-  * Each product is then scaled to 1e-12 and rounded to a LONG with a
-  * branch-explicit formula (`v>=0 ? floor(v+0.5) : -floor(-v+0.5)`) —
-  * every step is an IEEE-deterministic double op both engines compute
-  * identically, and the long Σ is exact and order-independent, so
-  * dot products are bit-identical across engines with NO decimal
-  * arithmetic on the hot path (3× cheaper than decimal accumulation:
-  * plain long adds, zero object allocation).
+  * Float discipline: each COORDINATE is scaled once to a long
+  * (`round(x·1e6)` with a branch-explicit half-away formula — every
+  * step an IEEE-deterministic double op both engines compute
+  * identically); dot products are then pure long multiply-adds, exact
+  * and order-independent, so results are bit-identical across engines
+  * with NO floating point on the pair-stage hot path. Scaling per
+  * VECTOR (n·64 roundings) instead of per PAIR (pairs·64) is the big
+  * win: the brute-force stage does only long arithmetic per candidate.
+  * Bounds: |x|≲1 → coords ≤ ~1e6, products ≤ ~1e12, 64-term sums ≤
+  * ~6.4e13 « 2^63.
   *
   * Scale shape: dot products and norms are computed PER ROW with
   * `zip_with`/`aggregate` higher-order functions — no element explode,
@@ -31,33 +33,39 @@ object VectorQueries {
 
   /** round-half-away-from-zero via floor — identical formula on the
     * DuckDB side, so parity is by construction, not by trusting two
-    * engines' round() tie rules. Bounds: |x| < 0.6 here so scaled
-    * sums stay far below 2^53 (exact in double) and within long. */
+    * engines' round() tie rules. */
   private def rnd(v: Column): Column =
     when(v >= 0, floor(v + 0.5)).otherwise(-floor(-v + 0.5))
 
-  private def prodL(x: Column, y: Column): Column =
-    rnd(x.cast("double") * y.cast("double") * lit(1e12)).cast("long")
+  /** Per-vector scaling: float coords → longs at 1e6. */
+  private[queries] def scaleL(e: Column): Column =
+    transform(e, x => rnd(x.cast("double") * lit(1e6)).cast("long"))
 
   private def sumL(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
 
-  private def dot(a: Column, b: Column): Column =
-    sumL(zip_with(a, b, (x, y) => prodL(x, y))).cast("double") / lit(1e12)
+  /** Exact long dot product of two pre-scaled vectors, at 1e-12. */
+  private[queries] def dotL(a: Column, b: Column): Column =
+    sumL(zip_with(a, b, (x, y) => x * y)).cast("double") / lit(1e12)
 
-  private def normSq(e: Column): Column =
-    sumL(transform(e, x => prodL(x, x))).cast("double") / lit(1e12)
+  private def normSqL(eL: Column): Column =
+    sumL(transform(eL, x => x * x)).cast("double") / lit(1e12)
 
-  /** Embeddings with the squared norm carried per row. */
-  private def embWithSs(s: SparkSession, d: String): DataFrame =
+  /** Embeddings with the scaled vector and squared norm per row. */
+  private def embScaled(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("ss"))
+      .select(col("vec_id"), col("embedding"),
+        scaleL(col("embedding")).as("eL"))
+      .withColumn("ss", normSqL(col("eL")))
 
-  /** SQL twin of prodL — keep in lockstep. */
-  private def prodLSql(a: String, b: String): String = {
-    val v = s"CAST($a AS DOUBLE) * CAST($b AS DOUBLE) * 1e12"
-    s"CAST(CASE WHEN $v >= 0 THEN floor(($v) + 0.5) ELSE -floor(-($v) + 0.5) END AS BIGINT)"
+  /** SQL twin of scaleL — keep in lockstep. */
+  private[queries] def scaledSql(a: String): String = {
+    val v = s"(CAST($a AS DOUBLE) * 1e6)"
+    s"CAST(CASE WHEN $v >= 0 THEN floor($v + 0.5) ELSE -floor(-$v + 0.5) END AS BIGINT)"
   }
+
+  private[queries] def prodLSql(a: String, b: String): String =
+    s"(${scaledSql(a)} * ${scaledSql(b)})"
 
   private val NormsSql =
     s"""SELECT vec_id, CAST(SUM(${prodLSql("x", "x")}) AS DOUBLE) / 1e12 AS ss
@@ -86,16 +94,15 @@ object VectorQueries {
        |)
        |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
-    val emb = embWithSs(s, d)
+    val emb = embScaled(s, d)
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("ss").as("ss_a"))
+      .select(col("vec_id").as("qid"), col("eL").as("qL"), col("ss").as("ss_a"))
     val cos = broadcast(q)
-      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      .crossJoin(emb.select(col("vec_id").as("nid"), col("eL").as("nL"),
         col("ss").as("ss_b")))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dot(col("qe"), col("ne")) / (sqrt(col("ss_a")) * sqrt(col("ss_b"))))
+        (dotL(col("qL"), col("nL")) / (sqrt(col("ss_a")) * sqrt(col("ss_b"))))
           .as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     cos.withColumn("rank", row_number().over(w))
@@ -140,13 +147,13 @@ object VectorQueries {
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
       val bucket = concat((1 to 6).map(i =>
         when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
-      val b = embWithSs(s, d).withColumn("bucket", bucket)
+      val b = embScaled(s, d).withColumn("bucket", bucket)
       val cos = b.as("x")
         .join(b.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
           col("x.bucket").as("bucket"),
-          (dot(col("x.embedding"), col("y.embedding")) /
+          (dotL(col("x.eL"), col("y.eL")) /
             (sqrt(col("x.ss")) * sqrt(col("y.ss")))).as("cosine"))
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
       cos.withColumn("rank", row_number().over(w))
