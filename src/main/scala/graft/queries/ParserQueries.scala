@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.plans.GraftExtensions
+import graft.sources.{EwsAlerts, PayloadParsers}
+
+/** End-to-end oracles for the custom extractor components (the parts of
+  * the engine DuckDB cannot run directly): each query SYNTHESIZES a
+  * payload (XML / JSON) from testdata columns, runs it through the real
+  * extractor + election chain on the Spark side, and lets DuckDB
+  * compute the expected answer algebraically from the same source
+  * columns. A hash match proves the extractor inverts the synthesis
+  * exactly — parse, candidate-tag resolution, election order, triage
+  * and label chains included.
+  *
+  * Scale: payload synthesis is one groupBy per key; the extractors are
+  * scan-local generators; elections are single aggregations. */
+object ParserQueries {
+
+  /** Exact-match triage CASE (F17 variants) as SQL. */
+  private def triageSql(v: String, critical: Seq[String], warning: Seq[String]): String = {
+    def set(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+    s"""CASE WHEN regexp_matches(trim($v), '^[0-9]+$$') AND TRY_CAST(trim($v) AS BIGINT) >= 6 THEN 'critical'
+       |     WHEN regexp_matches(trim($v), '^[0-9]+$$') AND TRY_CAST(trim($v) AS BIGINT) >= 3 THEN 'warning'
+       |     WHEN regexp_matches(trim($v), '^[0-9]+$$') THEN 'informational'
+       |     WHEN lower(trim($v)) IN (${set(critical)}) THEN 'critical'
+       |     WHEN lower(trim($v)) IN (${set(warning)}) THEN 'warning'
+       |     ELSE 'informational' END""".stripMargin
+  }
+
+  private def triageLedmSql(v: String): String =
+    triageSql(v, Seq("critical", "fatal", "stricterror", "error", "severe"),
+      Seq("warning", "strictwarning", "warn", "attention"))
+
+  private def triageEwsSql(v: String): String =
+    triageSql(v, Seq("critical", "fatal", "severe", "error"),
+      Seq("attention", "warning", "warn"))
+
+  /** X1 — LEDM EventTable election through the real XML generator:
+    * build one EventTable per user from its events (event_id order),
+    * parse with `xml_local_records`, elect via SEVERITY_ORDER with
+    * `>=` last-wins (ledm_client.py:96-109). DuckDB computes the
+    * winner directly from the source rows. */
+  val x1LedmEventElection: QuerySpec = QuerySpec.sql(
+    "x1_ledm_event_election",
+    s"""WITH sev AS (
+       |  SELECT user_id, event_id,
+       |    CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'purchase' THEN 'Warning'
+       |         WHEN 'view' THEN 'info' WHEN 'signup' THEN 'StrictWarning'
+       |         ELSE 'unknown' END AS sev_raw
+       |  FROM events
+       |), r AS (
+       |  SELECT user_id, event_id, sev_raw,
+       |    CASE upper(trim(sev_raw)) WHEN 'CRITICAL' THEN 3 WHEN 'STRICTERROR' THEN 3
+       |         WHEN 'ERROR' THEN 3 WHEN 'WARNING' THEN 2 WHEN 'STRICTWARNING' THEN 2
+       |         WHEN 'INFO' THEN 1 ELSE -1 END AS rk
+       |  FROM sev
+       |), t AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY rk DESC, event_id DESC) AS rn FROM r
+       |)
+       |SELECT user_id,
+       |  concat('c', CAST(event_id AS VARCHAR)) AS ev_code,
+       |  concat('d', CAST(event_id AS VARCHAR)) AS ev_problem,
+       |  ${triageLedmSql("sev_raw")} AS ev_severity
+       |FROM t WHERE rn = 1
+       |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val sevOf = when(col("event_type") === "error", "ERROR")
+      .when(col("event_type") === "purchase", "Warning")
+      .when(col("event_type") === "view", "info")
+      .when(col("event_type") === "signup", "StrictWarning")
+      .otherwise("unknown")
+    val frag = concat(
+      lit("<Event><Severity>"), sevOf,
+      lit("</Severity><Code>c"), col("event_id").cast("string"),
+      lit("</Code><Description>d"), col("event_id").cast("string"),
+      lit("</Description></Event>"))
+    val payloads = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), frag.as("frag"))
+      .groupBy("user_id")
+      .agg(concat(lit("<EventTable>"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("event_id").as("eid"), col("frag").as("f")))),
+          x => x.getField("f")), ""),
+        lit("</EventTable>")).as("xml"))
+    PayloadParsers.ledmBestEvents(
+      PayloadParsers.ledmEvents(payloads, "user_id"), "user_id")
+      .orderBy("user_id")
+  }
+
+  /** X2 — EWS pick-alert chain over synthesized alerts + catalog:
+    * severity-rank with catalog refinement, (rank, has_code) top-1 with
+    * stable ties, short-label with catalog-info precedence, exact-set
+    * triage (ews_alerts.py:144-199,262-293). */
+  val x2EwsPickAlert: QuerySpec = {
+    val rankSql =
+      """CASE WHEN regexp_matches(trim(severity), '^[0-9]+$') THEN CAST(trim(severity) AS BIGINT)
+        |     WHEN lower(trim(severity)) IN ('fatal', 'critical') THEN 9
+        |     WHEN lower(trim(severity)) IN ('error', 'severe') THEN 6
+        |     WHEN lower(trim(severity)) = 'attention' THEN 5
+        |     WHEN lower(trim(severity)) = 'warning' THEN 3
+        |     WHEN lower(trim(severity)) IN ('info', 'informational') THEN 1
+        |     ELSE 0 END""".stripMargin
+    QuerySpec.sql(
+      "x2_ews_pick_alert",
+      s"""WITH al AS (
+         |  SELECT user_id, event_id AS alert_idx,
+         |    CASE event_type WHEN 'error' THEN 'error' WHEN 'purchase' THEN '3'
+         |         WHEN 'view' THEN '' WHEN 'signup' THEN 'attention'
+         |         ELSE 'zzz' END AS severity,
+         |    CASE WHEN event_type = 'view'
+         |         THEN concat('C4-', CAST(1000 + event_id % 8 AS VARCHAR))
+         |         ELSE '' END AS status_code,
+         |    CASE event_id % 4 WHEN 0 THEN 'door sensor' WHEN 1 THEN 'paper jam detected'
+         |         WHEN 2 THEN 'toner almost empty' ELSE 'mystery state' END AS description
+         |  FROM events
+         |), cat AS (
+         |  SELECT concat('C4-', CAST(r_regionkey + 1000 AS VARCHAR)) AS code,
+         |    CASE r_regionkey % 3 WHEN 0 THEN 'CRITICAL' WHEN 1 THEN 'ATTENTION'
+         |         ELSE 'INFO' END AS status,
+         |    CASE WHEN r_regionkey % 2 = 0
+         |         THEN concat('Region issue ', CAST(r_regionkey AS VARCHAR))
+         |         ELSE '' END AS info
+         |  FROM region
+         |), ranked AS (
+         |  SELECT a.user_id, a.alert_idx, a.severity, a.status_code, a.description,
+         |    CASE WHEN ($rankSql) = 0 AND length(a.status_code) > 0 AND c.code IS NOT NULL
+         |         THEN CASE c.status WHEN 'CRITICAL' THEN 9 WHEN 'ATTENTION' THEN 5
+         |              WHEN 'INFO' THEN 1 ELSE 0 END
+         |         ELSE ($rankSql) END AS r,
+         |    CASE WHEN length(a.status_code) > 0 THEN 1 ELSE 0 END AS has_code
+         |  FROM al a LEFT JOIN cat c ON a.status_code = c.code
+         |), top AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |    ORDER BY r DESC, has_code DESC, alert_idx ASC) AS rn FROM ranked
+         |), sel AS (
+         |  SELECT user_id, status_code AS code0, trim(description) AS desc0, severity
+         |  FROM top WHERE rn = 1
+         |), m AS (
+         |  SELECT s.user_id, s.code0, s.desc0, s.severity, c.status AS c2s, c.info AS c2i,
+         |    (c.code IS NOT NULL AND length(s.code0) > 0) AS matched
+         |  FROM sel s LEFT JOIN cat c ON s.code0 = c.code
+         |), lab AS (
+         |  SELECT user_id, code0, matched, c2s, severity,
+         |    CASE WHEN matched THEN
+         |      CASE WHEN length(trim(c2i)) > 0 THEN c2i ELSE 'Check printer' END
+         |    ELSE coalesce(
+         |      CASE WHEN lower(desc0) = '' THEN 'Normal' END,
+         |      CASE WHEN lower(desc0) LIKE '%door%' THEN 'Door open' END,
+         |      CASE WHEN lower(desc0) LIKE '%jam%' THEN 'Paper jam' END,
+         |      CASE WHEN lower(desc0) LIKE '%toner%' AND lower(desc0) LIKE '%detect%'
+         |           THEN 'Toner not detected' END,
+         |      CASE WHEN lower(desc0) LIKE '%toner%' AND (lower(desc0) LIKE '%empty%'
+         |           OR lower(desc0) LIKE '%end%') THEN 'Toner empty' END,
+         |      CASE WHEN lower(desc0) LIKE '%transfer%' THEN 'Transfer roller fault' END,
+         |      CASE WHEN lower(desc0) LIKE '%scanner%' THEN 'Scanner error' END,
+         |      CASE WHEN lower(desc0) LIKE '%fuser%' THEN 'Fuser error' END,
+         |      'Check printer') END AS label
+         |  FROM m
+         |)
+         |SELECT user_id,
+         |  CASE WHEN trim(label) = '' OR lower(trim(label)) = 'normal' THEN 'Ready'
+         |       WHEN lower(trim(label)) LIKE '%sleep%' THEN 'Sleeping'
+         |       ELSE trim(label) END AS problem,
+         |  CASE WHEN trim(label) = '' OR lower(trim(label)) = 'normal'
+         |            OR lower(trim(label)) LIKE '%sleep%' THEN 'informational'
+         |       WHEN matched THEN ${triageEwsSql("c2s")}
+         |       ELSE ${triageEwsSql("severity")} END AS severity,
+         |  code0 AS ews_code
+         |FROM lab
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val alerts = ev.select(col("user_id"), col("event_id").as("alert_idx"),
+        when(col("event_type") === "error", "error")
+          .when(col("event_type") === "purchase", "3")
+          .when(col("event_type") === "view", "")
+          .when(col("event_type") === "signup", "attention")
+          .otherwise("zzz").as("severity"),
+        when(col("event_type") === "view",
+          concat(lit("C4-"), (lit(1000) + col("event_id") % 8).cast("string")))
+          .otherwise("").as("status_code"),
+        when(col("event_id") % 4 === 0, "door sensor")
+          .when(col("event_id") % 4 === 1, "paper jam detected")
+          .when(col("event_id") % 4 === 2, "toner almost empty")
+          .otherwise("mystery state").as("description"))
+      val catalog = Tables.region(s, d).select(
+        concat(lit("C4-"), (col("r_regionkey") + 1000).cast("string")).as("code"),
+        when(col("r_regionkey") % 3 === 0, "CRITICAL")
+          .when(col("r_regionkey") % 3 === 1, "ATTENTION")
+          .otherwise("INFO").as("status"),
+        when(col("r_regionkey") % 2 === 0,
+          concat(lit("Region issue "), col("r_regionkey").cast("string")))
+          .otherwise("").as("info"))
+      val devices = ev.select("user_id").distinct()
+      EwsAlerts.problemSeverity(devices, alerts, catalog, "user_id")
+        .select("user_id", "problem", "severity", "ews_code")
+        .orderBy("user_id")
+    }
+  }
+
+  /** X3 — JSON alert walk through the real generator: a two-alert
+    * payload per document (hinted object + message-only object + the
+    * code-valued string walked on its own) must yield exactly the three
+    * deduped rows the reference walk produces (ews_alerts.py:47-79). */
+  val x3JsonAlertExtract: QuerySpec = QuerySpec.sql(
+    "x3_json_alert_extract",
+    """WITH base AS (SELECT doc_id,
+      |  concat('sev', CAST(doc_id % 3 AS VARCHAR)) AS sev,
+      |  concat('C4-', CAST(1000 + doc_id % 90 AS VARCHAR)) AS code,
+      |  concat('Toner low ', CAST(doc_id AS VARCHAR)) AS descr,
+      |  concat('note ', CAST(doc_id AS VARCHAR)) AS msg
+      |FROM documents)
+      |SELECT doc_id, severity, code, description FROM (
+      |  SELECT doc_id, sev AS severity, code, descr AS description FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 'unknown' AS severity, code, code AS description FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 'unknown' AS severity, '' AS code, msg AS description FROM base
+      |)
+      |ORDER BY doc_id, severity, code, description""".stripMargin) { (s, d) =>
+    GraftExtensions.register(s)
+    val json = concat(
+      lit("{\"alerts\": [{\"Severity\": \""),
+      concat(lit("sev"), (col("doc_id") % 3).cast("string")),
+      lit("\", \"StatusCode\": \""),
+      concat(lit("C4-"), (lit(1000) + col("doc_id") % 90).cast("string")),
+      lit("\", \"Description\": \""),
+      concat(lit("Toner low "), col("doc_id").cast("string")),
+      lit("\"}, {\"message\": \""),
+      concat(lit("note "), col("doc_id").cast("string")),
+      lit("\"}]}"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), json.as("body"))
+      .selectExpr("doc_id",
+        "json_alert_extract(body) AS (path, severity, code, description)")
+      .select("doc_id", "severity", "code", "description")
+      .orderBy("doc_id", "severity", "code", "description")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    x1LedmEventElection, x2EwsPickAlert, x3JsonAlertExtract)
+}
