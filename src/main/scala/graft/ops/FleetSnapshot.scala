@@ -10,16 +10,23 @@ import graft.functions.Normalize
   * columns the reference writes back to Excel
   * (core/excel/update_from_json.py:77-124, result column list :191).
   *
-  * Semantics carried over:
+  * Semantics carried over exactly:
   *  - status classified through the keyword chain (F4, :42-58);
-  *  - per-color percent columns Black/Cyan/Magenta/Yellow: FIRST
-  *    cartridge in stored array order whose normalized color matches
-  *    (first-wins, :104; normalize F3 :28-40), numeric value parsed out
-  *    of the formatted "37%" string;
-  *  - Error/Severity from the printerError struct;
-  *  - Toner Type display string = first-seen-ordered distinct joined
-  *    ", " (A10, :114-123) over the unified array;
-  *  - blanks dashed at the edge (F5, :60-65).
+  *  - per-color columns Black/Cyan/Magenta/Yellow (:91-105): value is
+  *    Python `float(rp)` — so the usual "37%" string FAILS the parse
+  *    and is kept VERBATIM; plain numeric strings render int-if-
+  *    integral; the cell is only overwritten while it is None/"-"
+  *    (first non-placeholder wins, else the last placeholder);
+  *  - Error/Severity raw from the printerError struct (:108-111);
+  *  - Toner Type (:113-123): per-element str+strip, drop empties
+  *    (null elements are Python `str(None)` == "None"), first-seen
+  *    dedup, ", " join, empty → null;
+  *  - dashing/sanitizing happens at the SHEET write (update_sheet
+  *    :205), not here — the snapshot keeps raw nulls.
+  *
+  * Not representable post-ingest: the carts[0].status fallback
+  * (:82-86 — our cartridge struct carries no status field) and the
+  * err["error"] alternate key (:110 — schema has only `problem`).
   *
   * Everything is a narrow projection — no shuffle at any scale.
   */
@@ -27,16 +34,34 @@ object FleetSnapshot {
 
   private val Colors = Seq("Black", "Cyan", "Magenta", "Yellow")
 
-  /** First-wins percent for one color out of the cartridges array:
-    * array order = stored order, so `filter` + head IS the reference's
-    * first-match loop. Returns a long (numeric percent) or null. */
-  def colorPercent(cartridges: Column, color: String): Column = {
+  /** Reference cell value for one color (update_from_json.py:91-105):
+    * first matching cartridge whose computed value is not None/"-",
+    * else the last match's placeholder value, else null. */
+  def colorValue(cartridges: Column, color: String): Column = {
     val hits = filter(cartridges,
       c => Normalize.normalizeColor(c.getField("cartridge")) === color)
-    // get() is 0-based and null-safe on empty arrays (ANSI mode would
-    // make element_at(hits, 1) throw when no cartridge matches).
-    val pct = get(hits, lit(0)).getField("remaining_percent")
-    regexp_extract(pct, "(-?\\d+)", 1).try_cast("long")
+    val vals = transform(hits, c => {
+      val rp = c.getField("remaining_percent")
+      val d = rp.try_cast("double")
+      when(rp.isNull, lit(null).cast("string"))
+        .when(d.isNotNull && d === floor(d), d.cast("long").cast("string"))
+        .when(d.isNotNull, d.cast("string"))
+        .otherwise(rp)
+    })
+    val good = filter(vals, v => v.isNotNull && v =!= "-")
+    // get() is 0-based and null-safe out of bounds (including the
+    // empty-array -1 case) — ANSI element_at would throw.
+    when(size(good) > 0, get(good, lit(0)))
+      .otherwise(get(vals, size(vals) - 1))
+  }
+
+  /** A10 display string (update_from_json.py:113-123). */
+  def tonerTypeDisplay(tt: Column): Column = {
+    val cleaned = array_distinct(filter(
+      transform(tt, x => coalesce(trim(x.cast("string")), lit("None"))),
+      v => v =!= ""))
+    when(tt.isNotNull && size(cleaned) > 0, concat_ws(", ", cleaned))
+      .otherwise(lit(null).cast("string"))
   }
 
   /** Printers (DocumentIngest.printersUnified shape) → flat snapshot. */
@@ -44,19 +69,15 @@ object FleetSnapshot {
     val pi = col("printerInfo")
     val carts = coalesce(pi.getField("cartridges"),
       expr("array()").cast("array<struct<cartridge:string,remaining_percent:string>>"))
-    val colorCols = Colors.map(c => colorPercent(carts, c).as(c))
+    val colorCols = Colors.map(c => colorValue(carts, c).as(c))
     printers.select(
       Seq(col("group"), col("row_idx"),
         Normalize.canonicalizeId(col("ID")).as("id"),
         Normalize.statusOnlineOffline(pi.getField("status")).as("Status"))
         ++ colorCols ++ Seq(
-        Normalize.dashIfBlank(pi.getField("printerError").getField("problem"))
-          .as("Error"),
-        Normalize.dashIfBlank(pi.getField("printerError").getField("severity"))
-          .as("Severity"),
-        Normalize.dashIfBlank(
-          concat_ws(", ", array_distinct(pi.getField("tonerType"))))
-          .as("Toner Type")): _*)
+        pi.getField("printerError").getField("problem").as("Error"),
+        pi.getField("printerError").getField("severity").as("Severity"),
+        tonerTypeDisplay(pi.getField("tonerType")).as("Toner Type")): _*)
   }
 
   /** J3: last-wins id→snapshot map then keyed upsert into a sheet
@@ -68,6 +89,8 @@ object FleetSnapshot {
   def upsertIdMap(snapshot: DataFrame): DataFrame = {
     val valueCols = snapshot.columns.filterNot(Seq("group", "row_idx", "id").contains)
     snapshot
+      // build_id_map skips records whose canonical id is falsy (:128-131)
+      .where(length(coalesce(col("id"), lit(""))) > 0)
       .groupBy("id")
       .agg(max_by(struct(valueCols.map(col): _*), col("row_idx")).as("v"))
       .select(col("id") +: valueCols.map(c => col(s"v.`$c`").as(c)): _*)
@@ -88,19 +111,24 @@ object FleetSnapshot {
   }
 
   /** Apply the id-map to a sheet: rows with a matching canonical ID take
-    * the new values; others pass through unchanged (left join +
-    * conditional update — the reference's "update only matching rows"). */
+    * the new values — written through `sanitize(dash_if_blank(v))`
+    * exactly like update_sheet's cell write (update_from_json.py:205) —
+    * while others pass through unchanged (left join + conditional
+    * update, the reference's "update only matching rows"). */
   def updateSheet(sheet: DataFrame, idMap: DataFrame): DataFrame = {
     // Qualify through the frame refs: Spark's default case-insensitive
     // resolution would otherwise see sheet.ID and idMap.id as ambiguous.
     val sheetId = Normalize.canonicalizeId(sheet("ID"))
     val updatable = idMap.columns.filterNot(_ == "id")
+    def cell(c: String): Column =
+      Normalize.sanitizeCell(Normalize.dashIfBlank(idMap(c)))
     val joined = sheet.join(broadcast(idMap), sheetId === idMap("id"), "left")
     val updated = sheet.columns.map { c =>
       if (updatable.contains(c))
-        when(idMap("id").isNotNull, idMap(c)).otherwise(sheet(c)).as(c)
+        when(idMap("id").isNotNull, cell(c)).otherwise(sheet(c)).as(c)
       else sheet(c).as(c)
-    } ++ updatable.filterNot(sheet.columns.contains).map(c => idMap(c).as(c))
+    } ++ updatable.filterNot(sheet.columns.contains).map(c =>
+      when(idMap("id").isNotNull, cell(c)).otherwise(lit(null).cast("string")).as(c))
     joined.select(updated: _*)
   }
 }

@@ -97,22 +97,25 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
-  test("FleetSnapshot: flatten + first-wins colors + dashed blanks") {
+  test("FleetSnapshot: flatten + first-wins colors + raw nulls") {
     val snap = FleetSnapshot(DocumentIngest.printersUnified(doc))
     val byId = snap.collect().map(r => r.getAs[String]("id") -> r).toMap
     assert(byId("3").getAs[String]("Status") == "online")
-    assert(byId("3").getAs[Long]("Black") == 37L)
+    // float("37%") fails in the reference, so the formatted string is
+    // kept VERBATIM (update_from_json.py:96-103)
+    assert(byId("3").getAs[String]("Black") == "37%")
     assert(byId("3").getAs[String]("Toner Type") == "W1470A")
     // first-wins: "black toner" (5%) precedes "K" (99%)
     assert(byId.keySet.contains("7"))
     val seven = snap.where(col("row_idx") === 1 && col("group") === "Company_Grouped")
       .collect().head
-    assert(seven.getAs[Long]("Black") == 5L)
+    assert(seven.getAs[String]("Black") == "5%")
     assert(seven.getAs[String]("Toner Type") == "CF226X") // distinct
-    // null percent → null; missing printerInfo → dashes + offline default
+    // null percent → null; dashing happens at the SHEET write, so the
+    // snapshot keeps raw nulls (extract_info leaves None)
     assert(byId("212").isNullAt(byId("212").fieldIndex("Yellow")))
     assert(byId("330").getAs[String]("Status") == "offline")
-    assert(byId("330").getAs[String]("Error") == "-")
+    assert(byId("330").isNullAt(byId("330").fieldIndex("Error")))
   }
 
   test("J3: last-wins id map + sheet update only touches matching rows") {
