@@ -239,6 +239,73 @@ object ParserQueries {
       .orderBy("doc_id", "severity", "code", "description")
   }
 
+  /** X4 — SNMP alert election (`_decide_message_from_rows` +
+    * Normal fallback, snmp_alerts.py:152-190): severity tiers scanned
+    * critical→warning→other→unknown, first non-empty message (cleaned
+    * desc, else "Code N" for truthy codes) in rowIdx order; final
+    * severity collapses to critical/warning; quiet devices → Normal. */
+  val x4SnmpAlertDecide: QuerySpec = {
+    import graft.functions.Normalize
+    val transSql = Normalize.DescTranslations.map { case (k, v) =>
+      s"WHEN '${k.replace("'", "''")}' THEN '${v.replace("'", "''")}'"
+    }.mkString(" ")
+    val suppSql = Normalize.SuppressedDescs.map(s => s"'$s'").mkString(", ")
+    QuerySpec.sql(
+      "x4_snmp_alert_decide",
+      s"""WITH al AS (
+         |  SELECT user_id, event_id AS row_idx,
+         |    event_id % 6 AS severity_num, event_id % 3 AS code,
+         |    CASE event_id % 5 WHEN 0 THEN 'Sleep Mode On' WHEN 1 THEN 'מושהה'
+         |         WHEN 2 THEN NULL WHEN 3 THEN 'Tray jam'
+         |         ELSE '66044' END AS description
+         |  FROM events
+         |), cd AS (
+         |  SELECT user_id, row_idx, severity_num, code,
+         |    CASE trim(coalesce(description, '')) $transSql
+         |         ELSE trim(coalesce(description, '')) END AS xl
+         |  FROM al
+         |), m AS (
+         |  SELECT user_id, row_idx,
+         |    CASE severity_num WHEN 1 THEN 'other' WHEN 2 THEN 'unknown'
+         |         WHEN 3 THEN 'warning' WHEN 4 THEN 'critical'
+         |         ELSE 'unknown' END AS tag,
+         |    CASE WHEN (CASE WHEN lower(xl) IN ($suppSql) THEN '' ELSE xl END) <> ''
+         |         THEN (CASE WHEN lower(xl) IN ($suppSql) THEN '' ELSE xl END)
+         |         WHEN code <> 0 THEN concat('Code ', CAST(code AS VARCHAR))
+         |         ELSE '' END AS msg
+         |  FROM cd
+         |), r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+         |    CASE tag WHEN 'critical' THEN 0 WHEN 'warning' THEN 1
+         |         WHEN 'other' THEN 2 ELSE 3 END, row_idx) AS rn
+         |  FROM m WHERE msg <> ''
+         |)
+         |SELECT d.user_id,
+         |  coalesce(r.msg, 'Normal') AS message,
+         |  coalesce(CASE WHEN r.tag IS NULL THEN NULL
+         |                WHEN r.tag = 'critical' THEN 'critical'
+         |                ELSE 'warning' END, 'informational') AS severity
+         |FROM (SELECT DISTINCT user_id FROM events) d
+         |LEFT JOIN r ON d.user_id = r.user_id AND r.rn = 1
+         |ORDER BY d.user_id""".stripMargin) { (s, d) =>
+      import graft.sources.SnmpAlerts
+      val ev = Tables.events(s, d)
+      val alerts = ev.select(col("user_id"),
+        col("event_id").as("rowIdx"),
+        (col("event_id") % 6).cast("int").as("severity_num"),
+        (col("event_id") % 3).cast("int").as("code"),
+        when(col("event_id") % 5 === 0, "Sleep Mode On")
+          .when(col("event_id") % 5 === 1, "מושהה")
+          .when(col("event_id") % 5 === 3, "Tray jam")
+          .when(col("event_id") % 5 === 4, "66044")
+          .as("description"))
+      val devices = ev.select("user_id").distinct()
+      SnmpAlerts.problemSeverity(devices, alerts, None, "user_id")
+        .orderBy("user_id")
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    x1LedmEventElection, x2EwsPickAlert, x3JsonAlertExtract)
+    x1LedmEventElection, x2EwsPickAlert, x3JsonAlertExtract,
+    x4SnmpAlertDecide)
 }
