@@ -44,9 +44,19 @@ object Enrich {
     * summary's changed-row count. Expects `employees(id, name, phone)`
     * (SideTables.employees shape). */
   def employees(printers: DataFrame, employees: DataFrame): DataFrame = {
-    val emp = broadcast(employees
-      .select(trim(col("id")).as("emp_id"), col("name").as("emp_name"),
-        col("phone").as("emp_phone")))
+    // build_employees_index is a dict — duplicate ids collapse with the
+    // LAST row winning (employees.py:4-5); a plain join would instead
+    // fan out printer rows. Last-wins needs source order: use row_idx
+    // when the caller carries one, else pin determinism by value order.
+    val keyed = employees.select(trim(col("id")).as("emp_id"),
+      struct(col("name"), col("phone")).as("np"),
+      (if (employees.columns.contains("row_idx")) col("row_idx")
+       else struct(col("name"), col("phone"))).as("ord"))
+    val emp = broadcast(keyed
+      .groupBy("emp_id")
+      .agg(max_by(col("np"), col("ord")).as("v"))
+      .select(col("emp_id"), col("v.name").as("emp_name"),
+        col("v.phone").as("emp_phone")))
     val isBranch = col("group") === "Branches_Grouped"
     def nonEmptyWins(newV: Column, oldV: Column): Column =
       when(length(trim(coalesce(newV, lit("")))) > 0, newV).otherwise(oldV)

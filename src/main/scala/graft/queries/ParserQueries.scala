@@ -305,7 +305,70 @@ object ParserQueries {
     }
   }
 
+  /** X5 — SNMP toner-code pairs (`get_snmp_toner_types` tail +
+    * `_extract_code`, toner_type_snmp.py:55-107): paren token, else
+    * after-HP token with the ddDV reject falling through, else LAST
+    * generic uppercase token; "hp" filter, (color, code) dedup, fixed
+    * color-rank sort. Brands act as devices. */
+  val x5TonerCodePairs: QuerySpec = QuerySpec.sql(
+    "x5_toner_code_pairs",
+    s"""WITH sup AS (
+       |  SELECT p_brand AS ip,
+       |    CASE p_partkey % 4
+       |      WHEN 0 THEN concat('black HP toner (CF', CAST(p_partkey % 900 + 100 AS VARCHAR), 'X)')
+       |      WHEN 1 THEN concat('cyan cartridge for HP ', CAST(p_partkey % 900 + 100 AS VARCHAR), 'V')
+       |      WHEN 2 THEN concat('yellow HP W', CAST(p_partkey % 9000 + 1000 AS VARCHAR), 'A')
+       |      ELSE 'magenta mystery MX-500' END AS descr
+       |  FROM part
+       |), f AS (
+       |  SELECT ip, descr FROM sup
+       |  WHERE length(descr) > 0 AND lower(descr) LIKE '%hp%'
+       |), ext AS (
+       |  SELECT ip,
+       |    CASE WHEN lower(descr) LIKE '%black%' THEN 'Black'
+       |         WHEN lower(descr) LIKE '%cyan%' THEN 'Cyan'
+       |         WHEN lower(descr) LIKE '%magenta%' THEN 'Magenta'
+       |         WHEN lower(descr) LIKE '%yellow%' THEN 'Yellow'
+       |         ELSE NULL END AS color,
+       |    coalesce(
+       |      nullif(regexp_extract(descr, '\\(([A-Z0-9\\-]{3,})\\)', 1), ''),
+       |      CASE WHEN nullif(regexp_extract(descr, '(?i)\\bHP\\b\\W*([A-Z0-9\\-]{3,})', 1), '') IS NOT NULL
+       |                AND NOT regexp_matches(
+       |                  regexp_extract(descr, '(?i)\\bHP\\b\\W*([A-Z0-9\\-]{3,})', 1), '^\\d{3}V$$')
+       |           THEN regexp_extract(descr, '(?i)\\bHP\\b\\W*([A-Z0-9\\-]{3,})', 1) END,
+       |      regexp_extract_all(upper(descr), '\\b([A-Z][A-Z0-9\\-]{2,})\\b', 1)[-1]) AS code
+       |  FROM f
+       |), p AS (
+       |  SELECT DISTINCT ip, color, code FROM ext
+       |  WHERE color IS NOT NULL AND code IS NOT NULL
+       |), r AS (
+       |  SELECT ip, code,
+       |    CASE color WHEN 'Black' THEN 0 WHEN 'Cyan' THEN 1
+       |         WHEN 'Magenta' THEN 2 WHEN 'Yellow' THEN 3 ELSE 99 END AS cr
+       |  FROM p
+       |)
+       |SELECT ip, string_agg(code, ',' ORDER BY cr, code) AS codes
+       |FROM r GROUP BY ip
+       |ORDER BY ip""".stripMargin) { (s, d) =>
+    import graft.sources.SnmpPayload
+    val pk = col("p_partkey")
+    val supplies = Tables.part(s, d).select(
+      col("p_brand").as("ip"),
+      pk.as("rowIdx"),
+      lit(3).as("supply_type"),
+      when(pk % 4 === 0,
+        concat(lit("black HP toner (CF"), (pk % 900 + 100).cast("string"), lit("X)")))
+        .when(pk % 4 === 1,
+          concat(lit("cyan cartridge for HP "), (pk % 900 + 100).cast("string"), lit("V")))
+        .when(pk % 4 === 2,
+          concat(lit("yellow HP W"), (pk % 9000 + 1000).cast("string"), lit("A")))
+        .otherwise("magenta mystery MX-500").as("description"))
+    SnmpPayload.tonerTypeCodes(supplies, "ip")
+      .select(col("ip"), concat_ws(",", col("codes")).as("codes"))
+      .orderBy("ip")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x1LedmEventElection, x2EwsPickAlert, x3JsonAlertExtract,
-    x4SnmpAlertDecide)
+    x4SnmpAlertDecide, x5TonerCodePairs)
 }

@@ -65,10 +65,19 @@ object SheetIngest {
     val headerRowIdx = head(headerIdx)._1
     val header = head(headerIdx)._2.map(norm)
 
-    // wanted key → source position: by name, else positional fallback
+    // wanted key → source position: by normalized name within the
+    // spec's column limit, each source column claimable ONCE, else the
+    // key's own positional slot (import_from_xlsm.py:55-71 — the
+    // `taken` set keeps duplicate headers from double-binding).
+    val headerLimited = header.take(spec.keys.length)
+    val taken = scala.collection.mutable.Set.empty[Int]
     val positions = spec.keys.zipWithIndex.map { case (k, pos) =>
-      val byName = header.indexOf(norm(k))
-      k -> (if (byName >= 0) byName else pos)
+      val target = norm(k)
+      val byName = headerLimited.zipWithIndex.collectFirst {
+        case (h, i) if h == target && !taken.contains(i) => i
+      }
+      byName.foreach(taken += _)
+      k -> byName.getOrElse(pos)
     }
     val cols = positions.map { case (k, pos) =>
       val c = trim(get(col("cells"), lit(pos)))

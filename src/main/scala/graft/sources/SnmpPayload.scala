@@ -108,4 +108,58 @@ object SnmpPayload {
             x.getField("remaining_percent").as("remaining_percent")))
           .as("cartridges"))
   }
+
+  // ---- toner-type codes (adapters/toner_type_snmp.py:70-107) ----
+
+  /** `_friendly_color_from_text` (toner_type_snmp.py:41-53) — note the
+    * Hebrew aliases differ from snmp_toner's F11 (ציאן/מג here vs
+    * כחול/אדום there); no fallback, null when nothing matches. */
+  def tonerColorFromText(c: Column): Column = {
+    val t = lower(coalesce(c, lit("")))
+    when(t === "", lit(null).cast("string"))
+      .when(t.contains("black") || t.contains("שחור"), "Black")
+      .when(t.contains("cyan") || t.contains("ציאן"), "Cyan")
+      .when(t.contains("magenta") || t.contains("מג"), "Magenta")
+      .when(t.contains("yellow") || t.contains("צהוב"), "Yellow")
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** `_extract_code` (toner_type_snmp.py:55-67): parenthesized token
+    * wins; else the token after a case-insensitive "HP" unless it is
+    * exactly ddDV (case-sensitive reject → falls through); else the
+    * LAST generic token of the UPPERCASED text. */
+  def extractTonerCode(desc: Column): Column = {
+    val paren = regexp_extract(desc, "\\(([A-Z0-9\\-]{3,})\\)", 1)
+    val hp = regexp_extract(desc, "(?i)\\bHP\\b\\W*([A-Z0-9\\-]{3,})", 1)
+    val gens = regexp_extract_all(upper(desc),
+      lit("\\b([A-Z][A-Z0-9\\-]{2,})\\b"), lit(1))
+    val genLast = when(size(gens) > 0, get(gens, size(gens) - 1))
+    when(length(paren) > 0, paren)
+      .when(length(hp) > 0 && !hp.rlike("^\\d{3}V$"), hp)
+      .otherwise(genLast)
+  }
+
+  /** A8 — `get_snmp_toner_types` tail (toner_type_snmp.py:85-107):
+    * toner-typed rows whose desc mentions "hp", (color, code) pairs
+    * deduped, sorted by fixed color rank then code; one codes list per
+    * device. Input: suppliesTable-shaped rows. */
+  def tonerTypeCodes(supplies: DataFrame, keyCol: String = "ip"): DataFrame = {
+    val colorRank = Map("Black" -> 0, "Cyan" -> 1, "Magenta" -> 2, "Yellow" -> 3)
+    val desc = coalesce(col("description"), lit(""))
+    val color = tonerColorFromText(desc)
+    val code = extractTonerCode(desc)
+    supplies
+      .where(col("supply_type").isin(TonerTypes: _*) &&
+        length(desc) > 0 && lower(desc).contains("hp"))
+      .select(col(keyCol), color.as("color"), code.as("code"))
+      .where(col("color").isNotNull && col("code").isNotNull)
+      .distinct()
+      .withColumn("color_rank",
+        coalesce(element_at(typedLit(colorRank), col("color")), lit(99)))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(
+        col("color_rank"), col("code")))).as("pairs"))
+      .select(col(keyCol),
+        transform(col("pairs"), p => p.getField("code")).as("codes"))
+  }
 }
