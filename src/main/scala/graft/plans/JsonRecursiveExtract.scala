@@ -138,52 +138,65 @@ case class JsonAlertExtract(child: Expression) extends JsonWalkGenerator {
   }
 }
 
-/** F25 — toner part codes from arbitrary JSON, tracking key-path
-  * context: only strings reached through a toner/supply/id-ish key
-  * count; matches of the three part-code patterns are emitted with a
-  * `preferred` flag for codes starting with "W"
-  * (toner_type_web.py:28-53 — the caller prefers W-codes).
-  * Output: (path, code, preferred). */
+/** F25 — toner part-code CANDIDATES from arbitrary JSON, mirroring
+  * `_extract_toner_from_supplies_json` (toner_type_web.py:28-53)
+  * exactly: the accumulated lowercase key-path gates an EXTRA
+  * (contextual) append for scalar dict values — context contains
+  * toner/suppl, or the current key IS one of id/model/name/partno/
+  * part_no/pn — while EVERY string node also appends its first match
+  * through the recursion's bare-string branch (so contextual strings
+  * appear twice, in gated-then-bare order). Only the FIRST regex match
+  * per string counts, with the reference's alternation order. The
+  * caller picks the first W-code else the first candidate — `idx`
+  * preserves candidate order for that selection.
+  * Output: (idx, code, contextual). */
 case class JsonTonerIds(child: Expression) extends JsonWalkGenerator {
 
-  private val IdRes = Seq("W\\d{4}[A-Z]X?", "MLT-[A-Z]\\d{3,5}[A-Z]*",
-    "[A-Z]{2}\\d{3}[A-Z]").map(_.r)
+  private val IdRe = "(?:W\\d{4}[A-Z](?:X)?|MLT-[A-Z]\\d{3,5}[A-Z]*|[A-Z]{2}\\d{3}[A-Z])".r
+  private val ExactKeys = Set("id", "model", "name", "partno", "part_no", "pn")
 
   override def elementSchema: StructType = StructType(Seq(
-    StructField("path", StringType), StructField("code", StringType),
-    StructField("preferred", BooleanType)))
+    StructField("idx", IntegerType, nullable = false),
+    StructField("code", StringType),
+    StructField("contextual", BooleanType, nullable = false)))
 
   override protected def withNewChildInternal(c: Expression): JsonTonerIds =
     copy(child = c)
 
-  private def contextual(k: String): Boolean = {
-    val lk = k.toLowerCase
-    Seq("toner", "suppl", "cartridge", "id", "sku", "part")
-      .exists(lk.contains)
-  }
-
   override protected def walk(root: JsonNode): Iterator[InternalRow] = {
     val out = mutable.ArrayBuffer.empty[InternalRow]
-    def rec(node: JsonNode, path: String, inContext: Boolean): Unit = {
+    def add(code: String, contextual: Boolean): Unit =
+      out += InternalRow(out.length, utf8(code), contextual)
+    // Python str(v) for the gated (str | int) scalars
+    def strIntOf(n: JsonNode): String =
+      if (n.isTextual) n.asText()
+      else if (n.isBoolean) { if (n.asBoolean()) "True" else "False" }
+      else if (n.isIntegralNumber) n.asText()
+      else null
+    def rec(node: JsonNode, ctx: String): Unit = {
       if (node.isObject) {
         val it = node.properties().iterator()
         while (it.hasNext) {
           val e = it.next()
-          rec(e.getValue, s"$path.${e.getKey}",
-            inContext || contextual(e.getKey))
+          val kLow = e.getKey.toLowerCase
+          val newCtx = s"$ctx $kLow".trim
+          val s = strIntOf(e.getValue)
+          if (s != null &&
+            (newCtx.contains("toner") || newCtx.contains("suppl") ||
+              ExactKeys.contains(kLow))) {
+            IdRe.findFirstIn(s.trim).foreach(add(_, contextual = true))
+          }
+          rec(e.getValue, newCtx)
         }
       } else if (node.isArray) {
-        var i = 0
         val it = node.elements()
-        while (it.hasNext) { rec(it.next(), s"$path[$i]", inContext); i += 1 }
-      } else if (node.isTextual && inContext) {
-        val s = node.asText()
-        IdRes.flatMap(_.findAllIn(s)).distinct.foreach { c =>
-          out += InternalRow(utf8(path), utf8(c), c.startsWith("W"))
-        }
+        while (it.hasNext) rec(it.next(), ctx) // lists keep their context
+      } else if (node.isTextual) {
+        // bare-string branch: EVERY string is a candidate, context-free
+        IdRe.findFirstIn(node.asText()).foreach(add(_, contextual = false))
       }
     }
-    rec(root, "$", inContext = false)
+    rec(root, "")
     out.iterator
   }
 }

@@ -368,7 +368,51 @@ object ParserQueries {
       .orderBy("ip")
   }
 
+  /** X6 — toner-id pick through the real JSON generator
+    * (toner_type_web.py:28-53): per document the supplies JSON yields
+    * candidates in walk order; the pick is the first W-code, else the
+    * first candidate. DuckDB computes the expected pick directly from
+    * the synthesized codes. */
+  val x6TonerIdPick: QuerySpec = QuerySpec.sql(
+    "x6_toner_id_pick",
+    """WITH base AS (SELECT doc_id,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN concat('W', CAST(1000 + doc_id % 9000 AS VARCHAR), 'AX')
+      |    WHEN 1 THEN concat('MLT-D', CAST(203 + doc_id % 700 AS VARCHAR), 'E')
+      |    ELSE concat('ZZ', CAST(100 + doc_id % 900 AS VARCHAR), 'X') END AS code1,
+      |  concat('see W', CAST(2000 + doc_id % 8000 AS VARCHAR), 'B') AS note
+      |FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN code1
+      |       ELSE concat('W', CAST(2000 + doc_id % 8000 AS VARCHAR), 'B')
+      |  END AS toner_id
+      |FROM base
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    GraftExtensions.register(s)
+    val json = concat(
+      lit("{\"supplies\": {\"partno\": \""),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("W"), (lit(1000) + col("doc_id") % 9000).cast("string"), lit("AX")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("MLT-D"), (lit(203) + col("doc_id") % 700).cast("string"), lit("E")))
+        .otherwise(
+          concat(lit("ZZ"), (lit(100) + col("doc_id") % 900).cast("string"), lit("X"))),
+      lit("\"}, \"note\": \"see W"),
+      (lit(2000) + col("doc_id") % 8000).cast("string"),
+      lit("B\"}"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), json.as("body"))
+      .selectExpr("doc_id", "json_toner_ids(body) AS (idx, code, contextual)")
+      .groupBy("doc_id")
+      // first W-code in candidate order, else first candidate
+      .agg(min(struct(
+        when(col("code").startsWith("W"), 0).otherwise(1).as("w"),
+        col("idx"), col("code"))).as("best"))
+      .select(col("doc_id"), col("best.code").as("toner_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x1LedmEventElection, x2EwsPickAlert, x3JsonAlertExtract,
-    x4SnmpAlertDecide, x5TonerCodePairs)
+    x4SnmpAlertDecide, x5TonerCodePairs, x6TonerIdPick)
 }

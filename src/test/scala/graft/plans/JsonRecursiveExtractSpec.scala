@@ -45,18 +45,26 @@ class JsonRecursiveExtractSpec extends SparkSpec {
       .count() == 0)
   }
 
-  test("F25: toner ids only from contextual paths; W-codes preferred") {
+  test("F25: candidate order — gated append then bare-string append") {
     val payload =
       """{"supplies": {"black": {"PartNumber": "W1470A desc"}},
         |"noise": {"value": "W9999Z"},
         |"cartridgeInfo": ["MLT-D203E", "ZZ123X"]}""".stripMargin
     val rows = Seq(payload).toDF("body")
-      .selectExpr("json_toner_ids(body) AS (path, code, preferred)")
-      .collect()
-    val codes = rows.map(_.getString(1)).toSet
-    assert(codes == Set("W1470A", "MLT-D203E", "ZZ123X")) // noise path excluded
-    val pref = rows.map(r => r.getString(1) -> r.getBoolean(2)).toMap
-    assert(pref("W1470A") && !pref("MLT-D203E") && !pref("ZZ123X"))
+      .selectExpr("json_toner_ids(body) AS (idx, code, contextual)")
+      .orderBy("idx").collect()
+      .map(r => (r.getString(1), r.getBoolean(2)))
+    // the context check only gates the EXTRA append — every string is
+    // still a candidate through the bare branch (toner_type_web.py:44-47)
+    assert(rows.toSeq == Seq(
+      ("W1470A", true),   // gated: ctx "supplies black partnumber"
+      ("W1470A", false),  // same string, bare branch
+      ("W9999Z", false),  // non-contextual string still counts
+      ("MLT-D203E", false), ("ZZ123X", false)))
+    // caller's pick: first W-code in candidate order (:49-52)
+    val pick = rows.collectFirst { case (c, _) if c.startsWith("W") => c }
+      .orElse(rows.headOption.map(_._1))
+    assert(pick.contains("W1470A"))
   }
 
   test("null input and LATERAL VIEW shape") {
