@@ -67,13 +67,19 @@ object Normalize {
   def sanitizeCell(c: Column): Column =
     regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
 
-  /** F7 `_split_postal`: trailing 7-digit run → postal; strip it (plus
-    * separator debris) from the address. Ref: core/enrich/locations.py:27-35.
+  /** F7 `_split_postal` (core/enrich/locations.py:27-36): trailing
+    * 7-digit run → postal (NULL when absent, like the reference's
+    * None); on a match the digits AND their leading separator run are
+    * removed, then rstrip(" ,:-") and strip; on no match the address is
+    * merely stripped — trailing separators survive.
     * Returns (postal, cleanedAddress). */
   def splitPostal(addr: Column): (Column, Column) = {
-    val postal = regexp_extract(addr, "(\\d{7})\\s*$", 1)
-    val cleaned = trim(regexp_replace(
-      regexp_replace(addr, "\\d{7}\\s*$", ""), "[\\s,:\\-]+$", ""))
+    val postal0 = regexp_extract(addr, "(\\d{7})\\s*$", 1)
+    val postal = when(postal0 =!= "", postal0)
+    val cleaned = when(postal0 =!= "",
+      trim(regexp_replace(
+        regexp_replace(addr, "[\\s,:\\-]*\\d{7}\\s*$", ""), "[ ,:\\-]+$", "")))
+      .otherwise(trim(addr))
     (postal, cleaned)
   }
 

@@ -95,21 +95,30 @@ object Enrich {
       .groupBy(bidOf(col("branch_id")).as("bid"))
       .agg(max_by(trim(col("address")), col("row_idx")).as("address"))
 
+  /** `_norm_text` (locations.py:19-25): strip + whitespace-collapse,
+    * null when nothing remains (no lowercasing, unlike F1). */
+  private def normText(c: Column): Column = {
+    val s = regexp_replace(trim(c.cast("string")), "\\s+", " ")
+    when(s =!= "", s)
+  }
+
   /** J2 sub-op (b) — per-branch first-seen-ordered distinct
-    * (primary, secondary) pairs, each carrying the non-null subscriber
-    * list in row order; ranks 1–2 kept (locations.py:57-78 + W1). Rows
-    * where BOTH descriptions are null are skipped; a single null half
-    * coerces to "" for pair identity (:67-70). */
+    * (primary, secondary) pairs, each carrying the normalized non-null
+    * subscriber list in row order; ranks 1–2 kept (locations.py:57-78 +
+    * W1). Texts go through `_norm_text` — blank-after-strip halves are
+    * None, rows where BOTH are None are skipped, a single None half
+    * coerces to "" for pair identity (:66-70). */
   def rankedPairs(locations: DataFrame): DataFrame = {
     val pairs = locations
       .where(bidOf(col("branch_id")).isNotNull &&
-        (col("primary_desc").isNotNull || col("secondary_desc").isNotNull))
+        (normText(col("primary_desc")).isNotNull ||
+          normText(col("secondary_desc")).isNotNull))
       .groupBy(bidOf(col("branch_id")).as("bid"),
-        coalesce(trim(col("primary_desc")), lit("")).as("primary_desc"),
-        coalesce(trim(col("secondary_desc")), lit("")).as("secondary_desc"))
+        coalesce(normText(col("primary_desc")), lit("")).as("primary_desc"),
+        coalesce(normText(col("secondary_desc")), lit("")).as("secondary_desc"))
       .agg(min("row_idx").as("first_seen"),
-        array_sort(collect_list(when(col("subscriber").isNotNull,
-          struct(col("row_idx"), trim(col("subscriber")).as("subscriber")))))
+        array_sort(collect_list(when(normText(col("subscriber")).isNotNull,
+          struct(col("row_idx"), normText(col("subscriber")).as("subscriber")))))
           .as("subs0"))
       .withColumn("subscribers",
         transform(col("subs0"), s => s.getField("subscriber")))
@@ -150,8 +159,14 @@ object Enrich {
     joined
       .withColumn("storeInfo",
         when(col("bid").isNotNull, si
-          .withField("Location", coalesce(col("b_location"), si.getField("Location")))
-          .withField("Postal", coalesce(col("b_postal"), si.getField("Postal")))
+          // Location/Postal are (over)written together iff an address
+          // exists — Postal may be set to NULL then (locations.py:88-92)
+          .withField("Location",
+            when(col("b_address").isNotNull, col("b_location"))
+              .otherwise(si.getField("Location")))
+          .withField("Postal",
+            when(col("b_address").isNotNull, col("b_postal"))
+              .otherwise(si.getField("Postal")))
           .withField("firstDescription",
             coalesce(col("b_first"), si.getField("firstDescription")))
           .withField("secondDescription",

@@ -37,10 +37,10 @@ final case class RunSummary(results: Seq[StageResult], out: DataFrame) {
 
 object Pipeline {
 
-  /** Natural sort key: digit runs compare numerically (step2 < step10) —
-    * W2, core/pipeline.py:24-35. */
+  /** Natural sort key: digit runs compare numerically (step2 < step10)
+    * over the LOWERCASED name — W2, core/pipeline.py:24-35. */
   def naturalKey(s: String): Seq[(Int, String, Long)] =
-    "\\d+|\\D+".r.findAllIn(s).map { tok =>
+    "\\d+|\\D+".r.findAllIn(s.toLowerCase).map { tok =>
       if (tok.forall(_.isDigit)) (0, "", tok.toLong) else (1, tok, 0L)
     }.toSeq
 

@@ -81,13 +81,17 @@ object FunctionQueries {
       .orderBy("o_orderkey")
   }
 
-  /** F7 — trailing-postal split (7-digit run at end of a field). */
+  /** F7 — trailing-postal split: postal NULL when absent; separator
+    * stripping only happens on a match (locations.py:27-36). */
   val f7PostalSplit: QuerySpec = QuerySpec.sql(
     "f7_postal_split",
     """SELECT c_custkey,
-      |  regexp_extract(c_name, '(\d{7})\s*$', 1) AS postal,
-      |  trim(regexp_replace(regexp_replace(c_name, '\d{7}\s*$', '', 'g'),
-      |       '[\s,:\-]+$', '', 'g')) AS cleaned
+      |  nullif(regexp_extract(c_name, '(\d{7})\s*$', 1), '') AS postal,
+      |  CASE WHEN nullif(regexp_extract(c_name, '(\d{7})\s*$', 1), '') IS NOT NULL
+      |       THEN trim(regexp_replace(
+      |              regexp_replace(c_name, '[\s,:\-]*\d{7}\s*$', '', 'g'),
+      |              '[ ,:\-]+$', '', 'g'))
+      |       ELSE trim(c_name) END AS cleaned
       |FROM customer
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     val (postal, cleaned) = Normalize.splitPostal(col("c_name"))

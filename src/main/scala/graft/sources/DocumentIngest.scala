@@ -126,8 +126,15 @@ object DocumentIngest {
   val BadIps: Seq[String] = Seq("", "-", "n/a", "na", "none", "0.0.0.0", "null")
 
   def ipOf(df: DataFrame): Column = {
+    // norm_ip (core/printers.py:28-33): the scan stops at the first
+    // TRUTHY value — an empty string falls through to the next key,
+    // but whitespace is truthy and returns its trim (possibly "").
     val candidates = Seq("Printer IP", "IP", "ip").filter(df.columns.contains)
-    trim(coalesce(candidates.map(col) :+ lit(null).cast(StringType): _*))
+    val picks = candidates.map { c =>
+      val s = col(c).cast(StringType)
+      when(s.isNotNull && s =!= "", trim(s))
+    }
+    coalesce(picks :+ lit(null).cast(StringType): _*)
   }
 
   def withValidIp(df: DataFrame): DataFrame =

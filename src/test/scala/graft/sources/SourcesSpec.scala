@@ -43,11 +43,13 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("S3: employee header synonyms (EN+Hebrew), blank rows dropped") {
+    // "מספר סניף" is in the reference's exact id synonym list
+    // (employee_source.py:24); "מס' סניף" is NOT and would null out.
     val raw = Seq(
       ("105", "דנה לוי", "0540000000"),
       ("212", "", "0521111111"),
       ("", "", ""))
-      .toDF("מס' סניף", "שם איש קשר", "Contacts Phone")
+      .toDF("מספר סניף", "שם איש קשר", "Contacts Phone")
     val e = SideTables.employees(raw).orderBy("id")
     val rows = e.as[(String, String, String)].collect()
       .map { case (i, n, p) => (i, Option(n), Option(p)) }
@@ -60,7 +62,11 @@ class SourcesSpec extends SparkSpec {
   test("S4: duplicate headers deduped positionally, unnamed dropped") {
     val df = Seq(("a", "b", "c", "d")).toDF("X", "x", "Unnamed: 3", "X")
     val out = SideTables.dedupeHeaders(df)
-    assert(out.columns.toSeq == Seq("X", "x_2", "X_3"))
+    // duplicates count by EXACT trimmed name (location_source.py:6-21):
+    // "x" is a distinct base from "X" (suffixed only because Spark's
+    // case-insensitive resolution cannot hold both), the second "X"
+    // becomes X_2.
+    assert(out.columns.toSeq == Seq("X", "x__1", "X_2"))
   }
 
   test("S5: device fan-out degrades per-device failure to zero rows") {
