@@ -100,7 +100,11 @@ object CoreQueries {
       |WHERE lower(trim(p_type)) IN ('economy', 'small')
       |ORDER BY p_partkey""".stripMargin) { (s, d) =>
     Tables.part(s, d)
-      .filter(lower(trim(col("p_type"))).isin("economy", "small"))
+      // the explicit isNotNull is semantically free (IN over null yields
+      // null anyway) but parquet-PUSHABLE — the wrapped lower(trim())
+      // predicate itself cannot reach the scan
+      .filter(col("p_type").isNotNull &&
+        lower(trim(col("p_type"))).isin("economy", "small"))
       .select("p_partkey", "p_name", "p_brand", "p_type")
       .orderBy("p_partkey")
   }

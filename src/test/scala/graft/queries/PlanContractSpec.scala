@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Plan contracts — the physical-plan properties the 100 TB design
+  * depends on, asserted so a regression (a broadcast silently becoming
+  * a sort-merge join, a scan losing column pruning) fails CI rather
+  * than surfacing as a cluster incident. Checked against
+  * `queryExecution.executedPlan` at sf0.001. */
+class PlanContractSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: QuerySpec): String = {
+    val df: DataFrame = q.run(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("j1 enrich join broadcasts the dimension side") {
+    assert(plan(CoreQueries.j1EnrichJoin).contains("BroadcastHashJoin"))
+  }
+
+  test("j6 catalog lookup broadcasts the catalog") {
+    assert(plan(ExtraQueries.j6CatalogLookup).contains("BroadcastHashJoin"))
+  }
+
+  test("q1 pricing summary uses two-phase (partial) aggregation") {
+    val p = plan(CoreQueries.q1PricingSummary)
+    // partial + final HashAggregate pair = map-side combine before the
+    // exchange — the difference between shuffling rows and shuffling
+    // group states at scale
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange"))
+  }
+
+  test("p3 filter scan prunes to the selected columns") {
+    val p = plan(CoreQueries.p3ValidFilter)
+    // ReadSchema carries only the projected columns, not all of events
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("event_id") && read.contains("event_type"))
+    assert(!read.contains("props") && !read.contains("value"))
+  }
+
+  test("p4 model filter reaches the scan with a pushed predicate") {
+    val p = plan(CoreQueries.p4ModelFilter)
+    assert(p.contains("PushedFilters: [IsNotNull(p_type)"))
+  }
+
+  test("t5 brute force broadcasts the query set (no shuffle before top-k)") {
+    val p = plan(VectorQueries.t5AnnBruteForce)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen covers the scalar pipelines") {
+    // a pure scalar projection (no exchange → no AQE wrapper): the
+    // normalizer pack must stay inside one codegen stage
+    import org.apache.spark.sql.functions.col
+    val df = graft.Tables.documents(spark, sf)
+      .select(graft.functions.Normalize.severityFromProblem(col("text")))
+    // "*(n)" is the WholeStageCodegenExec marker in plan toString
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
+  test("x4 decide chain stays keyed by device (single agg, no global sort before it)") {
+    val p = plan(ParserQueries.x4SnmpAlertDecide)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty)
+  }
+}
