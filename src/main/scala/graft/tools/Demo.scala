@@ -31,21 +31,19 @@ object Demo {
       DocumentIngest.readDocument(spark, docPath))
 
     // device scan: filter BEFORE the fan-out (manual pushdown), poll,
-    // parse, merge back into printerInfo.cartridges
+    // parse, merge with the reference's tonerFinder rule — selected
+    // devices that answered get status+cartridges, selected devices
+    // that didn't degrade to ("offline", []), the rest stay untouched
     val client = new DeterministicSnmpFake(failEvery = 0)
     val scanStage = (df: org.apache.spark.sql.DataFrame) => {
       val devices = DocumentIngest.withValidIp(df)
       val supplies = DevicePoll.walk(spark, devices, SnmpPayload.SuppliesBase, client, 4)
       val colorant = DevicePoll.walk(spark, devices, SnmpPayload.ColorantBase, client, 4)
-      val carts = SnmpPayload.cartridges(supplies.union(colorant))
-      df.withColumn("ip", DocumentIngest.ipOf(df))
-        .join(broadcast(carts.withColumnRenamed("cartridges", "polled")),
-          Seq("ip"), "left")
-        .withColumn("printerInfo",
-          when(col("polled").isNotNull,
-            col("printerInfo").withField("cartridges", col("polled")))
-            .otherwise(col("printerInfo")))
-        .drop("ip", "polled")
+      val results = SnmpPayload.cartridges(supplies.union(colorant))
+        .withColumn("status", lit("online"))
+      val ip = DocumentIngest.ipOf(df)
+      val selected = ip.isNotNull && !lower(ip).isin(DocumentIngest.BadIps: _*)
+      graft.ops.ScanMerge(df, results, selected)
     }
 
     val sheet = Seq(("105", "Branch 105", ""), ("3", "HQ", ""))
