@@ -22,8 +22,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // methodology is part of the number: timings are WARM (parquet
+    // footers + codegen + one shuffle/window primed above) — not
+    // comparable to a cold-JVM first read
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"warm: parquet footers, codegen, shuffle+window primed before timing"}"""
+    // belt and braces against log-tail truncation: persist the artifact
+    // to a file, then print it as the process's LAST line (after
+    // spark.stop()'s shutdown chatter)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 
   private def warmup(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {

@@ -116,13 +116,20 @@ object Normalize {
     initcap(coalesce(pick(name), pick(desc), lit("unknown")))
   }
 
-  /** F12 `_to_text`: decode bytes (UTF-8), strip NULs, and un-repr
-    * Python-style "b'...'" wrappers that leak from scraped payloads.
-    * Ref: snmp_toner.py:17-33; toner_type_snmp.py:15-28. */
+  /** F12 `_to_text`: decode bytes (UTF-8), strip edge NULs, and un-repr
+    * Python-style b'...' / b"..." wrappers that leak from scraped
+    * payloads. The single-quote check runs FIRST and short-circuits
+    * (Python if/elif), so b'b"x"' unwraps once to b"x", not twice; the
+    * slice is s[2:-1], so the degenerate "b'" (wrapper sharing its own
+    * quote) unwraps to "". NUL strip is leading/trailing only
+    * (str.strip("\x00")). Ref: snmp_toner.py:17-33; toner_type_snmp.py:15-28. */
   def toText(c: Column): Column = {
     val s = when(c.isNull, lit(null).cast("string")).otherwise(c.cast("string"))
-    val unreprd = regexp_replace(s, "^b'(.*)'$", "$1")
-    regexp_replace(unreprd, "\\x00", "")
+    val body = s.substr(lit(3), greatest(length(s) - 3, lit(0)))
+    val unreprd = when(s.startsWith("b'") && s.endsWith("'"), body)
+      .when(s.startsWith("b\"") && s.endsWith("\""), body)
+      .otherwise(s)
+    regexp_replace(unreprd, "^\\x00+|\\x00+$", "")
   }
 
   /** F16 `_clean_desc`: exact-match Hebrew→English translation map,

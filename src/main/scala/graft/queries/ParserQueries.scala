@@ -136,7 +136,15 @@ object ParserQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
          |    ORDER BY r DESC, has_code DESC, alert_idx ASC) AS rn FROM ranked
          |), sel AS (
-         |  SELECT user_id, status_code AS code0, trim(description) AS desc0, severity
+         |  -- the winner's blank code is backfilled from the description
+         |  -- via CODE_RE (ews_alerts.py:273-278), mirroring
+         |  -- EwsAlerts.pickAlert; the synthesized descriptions contain
+         |  -- no code-shaped text today, so this guards future synthesis
+         |  SELECT user_id,
+         |    CASE WHEN length(status_code) > 0 THEN status_code
+         |         ELSE regexp_extract(trim(description),
+         |                '\b[A-Z][0-9]-[0-9]{3,5}\b', 0) END AS code0,
+         |    trim(description) AS desc0, severity
          |  FROM top WHERE rn = 1
          |), m AS (
          |  SELECT s.user_id, s.code0, s.desc0, s.severity, c.status AS c2s, c.info AS c2i,

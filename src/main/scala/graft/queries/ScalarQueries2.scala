@@ -46,21 +46,39 @@ object ScalarQueries2 {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey")
   }
 
-  /** F12 — `_to_text`: un-repr Python b'...' wrappers that leak from
-    * scraped payloads (snmp_toner.py:17-33). */
+  /** F12 — `_to_text`: un-repr Python b'...' AND b"..." wrappers, the
+    * single-quote branch first with if/elif short-circuit — a nested
+    * b'b"x"' unwraps exactly once (snmp_toner.py:17-33,
+    * toner_type_snmp.py:15-28). Synthesis covers both wrappers, the
+    * nested case, and an unclosed wrapper that must pass through; NUL
+    * stripping is pinned by NormalizeSpec (parquet-unfriendly here). */
   val f12ToText: QuerySpec = QuerySpec.sql(
     "f12_to_text",
     """WITH t AS (SELECT p_partkey,
-      |  CASE WHEN p_partkey % 2 = 0 THEN concat('b''', p_brand, '''')
-      |       ELSE p_brand END AS raw FROM part)
+      |  CASE p_partkey % 5
+      |    WHEN 0 THEN concat('b''', p_brand, '''')
+      |    WHEN 1 THEN concat('b"', p_brand, '"')
+      |    WHEN 2 THEN concat('b''b"', p_brand, '"''')
+      |    WHEN 3 THEN concat('b''', p_brand)
+      |    ELSE p_brand END AS raw FROM part)
       |SELECT p_partkey, raw,
-      |  regexp_replace(raw, '^b''(.*)''$', '\1') AS text
+      |  CASE WHEN starts_with(raw, 'b''') AND ends_with(raw, '''')
+      |         THEN substr(raw, 3, greatest(length(raw) - 3, 0))
+      |       WHEN starts_with(raw, 'b"') AND ends_with(raw, '"')
+      |         THEN substr(raw, 3, greatest(length(raw) - 3, 0))
+      |       ELSE raw END AS text
       |FROM t
       |ORDER BY p_partkey""".stripMargin) { (s, d) =>
     Tables.part(s, d)
       .select(col("p_partkey"),
-        when(col("p_partkey") % 2 === 0,
+        when(col("p_partkey") % 5 === 0,
           concat(lit("b'"), col("p_brand"), lit("'")))
+          .when(col("p_partkey") % 5 === 1,
+            concat(lit("b\""), col("p_brand"), lit("\"")))
+          .when(col("p_partkey") % 5 === 2,
+            concat(lit("b'b\""), col("p_brand"), lit("\"'")))
+          .when(col("p_partkey") % 5 === 3,
+            concat(lit("b'"), col("p_brand")))
           .otherwise(col("p_brand")).as("raw"))
       .withColumn("text", Normalize.toText(col("raw")))
       .orderBy("p_partkey")

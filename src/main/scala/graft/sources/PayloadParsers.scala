@@ -223,8 +223,12 @@ object PayloadParsers {
       .select(col(keyCol), posexplode(pairs).as(Seq("bar_idx", "z")))
       .select(col(keyCol), col("bar_idx"),
         Normalize.labelPretty(col("z.0")).as("cartridge"),
-        Normalize.pctWithSymbol(
-          greatest(least(col("z.1").cast("long"), lit(100L)), lit(0L)))
+        // null height stays null: greatest/least SKIP nulls, so the
+        // clamp must be guarded or a no-height td would read 100%
+        // (_clamp_pct(None) → None, brother_toner_web.py:27-36)
+        when(col("z.1").isNotNull,
+          Normalize.pctWithSymbol(
+            greatest(least(col("z.1").cast("long"), lit(100L)), lit(0L))))
           .as("remaining_percent"))
   }
 

@@ -117,9 +117,18 @@ class NormalizeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got == Seq("Cyan", "Black", "Unknown"))
   }
 
-  test("F12 to_text: un-repr b'...' wrapper, strip NULs") {
+  test("F12 to_text: un-repr b'...'/b\"...\" wrappers, strip edge NULs") {
     val cases = Table(("in", "out"),
-      ("b'W1470A'", "W1470A"), ("ok\u0000ok", "okok"), ("plain", "plain"))
+      ("b'W1470A'", "W1470A"),
+      ("b\"MLT-D111S\"", "MLT-D111S"),
+      // if/elif: the single-quote branch wins and unwraps exactly once
+      ("b'b\"x\"'", "b\"x\""),
+      // str.strip("\x00") trims edges only -- internal NULs survive
+      ("\u0000ok\u0000ok\u0000", "ok\u0000ok"),
+      // degenerate 2-char wrapper: s[2:-1] == ""
+      ("b'", ""),
+      ("b'unclosed", "b'unclosed"),
+      ("plain", "plain"))
     forAll(cases) { (in, out) =>
       assert(eval1(Normalize.toText(col("v")), in) == out, s"for $in")
     }

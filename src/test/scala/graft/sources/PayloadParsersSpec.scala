@@ -107,6 +107,21 @@ class PayloadParsersSpec extends SparkSpec {
       Seq("42%", "100%", "0%", "7%")) // 130 clamps to 100
   }
 
+  test("S9: null-height td under a non-blank label keeps a null percent") {
+    // _pct_with_symbol(None) → None (brother_toner_web.py:27-36): the
+    // cartridge row still emits, with remaining_percent null — NOT 100%
+    val html =
+      """<table id="inkLevel"><tbody>
+        |<tr><th colspan="2">Ink level</th></tr>
+        |<tr><td><img src="x" height="55"/></td><td><img src="no-height"/></td></tr>
+        |<tr><th>BK</th><th>Y</th></tr>
+        |</tbody></table>""".stripMargin
+    val rows = PayloadParsers.brotherInkLevels(
+      Seq(("p1", html)).toDF("ip", "html"), "ip").orderBy("bar_idx").collect()
+    assert(rows.map(_.getAs[String]("cartridge")).toSeq == Seq("Black", "Yellow"))
+    assert(rows.map(_.getAs[String]("remaining_percent")).toSeq == Seq("55%", null))
+  }
+
   test("S9: missing table or short table yields no cartridges") {
     val short = """<table id="inkLevelMono"><tr><td></td></tr></table>"""
     val df = Seq(("a", "<html>no table</html>"), ("b", short)).toDF("ip", "html")
