@@ -156,31 +156,30 @@ object TextQueries {
     }
   }
 
-  /** T4 — n-gram (token-set) Jaccard near-dup pairs within a language
-    * partition: inverted-index self-join (token → docs), exact
-    * |∩|/|∪| ≥ 0.9. The `doc_id < 1000` screen bounds the partner set
-    * (at lake scale this is where LSH pre-candidates plug in — T2). */
-  val t4NgramJaccard: QuerySpec = QuerySpec.sql(
-    "t4_ngram_jaccard",
-    s"""WITH dt AS (
-       |  SELECT DISTINCT doc_id, lang, unnest($ToksSql) AS tok
-       |  FROM documents WHERE doc_id < 1000
-       |), nt AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-       |  FROM dt a JOIN dt b
-       |    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2
-       |)
-       |SELECT d1, d2, i AS n_common,
-       |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
-       |FROM inter JOIN nt x ON d1 = x.doc_id JOIN nt y ON d2 = y.doc_id
-       |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.9
-       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    val dt = Tables.documents(s, d)
-      .filter(col("doc_id") < 1000)
+  /** Document-frequency cap for the T4 inverted index: tokens appearing
+    * in more than this many documents (per language) are dropped BEFORE
+    * the self-join. Without it the index key set includes stopwords and
+    * the "the" bucket makes the join quadratic in corpus size — the
+    * standard inverted-index dedup hygiene is to cap df (high-df tokens
+    * carry no near-dup signal anyway). */
+  private[queries] val JaccardDfCap = 200
+
+  /** T4 core, parameterized for specs: near-dup pairs by exact Jaccard
+    * over the RARE-token set (df ≤ dfCap, applied symmetrically to the
+    * intersection AND the per-doc counts, so the measure stays a true
+    * Jaccard over the filtered universe). Input needs (doc_id, lang,
+    * text). Directed-ordered output (d1 < d2). */
+  private[graft] def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame,
+      dfCap: Int, threshold: Double): org.apache.spark.sql.DataFrame = {
+    // (doc, token) incidence is reused by the df screen and the join
+    // sides with different downstream partitionings — materialize once
+    val dt0 = docs
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
       .distinct()
+      .localCheckpoint()
+    val rare = dt0.groupBy("lang", "tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("lang", "tok")
+    val dt = dt0.join(rare, Seq("lang", "tok"))
     val nt = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = dt.as("a")
       .join(dt.as("b"),
@@ -194,8 +193,42 @@ object TextQueries {
       .join(nt.as("x"), col("d1") === col("x.doc_id"))
       .join(nt.as("y"), col("d2") === col("y.doc_id"))
       .select(col("d1"), col("d2"), col("i").as("n_common"), jac.as("jaccard"))
-      .filter(jac >= 0.9)
+      .filter(jac >= threshold)
       .orderBy("d1", "d2")
+  }
+
+  /** T4 — n-gram (token-set) Jaccard near-dup pairs within a language
+    * partition: inverted-index self-join (token → docs) over tokens
+    * with df ≤ [[JaccardDfCap]], exact |∩|/|∪| ≥ 0.9 on the filtered
+    * universe. The df cap (not the `doc_id < 1000` screen) is what
+    * keeps the join sub-quadratic at lake scale; the screen stays as
+    * the demo-sized candidate pool (where T2's LSH pre-candidates
+    * plug in on a real corpus). */
+  val t4NgramJaccard: QuerySpec = QuerySpec.sql(
+    "t4_ngram_jaccard",
+    s"""WITH dt0 AS (
+       |  SELECT DISTINCT doc_id, lang, unnest($ToksSql) AS tok
+       |  FROM documents WHERE doc_id < 1000
+       |), rare AS (
+       |  SELECT lang, tok FROM dt0 GROUP BY lang, tok HAVING COUNT(*) <= $JaccardDfCap
+       |), dt AS (
+       |  SELECT dt0.doc_id, dt0.lang, dt0.tok FROM dt0 JOIN rare USING (lang, tok)
+       |), nt AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |  FROM dt a JOIN dt b
+       |    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2, i AS n_common,
+       |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+       |FROM inter JOIN nt x ON d1 = x.doc_id JOIN nt y ON d2 = y.doc_id
+       |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.9
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    ngramJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 1000)
+        .select("doc_id", "lang", "text"),
+      JaccardDfCap, 0.9)
   }
 
   /** T6 — language-ID heuristic: English function-word ratio over the

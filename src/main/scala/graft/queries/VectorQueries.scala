@@ -111,29 +111,112 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
-  /** T10 — LSH-bucketed ANN: bucket key = sign bits of the first 6
-    * dimensions (random-hyperplane LSH with axis hyperplanes); cosine
-    * top-3 within each bucket. Recall trades against the all-pairs cost
-    * — the bucket join is the 100 TB-viable plan. */
+  // ---- T10: parameterized hyperplane LSH ----
+
+  /** Oracle/bench configuration for t10. `LshBits` sets bucket count
+    * (2^bits per table) — at lake scale bits grows with log2(corpus /
+    * target bucket size), keeping per-bucket joins constant-size;
+    * `LshTables` independent tables recover the recall a single coarse
+    * table loses; `LshBucketCap` drops degenerate hot buckets (near-
+    * duplicate pile-ups, zero vectors) so no single key can go
+    * quadratic regardless of data skew. */
+  private[queries] val LshBits = 6
+  private[queries] val LshTables = 2
+  private[queries] val LshBucketCap = 200
+
+  /** Dimension index for bit `i` of table `t`: stride the 64 dims so
+    * tables use disjoint hyperplane sets (axis hyperplanes — for
+    * synthetic dense embeddings every axis sign is an independent
+    * random bit, and the key stays exactly mirrorable in SQL). */
+  private def lshDim(i: Int, t: Int, tables: Int): Int = (i * tables + t) % 64
+
+  /** Per-vector LSH candidate pairs: explode each vector into one
+    * (table, bucket-key) row per table, drop buckets over `bucketCap`,
+    * self-join within (table, bucket), dedup multi-table hits to the
+    * lexicographically-first bucket tag. Directed pairs (every qid sees
+    * its neighbors). Needs an `embedding` column; `vec_id` is the key.
+    *
+    * Shuffle shape: the bucket-size screen and the self-join hash on
+    * the SAME key (tbl, bkey), so the exchange is computed once and
+    * reused; the cap bounds every join partition's fan-out at
+    * cap·(cap−1) regardless of skew. */
+  private[graft] def annLshPairs(emb: DataFrame, bits: Int, tables: Int,
+      bucketCap: Int): DataFrame = {
+    val keyCols = (0 until tables).map { t =>
+      concat((0 until bits).map { i =>
+        when(element_at(col("embedding"), lshDim(i, t, tables) + 1) >= 0, "1")
+          .otherwise("0")
+      }: _*)
+    }
+    val keyed = emb
+      .select(col("vec_id"), posexplode(array(keyCols: _*)).as(Seq("tbl", "bkey")))
+      .localCheckpoint() // reused by the screen and both join sides
+    val ok = keyed.groupBy("tbl", "bkey").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= bucketCap).select("tbl", "bkey")
+    val kept = keyed.join(ok, Seq("tbl", "bkey"))
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
+        concat(col("x.tbl").cast("string"), lit(":"), col("x.bkey")).as("bucket"))
+      .groupBy("qid", "nid")
+      .agg(min("bucket").as("bucket"))
+  }
+
+  /** Observability twin of [[annLshPairs]]: the buckets the cap WOULD
+    * drop, with their sizes — a pipeline logs/alerts on this instead of
+    * silently truncating coverage. */
+  private[graft] def annLshOverflow(emb: DataFrame, bits: Int, tables: Int,
+      bucketCap: Int): DataFrame = {
+    val keyCols = (0 until tables).map { t =>
+      concat((0 until bits).map { i =>
+        when(element_at(col("embedding"), lshDim(i, t, tables) + 1) >= 0, "1")
+          .otherwise("0")
+      }: _*)
+    }
+    emb.select(posexplode(array(keyCols: _*)).as(Seq("tbl", "bkey")))
+      .groupBy("tbl", "bkey").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > bucketCap)
+  }
+
+  /** T10 — LSH-bucketed ANN, the 100 TB path: `LshTables` hyperplane
+    * tables of `LshBits` sign bits each, per-bucket self-join capped at
+    * `LshBucketCap` rows per bucket, exact long-arithmetic cosine on
+    * the surviving candidates, top-3 per query vector. Candidate
+    * scoring joins the (small) pair set back to the corpus by id — the
+    * fetch-then-score shape every two-stage ANN retriever uses. */
   val t10AnnLshBuckets: QuerySpec = {
-    val bucketSqlFor = (alias: String) => (1 to 6).map(i =>
-      s"CASE WHEN $alias.embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+    val bits = LshBits; val tables = LshTables; val cap = LshBucketCap
+    val keySql = (t: Int) => (0 until bits).map { i =>
+      s"CASE WHEN embedding[${lshDim(i, t, tables) + 1}] >= 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ", ", ")")
+    val keysSql = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${keySql(t)} AS bkey FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
     QuerySpec.sql(
       "t10_ann_lsh_buckets",
       s"""WITH sq AS ($NormsSql),
-         |b AS (SELECT vec_id, embedding, ${bucketSqlFor("embeddings")} AS bucket FROM embeddings),
-         |pairs AS (
-         |  SELECT x.vec_id AS qid, y.vec_id AS nid, x.bucket, x.embedding AS qe, y.embedding AS ne
-         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |keys AS (
+         |  $keysSql
          |),
-         |dots AS (
-         |  SELECT qid, nid, bucket, CAST(SUM(p) AS DOUBLE) / 1e12 AS dot
-         |  FROM (
-         |    SELECT qid, nid, bucket,
-         |      ${prodLSql("qe[i+1]", "ne[i+1]")} AS p
-         |    FROM pairs, range(0, 64) t(i)
-         |  ) GROUP BY 1, 2, 3
+         |ok AS (SELECT tbl, bkey FROM keys GROUP BY tbl, bkey HAVING COUNT(*) <= $cap),
+         |cand0 AS (
+         |  SELECT x.vec_id AS qid, y.vec_id AS nid,
+         |    concat(CAST(x.tbl AS VARCHAR), ':', x.bkey) AS bucket
+         |  FROM keys x JOIN keys y ON x.tbl = y.tbl AND x.bkey = y.bkey
+         |    AND x.vec_id <> y.vec_id
+         |  JOIN ok o ON x.tbl = o.tbl AND x.bkey = o.bkey
          |),
+         |cand AS (SELECT qid, nid, min(bucket) AS bucket FROM cand0 GROUP BY 1, 2),
+         |prods AS (
+         |  SELECT qid, nid, bucket,
+         |    ${prodLSql("a.embedding[i+1]", "b.embedding[i+1]")} AS p
+         |  FROM cand JOIN embeddings a ON qid = a.vec_id
+         |    JOIN embeddings b ON nid = b.vec_id, range(0, 64) t(i)
+         |),
+         |dots AS (SELECT qid, nid, bucket, CAST(SUM(p) AS DOUBLE) / 1e12 AS dot
+         |  FROM prods GROUP BY 1, 2, 3),
          |cos AS (
          |  SELECT qid, nid, bucket, dot / (sqrt(a.ss) * sqrt(b2.ss)) AS cosine
          |  FROM dots JOIN sq a ON qid = a.vec_id JOIN sq b2 ON nid = b2.vec_id
@@ -145,16 +228,16 @@ object VectorQueries {
          |)
          |SELECT qid, rank, nid, bucket, cosine FROM ranked WHERE rank <= 3
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
-      val bucket = concat((1 to 6).map(i =>
-        when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
-      val b = embScaled(s, d).withColumn("bucket", bucket)
-      val cos = b.as("x")
-        .join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
-          col("x.bucket").as("bucket"),
-          (dotL(col("x.eL"), col("y.eL")) /
-            (sqrt(col("x.ss")) * sqrt(col("y.ss")))).as("cosine"))
+      val e = embScaled(s, d).localCheckpoint() // scan once: keys + both score fetches
+      val cand = annLshPairs(e, bits, tables, cap)
+      val cos = cand
+        .join(e.select(col("vec_id").as("qid"), col("eL").as("qL"),
+          col("ss").as("ss_a")), "qid")
+        .join(e.select(col("vec_id").as("nid"), col("eL").as("nL"),
+          col("ss").as("ss_b")), "nid")
+        .select(col("qid"), col("nid"), col("bucket"),
+          (dotL(col("qL"), col("nL")) / (sqrt(col("ss_a")) * sqrt(col("ss_b"))))
+            .as("cosine"))
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
       cos.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Skew guards for the two operators whose worst case is quadratic: a
+  * hot LSH bucket (t10) and a stopword token key (t4). These pin the
+  * bounded-fan-out behavior the 100 TB plan depends on — the caps must
+  * actually remove the degenerate keys from the self-joins. */
+class ScaleGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t10 LSH: an over-cap hot bucket is dropped, bounding the self-join") {
+    // 40 identical vectors → one hot bucket per table; 2 alternating
+    // vectors that share the hot vectors' even-dim signs but not the
+    // odd-dim ones, so they escape into their own bucket in table 1
+    val hot = (0 until 40).map(i => (i.toLong, Array.fill(64)(1.0f)))
+    val rest = Seq(
+      (100L, Array.tabulate(64)(d => if (d % 2 == 0) 1.0f else -1.0f)),
+      (101L, Array.tabulate(64)(d => if (d % 2 == 0) 1.0f else -1.0f)))
+    val emb = (hot ++ rest).toDF("vec_id", "embedding")
+    val pairs = VectorQueries.annLshPairs(emb, bits = 4, tables = 2, bucketCap = 10)
+      .collect()
+    // every bucket containing the 40 clones exceeds the cap and is
+    // dropped; only the 2-vector bucket in table 1 survives
+    assert(pairs.forall(_.getAs[Long]("qid") >= 100L))
+    assert(pairs.length == 2) // directed 100→101 and 101→100
+    // no surviving bucket's join input exceeds the cap → per-bucket
+    // fan-out is bounded by cap·(cap−1)
+    assert(pairs.length <= 10 * 9)
+    // the cap is observable, not silent: overflow names the hot buckets
+    val over = VectorQueries.annLshOverflow(emb, bits = 4, tables = 2, bucketCap = 10)
+      .collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("bn") >= 40L))
+    // sanity: without the cap the hot bucket join is quadratic
+    val uncapped = VectorQueries.annLshPairs(emb, 4, 2, 1000).count()
+    assert(uncapped == 42L * 41) // all 42 collide in table 0's bucket
+  }
+
+  test("t4 df cap: a universal stopword no longer fans out the join") {
+    // every doc shares "the"; unique tokens otherwise — with the cap
+    // live the inverted index has no hot key and the join is empty
+    val docs = (0 until 30).map(i => (i.toLong, "en", s"the unique$i token$i"))
+      .toDF("doc_id", "lang", "text")
+    val capped = TextQueries.ngramJaccardPairs(docs, dfCap = 10, threshold = 0.0)
+    assert(capped.count() == 0)
+    // without it, the "the" bucket alone produces all C(30,2) pairs
+    val uncapped = TextQueries.ngramJaccardPairs(docs, dfCap = 1000, threshold = 0.0)
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
+}
