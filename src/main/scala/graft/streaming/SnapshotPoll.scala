@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -63,9 +63,17 @@ object SnapshotPoll {
         col("last_status"), col("n_events"), col("sum_value"))
 
   /** One poll run over a snapshot directory: AvailableNow micro-batches,
-    * foreachBatch keyed upsert into an in-memory store with
-    * offline-fill for roster devices that produced no events.
-    * Returns the started query (caller awaits termination). */
+    * executor-side keyed upsert (foreachPartition — the micro-batch
+    * never lands on the driver) with offline-fill for roster devices
+    * that produced no events. Returns the started query (caller awaits
+    * termination).
+    *
+    * Sink shape: the closure captures only the store's registry id; each
+    * partition resolves its writer and streams rows through it — the
+    * MERGE INTO / connection-per-partition seam. Windowed state size is
+    * an executor concern, never driver memory. The roster, by contrast,
+    * is the small bounded dimension (the reference's device list) and
+    * stays a driver-side collect by design. */
   def run(spark: SparkSession, eventsDir: String, roster: DataFrame,
       store: SnapshotStore, windowDur: String = "1 hour",
       watermarkDelay: String = "1 hour"): StreamingQuery = {
@@ -73,17 +81,24 @@ object SnapshotPoll {
     val agg = windowedStatus(stream, windowDur, watermarkDelay)
     val rosterRows = roster.select(col("user_id").cast("long")).collect()
       .map(_.getLong(0))
+    val storeId = SnapshotStore.register(store)
     agg.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Last-writer-wins upsert per (user, window); offline-fill =
-        // roster keys never seen get the reference's unreachable default.
-        val rows = batch.collect()
-        store.upsertAll(rows.map { r =>
-          val key = (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("window_start"))
-          key -> r.getAs[String]("last_status")
-        })
+        // Last-writer-wins upsert per (user, window), partition-parallel
+        // on the executors; idempotent per key, so task retries are safe.
+        batch.foreachPartition { (it: Iterator[Row]) =>
+          val sink = SnapshotStore.resolve(storeId) // per-partition writer open
+          sink.upsertAll(it.map { r =>
+            (r.getAs[Long]("user_id"),
+              r.getAs[java.sql.Timestamp]("window_start")) ->
+              r.getAs[String]("last_status")
+          })
+        }
+        // offline-fill: roster keys never seen get the reference's
+        // unreachable default (toner_hp.py:63-66) — driver-side over the
+        // small roster only
         store.fillMissing(rosterRows, "offline")
         ()
       }
@@ -93,19 +108,38 @@ object SnapshotPoll {
 
 /** Minimal keyed sink for tests/demos: thread-safe last-writer-wins
   * map keyed (user_id, window_start) + per-user latest status. A
-  * production sink would be a Delta/Iceberg MERGE INTO — the calls are
-  * shaped for that swap. */
+  * production sink would be a Delta/Iceberg MERGE INTO or a JDBC
+  * upsert — `resolve` is where a cluster deployment would open the
+  * external connection instead of returning the in-JVM map (in
+  * local[n], executors share the JVM, so the registry IS the store). */
 final class SnapshotStore {
   private val m =
     scala.collection.concurrent.TrieMap.empty[(Long, java.sql.Timestamp), String]
   private val seen = scala.collection.concurrent.TrieMap.empty[Long, String]
 
-  def upsertAll(kvs: Seq[((Long, java.sql.Timestamp), String)]): Unit =
-    kvs.foreach { case (k, v) => m.put(k, v); seen.put(k._1, v) }
+  def upsertAll(kvs: IterableOnce[((Long, java.sql.Timestamp), String)]): Unit =
+    kvs.iterator.foreach { case (k, v) => m.put(k, v); seen.put(k._1, v) }
 
   def fillMissing(roster: Seq[Long], default: String): Unit =
     roster.foreach(u => seen.putIfAbsent(u, default))
 
   def latest: Map[Long, String] = seen.toMap
   def windows: Map[(Long, java.sql.Timestamp), String] = m.toMap
+}
+
+/** JVM-local registry so executor closures carry an id, not the store:
+  * the foreachPartition lambda stays serializable-by-construction and
+  * the external-writer swap point is a single method. */
+object SnapshotStore {
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, SnapshotStore]
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def register(s: SnapshotStore): String = {
+    val id = s"store-${ids.incrementAndGet()}"
+    registry.put(id, s)
+    id
+  }
+
+  def resolve(id: String): SnapshotStore = registry(id)
 }
