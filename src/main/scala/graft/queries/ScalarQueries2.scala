@@ -233,7 +233,40 @@ object ScalarQueries2 {
       .orderBy("p_partkey")
   }
 
+  /** F8 — `_safe_int`: int(float(str(x).strip())) else null
+    * (locations.py:11-17) — floats truncate toward zero, blanks and
+    * non-numerics null out. TRUNC mirrors Python int()'s
+    * toward-zero semantics (a bare DuckDB CAST would round). */
+  val f8SafeInt: QuerySpec = QuerySpec.sql(
+    "f8_safe_int",
+    """WITH t AS (SELECT o_orderkey,
+      |  CASE o_orderkey % 6
+      |    WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+      |    WHEN 1 THEN concat(' ', CAST(o_orderkey % 90 AS VARCHAR), '.75 ')
+      |    WHEN 2 THEN ''
+      |    WHEN 3 THEN NULL
+      |    WHEN 4 THEN 'n/a'
+      |    ELSE concat('-', CAST(o_orderkey % 50 AS VARCHAR), '.5') END AS raw
+      |FROM orders)
+      |SELECT o_orderkey, raw,
+      |  CAST(TRUNC(TRY_CAST(raw AS DOUBLE)) AS BIGINT) AS safe_int
+      |FROM t
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val k = col("o_orderkey")
+    Tables.orders(s, d)
+      .select(k,
+        when(k % 6 === 0, k.cast("string"))
+          .when(k % 6 === 1, concat(lit(" "), (k % 90).cast("string"), lit(".75 ")))
+          .when(k % 6 === 2, lit(""))
+          .when(k % 6 === 3, lit(null).cast("string"))
+          .when(k % 6 === 4, lit("n/a"))
+          .otherwise(concat(lit("-"), (k % 50).cast("string"), lit(".5")))
+          .as("raw"))
+      .withColumn("safe_int", Normalize.safeInt(col("raw")))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    f6Sanitize, f10PctSymbol, f12ToText, f16CleanDesc, f18SeverityRank,
-    f20NormalizeProblem, f23LabelPretty)
+    f6Sanitize, f8SafeInt, f10PctSymbol, f12ToText, f16CleanDesc,
+    f18SeverityRank, f20NormalizeProblem, f23LabelPretty)
 }

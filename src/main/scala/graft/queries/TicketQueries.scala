@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.tickets.TicketSearch
+
+/** Driver oracles for the ticket lookup/projection pair (SURVEY.md §2.3
+  * P7/P8) — the last reference operators that were spec-verified only.
+  * Printers are synthesized from `customer` with adversarial field
+  * shapes (padded ids, float-looking id STRINGS that Python's int()
+  * rejects, null/blank serial+model fallbacks, null cartridges) and the
+  * DuckDB twin hand-derives the reference outcome per shape
+  * (TonerOrder.py:26-48 search, :59-82 extract). Both are scan-local
+  * point filters/projections — no shuffle beyond the presentation sort. */
+object TicketQueries {
+
+  /** The synthesized printers fleet: one row per customer. */
+  private def printers(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    Tables.customer(s, d).select(
+      k.as("pid"),
+      when(k % 2 === 0, "Branches_Grouped").otherwise("Company_Grouped")
+        .as("group"),
+      when(k % 4 === 0, (k % 50).cast("string"))
+        .when(k % 4 === 1, concat(lit(" "), (k % 50).cast("string"), lit(" ")))
+        .when(k % 4 === 2, concat((k % 50).cast("string"), lit(".0")))
+        .otherwise(concat(lit("B"), (k % 50).cast("string"))).as("ID"),
+      when(k % 3 === 0, concat(lit("sn-"), (k % 40).cast("string")))
+        .when(k % 3 === 1, concat(lit(" SN-"), (k % 40).cast("string"), lit(" ")))
+        .otherwise(concat(lit("sx"), k.cast("string"))).as("Serial"),
+      when(k % 5 === 0, concat(lit("10.0.0."), (k % 30).cast("string")))
+        .when(k % 5 === 1, concat(lit(" 10.0.0."), (k % 30).cast("string"), lit(" ")))
+        .otherwise(concat(lit("192.168.1."), k.cast("string"))).as("Printer IP"))
+  }
+
+  private val PrintersSql =
+    """SELECT c_custkey AS pid,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'Branches_Grouped'
+      |       ELSE 'Company_Grouped' END AS "group",
+      |  CASE c_custkey % 4
+      |    WHEN 0 THEN CAST(c_custkey % 50 AS VARCHAR)
+      |    WHEN 1 THEN concat(' ', CAST(c_custkey % 50 AS VARCHAR), ' ')
+      |    WHEN 2 THEN concat(CAST(c_custkey % 50 AS VARCHAR), '.0')
+      |    ELSE concat('B', CAST(c_custkey % 50 AS VARCHAR)) END AS "ID",
+      |  CASE c_custkey % 3
+      |    WHEN 0 THEN concat('sn-', CAST(c_custkey % 40 AS VARCHAR))
+      |    WHEN 1 THEN concat(' SN-', CAST(c_custkey % 40 AS VARCHAR), ' ')
+      |    ELSE concat('sx', CAST(c_custkey AS VARCHAR)) END AS "Serial",
+      |  CASE c_custkey % 5
+      |    WHEN 0 THEN concat('10.0.0.', CAST(c_custkey % 30 AS VARCHAR))
+      |    WHEN 1 THEN concat(' 10.0.0.', CAST(c_custkey % 30 AS VARCHAR), ' ')
+      |    ELSE concat('192.168.1.', CAST(c_custkey AS VARCHAR)) END AS "Printer IP"
+      |FROM customer""".stripMargin
+
+  /** P7 — three probes through `TicketSearch.byField`, tagged and
+    * unioned: an id probe (int() on both sides, so " 42 " matches and
+    * the STRING "42.0" does not), a case-folded serial probe in the
+    * other group, and an exact-trimmed ip probe. */
+  val p7TicketLookup: QuerySpec = QuerySpec.sql(
+    "p7_ticket_lookup",
+    s"""WITH p AS ($PrintersSql)
+       |SELECT probe, pid, "group", "ID" AS id, "Serial" AS serial,
+       |  "Printer IP" AS printer_ip
+       |FROM (
+       |  SELECT 'id' AS probe, * FROM p
+       |  WHERE "group" = 'Branches_Grouped' AND
+       |    CASE WHEN regexp_matches(trim("ID"), '^[+-]?[0-9]+$$')
+       |         THEN TRY_CAST(trim("ID") AS BIGINT) = 42
+       |         ELSE trim("ID") = '42' END
+       |  UNION ALL
+       |  SELECT 'serial' AS probe, * FROM p
+       |  WHERE "group" = 'Company_Grouped' AND upper(trim("Serial")) = 'SN-7'
+       |  UNION ALL
+       |  SELECT 'ip' AS probe, * FROM p
+       |  WHERE "group" = 'Branches_Grouped' AND trim("Printer IP") = '10.0.0.9'
+       |)
+       |ORDER BY probe, pid""".stripMargin) { (s, d) =>
+    val p = printers(s, d)
+    def tag(t: String, found: DataFrame): DataFrame =
+      found.select(lit(t).as("probe"), col("pid"), col("group"),
+        col("ID").as("id"), col("Serial").as("serial"),
+        col("Printer IP").as("printer_ip"))
+    tag("id", TicketSearch.byField(p, "Branches_Grouped", "id", "42"))
+      .unionByName(tag("serial",
+        TicketSearch.byField(p, "Company_Grouped", "serial", "sn-7")))
+      .unionByName(tag("ip",
+        TicketSearch.byField(p, "Branches_Grouped", "ip", "10.0.0.9")))
+      .orderBy("probe", "pid")
+  }
+
+  /** P8 — full projection through `TicketSearch.extract`: Python-or
+    * model fallback (""/null Model falls through to Type), Company
+    * constants vs stripped storeInfo fields, null-key "" defaults, and
+    * the cartridge walk (strip, drop blanks, str(None)=="None", first-
+    * seen dedup) flattened to a comma join for hashing. */
+  val p8TicketExtract: QuerySpec = QuerySpec.sql(
+    "p8_ticket_extract",
+    """WITH e AS (SELECT c_custkey AS pid,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'Branches_Grouped'
+      |       ELSE 'Company_Grouped' END AS grp,
+      |  CASE c_custkey % 3
+      |    WHEN 0 THEN CAST(c_custkey AS VARCHAR)
+      |    WHEN 1 THEN concat(' ', CAST(c_custkey AS VARCHAR), ' ')
+      |    ELSE NULL END AS id_raw,
+      |  CASE WHEN c_custkey % 4 = 0 THEN NULL
+      |       ELSE concat(' sn', CAST(c_custkey AS VARCHAR)) END AS serial_raw,
+      |  CASE c_custkey % 4
+      |    WHEN 0 THEN concat('M-', CAST(c_custkey % 9 AS VARCHAR))
+      |    WHEN 3 THEN concat(' M', CAST(c_custkey % 9 AS VARCHAR), ' ')
+      |    ELSE CASE WHEN c_custkey % 2 = 0
+      |              THEN concat('T-', CAST(c_custkey % 5 AS VARCHAR))
+      |              ELSE '' END END AS model_raw,
+      |  CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |       ELSE concat('Addr ', CAST(c_custkey % 7 AS VARCHAR)) END AS loc_raw,
+      |  CASE WHEN c_custkey % 6 = 0 THEN NULL
+      |       ELSE concat(' Mgr ', CAST(c_custkey % 11 AS VARCHAR)) END AS mgr_raw,
+      |  CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |       ELSE concat('05-', CAST(c_custkey % 1000 AS VARCHAR)) END AS phone_raw
+      |FROM customer)
+      |SELECT pid,
+      |  'סטימצקי' AS customer,
+      |  trim(coalesce(id_raw, '')) AS branch_id,
+      |  trim(coalesce(serial_raw, '')) AS serial,
+      |  trim(model_raw) AS model,
+      |  CASE WHEN grp = 'Company_Grouped'
+      |       THEN 'מתחם לב הארץ 0, ראש העין שדרות הדלקים'
+      |       ELSE trim(coalesce(loc_raw, '')) END AS address,
+      |  CASE WHEN grp = 'Company_Grouped' THEN 'דימה'
+      |       ELSE trim(coalesce(mgr_raw, '')) END AS contact,
+      |  CASE WHEN grp = 'Company_Grouped' THEN '0542050462'
+      |       ELSE trim(coalesce(phone_raw, '')) END AS phone,
+      |  grp AS "group",
+      |  CASE pid % 4 WHEN 0 THEN 'Black,Cyan'
+      |       WHEN 1 THEN 'None,Yellow' ELSE '' END AS colors
+      |FROM e
+      |ORDER BY pid""".stripMargin) { (s, d) =>
+    val k = col("c_custkey")
+    val cart = (c: Column) => struct(c.as("cartridge"))
+    val entries = Tables.customer(s, d).select(
+      k.as("pid"),
+      when(k % 2 === 0, "Branches_Grouped").otherwise("Company_Grouped")
+        .as("group"),
+      when(k % 3 === 0, k.cast("string"))
+        .when(k % 3 === 1, concat(lit(" "), k.cast("string"), lit(" ")))
+        .as("ID"),
+      when(k % 4 =!= 0, concat(lit(" sn"), k.cast("string"))).as("Serial"),
+      when(k % 4 === 0, concat(lit("M-"), (k % 9).cast("string")))
+        .when(k % 4 === 3, concat(lit(" M"), (k % 9).cast("string"), lit(" ")))
+        .when(k % 4 === 1, lit("")).as("Model"),
+      when(k % 2 === 0, concat(lit("T-"), (k % 5).cast("string")))
+        .otherwise("").as("Type"),
+      struct(
+        when(k % 5 =!= 0, concat(lit("Addr "), (k % 7).cast("string")))
+          .as("Location"),
+        when(k % 6 =!= 0, concat(lit(" Mgr "), (k % 11).cast("string")))
+          .as("Manager"),
+        when(k % 7 =!= 0, concat(lit("05-"), (k % 1000).cast("string")))
+          .as("Phone")).as("storeInfo"),
+      when(k % 4 === 0,
+        struct(array(cart(lit("Black")), cart(lit(" Black ")), cart(lit("Cyan")))
+          .as("cartridges")))
+        .when(k % 4 === 1,
+          struct(array(cart(lit("")), cart(lit(null).cast("string")),
+            cart(lit("Yellow"))).as("cartridges")))
+        .when(k % 4 === 2,
+          struct(array().cast("array<struct<cartridge:string>>")
+            .as("cartridges")))
+        .as("printerInfo"))
+    TicketSearch.extract(entries, keep = Seq("pid"))
+      .select(col("pid"), col("customer"), col("branch_id"), col("serial"),
+        col("model"), col("address"), col("contact"), col("phone"),
+        col("group"), array_join(col("colors"), ",").as("colors"))
+      .orderBy("pid")
+  }
+
+  val all: Seq[QuerySpec] = Seq(p7TicketLookup, p8TicketExtract)
+}

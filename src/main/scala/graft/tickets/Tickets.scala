@@ -29,22 +29,39 @@ final case class TicketItem(label: String, qty: Int)
 
 object TicketSearch {
 
+  /** Python `int(x)` on a string: succeeds only for an integer literal
+    * (optionally signed, whitespace-trimmed) — "7.0" RAISES. On a
+    * numeric value it truncates toward zero. Null when unparseable. */
+  private def pyInt(c: Column, numericSource: Boolean): Column =
+    if (numericSource) c.cast("long")
+    else {
+      val t = trim(c.cast("string"))
+      when(t.rlike("^[+-]?[0-9]+$"), t.try_cast("long"))
+    }
+
   /** P7 — field-equality lookup within a chosen group
-    * (TonerOrder.py:26-48): `id` compares numerically with string
-    * fallback, `serial` case-insensitively, `ip` exactly (trimmed). */
+    * (TonerOrder.py:26-48): `id` compares via `int()` on BOTH sides
+    * with a trimmed-string fallback when either raises — so "7.0"
+    * stored as a STRING does not match "7" (int("7.0") raises → string
+    * compare), but 7.0 stored as a NUMBER does (int(7.0) truncates);
+    * the column's dtype carries the JSON number/string distinction.
+    * `serial` compares case-insensitively, `ip` exactly (trimmed).
+    * Nulls read as the reference's missing-key default "". */
   def byField(printers: DataFrame, group: String, field: String,
       value: String): DataFrame = {
     val v = lit(value)
+    def s(name: String): Column =
+      trim(coalesce(col(name).cast("string"), lit("")))
     val cond: Column = field match {
       case "id" =>
-        // int(float(v)) compare like the reference (handles "7.0"),
-        // string-trim fallback otherwise.
-        val idNum = col("ID").cast("string").try_cast("double")
-        val vNum = v.try_cast("double")
-        (idNum.isNotNull && vNum.isNotNull && idNum === vNum) ||
-          trim(col("ID").cast("string")) === trim(v)
-      case "serial" => upper(trim(col("Serial"))) === upper(trim(v))
-      case "ip"     => trim(col("Printer IP")) === trim(v)
+        val numericId = printers.schema.fields.find(_.name == "ID")
+          .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        val idInt = pyInt(col("ID"), numericId)
+        val vInt = pyInt(v, numericSource = false)
+        when(idInt.isNotNull && vInt.isNotNull, idInt === vInt)
+          .otherwise(s("ID") === trim(v))
+      case "serial" => upper(s("Serial")) === upper(trim(v))
+      case "ip"     => s("Printer IP") === trim(v)
       case other    => throw new IllegalArgumentException(s"field: $other")
     }
     printers.where(col("group") === group && cond)
@@ -62,7 +79,7 @@ object TicketSearch {
     * Model/Type then strip (Python `or` semantics — empty string falls
     * through, blank-after-strip does not); colors = first-seen-ordered
     * distinct of stripped non-empty cartridge names (:50-57). */
-  def extract(found: DataFrame): DataFrame = {
+  def extract(found: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val isCompany = col("group") === "Company_Grouped"
     def truthy(c: Column): Column =
       when(c.isNotNull && c.cast("string") =!= "", c.cast("string"))
@@ -77,7 +94,7 @@ object TicketSearch {
     val colorNames = transform(
       col("printerInfo").getField("cartridges"),
       c => coalesce(trim(c.getField("cartridge").cast("string")), lit("None")))
-    found.select(
+    found.select(keep.map(col) ++ Seq(
       lit("סטימצקי").as("customer"),
       strStrip(col("ID")).as("branch_id"),
       strStrip(col("Serial")).as("serial"),
@@ -90,7 +107,7 @@ object TicketSearch {
         .otherwise(strStrip(si.getField("Phone"))).as("phone"),
       col("group"),
       coalesce(array_distinct(filter(colorNames, c => c =!= "")), array())
-        .as("colors"))
+        .as("colors")): _*)
   }
 
   def toTicket(r: Row): Ticket = Ticket(

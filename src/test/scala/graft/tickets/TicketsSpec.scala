@@ -9,13 +9,24 @@ class TicketsSpec extends SparkSpec {
     DocumentIngest.readDocument(spark,
       getClass.getResource("/printers.json").getPath))
 
-  test("P7: id lookup — numeric compare with string fallback") {
-    // "7.0" and " 7\n" both live in Company; searching id=7 matches the
-    // numeric one ("7.0" casts to 7) and the trimmed string one.
+  test("P7: id lookup — int() compare with string fallback") {
+    // "7.0" and " 7\n" both live in Company as STRINGS; Python's
+    // int("7.0") raises (TonerOrder.py:26-30), so only the
+    // whitespace-trimmed integer literal " 7\n" matches id=7 — the
+    // float-looking string falls to the (failing) string compare.
     val hits = TicketSearch.byField(printers, "Company_Grouped", "id", "7")
-    assert(hits.count() == 2)
+    assert(hits.count() == 1)
     val none = TicketSearch.byField(printers, "Branches_Grouped", "id", "7")
     assert(none.count() == 0)
+  }
+
+  test("P7: a NUMERIC id column truncates like Python int(7.9)") {
+    import spark.implicits._
+    val df = Seq((7.9, "Company_Grouped"), (8.0, "Company_Grouped"))
+      .toDF("ID", "group")
+    // int(7.9) == int("7") → truncation, not rounding
+    assert(TicketSearch.byField(df, "Company_Grouped", "id", "7").count() == 1)
+    assert(TicketSearch.byField(df, "Company_Grouped", "id", "8").count() == 1)
   }
 
   test("P7: serial is case-insensitive, ip exact") {
