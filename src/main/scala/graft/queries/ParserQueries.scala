@@ -420,7 +420,66 @@ object ParserQueries {
       .orderBy("doc_id")
   }
 
+  /** X7 — Brother status.html scrape through the real regex parser
+    * (brother_toner_web.py:63-95): per supplier, synthesize the
+    * fixed-layout ink table — row 1 bar `<td>`s with heights carried in
+    * all four reference positions (img height attr, img style height,
+    * td height attr, td style height) plus a heightless bar, row 2
+    * `<th>` labels incl. a blank one that is removed BEFORE the
+    * positional zip — and let DuckDB derive each bar's clamped percent
+    * and prettied label directly from the key. Odd suppliers get the
+    * `inkLevelMono` fallback id; every 10th supplier has no table and
+    * must emit nothing. The blank 5th label zips away the heightless
+    * 6th bar; bar 5 keeps a null percent (no readable height). */
+  val x7BrotherBars: QuerySpec = QuerySpec.sql(
+    "x7_brother_bars",
+    """WITH s AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 <> 0),
+      |bars AS (
+      |  SELECT s_suppkey, 0 AS bar_idx, 'Black' AS cartridge,
+      |    concat(CAST(least(s_suppkey % 120, 100) AS VARCHAR), '%') AS remaining_percent
+      |  FROM s
+      |  UNION ALL
+      |  SELECT s_suppkey, 1, 'Cyan',
+      |    concat(CAST((s_suppkey * 7) % 100 AS VARCHAR), '%') FROM s
+      |  UNION ALL
+      |  SELECT s_suppkey, 2, 'Magenta',
+      |    concat(CAST(s_suppkey % 50 AS VARCHAR), '%') FROM s
+      |  UNION ALL
+      |  SELECT s_suppkey, 3, 'Yellow',
+      |    concat(CAST((s_suppkey * 3) % 100 AS VARCHAR), '%') FROM s
+      |  UNION ALL
+      |  SELECT s_suppkey, 4, 'UNK', NULL FROM s
+      |)
+      |SELECT s_suppkey, bar_idx, cartridge, remaining_percent
+      |FROM bars
+      |ORDER BY s_suppkey, bar_idx""".stripMargin) { (s, d) =>
+    val k = col("s_suppkey")
+    val tableId = when(k % 2 === 0, "inkLevel").otherwise("inkLevelMono")
+    val html = concat(
+      lit("<html><body><table id=\""), tableId, lit("\"><tbody>"),
+      lit("<tr><th colspan=\"6\">Ink level</th></tr><tr>"),
+      // all four height carriers, in the reference's probe order
+      lit("<td><img src=\"b\" height=\""), (k % 120).cast("string"),
+      lit("\"/></td>"),
+      lit("<td><img src=\"b\" style=\"height:"), ((k * 7) % 100).cast("string"),
+      lit("px\"/></td>"),
+      lit("<td height=\""), (k % 50).cast("string"), lit("\"></td>"),
+      lit("<td style=\"HEIGHT: "), ((k * 3) % 100).cast("string"),
+      lit("px\"></td>"),
+      lit("<td><img src=\"no-height\"/></td>"),
+      lit("<td><img src=\"b\" height=\"30\"/></td>"),
+      lit("</tr><tr><th>BK</th><th>cyan!</th><th>M</th><th>YELLOW</th>") ,
+      lit("<th>unk#</th><th> </th></tr>"),
+      lit("</tbody></table></body></html>"))
+    val payloads = Tables.supplier(s, d)
+      .select(k,
+        when(k % 10 === 0, lit("<html>no ink table here</html>"))
+          .otherwise(html).as("html"))
+    PayloadParsers.brotherInkLevels(payloads, "s_suppkey")
+      .orderBy("s_suppkey", "bar_idx")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x1LedmEventElection, x2EwsPickAlert, x3JsonAlertExtract,
-    x4SnmpAlertDecide, x5TonerCodePairs, x6TonerIdPick)
+    x4SnmpAlertDecide, x5TonerCodePairs, x6TonerIdPick, x7BrotherBars)
 }
