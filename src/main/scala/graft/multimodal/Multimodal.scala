@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * partition-parallel transforms.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape,
-  * deterministic outputs — is real and tested. The actual codec calls
-  * are STUBBED (no image/audio libraries in this build): every place a
-  * real decoder would run is marked `STUB:` and produces a
-  * deterministic fake derived from the bytes, so tests are stable and
-  * the stub swap is mechanical.
+  * deterministic outputs — is real and tested. The IMAGE decode path is
+  * also real: the JDK's `javax.imageio` reads PNG/JPEG/GIF/BMP bytes to
+  * actual pixel dimensions. Audio/video codec calls remain STUBBED (no
+  * media libraries in this build): each such site is marked `STUB:` and
+  * produces a deterministic fake derived from the bytes, so tests are
+  * stable and the codec swap is mechanical.
   *
   * Scale notes: content rides in the row (parquet binary) — at lake
   * scale the column is typically a reference (uri, offset, nbytes) into
@@ -29,7 +30,7 @@ object Multimodal {
   final case class MediaRow(mediaId: Long, kind: String, content: Array[Byte],
       meta: MediaMeta)
   final case class Decoded(mediaId: Long, kind: String, nBytes: Int,
-      meanByte: Double, checksum: Long)
+      meanByte: Double, checksum: Long, width: Int, height: Int)
   final case class Features(mediaId: Long, embedding: Array[Float])
 
   /** Deterministic fixture table: stable pseudo-random bytes per id. */
@@ -50,19 +51,34 @@ object Multimodal {
   }
 
   /** Decode pass: partition-parallel, codec init amortized per
-    * partition. STUB: a real implementation would construct the codec
-    * here (once per partition) and decode each blob; the deterministic
-    * fake summarizes the bytes instead — identical plumbing, fake
-    * pixels. */
+    * partition. Images go through a REAL codec — the JDK's ImageIO
+    * (PNG/JPEG/GIF/BMP readers ship with the JRE): width/height come
+    * from actual decoded pixels; bytes ImageIO cannot parse (and
+    * non-image kinds) carry (0, 0) and keep the deterministic byte
+    * summary. Audio/video remain STUB: no codec libraries in this
+    * build — a real implementation would open the decoder at the
+    * per-partition init point below. */
   def decode(media: Dataset[MediaRow]): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // STUB: val codec = Codec.open(...)   // per-partition init point
+      // per-partition codec init: prime ImageIO's plugin registry once
+      // (and disable the on-disk cache — executor temp dirs may not
+      // exist); STUB: audio/video codecs would open here too
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xff))
+        val (w, h) =
+          if (m.kind == "image") {
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(m.content))
+              catch { case _: Exception => null }
+            if (img != null) (img.getWidth, img.getHeight) else (0, 0)
+          } else (0, 0)
         Decoded(m.mediaId, m.kind, m.content.length,
           sum.toDouble / m.content.length,
-          m.content.foldLeft(1125899906842597L)((a, b) => 31 * a + (b & 0xff)))
+          m.content.foldLeft(1125899906842597L)((a, b) => 31 * a + (b & 0xff)),
+          w, h)
       }
     }
   }

@@ -28,6 +28,26 @@ class MultimodalSpec extends SparkSpec {
     assert(d.view.mapValues(_.checksum).toMap == d2)
   }
 
+  test("decode: a real PNG yields pixel dimensions from the actual codec") {
+    import spark.implicits._
+    // encode a genuine 17x9 PNG in-memory; add a second row of
+    // non-image bytes claiming to be an image
+    val img = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 9).foreach(y => (0 until 17).foreach(x =>
+      img.setRGB(x, y, (x * 31 + y * 7) << 8)))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", buf.toByteArray,
+        Multimodal.MediaMeta("png", 17, 9, 0, 0)),
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3, 4),
+        Multimodal.MediaMeta("png", 0, 0, 0, 0)))
+    val d = Multimodal.decode(rows.toDS()).collect().map(x => x.mediaId -> x).toMap
+    assert(d(1L).width == 17 && d(1L).height == 9)
+    assert(d(2L).width == 0 && d(2L).height == 0) // unparseable → no dims
+  }
+
   test("features: fixed-dim embeddings, deterministic") {
     val f = Multimodal.features(media, dim = 16).collect()
     assert(f.length == 30)
