@@ -129,10 +129,17 @@ object DocumentIngest {
     // norm_ip (core/printers.py:28-33): the scan stops at the first
     // TRUTHY value — an empty string falls through to the next key,
     // but whitespace is truthy and returns its trim (possibly "").
+    // Python truthiness is type-aware: numeric 0 is falsy (skipped)
+    // even though the string "0" is truthy — the column dtype carries
+    // that distinction here.
     val candidates = Seq("Printer IP", "IP", "ip").filter(df.columns.contains)
     val picks = candidates.map { c =>
-      val s = col(c).cast(StringType)
-      when(s.isNotNull && s =!= "", trim(s))
+      val truthy = df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          col(c).isNotNull && col(c) =!= 0
+        case _ => col(c).isNotNull && col(c).cast(StringType) =!= ""
+      }
+      when(truthy, trim(col(c).cast(StringType)))
     }
     coalesce(picks :+ lit(null).cast(StringType): _*)
   }
