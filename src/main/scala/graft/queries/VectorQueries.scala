@@ -150,10 +150,14 @@ object VectorQueries {
     }
     val keyed = emb
       .select(col("vec_id"), posexplode(array(keyCols: _*)).as(Seq("tbl", "bkey")))
-      .localCheckpoint() // reused by the screen and both join sides
-    val ok = keyed.groupBy("tbl", "bkey").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= bucketCap).select("tbl", "bkey")
-    val kept = keyed.join(ok, Seq("tbl", "bkey"))
+    // the cap screen is a window count over the SAME (tbl, bkey)
+    // partitioning the self-join needs — one exchange feeds both, no
+    // separate count-aggregate + join-back
+    val kept = keyed
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy("tbl", "bkey")))
+      .filter(col("bn") <= bucketCap).drop("bn")
+      .localCheckpoint() // materialized once, reused by both join sides
     kept.as("x")
       .join(kept.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
