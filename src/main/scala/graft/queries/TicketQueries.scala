@@ -16,7 +16,10 @@ import graft.tickets.TicketSearch
   * point filters/projections — no shuffle beyond the presentation sort. */
 object TicketQueries {
 
-  /** The synthesized printers fleet: one row per customer. */
+  /** The synthesized printers fleet: one row per customer. Padded
+    * variants use TAB + NEWLINE (not just spaces) so the engine's
+    * Python-strip semantics — str.strip() removes \t\n too — are
+    * hash-gated, not only space-trim. */
   private def printers(s: SparkSession, d: String): DataFrame = {
     val k = col("c_custkey")
     Tables.customer(s, d).select(
@@ -24,33 +27,38 @@ object TicketQueries {
       when(k % 2 === 0, "Branches_Grouped").otherwise("Company_Grouped")
         .as("group"),
       when(k % 4 === 0, (k % 50).cast("string"))
-        .when(k % 4 === 1, concat(lit(" "), (k % 50).cast("string"), lit(" ")))
+        .when(k % 4 === 1, concat(lit("\t"), (k % 50).cast("string"), lit("\n")))
         .when(k % 4 === 2, concat((k % 50).cast("string"), lit(".0")))
         .otherwise(concat(lit("B"), (k % 50).cast("string"))).as("ID"),
       when(k % 3 === 0, concat(lit("sn-"), (k % 40).cast("string")))
-        .when(k % 3 === 1, concat(lit(" SN-"), (k % 40).cast("string"), lit(" ")))
+        .when(k % 3 === 1, concat(lit("\tSN-"), (k % 40).cast("string"), lit("\n")))
         .otherwise(concat(lit("sx"), k.cast("string"))).as("Serial"),
       when(k % 5 === 0, concat(lit("10.0.0."), (k % 30).cast("string")))
-        .when(k % 5 === 1, concat(lit(" 10.0.0."), (k % 30).cast("string"), lit(" ")))
+        .when(k % 5 === 1, concat(lit("\t10.0.0."), (k % 30).cast("string"), lit("\n")))
         .otherwise(concat(lit("192.168.1."), k.cast("string"))).as("Printer IP"))
   }
 
+  // DuckDB twin of Python str.strip(): RE2 \s = [ \t\n\f\r] (no \x0B,
+  // which the synthesis never emits).
+  private def strip(e: String): String =
+    s"regexp_replace($e, '^\\s+|\\s+$$', '', 'g')"
+
   private val PrintersSql =
-    """SELECT c_custkey AS pid,
+    s"""SELECT c_custkey AS pid,
       |  CASE WHEN c_custkey % 2 = 0 THEN 'Branches_Grouped'
       |       ELSE 'Company_Grouped' END AS "group",
       |  CASE c_custkey % 4
       |    WHEN 0 THEN CAST(c_custkey % 50 AS VARCHAR)
-      |    WHEN 1 THEN concat(' ', CAST(c_custkey % 50 AS VARCHAR), ' ')
+      |    WHEN 1 THEN concat(chr(9), CAST(c_custkey % 50 AS VARCHAR), chr(10))
       |    WHEN 2 THEN concat(CAST(c_custkey % 50 AS VARCHAR), '.0')
       |    ELSE concat('B', CAST(c_custkey % 50 AS VARCHAR)) END AS "ID",
       |  CASE c_custkey % 3
       |    WHEN 0 THEN concat('sn-', CAST(c_custkey % 40 AS VARCHAR))
-      |    WHEN 1 THEN concat(' SN-', CAST(c_custkey % 40 AS VARCHAR), ' ')
+      |    WHEN 1 THEN concat(chr(9), 'SN-', CAST(c_custkey % 40 AS VARCHAR), chr(10))
       |    ELSE concat('sx', CAST(c_custkey AS VARCHAR)) END AS "Serial",
       |  CASE c_custkey % 5
       |    WHEN 0 THEN concat('10.0.0.', CAST(c_custkey % 30 AS VARCHAR))
-      |    WHEN 1 THEN concat(' 10.0.0.', CAST(c_custkey % 30 AS VARCHAR), ' ')
+      |    WHEN 1 THEN concat(chr(9), '10.0.0.', CAST(c_custkey % 30 AS VARCHAR), chr(10))
       |    ELSE concat('192.168.1.', CAST(c_custkey AS VARCHAR)) END AS "Printer IP"
       |FROM customer""".stripMargin
 

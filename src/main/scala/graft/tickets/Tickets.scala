@@ -29,13 +29,20 @@ final case class TicketItem(label: String, qty: Int)
 
 object TicketSearch {
 
+  /** Python `str.strip()`: removes ALL leading/trailing whitespace —
+    * \t \n \r \f \x0B as well as spaces. Spark's `trim` strips spaces
+    * only, so a tab-padded id like "7\t" would diverge; Java regex \s
+    * is exactly Python's ASCII whitespace class. */
+  private def pyStrip(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Python `int(x)` on a string: succeeds only for an integer literal
     * (optionally signed, whitespace-trimmed) — "7.0" RAISES. On a
     * numeric value it truncates toward zero. Null when unparseable. */
   private def pyInt(c: Column, numericSource: Boolean): Column =
     if (numericSource) c.cast("long")
     else {
-      val t = trim(c.cast("string"))
+      val t = pyStrip(c.cast("string"))
       when(t.rlike("^[+-]?[0-9]+$"), t.try_cast("long"))
     }
 
@@ -51,7 +58,7 @@ object TicketSearch {
       value: String): DataFrame = {
     val v = lit(value)
     def s(name: String): Column =
-      trim(coalesce(col(name).cast("string"), lit("")))
+      pyStrip(coalesce(col(name).cast("string"), lit("")))
     val cond: Column = field match {
       case "id" =>
         val numericId = printers.schema.fields.find(_.name == "ID")
@@ -59,18 +66,18 @@ object TicketSearch {
         val idInt = pyInt(col("ID"), numericId)
         val vInt = pyInt(v, numericSource = false)
         when(idInt.isNotNull && vInt.isNotNull, idInt === vInt)
-          .otherwise(s("ID") === trim(v))
-      case "serial" => upper(s("Serial")) === upper(trim(v))
-      case "ip"     => s("Printer IP") === trim(v)
+          .otherwise(s("ID") === pyStrip(v))
+      case "serial" => upper(s("Serial")) === upper(pyStrip(v))
+      case "ip"     => s("Printer IP") === pyStrip(v)
       case other    => throw new IllegalArgumentException(s"field: $other")
     }
     printers.where(col("group") === group && cond)
   }
 
   /** Python `str(x or "")` + strip: null → "", everything else via
-    * string cast then trim. */
+    * string cast then full-whitespace strip. */
   private def strStrip(c: Column): Column =
-    trim(coalesce(c.cast("string"), lit("")))
+    pyStrip(coalesce(c.cast("string"), lit("")))
 
   /** P8 + A7 — projection to ticket fields (TonerOrder.py:59-82):
     * customer is the constant "סטימצקי" for BOTH groups; the Company
@@ -93,12 +100,13 @@ object TicketSearch {
     // A null cartridge value is Python None → str(None) == "None".
     val colorNames = transform(
       col("printerInfo").getField("cartridges"),
-      c => coalesce(trim(c.getField("cartridge").cast("string")), lit("None")))
+      c => coalesce(pyStrip(c.getField("cartridge").cast("string")),
+        lit("None")))
     found.select(keep.map(col) ++ Seq(
       lit("סטימצקי").as("customer"),
       strStrip(col("ID")).as("branch_id"),
       strStrip(col("Serial")).as("serial"),
-      trim(modelRaw).as("model"),
+      pyStrip(modelRaw).as("model"),
       when(isCompany, lit("מתחם לב הארץ 0, ראש העין שדרות הדלקים"))
         .otherwise(strStrip(si.getField("Location"))).as("address"),
       when(isCompany, lit("דימה"))
