@@ -62,10 +62,13 @@ object TicketQueries {
       |    ELSE concat('192.168.1.', CAST(c_custkey AS VARCHAR)) END AS "Printer IP"
       |FROM customer""".stripMargin
 
-  /** P7 — three probes through `TicketSearch.byField`, tagged and
-    * unioned: an id probe (int() on both sides, so " 42 " matches and
-    * the STRING "42.0" does not), a case-folded serial probe in the
-    * other group, and an exact-trimmed ip probe. */
+  /** P7 — four probes through `TicketSearch.byField`, tagged and
+    * unioned: an id probe (int() on both sides, so "42" matches and
+    * the STRING "42.0" does not), an id2 probe in the Company group
+    * whose value 17 is odd-reachable so the \t17\n padded-ID variant
+    * (k%4==1 → odd keys) is hash-gated, a case-folded serial probe
+    * (hits the \tSN-7\n padded rows), and an exact-stripped ip probe
+    * whose value 6 ≡ 1 (mod 5) so only the padded ip variant matches. */
   val p7TicketLookup: QuerySpec = QuerySpec.sql(
     "p7_ticket_lookup",
     s"""WITH p AS ($PrintersSql)
@@ -74,15 +77,23 @@ object TicketQueries {
        |FROM (
        |  SELECT 'id' AS probe, * FROM p
        |  WHERE "group" = 'Branches_Grouped' AND
-       |    CASE WHEN regexp_matches(trim("ID"), '^[+-]?[0-9]+$$')
-       |         THEN TRY_CAST(trim("ID") AS BIGINT) = 42
-       |         ELSE trim("ID") = '42' END
+       |    CASE WHEN regexp_matches(${strip("\"ID\"")}, '^[+-]?[0-9]+$$')
+       |         THEN TRY_CAST(${strip("\"ID\"")} AS BIGINT) = 42
+       |         ELSE ${strip("\"ID\"")} = '42' END
+       |  UNION ALL
+       |  SELECT 'id2' AS probe, * FROM p
+       |  WHERE "group" = 'Company_Grouped' AND
+       |    CASE WHEN regexp_matches(${strip("\"ID\"")}, '^[+-]?[0-9]+$$')
+       |         THEN TRY_CAST(${strip("\"ID\"")} AS BIGINT) = 17
+       |         ELSE ${strip("\"ID\"")} = '17' END
        |  UNION ALL
        |  SELECT 'serial' AS probe, * FROM p
-       |  WHERE "group" = 'Company_Grouped' AND upper(trim("Serial")) = 'SN-7'
+       |  WHERE "group" = 'Company_Grouped' AND
+       |    upper(${strip("\"Serial\"")}) = 'SN-7'
        |  UNION ALL
        |  SELECT 'ip' AS probe, * FROM p
-       |  WHERE "group" = 'Branches_Grouped' AND trim("Printer IP") = '10.0.0.9'
+       |  WHERE "group" = 'Branches_Grouped' AND
+       |    ${strip("\"Printer IP\"")} = '10.0.0.6'
        |)
        |ORDER BY probe, pid""".stripMargin) { (s, d) =>
     val p = printers(s, d)
@@ -91,10 +102,12 @@ object TicketQueries {
         col("ID").as("id"), col("Serial").as("serial"),
         col("Printer IP").as("printer_ip"))
     tag("id", TicketSearch.byField(p, "Branches_Grouped", "id", "42"))
+      .unionByName(tag("id2",
+        TicketSearch.byField(p, "Company_Grouped", "id", "17")))
       .unionByName(tag("serial",
         TicketSearch.byField(p, "Company_Grouped", "serial", "sn-7")))
       .unionByName(tag("ip",
-        TicketSearch.byField(p, "Branches_Grouped", "ip", "10.0.0.9")))
+        TicketSearch.byField(p, "Branches_Grouped", "ip", "10.0.0.6")))
       .orderBy("probe", "pid")
   }
 

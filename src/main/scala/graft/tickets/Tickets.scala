@@ -32,7 +32,10 @@ object TicketSearch {
   /** Python `str.strip()`: removes ALL leading/trailing whitespace —
     * \t \n \r \f \x0B as well as spaces. Spark's `trim` strips spaces
     * only, so a tab-padded id like "7\t" would diverge; Java regex \s
-    * is exactly Python's ASCII whitespace class. */
+    * is exactly Python's ASCII whitespace class. Residual fidelity gap:
+    * Python also strips Unicode whitespace (U+00A0, U+2028, ...) which
+    * Java \s does not match — switch to `(?U)\s` if real-world inputs carry
+    * non-ASCII padding (the synthesized fixtures never do). */
   private def pyStrip(c: Column): Column =
     regexp_replace(c, "^\\s+|\\s+$", "")
 
