@@ -1,54 +1,53 @@
 package graft
 
+import java.util.Locale
+
 import graft.spark.Sessions
 
-/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":"total","value":N,"unit":"sec",...}. */
+/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR
+  * twice — a COLD first pass (fresh JVM: parquet footer reads, codegen
+  * compilation, shuffle spin-up all included) and a WARM second pass —
+  * and prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},...} where
+  * `value` and `queries` report the WARM pass (cross-round comparisons
+  * are warm-vs-warm) and `cold_total` carries the cold pass, so the
+  * artifact needs no external methodology caveat.
+  *
+  * The printed line rounds per-query seconds to 2 decimals to stay
+  * inside the driver's 2000-char stdout tail; full-precision cold+warm
+  * per-query timings are persisted to bench_out.json alongside it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.local(cpus)
-    // Warm-up outside the timed region: exercise the parquet reader,
-    // whole-stage codegen, a shuffle, and a window once, so the first
-    // timed query doesn't absorb one-time planner/JIT costs.
-    spark.range(1).count()
-    warmup(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // methodology is part of the number: timings are WARM (parquet
-    // footers + codegen + one shuffle/window primed above) — not
-    // comparable to a cold-JVM first read
+    val cold = pass()
+    val warm = pass()
+    def fmt(v: Double, dp: Int): String =
+      String.format(Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def obj(rs: Seq[(String, Double)], dp: Int): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+    val coldTotal = cold.map(_._2).sum
+    val warmTotal = warm.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"warm: parquet footers, codegen, shuffle+window primed before timing"}"""
-    // belt and braces against log-tail truncation: persist the artifact
-    // to a file, then print it as the process's LAST line (after
-    // spark.stop()'s shutdown chatter)
+      s"""{"metric":"total","value":${fmt(warmTotal, 2)},"unit":"sec","queries":${obj(warm, 2)},"sf":"$sfDir","cold_total":${fmt(coldTotal, 2)},"warm_total":${fmt(warmTotal, 2)},"methodology":"two passes; value+queries=warm"}"""
+    val full =
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_cold":${obj(cold, 4)},"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"methodology":"two passes over all queries: cold (fresh JVM, nothing primed) then warm; value+queries report the warm pass"}"""
+    // belt and braces against log-tail truncation: persist the full
+    // artifact to a file, then print the compact line as the process's
+    // LAST stdout line (after spark.stop()'s shutdown chatter)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
     println(line)
-  }
-
-  private def warmup(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    val r = spark.read.parquet(s"$sfDir/region.parquet")
-    r.groupBy("r_regionkey").agg(count(lit(1)).as("n"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("r_regionkey").orderBy("n")))
-      .count()
-    // prime the big fact table's footer/page metadata too — the first
-    // timed query otherwise pays the cold read
-    spark.read.parquet(s"$sfDir/events.parquet").count()
-    ()
   }
 }

@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partitioning, batch shape,
   * deterministic outputs — is real and tested. The IMAGE decode path is
-  * also real: the JDK's `javax.imageio` reads PNG/JPEG/GIF/BMP bytes to
-  * actual pixel dimensions. Audio/video codec calls remain STUBBED (no
-  * media libraries in this build): each such site is marked `STUB:` and
-  * produces a deterministic fake derived from the bytes, so tests are
-  * stable and the codec swap is mechanical.
+  * real: the JDK's `javax.imageio` reads PNG/JPEG/GIF/BMP bytes to
+  * actual pixel dimensions. The AUDIO decode path is real too: the
+  * JDK's `javax.sound.sampled` parses WAV/AIFF/AU headers to sample
+  * rate and frame count (→ duration). Only VIDEO codec calls remain
+  * STUBBED (the JDK ships no video codec and this build has no media
+  * libraries): the site is marked `STUB:` and produces a deterministic
+  * fake derived from the bytes, so tests are stable and the codec swap
+  * is mechanical.
   *
   * Scale notes: content rides in the row (parquet binary) — at lake
   * scale the column is typically a reference (uri, offset, nbytes) into
@@ -30,7 +33,8 @@ object Multimodal {
   final case class MediaRow(mediaId: Long, kind: String, content: Array[Byte],
       meta: MediaMeta)
   final case class Decoded(mediaId: Long, kind: String, nBytes: Int,
-      meanByte: Double, checksum: Long, width: Int, height: Int)
+      meanByte: Double, checksum: Long, width: Int, height: Int,
+      sampleRate: Int, durationMs: Long)
   final case class Features(mediaId: Long, embedding: Array[Float])
 
   /** Deterministic fixture table: stable pseudo-random bytes per id. */
@@ -53,17 +57,21 @@ object Multimodal {
   /** Decode pass: partition-parallel, codec init amortized per
     * partition. Images go through a REAL codec — the JDK's ImageIO
     * (PNG/JPEG/GIF/BMP readers ship with the JRE): width/height come
-    * from actual decoded pixels; bytes ImageIO cannot parse (and
-    * non-image kinds) carry (0, 0) and keep the deterministic byte
-    * summary. Audio/video remain STUB: no codec libraries in this
-    * build — a real implementation would open the decoder at the
+    * from actual decoded pixels. Audio goes through a REAL parser too —
+    * `javax.sound.sampled.AudioSystem` reads WAV/AIFF/AU headers:
+    * sampleRate comes from the declared format and durationMs from the
+    * actual frame count (frames * 1000 / rate). Bytes the codec cannot
+    * parse (and non-matching kinds) carry zeros and keep the
+    * deterministic byte summary. Video remains STUB: the JDK has no
+    * video codec — a real implementation would open the decoder at the
     * per-partition init point below. */
   def decode(media: Dataset[MediaRow]): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition codec init: prime ImageIO's plugin registry once
       // (and disable the on-disk cache — executor temp dirs may not
-      // exist); STUB: audio/video codecs would open here too
+      // exist); AudioSystem's provider registry primes on first use;
+      // STUB: a video codec would open here too
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xff))
@@ -75,10 +83,27 @@ object Multimodal {
               catch { case _: Exception => null }
             if (img != null) (img.getWidth, img.getHeight) else (0, 0)
           } else (0, 0)
+        val (rate, durMs) =
+          if (m.kind == "audio") {
+            // ByteArrayInputStream supports mark/reset, which the
+            // provider probe requires; header-only parse, no PCM decode
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(m.content))
+              try {
+                val f = ais.getFormat
+                val frames = ais.getFrameLength
+                val r = f.getSampleRate
+                if (r > 0 && frames >= 0)
+                  (r.toInt, (frames * 1000.0 / r).toLong)
+                else (0, 0L)
+              } finally ais.close()
+            } catch { case _: Exception => (0, 0L) }
+          } else (0, 0L)
         Decoded(m.mediaId, m.kind, m.content.length,
           sum.toDouble / m.content.length,
           m.content.foldLeft(1125899906842597L)((a, b) => 31 * a + (b & 0xff)),
-          w, h)
+          w, h, rate, durMs)
       }
     }
   }
