@@ -5,9 +5,11 @@ import java.util.Locale
 import graft.spark.Sessions
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR
-  * twice — a COLD first pass (fresh JVM: parquet footer reads, codegen
-  * compilation, shuffle spin-up all included) and a WARM second pass —
-  * and prints ONE JSON line
+  * twice — a COLD first pass (STARTS from a fresh JVM; only its first
+  * queries are truly cold, later ones share the JVM/codegen/footer
+  * warmup, so treat cold_total as the meaningful cold number, not the
+  * per-query cold timings) and a fully-WARM second pass — and prints
+  * ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},...} where
   * `value` and `queries` report the WARM pass (cross-round comparisons
   * are warm-vs-warm) and `cold_total` carries the cold pass, so the
@@ -22,24 +24,44 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.local(cpus)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // (name, seconds, error) — a throwing query is RECORDED, never
+    // silently timed as near-zero success
+    def pass(): Seq[(String, Double, Option[String])] = queries.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
+        (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val cold = pass()
     val warm = pass()
     def fmt(v: Double, dp: Int): String =
       String.format(Locale.ROOT, s"%.${dp}f", Double.box(v))
-    def obj(rs: Seq[(String, Double)], dp: Int): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+    def obj(rs: Seq[(String, Double, Option[String])], dp: Int): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    // union of cold/warm failures, with which pass failed — a query
+    // failing only cold or only warm must be visible too
+    val failed = (cold.collect { case (n, _, Some(e)) => (n, "cold", e) } ++
+      warm.collect { case (n, _, Some(e)) => (n, "warm", e) })
+    val failedNames = failed.map(_._1).distinct
+    val failedJson = failedNames.map(jstr).mkString("[", ",", "]")
+    val errsJson = failed
+      .map { case (n, p, e) => jstr(s"$n/$p") + ":" + jstr(e) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(warmTotal, 2)},"unit":"sec","queries":${obj(warm, 2)},"sf":"$sfDir","cold_total":${fmt(coldTotal, 2)},"warm_total":${fmt(warmTotal, 2)},"methodology":"two passes; value+queries=warm"}"""
+      s"""{"metric":"total","value":${fmt(warmTotal, 2)},"unit":"sec","queries":${obj(warm, 2)},"sf":"$sfDir","cold_total":${fmt(coldTotal, 2)},"warm_total":${fmt(warmTotal, 2)},"n_failed":${failedNames.size},"failed":$failedJson,"methodology":"two passes; value+queries=warm"}"""
     val full =
-      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_cold":${obj(cold, 4)},"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"methodology":"two passes over all queries: cold (fresh JVM, nothing primed) then warm; value+queries report the warm pass"}"""
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_cold":${obj(cold, 4)},"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"n_failed":${failedNames.size},"failed":$failedJson,"errors":$errsJson,"methodology":"two passes over all queries: the cold pass STARTS from a fresh JVM, but later queries in it share JVM/codegen/footer warmup from earlier ones — only cold_total is meaningful as a cold number, per-query queries_cold is not; value+queries report the fully-warm second pass"}"""
     // belt and braces against log-tail truncation: persist the full
     // artifact to a file, then print the compact line as the process's
     // LAST stdout line (after spark.stop()'s shutdown chatter)

@@ -48,6 +48,29 @@ class MultimodalSpec extends SparkSpec {
     assert(d(2L).width == 0 && d(2L).height == 0) // unparseable → no dims
   }
 
+  test("decode: a real WAV yields sample rate and duration from actual frames") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // encode a genuine 8 kHz mono 16-bit WAV with exactly 1200 frames
+    // (= 150 ms) in-memory; add a garbage-bytes row claiming "audio"
+    val frames = 1200
+    val pcm = Array.tabulate(frames * 2)(i => (i * 13 % 251).toByte)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", buf.toByteArray,
+        Multimodal.MediaMeta("wav", 0, 0, 8000, 150)),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](9, 8, 7, 6, 5),
+        Multimodal.MediaMeta("wav", 0, 0, 0, 0)))
+    val d = Multimodal.decode(rows.toDS()).collect().map(x => x.mediaId -> x).toMap
+    assert(d(1L).sampleRate == 8000)
+    assert(d(1L).durationMs == 150) // 1200 frames * 1000 / 8000
+    assert(d(2L).sampleRate == 0 && d(2L).durationMs == 0) // unparseable → zeros
+  }
+
   test("features: fixed-dim embeddings, deterministic") {
     val f = Multimodal.features(media, dim = 16).collect()
     assert(f.length == 30)
