@@ -63,6 +63,98 @@ object ScanMerge {
         .withField("cartridges", array().cast(cartsType)))
   }
 
+  /** The tonerType merge rule (plugins/tonerType/toner_type_snmp.py:
+    * 61-94, toner_type_web.py:56-89) — the third write-back family,
+    * and the only one with a GROUP-representative access path: selected
+    * printers are grouped by `strip(str(Type))`; each group takes ONE
+    * preset — the first member (document order) already holding a
+    * valid-typed non-empty tonerType, else the scan result of the
+    * group's first good-IP representative, else the family's empty
+    * value — and the preset is backfilled to EVERY member
+    * (`ensure_printer_info` creates printerInfo on members lacking it).
+    * Unselected printers are untouched.
+    *
+    * Dual typing: SNMP writes a list (toner_type_snmp.py:49,93), web a
+    * plain string (toner_type_web.py:44,88). This engine's canonical
+    * schema unifies tonerType to array<string> at ingest (SURVEY §1.2),
+    * so the web path unifies AT MERGE too: a scalar scan result wraps
+    * to a 1-element array, and web's empty-string write lands as
+    * [""] — exactly what re-ingesting the reference's store would
+    * yield. The probe keeps each family's isinstance guard as far as
+    * the unified type can carry it: SNMP accepts any non-empty array
+    * (including [""], faithful to `isinstance(tt0, list) and tt0`),
+    * web accepts only a 1-element array with a non-empty element (a
+    * multi-element array is SNMP-shaped — `isinstance(tt0, str)`
+    * fails). Post-unification a 1-element SNMP list is indistinguishable
+    * from a web scalar; the reference's disjoint TARGET_TYPES mean the
+    * ambiguity only arises on hand-authored cross-family residue.
+    *
+    * Scale: this is the reference's per-group scan cache — ONE probe
+    * per model, not per device. Here: one partial-agg groupBy over the
+    * selected fleet (group count bounded by the model set, ~14), a
+    * broadcast join against the scan results, and a broadcast join
+    * back — no fleet-sized shuffle anywhere.
+    *
+    * @param printers unified printers frame (printerInfo.tonerType is
+    *                 array<string>; `group`/`row_idx` give doc order)
+    * @param results  scan output — snmp: `(ip, codes array<string>)`,
+    *                 web: `(ip, tid string)`
+    * @param selected the plugin's selection predicate (good IP ∧ model
+    *                 set, mirroring the reference's group builder)
+    * @param web      which family's probe/write/empty rules apply */
+  def tonerType(printers: DataFrame, results: DataFrame, selected: Column,
+      web: Boolean): DataFrame = {
+    val piType = printers.schema("printerInfo").dataType.asInstanceOf[StructType]
+    val ttType = piType("tonerType").dataType
+    val piBase = piBaseOf(printers)
+    val r =
+      if (web) results.select(col("ip").as("scan_ip"),
+        DocumentIngest.unifyTonerType(col("tid")).cast(ttType).as("scan_tt"))
+      else results.select(col("ip").as("scan_ip"),
+        col("codes").cast(ttType).as("scan_tt"))
+    val emptyPreset =
+      (if (web) array(lit("")) else array()).cast(ttType)
+    val ipN = DocumentIngest.ipOf(printers)
+    val goodIp = ipN.isNotNull && !lower(ipN).isin(DocumentIngest.BadIps: _*)
+    // global document order: groups in GroupKeys order, then row_idx
+    // (iter_printers walks group arrays in declaration order)
+    val grpRank = coalesce(
+      (DocumentIngest.GroupKeys.zipWithIndex.map { case (g, i) =>
+        when(col("group") === g, lit(i.toLong))
+      } :+ lit(DocumentIngest.GroupKeys.size.toLong)): _*)
+    val tt = col("printerInfo").getField("tonerType")
+    val probeOk =
+      if (web) tt.isNotNull && size(tt) === 1 &&
+        get(tt, lit(0)).isNotNull && get(tt, lit(0)) =!= ""
+      else tt.isNotNull && size(tt) > 0
+    val sel = printers
+      .withColumn("__sel", selected)
+      .withColumn("__t", trim(coalesce(col("Type").cast("string"), lit(""))))
+      .withColumn("__ord", grpRank * lit(1000000L) + col("row_idx").cast("long"))
+      .withColumn("__gip", when(goodIp, ipN))
+    val presets = sel.filter(col("__sel"))
+      .groupBy(col("__t"))
+      .agg(
+        min(when(probeOk, struct(col("__ord").as("o"), tt.as("v")))).as("probe"),
+        min(when(col("__gip").isNotNull,
+          struct(col("__ord").as("o"), col("__gip").as("v")))).as("rep"))
+      .select(col("__t").as("p_type"), col("probe.v").as("probe_tt"),
+        col("rep.v").as("rep_ip"))
+      .join(r, col("rep_ip") === col("scan_ip"), "left")
+      .select(col("p_type"),
+        coalesce(col("probe_tt"), col("scan_tt"), emptyPreset).as("preset"))
+    printers
+      .withColumn("__sel", selected)
+      .withColumn("__t", trim(coalesce(col("Type").cast("string"), lit(""))))
+      .join(broadcast(presets), col("__t") === col("p_type") && col("__sel"),
+        "left")
+      .withColumn("printerInfo",
+        when(!col("__sel") || col("__sel").isNull, col("printerInfo"))
+          .otherwise(piBase.withField("tonerType",
+            coalesce(col("preset"), emptyPreset))))
+      .drop("__sel", "__t", "p_type", "preset")
+  }
+
   /** The printerError merge rule (plugins/printerError/
     * snmp_active_alerts.py:43-82, identical in ews/ledm variants):
     * selected printers get `printerInfo.printerError = {problem,

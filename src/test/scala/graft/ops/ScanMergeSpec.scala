@@ -42,6 +42,89 @@ class ScanMergeSpec extends SparkSpec {
     assert(byIdx(("Company_Grouped", 2L)) == ("offline", 0))
   }
 
+  test("tonerType merge: group probe backfills every member, creates printerInfo") {
+    // snmp family over the fixture: the M404dn group's first member
+    // (doc order) holds ["W1470A"] → probe wins, no scan needed, and
+    // the preset backfills ALL members — including Branches 330 which
+    // has no printerInfo at all (ensure_printer_info)
+    val results = Seq.empty[(String, Seq[String])].toDF("ip", "codes")
+    val ipN = DocumentIngest.ipOf(printers)
+    val selected = lower(trim(coalesce(col("Type"), lit(""))))
+      .isin("m404dn", "mfc-l9570cdw") &&
+      ipN.isNotNull && !lower(ipN).isin(DocumentIngest.BadIps: _*)
+
+    val out = ScanMerge.tonerType(printers, results, selected, web = false)
+    val byIdx = out
+      .select(col("group"), col("row_idx"),
+        col("printerInfo.tonerType").as("tt"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue) ->
+        Option(r.getSeq[String](2)).map(_.toList))
+      .toMap
+
+    // M404dn group: probe = first member's ["W1470A"], backfilled to all
+    assert(byIdx(("Company_Grouped", 0L)) == Some(List("W1470A")))
+    assert(byIdx(("Company_Grouped", 2L)) == Some(List("W1470A")))
+    // Branches 330 (M404dn, good ip, NO printerInfo): gains the struct
+    assert(byIdx(("Branches_Grouped", 2L)) == Some(List("W1470A")))
+    // MFC-L9570CDW group: the web-written scalar unified at ingest to
+    // ["MLT-D203E"] counts as a non-empty list for the snmp probe
+    assert(byIdx(("Branches_Grouped", 0L)) == Some(List("MLT-D203E")))
+    // unselected (bad IPs): untouched
+    assert(byIdx(("Company_Grouped", 1L)) == Some(List("CF226X", "CF226X")))
+    assert(byIdx(("Branches_Grouped", 1L)).isEmpty) // null stays null
+  }
+
+  test("tonerType merge: scan path, web scalar unify-at-merge, family empty defaults") {
+    // synthetic frame: no usable presets, so the representative scan
+    // decides; exercises the web-vs-snmp probe guard on [""] and both
+    // families' empty defaults
+    val p2 = Seq(
+      ("Company_Grouped", 0L, "408dn", "10.9.0.1", null.asInstanceOf[String]),
+      ("Company_Grouped", 1L, "408dn", "10.9.0.2", null.asInstanceOf[String]),
+      ("Company_Grouped", 2L, "MFP432", "10.9.0.3", ""),
+      ("Company_Grouped", 3L, "E60055", "10.9.0.4", null.asInstanceOf[String]),
+      ("Branches_Grouped", 0L, "408dn", "-", "S1"))
+      .toDF("group", "row_idx", "Type", "Printer IP", "tt0")
+      .withColumn("printerInfo",
+        when(col("tt0").isNotNull, struct(lit("x").as("status"),
+          DocumentIngest.unifyTonerType(col("tt0")).as("tonerType"))))
+      .drop("tt0")
+    val ipN = DocumentIngest.ipOf(p2)
+    val selected = ipN.isNotNull && !lower(ipN).isin(DocumentIngest.BadIps: _*)
+
+    def ttOf(out: org.apache.spark.sql.DataFrame) = out
+      .select(col("group"), col("row_idx"), col("printerInfo.tonerType").as("tt"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue) ->
+        Option(r.getSeq[String](2)).map(_.toList))
+      .toMap
+
+    // web: scalar scan result wraps to a 1-element array at merge;
+    // [""] is not a probe (empty string); scan-less group → [""]
+    val web = ttOf(ScanMerge.tonerType(p2,
+      Seq(("10.9.0.1", "TID42")).toDF("ip", "tid"),
+      selected && lower(trim(col("Type"))).isin("408dn", "mfp432"), web = true))
+    assert(web(("Company_Grouped", 0L)) == Some(List("TID42")))
+    assert(web(("Company_Grouped", 1L)) == Some(List("TID42"))) // backfill
+    assert(web(("Company_Grouped", 2L)) == Some(List(""))) // no probe, no scan → ""
+    assert(web(("Company_Grouped", 3L)).isEmpty) // unselected type: untouched
+    assert(web(("Branches_Grouped", 0L)) == Some(List("S1"))) // bad ip: untouched
+
+    // snmp on the same frame: [""] IS a non-empty list → probe wins for
+    // MFP432; the scan-less E60055 group takes the snmp empty [] —
+    // and the scanned 408dn group takes the array result as-is
+    val snmp = ttOf(ScanMerge.tonerType(p2,
+      Seq(("10.9.0.1", Seq("C1", "C2"))).toDF("ip", "codes"),
+      selected && lower(trim(col("Type"))).isin("408dn", "mfp432", "e60055"),
+      web = false))
+    assert(snmp(("Company_Grouped", 0L)) == Some(List("C1", "C2")))
+    assert(snmp(("Company_Grouped", 1L)) == Some(List("C1", "C2")))
+    assert(snmp(("Company_Grouped", 2L)) == Some(List("")))
+    assert(snmp(("Company_Grouped", 3L)) == Some(Nil)) // snmp empty default []
+    assert(snmp(("Branches_Grouped", 0L)) == Some(List("S1")))
+  }
+
   test("alerts merge: printerError family defaults to {Offline, critical}") {
     // the printerError plugins' except-branch default differs from the
     // tonerFinder one (snmp_active_alerts.py:56-58 vs toner_hp.py:66-69)
