@@ -184,14 +184,14 @@ object VectorQueries {
       .filter(col("bn") > bucketCap)
   }
 
-  /** T10 — LSH-bucketed ANN, the 100 TB path: `LshTables` hyperplane
-    * tables of `LshBits` sign bits each, per-bucket self-join capped at
-    * `LshBucketCap` rows per bucket, exact long-arithmetic cosine on
-    * the surviving candidates, top-3 per query vector. Candidate
-    * scoring joins the (small) pair set back to the corpus by id — the
+  /** LSH-bucketed ANN at an arbitrary (bits, tables, cap) operating
+    * point: hyperplane sign-bit tables, per-bucket self-join capped at
+    * `cap` rows per bucket, exact long-arithmetic cosine on the
+    * surviving candidates, top-3 per query vector. Candidate scoring
+    * joins the (small) pair set back to the corpus by id — the
     * fetch-then-score shape every two-stage ANN retriever uses. */
-  val t10AnnLshBuckets: QuerySpec = {
-    val bits = LshBits; val tables = LshTables; val cap = LshBucketCap
+  private def annLshSpec(name: String, bits: Int, tables: Int,
+      cap: Int): QuerySpec = {
     val keySql = (t: Int) => (0 until bits).map { i =>
       s"CASE WHEN embedding[${lshDim(i, t, tables) + 1}] >= 0 THEN '1' ELSE '0' END"
     }.mkString("concat(", ", ", ")")
@@ -199,7 +199,7 @@ object VectorQueries {
       s"SELECT vec_id, $t AS tbl, ${keySql(t)} AS bkey FROM embeddings")
       .mkString("\n  UNION ALL\n  ")
     QuerySpec.sql(
-      "t10_ann_lsh_buckets",
+      name,
       s"""WITH sq AS ($NormsSql),
          |keys AS (
          |  $keysSql
@@ -250,5 +250,18 @@ object VectorQueries {
     }
   }
 
-  val all: Seq[QuerySpec] = Seq(t5AnnBruteForce, t10AnnLshBuckets)
+  /** T10 — the oracle/bench operating point. */
+  val t10AnnLshBuckets: QuerySpec =
+    annLshSpec("t10_ann_lsh_buckets", LshBits, LshTables, LshBucketCap)
+
+  /** T10b — the SCALE operating point, hash-gated: at 100 TB the play
+    * is raising `bits` with log2(corpus) and adding tables to recover
+    * recall; this entry proves the parameterization derives identical
+    * keys in both engines at bits=12 × tables=4 (48 distinct dims, one
+    * per hyperplane), not just at the demo config. */
+  val t10bAnnLshScale: QuerySpec =
+    annLshSpec("t10b_ann_lsh_scale", 12, 4, LshBucketCap)
+
+  val all: Seq[QuerySpec] =
+    Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale)
 }
