@@ -44,6 +44,32 @@ class SnapshotPollSpec extends SparkSpec {
     assert(missing.forall(u => store.latest(u) == "offline"))
   }
 
+  test("sink retry idempotency: a replayed partition converges last-writer-wins") {
+    // Simulated task retry: the same partition's rows stream through
+    // upsertAll twice (and once more interleaved with a later batch's
+    // values for overlapping keys) — the exactly-once-EFFECT claim in
+    // the run() scaladoc is per-key idempotent convergence, pinned here.
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+    val part1 = Seq((1L, t0) -> "login", (2L, t0) -> "view", (1L, t1) -> "error")
+    val store = new SnapshotStore
+    store.upsertAll(part1)
+    val afterFirst = store.windows
+    store.upsertAll(part1) // full replay, same epoch → no visible change
+    assert(store.windows == afterFirst)
+    assert(store.latest(1L) == "error" && store.latest(2L) == "view")
+
+    // a later micro-batch updates an overlapping key, then THAT
+    // partition replays too: last writer still wins, no duplication
+    val part2 = Seq((1L, t1) -> "purchase", (3L, t1) -> "signup")
+    store.upsertAll(part2)
+    store.upsertAll(part2)
+    assert(store.windows.size == 4) // keys, not write counts
+    assert(store.windows((1L, t1)) == "purchase")
+    assert(store.windows((1L, t0)) == "login")
+    assert(store.latest(3L) == "signup")
+  }
+
   test("watermark is attached on the streaming plan (late-data bound)") {
     // Batch plans eliminate EventTimeWatermark; the structural check
     // must run on a streaming source.
