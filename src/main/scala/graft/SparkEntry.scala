@@ -13,7 +13,8 @@ object SparkEntry {
   private def registry: Seq[QuerySpec] =
     CoreQueries.all ++ FunctionQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ ExtraQueries.all ++ WarehouseQueries.all ++
-      ScalarQueries2.all ++ ParserQueries.all ++ TicketQueries.all
+      ScalarQueries2.all ++ ParserQueries.all ++ TicketQueries.all ++
+      PipelineE2EQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
