@@ -52,11 +52,97 @@ object Pipeline {
   def plan(groups: Seq[(String, Seq[Stage])]): Seq[Stage] =
     groups.flatMap { case (_, stages) => stages.sortBy(s => naturalKey(s.substep)) }
 
-  /** `--exclude` pruning (core/pipeline.py:38-64): "step" drops a whole
-    * group, "step:substep" drops one script. */
+  /** Name-addressed pruning convenience (this engine's stages are named,
+    * not numbered): "step" drops a whole group, "step:substep" one
+    * script. For the reference's actual numeric `--exclude` grammar see
+    * [[parseExcludes]] / [[numberedPlan]] / [[pruneNumbered]]. */
   def prune(stages: Seq[Stage], excludes: Set[String]): Seq[Stage] =
     stages.filterNot(s =>
       excludes.contains(s.step) || excludes.contains(s"${s.step}:${s.substep}"))
+
+  /** The reference's `--exclude` grammar, faithfully (core/pipeline.py:
+    * 38-64 + cli/command.py:20-24): the repeatable flag's values are
+    * comma-flattened with trim (empties dropped); `\d+` excludes a
+    * whole step, `\d+\.\d+` one (step, substep) pair — numeric ids
+    * with a DOT, not names — and any other token is returned as
+    * invalid so the caller can warn (the CLI prints "[WARN] Ignoring
+    * invalid --exclude value", it never aborts). */
+  def parseExcludes(
+      tokens: Seq[String]): (Set[Int], Set[(Int, Int)], Seq[String]) = {
+    val flat = tokens.flatMap(_.split(",", -1)).map(_.trim).filter(_.nonEmpty)
+    val steps = Set.newBuilder[Int]
+    val subs = Set.newBuilder[(Int, Int)]
+    val invalid = Seq.newBuilder[String]
+    flat.foreach {
+      case s if s.matches("\\d+") => steps += s.toInt
+      case s if s.matches("\\d+\\.\\d+") =>
+        val Array(a, b) = s.split("\\.")
+        subs += ((a.toInt, b.toInt))
+      case s => invalid += s
+    }
+    (steps.result(), subs.result(), invalid.result())
+  }
+
+  /** One numbered plan row (core/pipeline.py:15-21): `substep` None =
+    * a step-level script (convertToJson/convertToExcel), 0 = a
+    * heading-only meta row (never run, never excludable), 1.. = a
+    * component script. */
+  final case class PlanItem(step: Int, substep: Option[Int], title: String,
+      stage: Option[Stage])
+
+  /** The reference's step NUMBERING (core/pipeline.py:67-147), quirks
+    * included: convert-to-json is step 1 and consumes the number even
+    * when missing (a warning is emitted and 2 is still the first
+    * group); an EMPTY component group consumes no number; each present
+    * group gets a substep-0 heading plus natural-sorted substeps 1..n;
+    * convert-to-excel takes the next number at the end. */
+  def numberedPlan(convertToJson: Option[Stage],
+      groups: Seq[(String, Seq[Stage])],
+      convertToExcel: Option[Stage]): (Seq[PlanItem], Seq[String]) = {
+    val plan = Seq.newBuilder[PlanItem]
+    val warns = Seq.newBuilder[String]
+    var n = 1
+    convertToJson match {
+      case Some(st) =>
+        plan += PlanItem(n, None, s"Step $n: convertToJson", Some(st))
+      case None =>
+        warns += "convert to json not found; will be skipped."
+    }
+    n += 1 // consumed either way (core/pipeline.py:92)
+    groups.foreach { case (label, stages) =>
+      if (stages.nonEmpty) {
+        plan += PlanItem(n, Some(0), s"Step $n: $label", None)
+        stages.sortBy(s => naturalKey(s.substep)).zipWithIndex.foreach {
+          case (st, i) =>
+            plan += PlanItem(n, Some(i + 1),
+              s"Step $n.${i + 1}: ${st.substep}", Some(st))
+        }
+        n += 1 // empty groups consume no number (:98-100)
+      }
+    }
+    convertToExcel.foreach { st =>
+      plan += PlanItem(n, None, s"Step $n: convertToExcel", Some(st))
+    }
+    (plan.result(), warns.result())
+  }
+
+  /** Exclude application (cli/command.py:56-66): a step-level item is
+    * skipped only by its step number; a substep item by its step OR
+    * its (step, substep) pair; meta rows are headings and never run
+    * regardless. Returns the runnable stages in plan order. */
+  def pruneNumbered(plan: Seq[PlanItem], excludeSteps: Set[Int],
+      excludeSubs: Set[(Int, Int)]): Seq[Stage] =
+    plan.flatMap { it =>
+      it.substep match {
+        case Some(0) => None // heading
+        case None =>
+          if (excludeSteps.contains(it.step)) None else it.stage
+        case Some(s) =>
+          if (excludeSteps.contains(it.step) ||
+            excludeSubs.contains((it.step, s))) None
+          else it.stage
+      }
+    }
 
   /** Execute in order with per-stage timing; a failing stage logs and is
     * skipped (input flows through). `checkpoint` is called after each

@@ -33,6 +33,43 @@ class PipelineSpec extends SparkSpec {
       == Seq("a:2", "b:1"))
   }
 
+  test("parseExcludes: comma-flatten, numeric grammar, invalid collected") {
+    val (steps, subs, invalid) = Pipeline.parseExcludes(
+      Seq("2, 3.1", "4", " ", "x", "3.1.2", "5.02"))
+    assert(steps == Set(2, 4))
+    assert(subs == Set((3, 1), (5, 2))) // "5.02" → (5, 2): int() parse
+    assert(invalid == Seq("x", "3.1.2")) // warned by the CLI, not fatal
+    assert(Pipeline.parseExcludes(Seq())._1.isEmpty)
+  }
+
+  test("numberedPlan: json consumes step 1 even when missing; empty groups don't") {
+    val s = (n: String) => Stage("g", n, identity[DataFrame] _)
+    val (plan, warns) = Pipeline.numberedPlan(
+      None, // convert_to_json missing → warning, number still consumed
+      Seq("A" -> Seq(s("b10"), s("b2")), "EMPTY" -> Seq(), "C" -> Seq(s("c1"))),
+      Some(s("excel")))
+    assert(warns.size == 1)
+    assert(plan.map(p => (p.step, p.substep)) ==
+      Seq((2, Some(0)), (2, Some(1)), (2, Some(2)), // A: meta + sorted subs
+        (3, Some(0)), (3, Some(1)), // EMPTY skipped → C is 3
+        (4, None))) // excel
+    // natural sort within the group: b2 before b10
+    assert(plan.filter(_.step == 2).flatMap(_.stage).map(_.substep) ==
+      Seq("b2", "b10"))
+  }
+
+  test("pruneNumbered: step excludes all substeps; pair excludes one; meta never runs") {
+    val s = (n: String) => Stage("g", n, identity[DataFrame] _)
+    val (plan, _) = Pipeline.numberedPlan(Some(s("json")),
+      Seq("A" -> Seq(s("a1"), s("a2")), "B" -> Seq(s("b1"))), Some(s("excel")))
+    def names(st: Set[Int], su: Set[(Int, Int)]) =
+      Pipeline.pruneNumbered(plan, st, su).map(_.substep)
+    assert(names(Set(), Set()) == Seq("json", "a1", "a2", "b1", "excel"))
+    assert(names(Set(2), Set()) == Seq("json", "b1", "excel"))
+    assert(names(Set(), Set((2, 2))) == Seq("json", "a1", "b1", "excel"))
+    assert(names(Set(1), Set()) == Seq("a1", "a2", "b1", "excel"))
+  }
+
   test("run: failing stage degrades, input flows through, summary records it") {
     val stages = Seq(
       Stage("s", "double", d => d.withColumn("v2", col("id") * 2)),
