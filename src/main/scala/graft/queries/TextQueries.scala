@@ -341,7 +341,85 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T12 — train/test DECONTAMINATION: flag corpus documents whose
+    * 3-gram shingles overlap a benchmark set beyond a threshold (the
+    * GPT-3/Dolma n-gram overlap rule). The benchmark here is the
+    * doc_id % 50 == 0 slice standing in for an eval suite.
+    *
+    * Scale shape — the part that matters at 100 TB: the benchmark side
+    * is TINY (eval suites are megabytes), so its distinct shingle set
+    * is built from its own pruned scan and BROADCAST; the corpus side
+    * is one narrow scan-explode-aggregate pass with no self-join and
+    * no corpus-sized shuffle besides the per-doc groupBy. Deliberately
+    * two scans instead of caching one exploded frame: re-reading
+    * pruned parquet is cheaper than materializing a corpus-sized
+    * shingle set. */
+  val t12Decontaminate: QuerySpec = QuerySpec.sql(
+    "t12_decontaminate",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |s0 AS (SELECT doc_id, unnest($ShinglesOverToks) AS shingle FROM t),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM s0),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+       |corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+       |agg AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_shingles,
+       |    COUNT(b.shingle) AS n_contaminated
+       |  FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+       |  GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination,
+       |  (CAST(n_contaminated AS DOUBLE) / n_shingles >= 0.2) AS flagged
+       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def distinctShingles(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("shingle"))
+      .distinct()
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val bench = distinctShingles(docs.filter(col("doc_id") % 50 === 0))
+      .select("shingle").distinct()
+    val corpus = distinctShingles(docs.filter(col("doc_id") % 50 =!= 0))
+    val agg = corpus
+      .join(broadcast(bench.withColumn("bhit", lit(1))), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("bhit")).as("n_contaminated"))
+    val score = col("n_contaminated").cast("double") / col("n_shingles")
+    agg.select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+      score.as("contamination"), (score >= 0.2).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** T13 — intra-document REPETITION score (the Gopher boilerplate
+    * rule): fraction of duplicated 3-gram shingles within each
+    * document, plus the hottest shingle's count. Two-phase aggregate
+    * — (doc, shingle) counts then per-doc rollup — so the map side
+    * combines before any shuffle; entirely scan-local otherwise. */
+  val t13Repetition: QuerySpec = QuerySpec.sql(
+    "t13_repetition",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |s0 AS (SELECT doc_id, unnest($ShinglesOverToks) AS shingle FROM t),
+       |g AS (SELECT doc_id, shingle, COUNT(*) AS c FROM s0 GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(SUM(c) AS BIGINT) AS n_shingles,
+       |  COUNT(*) AS n_distinct,
+       |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_frac,
+       |  CAST(MAX(c) AS BIGINT) AS top_repeat,
+       |  (1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) >= 0.3) AS flagged
+       |FROM g GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("shingle"))
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+    val dupFrac = lit(1.0) - col("n_distinct").cast("double") / col("n_shingles")
+    g.groupBy("doc_id")
+      .agg(sum("c").as("n_shingles"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_repeat"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        dupFrac.as("dup_frac"), col("top_repeat"),
+        (dupFrac >= 0.3).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
-    t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint)
+    t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
+    t12Decontaminate, t13Repetition)
 }

@@ -48,6 +48,14 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(p_type)"))
   }
 
+  test("t12 decontamination broadcasts the benchmark shingle set") {
+    // the corpus side must never shuffle for the overlap join — the
+    // eval-suite side is the small one by construction
+    val p = plan(TextQueries.t12Decontaminate)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("t5 brute force broadcasts the query set (no shuffle before top-k)") {
     val p = plan(VectorQueries.t5AnnBruteForce)
     assert(p.contains("BroadcastNestedLoopJoin"))
