@@ -418,8 +418,75 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** T14 — PII REDACTION: scrub emails/phone numbers from document
+    * text before training, keeping per-doc redaction counts for audit.
+    * PII is SYNTHESIZED into the text from doc_id (the x-query trick)
+    * so the oracle computes the expected redaction algebraically and
+    * the patterns provably fire. Patterns stay within the regex subset
+    * Java and RE2 interpret identically. Scan-local, zero shuffle —
+    * at 100 TB this is a pure map stage. */
+  val t14PiiRedact: QuerySpec = QuerySpec.sql(
+    "t14_pii_redact",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    concat('Reach u', CAST(doc_id AS VARCHAR), '@mail',
+       |           CAST(doc_id % 7 AS VARCHAR), '.com or 555-',
+       |           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+       |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' re: ',
+       |           substr($NormSql, 1, 40)) AS text2
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text2, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text2, '$PhoneRe')) AS n_phones,
+       |  regexp_replace(regexp_replace(text2, '$EmailRe', '<EMAIL>', 'g'),
+       |                 '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val text2 = concat(lit("Reach u"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com or 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" re: "),
+      substring(normText(col("text")), 1, 40))
+    Tables.documents(s, d)
+      .select(col("doc_id"), text2.as("text2"))
+      .select(col("doc_id"),
+        regexp_count(col("text2"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text2"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** T15 — deterministic HASH SPLIT: assign every document to
+    * train/val/test by a byte of its content-independent id hash —
+    * stable across runs, machines and engines, no RNG, no global
+    * shuffle (the property a 100 TB split must have: adding documents
+    * never reassigns existing ones). ~80/10/10 via byte < 205/230. */
+  val t15HashSplit: QuerySpec = QuerySpec.sql(
+    "t15_hash_split",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS b
+      |  FROM documents
+      |)
+      |SELECT doc_id, b,
+      |  CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val b = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), b.as("b"),
+        when(b < 205, "train").when(b < 230, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
-    t12Decontaminate, t13Repetition)
+    t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit)
 }
