@@ -262,6 +262,54 @@ object VectorQueries {
   val t10bAnnLshScale: QuerySpec =
     annLshSpec("t10b_ann_lsh_scale", 12, 4, LshBucketCap)
 
+  /** T16 — int8 VECTOR QUANTIZATION: per-vector absmax scale
+    * (s = max|x|/127), round-half-away to int8, with a weighted
+    * checksum of the codes and the exact max reconstruction error per
+    * vector. The 4× memory cut that makes billion-vector ANN fit in
+    * executor memory; scan-local, zero shuffle.
+    *
+    * Float discipline: only MAX and INTEGER sums aggregate (both
+    * order-independent); every double op (one divide, one multiply per
+    * element, the half-away floor) has an identical formula on the
+    * DuckDB side, so parity is by construction — no double SUM
+    * anywhere. */
+  val t16Quantize: QuerySpec = QuerySpec.sql(
+    "t16_quantize",
+    s"""WITH v AS (
+       |  SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+       |  FROM embeddings, range(0, 64) t(i)
+       |), m AS (
+       |  SELECT vec_id, MAX(ABS(x)) / 127 AS scale FROM v GROUP BY vec_id
+       |), q AS (
+       |  SELECT v.vec_id, i, x, scale,
+       |    CASE WHEN scale > 0 THEN CAST(CASE WHEN x / scale >= 0
+       |           THEN floor(x / scale + 0.5)
+       |           ELSE -floor(-(x / scale) + 0.5) END AS BIGINT)
+       |         ELSE 0 END AS qi
+       |  FROM v JOIN m ON v.vec_id = m.vec_id
+       |)
+       |SELECT vec_id, scale,
+       |  CAST(SUM(qi * (i + 1)) AS BIGINT) AS qsum,
+       |  MAX(ABS(qi * scale - x)) AS max_abs_err
+       |FROM q GROUP BY vec_id, scale
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = col("embedding")
+    val scale = array_max(transform(e, x => abs(x.cast("double")))) / lit(127)
+    val withS = Tables.embeddings(s, d)
+      .select(col("vec_id"), e.as("e"), scale.as("scale"))
+    val qi = (x: Column) =>
+      when(col("scale") > 0,
+        rnd(x.cast("double") / col("scale")).cast("long")).otherwise(0L)
+    val qArr = transform(col("e"), x => qi(x))
+    val idx = sequence(lit(1), lit(64))
+    withS.select(col("vec_id"), col("scale"),
+      aggregate(zip_with(qArr, idx, (a, b) => a * b), lit(0L),
+        (acc, v) => acc + v).as("qsum"),
+      array_max(zip_with(qArr, col("e"),
+        (a, x) => abs(a * col("scale") - x.cast("double")))).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale)
+    Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize)
 }
