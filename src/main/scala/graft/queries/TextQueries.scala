@@ -354,6 +354,42 @@ object TextQueries {
     * two scans instead of caching one exploded frame: re-reading
     * pruned parquet is cheaper than materializing a corpus-sized
     * shingle set. */
+  /** T12 core, parameterized for library use and specs: per-document
+    * n-gram overlap against a (small) benchmark corpus. Inputs need
+    * (doc_id, text); the benchmark side's distinct shingles broadcast. */
+  private[graft] def decontaminate(docs: org.apache.spark.sql.DataFrame,
+      benchDocs: org.apache.spark.sql.DataFrame, n: Int,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    def distinctShingles(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("shingle"))
+      .distinct()
+    val bench = distinctShingles(benchDocs).select("shingle").distinct()
+    val agg = distinctShingles(docs)
+      .join(broadcast(bench.withColumn("bhit", lit(1))), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("bhit")).as("n_contaminated"))
+    val score = col("n_contaminated").cast("double") / col("n_shingles")
+    agg.select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+      score.as("contamination"), (score >= threshold).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** T13 core: intra-document n-gram duplication profile. */
+  private[graft] def repetitionScore(docs: org.apache.spark.sql.DataFrame,
+      n: Int, threshold: Double): org.apache.spark.sql.DataFrame = {
+    val g = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("shingle"))
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+    val dupFrac = lit(1.0) - col("n_distinct").cast("double") / col("n_shingles")
+    g.groupBy("doc_id")
+      .agg(sum("c").as("n_shingles"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_repeat"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        dupFrac.as("dup_frac"), col("top_repeat"),
+        (dupFrac >= threshold).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val t12Decontaminate: QuerySpec = QuerySpec.sql(
     "t12_decontaminate",
     s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
@@ -370,21 +406,9 @@ object TextQueries {
        |  CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination,
        |  (CAST(n_contaminated AS DOUBLE) / n_shingles >= 0.2) AS flagged
        |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
-    def distinctShingles(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("shingle"))
-      .distinct()
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val bench = distinctShingles(docs.filter(col("doc_id") % 50 === 0))
-      .select("shingle").distinct()
-    val corpus = distinctShingles(docs.filter(col("doc_id") % 50 =!= 0))
-    val agg = corpus
-      .join(broadcast(bench.withColumn("bhit", lit(1))), Seq("shingle"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"), count(col("bhit")).as("n_contaminated"))
-    val score = col("n_contaminated").cast("double") / col("n_shingles")
-    agg.select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
-      score.as("contamination"), (score >= 0.2).as("flagged"))
-      .orderBy("doc_id")
+    decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), 3, 0.2)
   }
 
   /** T13 — intra-document REPETITION score (the Gopher boilerplate
@@ -405,17 +429,7 @@ object TextQueries {
        |  (1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) >= 0.3) AS flagged
        |FROM g GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val g = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("shingle"))
-      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
-    val dupFrac = lit(1.0) - col("n_distinct").cast("double") / col("n_shingles")
-    g.groupBy("doc_id")
-      .agg(sum("c").as("n_shingles"), count(lit(1)).as("n_distinct"),
-        max("c").as("top_repeat"))
-      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
-        dupFrac.as("dup_frac"), col("top_repeat"),
-        (dupFrac >= 0.3).as("flagged"))
-      .orderBy("doc_id")
+    repetitionScore(Tables.documents(s, d).select("doc_id", "text"), 3, 0.3)
   }
 
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

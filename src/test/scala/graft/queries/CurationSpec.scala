@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Direct library-call specs for the curation cores (the oracle gates
+  * t12/t13 at corpus scale; these pin the semantics on crafted docs). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate: copied benchmark text flags, fresh text does not") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // doc 1 embeds a verbatim benchmark span → most shingles overlap
+      (1L, "intro words the quick brown fox jumps over the lazy dog outro"),
+      // doc 2 shares vocabulary but no 3-gram run
+      (2L, "a brown dog and a lazy fox do unrelated things entirely"))
+      .toDF("doc_id", "text")
+    val r = TextQueries.decontaminate(corpus, bench, 3, 0.2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("flagged"))
+    assert(r(1L).getAs[Long]("n_contaminated") >= 7) // the copied run's grams
+    assert(!r(2L).getAs[Boolean]("flagged"))
+    assert(r(2L).getAs[Long]("n_contaminated") == 0)
+    assert(r(2L).getAs[Double]("contamination") == 0.0)
+  }
+
+  test("repetitionScore: a looping doc flags; a normal doc scores zero") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "every token here appears exactly once in this text"))
+      .toDF("doc_id", "text")
+    val r = TextQueries.repetitionScore(docs, 3, 0.3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // 12 tokens → 10 shingles, only 2 distinct ("buy now buy"/"now buy now")
+    assert(r(1L).getAs[Long]("n_shingles") == 10)
+    assert(r(1L).getAs[Long]("n_distinct") == 2)
+    assert(r(1L).getAs[Long]("top_repeat") == 5)
+    assert(r(1L).getAs[Boolean]("flagged"))
+    assert(r(2L).getAs[Double]("dup_frac") == 0.0)
+    assert(!r(2L).getAs[Boolean]("flagged"))
+  }
+}
