@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Driver hash gates for the multimodal PLUMBING (the column-math half
+  * of `Multimodal` — the codec half is spec-tested against real
+  * JDK-decoded bytes): media metadata is synthesized from `customer`
+  * residues the x-query way, runs through the real `resizePlan` /
+  * `frameSample` operators, and DuckDB recomputes the plans
+  * algebraically. Both are narrow scan-local transforms — zero shuffle
+  * at any scale.
+  *
+  * Parity notes: the scale factor is ONE double divide + multiply with
+  * the identical formula both sides; ceil is exact on integral-valued
+  * doubles; the frame timestamp mirrors Spark's double-divide +
+  * truncating cast with an explicit floor (positive domain). */
+object MultimodalQueries {
+
+  /** M1 — aspect-preserving resize bound over synthesized image dims
+    * (no upscale: scale clamps at 1.0). */
+  val m1ResizePlan: QuerySpec = QuerySpec.sql(
+    "m1_resize_plan",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    100 + CAST(c_custkey AS BIGINT) % 1900 AS w,
+      |    80 + (CAST(c_custkey AS BIGINT) // 3) % 1200 AS h
+      |  FROM customer
+      |)
+      |SELECT k AS media_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(ceil(w * LEAST(1.0, 640 / CAST(GREATEST(w, h) AS DOUBLE))) AS INTEGER) AS target_width,
+      |  CAST(ceil(h * LEAST(1.0, 640 / CAST(GREATEST(w, h) AS DOUBLE))) AS INTEGER) AS target_height
+      |FROM m WHERE k % 2 = 0
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    val k = col("k")
+    val media = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .select(k.as("mediaId"),
+        when(k % 2 === 0, "image").otherwise("video").as("kind"),
+        struct(
+          (lit(100) + k % 1900).cast("int").as("width"),
+          (lit(80) + expr("k div 3") % 1200).cast("int").as("height"),
+          lit(0L).as("durationMs")).as("meta"))
+    Multimodal.resizePlan(media, maxSide = 640)
+      .select(col("mediaId").as("media_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("target_width"), col("target_height"))
+      .orderBy("media_id")
+  }
+
+  /** M2 — k evenly spaced frame timestamps per synthesized clip. */
+  val m2FrameSample: QuerySpec = QuerySpec.sql(
+    "m2_frame_sample",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    1000 + (CAST(c_custkey AS BIGINT) % 977) * 37 AS dur
+      |  FROM customer
+      |)
+      |SELECT k AS media_id, dur AS duration_ms,
+      |  CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(floor(i * dur / 4) AS BIGINT) AS frame_ts_ms
+      |FROM m, range(0, 4) t(i) WHERE k % 2 = 1
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    val k = col("k")
+    val media = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .select(k.as("mediaId"),
+        when(k % 2 === 0, "image").otherwise("video").as("kind"),
+        struct(lit(0).as("width"), lit(0).as("height"),
+          (lit(1000L) + (k % 977) * 37).as("durationMs")).as("meta"))
+    Multimodal.frameSample(media, k = 4)
+      .select(col("mediaId").as("media_id"), col("duration_ms"),
+        col("frame_idx").cast("long").as("frame_idx"), col("frame_ts_ms"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val all: Seq[QuerySpec] = Seq(m1ResizePlan, m2FrameSample)
+}
