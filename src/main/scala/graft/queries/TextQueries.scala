@@ -499,8 +499,56 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T17 — URL/DOMAIN FILTERING (the C4/Dolma source screen): each
+    * document's source URL (synthesized from doc_id so the oracle is
+    * algebraic) is screened first by a risky-TLD rule, then against a
+    * domain BLOCKLIST derived from a table and broadcast — the shape a
+    * real crawl filter has (blocklists are small; the corpus side
+    * never shuffles for the check). */
+  val t17UrlFilter: QuerySpec = QuerySpec.sql(
+    "t17_url_filter",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    concat('site', CAST(doc_id % 997 AS VARCHAR)) AS domain,
+      |    CASE doc_id % 9 WHEN 0 THEN 'zip' WHEN 1 THEN 'xyz'
+      |         WHEN 2 THEN 'org' ELSE 'com' END AS tld
+      |  FROM documents
+      |), bl AS (
+      |  SELECT DISTINCT concat('site', CAST(doc_id % 997 AS VARCHAR)) AS bdom
+      |  FROM documents WHERE doc_id % 150 = 0
+      |), r AS (
+      |  SELECT t.doc_id, t.domain, t.tld,
+      |    concat('https://', t.domain, '.', t.tld, '/p/',
+      |           CAST(t.doc_id AS VARCHAR)) AS url,
+      |    CASE WHEN t.tld IN ('zip', 'xyz') THEN 'tld'
+      |         WHEN b.bdom IS NOT NULL THEN 'domain' END AS reason
+      |  FROM t LEFT JOIN bl b ON t.domain = b.bdom
+      |)
+      |SELECT doc_id, url, domain, tld, reason,
+      |  (reason IS NOT NULL) AS blocked
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id")
+    val domain = concat(lit("site"), (col("doc_id") % 997).cast("string"))
+    val tld = when(col("doc_id") % 9 === 0, "zip")
+      .when(col("doc_id") % 9 === 1, "xyz")
+      .when(col("doc_id") % 9 === 2, "org").otherwise("com")
+    val t = docs.select(col("doc_id"), domain.as("domain"), tld.as("tld"))
+    val bl = docs.filter(col("doc_id") % 150 === 0)
+      .select(domain.as("bdom")).distinct()
+    val reason = when(col("tld").isin("zip", "xyz"), "tld")
+      .when(col("bdom").isNotNull, "domain")
+    t.join(broadcast(bl), col("domain") === col("bdom"), "left")
+      .select(col("doc_id"),
+        concat(lit("https://"), col("domain"), lit("."), col("tld"),
+          lit("/p/"), col("doc_id").cast("string")).as("url"),
+        col("domain"), col("tld"), reason.as("reason"),
+        reason.isNotNull.as("blocked"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
-    t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit)
+    t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
+    t17UrlFilter)
 }
