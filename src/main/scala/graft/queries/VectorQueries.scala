@@ -310,6 +310,113 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  // ---- T18: IVF (inverted-file) ANN ----
+
+  private[queries] val IvfCentroids = 16
+  private[queries] val IvfProbes = 2
+
+  /** T18 — IVF ANN, the other classic scale path (vs t10's LSH): the
+    * corpus is partitioned into `IvfCentroids` clusters by
+    * nearest-centroid cosine; a query probes only its `IvfProbes`
+    * closest clusters and scores candidates exactly inside them.
+    * Centroids here are deterministically seeded (the first C vectors
+    * — a k-means|| seeding stand-in: the ASSIGNMENT and PROBE
+    * machinery is the operator; Lloyd refinement would only move the
+    * centroid values, not the plan shape).
+    *
+    * Scale shape: the centroid set is tiny and BROADCAST — assignment
+    * is a per-row argmax over C candidates (no corpus self-join, the
+    * 16-row-per-vector window is partition-local after the broadcast);
+    * the probe join fans each query to `IvfProbes` cluster partitions
+    * only — the inverted-file contract that keeps search sublinear.
+    * All similarity math is the exact pre-scaled long arithmetic the
+    * other vector ops use. Ties break by centroid/neighbor id, total
+    * order both sides. */
+  val t18AnnIvf: QuerySpec = {
+    val c = IvfCentroids; val p = IvfProbes
+    QuerySpec.sql(
+      "t18_ann_ivf",
+      s"""WITH sq AS ($NormsSql),
+         |prods AS (
+         |  SELECT v.vec_id, c.vec_id AS cid,
+         |    ${prodLSql("v.embedding[i+1]", "c.embedding[i+1]")} AS pr
+         |  FROM embeddings v, embeddings c, range(0, 64) t(i)
+         |  WHERE c.vec_id < $c
+         |),
+         |cos_vc AS (
+         |  SELECT p.vec_id, p.cid,
+         |    (CAST(SUM(pr) AS DOUBLE) / 1e12) / (sqrt(a.ss) * sqrt(b.ss)) AS cos
+         |  FROM prods p JOIN sq a ON p.vec_id = a.vec_id
+         |    JOIN sq b ON p.cid = b.vec_id
+         |  GROUP BY p.vec_id, p.cid, a.ss, b.ss
+         |),
+         |ranked_vc AS (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cid) AS crn
+         |  FROM cos_vc
+         |),
+         |assign AS (SELECT vec_id, cid FROM ranked_vc WHERE crn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM ranked_vc
+         |  WHERE crn <= $p AND vec_id < 10),
+         |cand AS (
+         |  SELECT pr.qid, a.vec_id AS nid, a.cid
+         |  FROM probes pr JOIN assign a ON pr.cid = a.cid
+         |  WHERE a.vec_id <> pr.qid
+         |),
+         |cprod AS (
+         |  SELECT cand.qid, cand.nid, cand.cid,
+         |    ${prodLSql("x.embedding[i+1]", "y.embedding[i+1]")} AS pr
+         |  FROM cand JOIN embeddings x ON cand.qid = x.vec_id
+         |    JOIN embeddings y ON cand.nid = y.vec_id, range(0, 64) t(i)
+         |),
+         |cos_qn AS (
+         |  SELECT c2.qid, c2.nid, c2.cid,
+         |    (CAST(SUM(pr) AS DOUBLE) / 1e12) / (sqrt(a.ss) * sqrt(b.ss)) AS cosine
+         |  FROM cprod c2 JOIN sq a ON c2.qid = a.vec_id
+         |    JOIN sq b ON c2.nid = b.vec_id
+         |  GROUP BY c2.qid, c2.nid, c2.cid, a.ss, b.ss
+         |),
+         |out AS (
+         |  SELECT qid, nid, cid, cosine, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM cos_qn
+         |)
+         |SELECT qid, rank, nid, cid, cosine FROM out WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = embScaled(s, d).localCheckpoint() // scan once: centroids + assign + score
+      val cent = emb.filter(col("vec_id") < c)
+        .select(col("vec_id").as("cid"), col("eL").as("cL"), col("ss").as("css"))
+      val cosVc = emb.select(col("vec_id"), col("eL"), col("ss"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          (dotL(col("eL"), col("cL")) / (sqrt(col("ss")) * sqrt(col("css"))))
+            .as("cos"))
+      val wVc = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+      val rankedVc = cosVc.withColumn("crn", row_number().over(wVc))
+        .localCheckpoint() // assignment reused by probes + candidates
+      val assign = rankedVc.filter(col("crn") === 1).select("vec_id", "cid")
+      val probes = rankedVc.filter(col("crn") <= p && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cand = probes.join(assign, "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), col("cid"))
+      val cos = cand
+        .join(emb.select(col("vec_id").as("qid"), col("eL").as("qL"),
+          col("ss").as("ss_a")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("eL").as("nL"),
+          col("ss").as("ss_b")), "nid")
+        .select(col("qid"), col("nid"), col("cid"),
+          (dotL(col("qL"), col("nL")) / (sqrt(col("ss_a")) * sqrt(col("ss_b"))))
+            .as("cosine"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+      cos.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid", "cid", "cosine")
+        .orderBy("qid", "rank")
+    }
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize)
+    Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
+      t18AnnIvf)
 }
