@@ -332,6 +332,33 @@ object VectorQueries {
     * All similarity math is the exact pre-scaled long arithmetic the
     * other vector ops use. Ties break by centroid/neighbor id, total
     * order both sides. */
+  /** IVF core: every vector's centroid-cosine ranking (crn = 1 is the
+    * assignment; crn ≤ nprobe is a query's probe set). Accepts either a
+    * raw (vec_id, embedding) frame or one already carrying eL/ss. */
+  private[graft] def ivfRanked(emb: DataFrame, c: Int): DataFrame = {
+    val e =
+      if (emb.columns.contains("eL")) emb.select("vec_id", "eL", "ss")
+      else emb.select(col("vec_id"), scaleL(col("embedding")).as("eL"))
+        .withColumn("ss", normSqL(col("eL")))
+    val cent = e.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("eL").as("cL"), col("ss").as("css"))
+    val cos = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (dotL(col("eL"), col("cL")) / (sqrt(col("ss")) * sqrt(col("css"))))
+          .as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    cos.withColumn("crn", row_number().over(w))
+  }
+
+  /** Observability twin: cluster occupancy (cid, n) — the imbalance
+    * feed a pipeline alerts on. IVF skew is inherent (a hot region of
+    * embedding space IS one cluster); the 100 TB remedy is raising the
+    * centroid count / re-seeding — a config, like t10's bits — and
+    * this view is what tells you when. */
+  private[graft] def ivfClusterSizes(emb: DataFrame, c: Int): DataFrame =
+    ivfRanked(emb, c).filter(col("crn") === 1)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+
   val t18AnnIvf: QuerySpec = {
     val c = IvfCentroids; val p = IvfProbes
     QuerySpec.sql(
@@ -384,15 +411,7 @@ object VectorQueries {
          |SELECT qid, rank, nid, cid, cosine FROM out WHERE rank <= 3
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
       val emb = embScaled(s, d).localCheckpoint() // scan once: centroids + assign + score
-      val cent = emb.filter(col("vec_id") < c)
-        .select(col("vec_id").as("cid"), col("eL").as("cL"), col("ss").as("css"))
-      val cosVc = emb.select(col("vec_id"), col("eL"), col("ss"))
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"),
-          (dotL(col("eL"), col("cL")) / (sqrt(col("ss")) * sqrt(col("css"))))
-            .as("cos"))
-      val wVc = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
-      val rankedVc = cosVc.withColumn("crn", row_number().over(wVc))
+      val rankedVc = ivfRanked(emb, c)
         .localCheckpoint() // assignment reused by probes + candidates
       val assign = rankedVc.filter(col("crn") === 1).select("vec_id", "cid")
       val probes = rankedVc.filter(col("crn") <= p && col("vec_id") < 10)

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Skew guards for the two operators whose worst case is quadratic: a
@@ -34,6 +36,34 @@ class ScaleGuardSpec extends SparkSpec {
     // sanity: without the cap the hot bucket join is quadratic
     val uncapped = VectorQueries.annLshPairs(emb, 4, 2, 1000).count()
     assert(uncapped == 42L * 41) // all 42 collide in table 0's bucket
+  }
+
+  test("t18 IVF: cluster imbalance is observable, probe fan-out cluster-bounded") {
+    // centroids = vec_id < 4; 40 vectors clone centroid 0's direction
+    // (one hot cluster), 3 sit near centroid 2
+    val hot = (4 until 44).map(i => (i.toLong, Array.fill(64)(1.0f)))
+    val cold = (44 until 47).map(i =>
+      (i.toLong, Array.tabulate(64)(d => if (d < 32) 1.0f else -1.0f)))
+    val cents = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(64)(-1.0f)),
+      (2L, Array.tabulate(64)(d => if (d < 32) 1.0f else -1.0f)),
+      (3L, Array.tabulate(64)(d => if (d % 2 == 0) 1.0f else -1.0f)))
+    val emb = (cents ++ hot ++ cold).toDF("vec_id", "embedding")
+    val sizes = VectorQueries.ivfClusterSizes(emb, 4)
+      .collect().map(r => r.getAs[Long]("cid") -> r.getAs[Long]("n")).toMap
+    // the occupancy view surfaces the hot cluster instead of hiding it
+    assert(sizes(0L) == 41L) // centroid 0 + its 40 clones
+    assert(sizes(2L) == 4L)  // centroid 2 + 3 neighbors
+    assert(sizes.values.sum == 47L) // every vector assigned exactly once
+    // a query probing nprobe clusters sees at most their occupancy —
+    // the sublinear-search contract: candidates ≤ Σ probed sizes
+    val ranked = VectorQueries.ivfRanked(emb, 4)
+    val probes = ranked.filter(col("crn") <= 2 && col("vec_id") === 44L)
+      .select(col("cid")).as[Long].collect().toSet
+    val candidates = ranked.filter(col("crn") === 1)
+      .filter(col("cid").isin(probes.toSeq: _*)).count()
+    assert(candidates <= probes.toSeq.map(sizes).sum)
   }
 
   test("t4 df cap: a universal stopword no longer fans out the join") {
