@@ -546,9 +546,77 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T19 — the composed CURATION VERDICT: the gate a corpus pass
+    * actually ends with, combining the language (t6), quality (t7) and
+    * repetition (t13) signals into keep/drop with the FIRST failing
+    * rule as the drop reason (rule order: lang → quality →
+    * repetition). The x8 idea applied to the curation side: one hash
+    * gate over the composition, not just each signal.
+    *
+    * Scale: the scalar signals are scan-local; the repetition rollup
+    * is the only shuffle and the verdict join is keyed by doc_id. */
+  val t19CurationVerdict: QuerySpec = {
+    val stopList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    QuerySpec.sql(
+      "t19_curation_verdict",
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $ToksSql AS toks, $NormSql AS norm FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |      / len(toks) AS stop_ratio,
+         |    len(toks) AS n_toks,
+         |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'und' END AS predicted,
+         |    least(1.0, CAST(n_toks AS DOUBLE) / 100)
+         |      * (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
+         |      * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) AS quality
+         |  FROM m
+         |), s0 AS (SELECT doc_id, unnest($ShinglesOverToks) AS shingle FROM t),
+         |g AS (SELECT doc_id, shingle, COUNT(*) AS c FROM s0 GROUP BY 1, 2),
+         |rep AS (
+         |  SELECT doc_id,
+         |    1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_frac
+         |  FROM g GROUP BY doc_id
+         |)
+         |SELECT q.doc_id, predicted, quality, dup_frac,
+         |  (predicted = 'en' AND quality >= 0.5 AND dup_frac < 0.3) AS keep,
+         |  CASE WHEN predicted <> 'en' THEN 'lang'
+         |       WHEN quality < 0.5 THEN 'quality'
+         |       WHEN dup_frac >= 0.3 THEN 'repetition' END AS drop_reason
+         |FROM q JOIN rep ON q.doc_id = rep.doc_id
+         |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val stopRatio = stopwordCount(toks).cast("double") / size(toks)
+      val punctRatio = (length(col("text")) -
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))).cast("double") /
+        length(col("text"))
+      val q = Tables.documents(s, d).select(col("doc_id"),
+        when(stopRatio >= 0.05, "en").otherwise("und").as("predicted"),
+        (least(lit(1.0), size(toks).cast("double") / 100) *
+          when(stopRatio >= 0.01 && stopRatio <= 0.3, 1.0).otherwise(0.5) *
+          when(punctRatio <= 0.2, 1.0).otherwise(0.5)).as("quality"))
+      val rep = repetitionScore(
+        Tables.documents(s, d).select("doc_id", "text"), 3, 0.3)
+        .select("doc_id", "dup_frac")
+      q.join(rep, "doc_id")
+        .select(col("doc_id"), col("predicted"), col("quality"), col("dup_frac"),
+          (col("predicted") === "en" && col("quality") >= 0.5 &&
+            col("dup_frac") < 0.3).as("keep"),
+          when(col("predicted") =!= "en", "lang")
+            .when(col("quality") < 0.5, "quality")
+            .when(col("dup_frac") >= 0.3, "repetition").as("drop_reason"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
-    t17UrlFilter)
+    t17UrlFilter, t19CurationVerdict)
 }
