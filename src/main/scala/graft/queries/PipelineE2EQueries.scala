@@ -10,7 +10,9 @@ import graft.sources.DocumentIngest
 /** X8 — the full reference pipeline as ONE hash-gated oracle: a
   * printers document synthesized from `customer` flows through the real
   * composed operators — J1 employees enrich (last-wins index,
-  * non-empty-wins update) → tonerFinder scan merge (hit/miss/untouched)
+  * non-empty-wins update) → J2 locations enrich (last-wins address with
+  * postal split, first-seen ranked description pairs, first-subscriber
+  * LineID) → tonerFinder scan merge (hit/miss/untouched)
   * → tonerType group-representative merge (probe-else-scan preset
   * backfill) → extract_info flattening (status classify, per-color
   * cells, toner display) → J3 last-wins id-map upsert — while DuckDB
@@ -94,6 +96,27 @@ object PipelineE2EQueries {
       |    arg_max(concat('P', CAST(c_custkey % 100 AS VARCHAR)),
       |            c_custkey) AS wphone
       |  FROM customer GROUP BY 1
+      |), locp AS (
+      |  SELECT CAST(c_custkey % 400 AS VARCHAR) AS lbid,
+      |    MAX(c_custkey) AS kmax
+      |  FROM customer GROUP BY 1
+      |), lp AS (
+      |  SELECT CAST(c_custkey % 400 AS VARCHAR) AS lbid,
+      |    concat('P', CAST(c_custkey % 3 AS VARCHAR)) AS pd,
+      |    concat('S', CAST(c_custkey % 2 AS VARCHAR)) AS sd,
+      |    MIN(c_custkey) AS fs,
+      |    arg_min(concat('05', CAST(c_custkey AS VARCHAR)), c_custkey)
+      |      FILTER (WHERE c_custkey % 4 = 0) AS line
+      |  FROM customer GROUP BY 1, 2, 3
+      |), lr AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lbid ORDER BY fs) AS prn
+      |  FROM lp
+      |), ldesc AS (
+      |  SELECT lbid,
+      |    MAX(CASE WHEN prn = 1 THEN pd END) AS p1_pd,
+      |    MAX(CASE WHEN prn = 1 THEN coalesce(line, '') END) AS p1_line,
+      |    MAX(CASE WHEN prn = 2 THEN sd END) AS p2_sd
+      |  FROM lr WHERE prn <= 2 GROUP BY lbid
       |), tt_grp AS (
       |  SELECT arg_min(ttdisp0, ord) FILTER (WHERE tt_nonempty) AS probe_disp,
       |         arg_min(k, ord) AS rep_k
@@ -129,15 +152,22 @@ object PipelineE2EQueries {
       |         ELSE 'offline' END AS status_cls
       |  FROM (SELECT *, lower(trim(coalesce(status1, ''))) AS s2 FROM merged)
       |), ranked AS (
-      |  SELECT c.*, e.wname, e.wphone,
+      |  SELECT c.*, e.wname, e.wphone, l.kmax, dd.p1_pd, dd.p1_line, dd.p2_sd,
       |    ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY c.ridx DESC) AS rn
       |  FROM classified c JOIN emps e ON c.id = e.eid
+      |    JOIN locp l ON c.id = l.lbid
+      |    JOIN ldesc dd ON c.id = dd.lbid
       |)
       |SELECT id, status_cls AS status,
       |  black1 AS black, cyan1 AS cyan, magenta1 AS magenta, yellow1 AS yellow,
       |  err0 AS error, sev0 AS severity, tt1 AS toner_type,
       |  CASE WHEN grp = 1 AND trim(wname) <> '' THEN wname END AS manager,
-      |  CASE WHEN grp = 1 AND trim(wphone) <> '' THEN wphone END AS phone
+      |  CASE WHEN grp = 1 AND trim(wphone) <> '' THEN wphone END AS phone,
+      |  CASE WHEN grp = 1 THEN concat('Addr ', CAST(kmax AS VARCHAR)) END AS location,
+      |  CASE WHEN grp = 1 THEN CAST(kmax + 1000000 AS VARCHAR) END AS postal,
+      |  CASE WHEN grp = 1 THEN p1_line END AS line_id,
+      |  CASE WHEN grp = 1 THEN p1_pd END AS first_primary,
+      |  CASE WHEN grp = 1 THEN p2_sd END AS second_secondary
       |FROM ranked WHERE rn = 1
       |ORDER BY id""".stripMargin) { (s, d) =>
     val k = col("k")
@@ -186,6 +216,13 @@ object PipelineE2EQueries {
         .as("name"),
       concat(lit("P"), (k % 100).cast("string")).as("phone"),
       k.as("row_idx"))
+    val locs = base.select((k % 400).cast("string").as("branch_id"),
+      concat(lit("Addr "), k.cast("string"), lit(" "),
+        (k + 1000000).cast("string")).as("address"),
+      concat(lit("P"), (k % 3).cast("string")).as("primary_desc"),
+      concat(lit("S"), (k % 2).cast("string")).as("secondary_desc"),
+      when(k % 4 === 0, concat(lit("05"), k.cast("string"))).as("subscriber"),
+      k.as("row_idx"))
     val tfRes = base.filter(k % 3 === 1 && k % 7 >= 2)
       .select(ipC.as("ip"), lit("polled").as("status"),
         array(cart(lit("Black"), lit("6"))).as("cartridges"))
@@ -193,7 +230,7 @@ object PipelineE2EQueries {
       .select(ipC.as("ip"),
         array(concat(lit("TT"), (k % 4).cast("string"))).as("codes"))
 
-    val p1 = Enrich.employees(p0, emp)
+    val p1 = Enrich.locations(Enrich.employees(p0, emp), locs)
     def goodIp(df: DataFrame) = {
       val ip = DocumentIngest.ipOf(df)
       ip.isNotNull && !lower(ip).isin(DocumentIngest.BadIps: _*)
@@ -206,7 +243,15 @@ object PipelineE2EQueries {
     val snap = FleetSnapshot(p3)
     val side = p3.select(col("group").as("g2"), col("row_idx").as("r2"),
       col("storeInfo").getField("Manager").as("manager"),
-      col("storeInfo").getField("Phone").as("phone"))
+      col("storeInfo").getField("Phone").as("phone"),
+      col("storeInfo").getField("Location").as("location"),
+      col("storeInfo").getField("Postal").as("postal"),
+      col("storeInfo").getField("firstDescription").getField("LineID")
+        .as("line_id"),
+      col("storeInfo").getField("firstDescription")
+        .getField("PrimaryDescription").as("first_primary"),
+      col("storeInfo").getField("secondDescription")
+        .getField("SecondayDescription").as("second_secondary"))
     val snapPlus = snap.join(side,
       col("group") === col("g2") && col("row_idx") === col("r2"))
       .drop("g2", "r2")
@@ -216,7 +261,8 @@ object PipelineE2EQueries {
         col("Magenta").as("magenta"), col("Yellow").as("yellow"),
         col("Error").as("error"), col("Severity").as("severity"),
         col("Toner Type").as("toner_type"),
-        col("manager"), col("phone"))
+        col("manager"), col("phone"), col("location"), col("postal"),
+        col("line_id"), col("first_primary"), col("second_secondary"))
       .orderBy("id")
   }
 
