@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Normalize
+import graft.sources.DocumentIngest
 
 /** The `extract_info` flattening (SURVEY.md §7.2 slice 0): unified
   * printer records → one flat sheet-update row per printer with the
@@ -64,8 +65,11 @@ object FleetSnapshot {
       .otherwise(lit(null).cast("string"))
   }
 
-  /** Printers (DocumentIngest.printersUnified shape) → flat snapshot. */
-  def apply(printers: DataFrame): DataFrame = {
+  /** Printers (DocumentIngest.printersUnified shape) → flat snapshot.
+    * `keep` columns ride along in the same projection (e.g. storeInfo
+    * fields a caller wants in the sheet) — a pass-through, never a
+    * join. */
+  def apply(printers: DataFrame, keep: Column*): DataFrame = {
     val pi = col("printerInfo")
     val carts = coalesce(pi.getField("cartridges"),
       expr("array()").cast("array<struct<cartridge:string,remaining_percent:string>>"))
@@ -77,22 +81,33 @@ object FleetSnapshot {
         ++ colorCols ++ Seq(
         pi.getField("printerError").getField("problem").as("Error"),
         pi.getField("printerError").getField("severity").as("Severity"),
-        tonerTypeDisplay(pi.getField("tonerType")).as("Toner Type")): _*)
+        tonerTypeDisplay(pi.getField("tonerType")).as("Toner Type"))
+        ++ keep: _*)
   }
 
   /** J3: last-wins id→snapshot map then keyed upsert into a sheet
     * (update_from_json.py:126-135 — later records overwrite earlier
     * ones — and :187-212 — only matching sheet rows change).
-    * `last-wins` is made deterministic with max_by over the explicit
-    * source row index (SURVEY.md §4.3). At lake scale this is the
+    * "Later" means DOCUMENT order — groups in declaration order, then
+    * row index (iter_printers, core/printers.py:6-17) — so when the
+    * same canonical id appears in two groups, the later GROUP wins even
+    * at a smaller row_idx; the ordering key is (group rank, row_idx),
+    * made deterministic per SURVEY.md §4.3. At lake scale this is the
     * MERGE INTO shape: broadcast the small id-map side. */
   def upsertIdMap(snapshot: DataFrame): DataFrame = {
     val valueCols = snapshot.columns.filterNot(Seq("group", "row_idx", "id").contains)
+    val grpRank =
+      if (snapshot.columns.contains("group"))
+        coalesce((DocumentIngest.GroupKeys.zipWithIndex.map { case (g, i) =>
+          when(col("group") === g, lit(i.toLong))
+        } :+ lit(DocumentIngest.GroupKeys.size.toLong)): _*)
+      else lit(0L)
     snapshot
       // build_id_map skips records whose canonical id is falsy (:128-131)
       .where(length(coalesce(col("id"), lit(""))) > 0)
       .groupBy("id")
-      .agg(max_by(struct(valueCols.map(col): _*), col("row_idx")).as("v"))
+      .agg(max_by(struct(valueCols.map(col): _*),
+        struct(grpRank.as("g"), col("row_idx").as("r"))).as("v"))
       .select(col("id") +: valueCols.map(c => col(s"v.`$c`").as(c)): _*)
   }
 

@@ -30,9 +30,22 @@ object ScanMerge {
     * answered) or `miss` (selected but nothing came back — the
     * reference's per-printer except-branch). Unselected rows keep their
     * printerInfo verbatim. */
-  private def writeBack(printers: DataFrame, r: DataFrame, selected: Column)(
+  /** One scan row per device: the reference processes each printer's IP
+    * exactly once (a per-device call, not a result TABLE), so a results
+    * frame carrying duplicate IPs (e.g. an appended retry) must not fan
+    * the fleet out through the merge join — keep one row per key,
+    * deterministically (min over the remaining columns). */
+  private def onePerIp(r: DataFrame): DataFrame = {
+    val valueCols = r.columns.filterNot(_ == "scan_ip")
+    r.groupBy("scan_ip")
+      .agg(min(struct(valueCols.map(col): _*)).as("__v"))
+      .select(col("scan_ip") +: valueCols.map(c => col(s"__v.`$c`").as(c)): _*)
+  }
+
+  private def writeBack(printers: DataFrame, r0: DataFrame, selected: Column)(
       hit: Column => Column, miss: Column => Column): DataFrame = {
     val piBase = piBaseOf(printers)
+    val r = onePerIp(r0)
     val scanCols = r.columns.toSeq
     printers
       .withColumn("__sel", selected)
@@ -107,17 +120,19 @@ object ScanMerge {
     val piType = printers.schema("printerInfo").dataType.asInstanceOf[StructType]
     val ttType = piType("tonerType").dataType
     val piBase = piBaseOf(printers)
-    val r =
+    val r = onePerIp(
       if (web) results.select(col("ip").as("scan_ip"),
         DocumentIngest.unifyTonerType(col("tid")).cast(ttType).as("scan_tt"))
       else results.select(col("ip").as("scan_ip"),
-        col("codes").cast(ttType).as("scan_tt"))
+        col("codes").cast(ttType).as("scan_tt")))
     val emptyPreset =
       (if (web) array(lit("")) else array()).cast(ttType)
     val ipN = DocumentIngest.ipOf(printers)
     val goodIp = ipN.isNotNull && !lower(ipN).isin(DocumentIngest.BadIps: _*)
     // global document order: groups in GroupKeys order, then row_idx
-    // (iter_printers walks group arrays in declaration order)
+    // (iter_printers walks group arrays in declaration order) — as a
+    // two-field struct ordering, NOT a packed arithmetic key, so it
+    // holds for any group size
     val grpRank = coalesce(
       (DocumentIngest.GroupKeys.zipWithIndex.map { case (g, i) =>
         when(col("group") === g, lit(i.toLong))
@@ -130,14 +145,17 @@ object ScanMerge {
     val sel = printers
       .withColumn("__sel", selected)
       .withColumn("__t", trim(coalesce(col("Type").cast("string"), lit(""))))
-      .withColumn("__ord", grpRank * lit(1000000L) + col("row_idx").cast("long"))
+      .withColumn("__gr", grpRank)
+      .withColumn("__ri", col("row_idx").cast("long"))
       .withColumn("__gip", when(goodIp, ipN))
+    def firstByDocOrder(v: Column) =
+      struct(col("__gr").as("g"), col("__ri").as("r"), v.as("v"))
     val presets = sel.filter(col("__sel"))
       .groupBy(col("__t"))
       .agg(
-        min(when(probeOk, struct(col("__ord").as("o"), tt.as("v")))).as("probe"),
-        min(when(col("__gip").isNotNull,
-          struct(col("__ord").as("o"), col("__gip").as("v")))).as("rep"))
+        min(when(probeOk, firstByDocOrder(tt))).as("probe"),
+        min(when(col("__gip").isNotNull, firstByDocOrder(col("__gip"))))
+          .as("rep"))
       .select(col("__t").as("p_type"), col("probe.v").as("probe_tt"),
         col("rep.v").as("rep_ip"))
       .join(r, col("rep_ip") === col("scan_ip"), "left")

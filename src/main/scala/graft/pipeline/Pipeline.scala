@@ -73,11 +73,15 @@ object Pipeline {
     val steps = Set.newBuilder[Int]
     val subs = Set.newBuilder[(Int, Int)]
     val invalid = Seq.newBuilder[String]
+    // Python's int() is unbounded, so huge numeric tokens are VALID
+    // excludes that simply never match a real step number — parse
+    // overflow must drop them silently (observable-equivalent), never
+    // throw and never mark them invalid.
     flat.foreach {
-      case s if s.matches("\\d+") => steps += s.toInt
+      case s if s.matches("\\d+") => s.toIntOption.foreach(steps += _)
       case s if s.matches("\\d+\\.\\d+") =>
         val Array(a, b) = s.split("\\.")
-        subs += ((a.toInt, b.toInt))
+        for (x <- a.toIntOption; y <- b.toIntOption) subs += ((x, y))
       case s => invalid += s
     }
     (steps.result(), subs.result(), invalid.result())

@@ -23,7 +23,9 @@ import graft.sources.DocumentIngest
   * stage semantics per the cited operator files).
   *
   * Synthesis map (k = c_custkey):
-  * group k%2, row_idx k/2, ID k%400 (collides across groups → J3),
+  * group k%2, row_idx k/2, ID k%399 (399 is odd, so equal IDs genuinely
+  * straddle the two groups → the J3 upsert's cross-group DOCUMENT-order
+  * last-wins is exercised, not just the within-group path),
   * IP k%7 (two bad-IP shapes), Type k%5 (two tonerFinder models, one
   * tonerType model, one foreign, one blank), printerInfo present iff
   * k%3≠0, status/printerError k%4, cartridges (k/2)%6 (verbatim "37%",
@@ -47,7 +49,7 @@ object PipelineE2EQueries {
       |  SELECT c_custkey AS k,
       |    CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END AS grp,
       |    c_custkey // 2 AS ridx,
-      |    CAST(c_custkey % 400 AS VARCHAR) AS id,
+      |    CAST(c_custkey % 399 AS VARCHAR) AS id,
       |    CASE WHEN c_custkey % 7 = 0 THEN '0.0.0.0'
       |         WHEN c_custkey % 7 = 1 THEN '-'
       |         ELSE concat('10.', CAST(c_custkey % 250 AS VARCHAR), '.',
@@ -89,7 +91,7 @@ object PipelineE2EQueries {
       |    (good_ip AND lower(trim(typ)) = 'e60055') AS sel_tt
       |  FROM attrs
       |), emps AS (
-      |  SELECT CAST(c_custkey % 400 AS VARCHAR) AS eid,
+      |  SELECT CAST(c_custkey % 399 AS VARCHAR) AS eid,
       |    arg_max(CASE WHEN c_custkey % 6 = 0 THEN ''
       |                 ELSE concat('E', CAST(c_custkey AS VARCHAR)) END,
       |            c_custkey) AS wname,
@@ -97,11 +99,11 @@ object PipelineE2EQueries {
       |            c_custkey) AS wphone
       |  FROM customer GROUP BY 1
       |), locp AS (
-      |  SELECT CAST(c_custkey % 400 AS VARCHAR) AS lbid,
+      |  SELECT CAST(c_custkey % 399 AS VARCHAR) AS lbid,
       |    MAX(c_custkey) AS kmax
       |  FROM customer GROUP BY 1
       |), lp AS (
-      |  SELECT CAST(c_custkey % 400 AS VARCHAR) AS lbid,
+      |  SELECT CAST(c_custkey % 399 AS VARCHAR) AS lbid,
       |    concat('P', CAST(c_custkey % 3 AS VARCHAR)) AS pd,
       |    concat('S', CAST(c_custkey % 2 AS VARCHAR)) AS sd,
       |    MIN(c_custkey) AS fs,
@@ -153,7 +155,7 @@ object PipelineE2EQueries {
       |  FROM (SELECT *, lower(trim(coalesce(status1, ''))) AS s2 FROM merged)
       |), ranked AS (
       |  SELECT c.*, e.wname, e.wphone, l.kmax, dd.p1_pd, dd.p1_line, dd.p2_sd,
-      |    ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY c.ridx DESC) AS rn
+      |    ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY c.grp DESC, c.ridx DESC) AS rn
       |  FROM classified c JOIN emps e ON c.id = e.eid
       |    JOIN locp l ON c.id = l.lbid
       |    JOIN ldesc dd ON c.id = dd.lbid
@@ -209,14 +211,14 @@ object PipelineE2EQueries {
       when(k % 2 === 0, "Company_Grouped").otherwise("Branches_Grouped")
         .as("group"),
       expr("k div 2").as("row_idx"),
-      (k % 400).cast("string").as("ID"),
+      (k % 399).cast("string").as("ID"),
       ipC.as("Printer IP"), typC.as("Type"), pi0.as("printerInfo"))
-    val emp = base.select((k % 400).cast("string").as("id"),
+    val emp = base.select((k % 399).cast("string").as("id"),
       when(k % 6 === 0, "").otherwise(concat(lit("E"), k.cast("string")))
         .as("name"),
       concat(lit("P"), (k % 100).cast("string")).as("phone"),
       k.as("row_idx"))
-    val locs = base.select((k % 400).cast("string").as("branch_id"),
+    val locs = base.select((k % 399).cast("string").as("branch_id"),
       concat(lit("Addr "), k.cast("string"), lit(" "),
         (k + 1000000).cast("string")).as("address"),
       concat(lit("P"), (k % 3).cast("string")).as("primary_desc"),
@@ -240,8 +242,8 @@ object PipelineE2EQueries {
       goodIp(p1) && modelOf.isin("m404dn", "m426fdw"))
     val p3 = ScanMerge.tonerType(p2, ttRes,
       goodIp(p2) && modelOf === "e60055", web = false)
-    val snap = FleetSnapshot(p3)
-    val side = p3.select(col("group").as("g2"), col("row_idx").as("r2"),
+    // storeInfo fields ride the snapshot projection (no fleet re-join)
+    val snapPlus = FleetSnapshot(p3,
       col("storeInfo").getField("Manager").as("manager"),
       col("storeInfo").getField("Phone").as("phone"),
       col("storeInfo").getField("Location").as("location"),
@@ -252,9 +254,6 @@ object PipelineE2EQueries {
         .getField("PrimaryDescription").as("first_primary"),
       col("storeInfo").getField("secondDescription")
         .getField("SecondayDescription").as("second_secondary"))
-    val snapPlus = snap.join(side,
-      col("group") === col("g2") && col("row_idx") === col("r2"))
-      .drop("g2", "r2")
     FleetSnapshot.upsertIdMap(snapPlus)
       .select(col("id"), col("Status").as("status"),
         col("Black").as("black"), col("Cyan").as("cyan"),

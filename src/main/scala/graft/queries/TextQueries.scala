@@ -363,7 +363,11 @@ object TextQueries {
     def distinctShingles(df: org.apache.spark.sql.DataFrame) = df
       .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("shingle"))
       .distinct()
-    val bench = distinctShingles(benchDocs).select("shingle").distinct()
+    // bench only needs the global shingle SET — one aggregation, not a
+    // per-doc distinct followed by another
+    val bench = benchDocs
+      .select(explode(shingles(tokens(col("text")), n)).as("shingle"))
+      .distinct()
     val agg = distinctShingles(docs)
       .join(broadcast(bench.withColumn("bhit", lit(1))), Seq("shingle"), "left")
       .groupBy("doc_id")

@@ -125,6 +125,29 @@ class ScanMergeSpec extends SparkSpec {
     assert(snmp(("Branches_Grouped", 0L)) == Some(List("S1")))
   }
 
+  test("duplicate scan-result IPs never fan out the fleet") {
+    // an appended retry row for the same device: the reference calls
+    // each device once (dict semantics) — the merge must keep one row
+    // per ip and one output row per printer
+    val results = Seq(
+      ("10.0.1.7", "online", Seq(("Black", "41%"))),
+      ("10.0.1.7", "retry-won", Seq(("Black", "40%"), ("Cyan", "9%"))))
+      .toDF("ip", "status", "carts")
+      .select(col("ip"), col("status"),
+        expr("transform(carts, c -> named_struct('cartridge', c._1, 'remaining_percent', c._2))")
+          .as("cartridges"))
+    val selected = lower(trim(coalesce(col("Type"), lit(""))))
+      .isin("m404dn", "m426fdw") &&
+      DocumentIngest.ipOf(printers).isNotNull &&
+      !lower(DocumentIngest.ipOf(printers)).isin(DocumentIngest.BadIps: _*)
+    val out = ScanMerge(printers, results, selected)
+    assert(out.count() == printers.count()) // no duplication
+    // deterministic pick (min over the value struct): "online" < "retry-won"
+    val hit = out.filter(col("group") === "Company_Grouped" && col("row_idx") === 0)
+      .select(col("printerInfo.status")).collect().head.getString(0)
+    assert(hit == "online")
+  }
+
   test("alerts merge: printerError family defaults to {Offline, critical}") {
     // the printerError plugins' except-branch default differs from the
     // tonerFinder one (snmp_active_alerts.py:56-58 vs toner_hp.py:66-69)

@@ -40,6 +40,12 @@ class PipelineSpec extends SparkSpec {
     assert(subs == Set((3, 1), (5, 2))) // "5.02" → (5, 2): int() parse
     assert(invalid == Seq("x", "3.1.2")) // warned by the CLI, not fatal
     assert(Pipeline.parseExcludes(Seq())._1.isEmpty)
+    // Python int() is unbounded: an over-Int token is a VALID exclude
+    // that can never match a step — dropped silently, never fatal,
+    // never flagged invalid
+    val (s2, p2, inv2) = Pipeline.parseExcludes(
+      Seq("4294967296", "1.99999999999", "2"))
+    assert(s2 == Set(2) && p2.isEmpty && inv2.isEmpty)
   }
 
   test("numberedPlan: json consumes step 1 even when missing; empty groups don't") {

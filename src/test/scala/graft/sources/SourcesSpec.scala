@@ -124,6 +124,20 @@ class SourcesSpec extends SparkSpec {
     assert(byId("330").isNullAt(byId("330").fieldIndex("Error")))
   }
 
+  test("J3: cross-group id collision — the later GROUP wins, not the larger row_idx") {
+    // document order is (group rank, row_idx): a Branches record at
+    // row_idx 2 must beat a Company record at row_idx 900 for the same
+    // canonical id (iter_printers walks Company_Grouped first)
+    import spark.implicits._
+    val snap = Seq(
+      ("Company_Grouped", 900L, "55", "company-wins?"),
+      ("Branches_Grouped", 2L, "55", "branches-wins"))
+      .toDF("group", "row_idx", "id", "Status")
+    val idMap = FleetSnapshot.upsertIdMap(snap)
+    assert(idMap.count() == 1)
+    assert(idMap.collect().head.getAs[String]("Status") == "branches-wins")
+  }
+
   test("J3: last-wins id map + sheet update only touches matching rows") {
     val snap = FleetSnapshot(DocumentIngest.printersUnified(doc))
     val idMap = FleetSnapshot.upsertIdMap(snap)
