@@ -96,11 +96,10 @@ object FleetSnapshot {
     * MERGE INTO shape: broadcast the small id-map side. */
   def upsertIdMap(snapshot: DataFrame): DataFrame = {
     val valueCols = snapshot.columns.filterNot(Seq("group", "row_idx", "id").contains)
+    // unknown groups rank -1 so they LOSE the max_by last-wins pick —
+    // iter_printers would never have yielded them
     val grpRank =
-      if (snapshot.columns.contains("group"))
-        coalesce((DocumentIngest.GroupKeys.zipWithIndex.map { case (g, i) =>
-          when(col("group") === g, lit(i.toLong))
-        } :+ lit(DocumentIngest.GroupKeys.size.toLong)): _*)
+      if (snapshot.columns.contains("group")) DocumentIngest.groupRank(-1L)
       else lit(0L)
     snapshot
       // build_id_map skips records whose canonical id is falsy (:128-131)

@@ -25,16 +25,14 @@ object ScanMerge {
       struct(piType.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*))
   }
 
-  /** Shared write-back skeleton: join scan results to SELECTED printers
-    * by normalized IP, then rewrite printerInfo via `hit` (a scan row
-    * answered) or `miss` (selected but nothing came back — the
-    * reference's per-printer except-branch). Unselected rows keep their
-    * printerInfo verbatim. */
   /** One scan row per device: the reference processes each printer's IP
     * exactly once (a per-device call, not a result TABLE), so a results
     * frame carrying duplicate IPs (e.g. an appended retry) must not fan
     * the fleet out through the merge join — keep one row per key,
-    * deterministically (min over the remaining columns). */
+    * deterministically (min over the remaining columns). Cost note: the
+    * dedup hashes on the SAME key the merge join shuffles the results
+    * by, so it rides that exchange (one extra partial-combining
+    * aggregate, no extra shuffle). */
   private def onePerIp(r: DataFrame): DataFrame = {
     val valueCols = r.columns.filterNot(_ == "scan_ip")
     r.groupBy("scan_ip")
@@ -42,6 +40,11 @@ object ScanMerge {
       .select(col("scan_ip") +: valueCols.map(c => col(s"__v.`$c`").as(c)): _*)
   }
 
+  /** Shared write-back skeleton: join scan results to SELECTED printers
+    * by normalized IP, then rewrite printerInfo via `hit` (a scan row
+    * answered) or `miss` (selected but nothing came back — the
+    * reference's per-printer except-branch). Unselected rows keep their
+    * printerInfo verbatim. */
   private def writeBack(printers: DataFrame, r0: DataFrame, selected: Column)(
       hit: Column => Column, miss: Column => Column): DataFrame = {
     val piBase = piBaseOf(printers)
@@ -132,11 +135,9 @@ object ScanMerge {
     // global document order: groups in GroupKeys order, then row_idx
     // (iter_printers walks group arrays in declaration order) — as a
     // two-field struct ordering, NOT a packed arithmetic key, so it
-    // holds for any group size
-    val grpRank = coalesce(
-      (DocumentIngest.GroupKeys.zipWithIndex.map { case (g, i) =>
-        when(col("group") === g, lit(i.toLong))
-      } :+ lit(DocumentIngest.GroupKeys.size.toLong)): _*)
+    // holds for any group size; unknown groups rank last so they LOSE
+    // the first-wins (min) probe/representative picks
+    val grpRank = DocumentIngest.groupRank(DocumentIngest.GroupKeys.size.toLong)
     val tt = col("printerInfo").getField("tonerType")
     val probeOk =
       if (web) tt.isNotNull && size(tt) === 1 &&

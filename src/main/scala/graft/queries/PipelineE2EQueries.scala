@@ -59,10 +59,8 @@ object PipelineE2EQueries {
       |  FROM customer
       |), attrs AS (
       |  SELECT *,
-      |    (k % 3 <> 0) AS has_pi,
       |    (k % 7 >= 2) AS good_ip,
       |    ((k // 2) % 6) AS cc,
-      |    (grp * 1000000 + ridx) AS ord,
       |    CASE WHEN k % 3 = 0 THEN NULL
       |         WHEN k % 4 = 0 THEN 'Ready' WHEN k % 4 = 1 THEN 'POWER off'
       |         WHEN k % 4 = 2 THEN 'sleep' ELSE '' END AS status0,
@@ -120,9 +118,12 @@ object PipelineE2EQueries {
       |    MAX(CASE WHEN prn = 2 THEN sd END) AS p2_sd
       |  FROM lr WHERE prn <= 2 GROUP BY lbid
       |), tt_grp AS (
-      |  SELECT arg_min(ttdisp0, ord) FILTER (WHERE tt_nonempty) AS probe_disp,
-      |         arg_min(k, ord) AS rep_k
-      |  FROM sel WHERE sel_tt
+      |  -- document order = (grp, ridx) lexicographic, never a packed key
+      |  SELECT
+      |    (SELECT ttdisp0 FROM sel WHERE sel_tt AND tt_nonempty
+      |     ORDER BY grp, ridx LIMIT 1) AS probe_disp,
+      |    (SELECT k FROM sel WHERE sel_tt
+      |     ORDER BY grp, ridx LIMIT 1) AS rep_k
       |), tt_preset AS (
       |  SELECT CASE WHEN probe_disp IS NOT NULL THEN probe_disp
       |              WHEN rep_k % 3 = 2 THEN concat('TT', CAST(rep_k % 4 AS VARCHAR))

@@ -125,6 +125,17 @@ object DocumentIngest {
     * through an opaque mapPartitions poll. */
   val BadIps: Seq[String] = Seq("", "-", "n/a", "na", "none", "0.0.0.0", "null")
 
+  /** Document-order group rank over a `group` column: GroupKeys get
+    * their declaration index; a group value the reference's
+    * iter_printers would never yield (unknown/null) gets `unknownRank`.
+    * Callers choose the unknown's precedence so it always LOSES their
+    * pick: a first-wins (min) ordering passes GroupKeys.size (sorts
+    * last), a last-wins (max) ordering passes -1 (sorts first). */
+  def groupRank(unknownRank: Long): Column =
+    coalesce((GroupKeys.zipWithIndex.map { case (g, i) =>
+      when(col("group") === g, lit(i.toLong))
+    } :+ lit(unknownRank)): _*)
+
   def ipOf(df: DataFrame): Column = {
     // norm_ip (core/printers.py:28-33): the scan stops at the first
     // TRUTHY value — an empty string falls through to the next key,
