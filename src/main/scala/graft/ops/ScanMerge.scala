@@ -29,7 +29,10 @@ object ScanMerge {
     * exactly once (a per-device call, not a result TABLE), so a results
     * frame carrying duplicate IPs (e.g. an appended retry) must not fan
     * the fleet out through the merge join — keep one row per key,
-    * deterministically (min over the remaining columns). Cost note: the
+    * deterministically (min over the remaining columns). The winner is
+    * arbitrary-by-value: the results frame carries no row-order column,
+    * so "last appended wins" (dict-overwrite) is not reconstructable
+    * here; struct-min is the deterministic stand-in. Cost note: the
     * dedup hashes on the SAME key the merge join shuffles the results
     * by, so it rides that exchange (one extra partial-combining
     * aggregate, no extra shuffle). */

@@ -76,10 +76,12 @@ object Pipeline {
     // Python's int() is unbounded, so huge numeric tokens are VALID
     // excludes that simply never match a real step number — parse
     // overflow must drop them silently (observable-equivalent), never
-    // throw and never mark them invalid.
+    // throw and never mark them invalid. `(?U)` matches Python's \d,
+    // which accepts Unicode decimal digits ("٣" is a valid step id);
+    // Integer.parseInt shares that alphabet via Character.digit.
     flat.foreach {
-      case s if s.matches("\\d+") => s.toIntOption.foreach(steps += _)
-      case s if s.matches("\\d+\\.\\d+") =>
+      case s if s.matches("(?U)\\d+") => s.toIntOption.foreach(steps += _)
+      case s if s.matches("(?U)\\d+\\.\\d+") =>
         val Array(a, b) = s.split("\\.")
         for (x <- a.toIntOption; y <- b.toIntOption) subs += ((x, y))
       case s => invalid += s
@@ -124,8 +126,11 @@ object Pipeline {
         n += 1 // empty groups consume no number (:98-100)
       }
     }
-    convertToExcel.foreach { st =>
-      plan += PlanItem(n, None, s"Step $n: convertToExcel", Some(st))
+    convertToExcel match {
+      case Some(st) =>
+        plan += PlanItem(n, None, s"Step $n: convertToExcel", Some(st))
+      case None => // core/pipeline.py:141-143 warns on this branch too
+        warns += "convert to excel not found; will be skipped."
     }
     (plan.result(), warns.result())
   }

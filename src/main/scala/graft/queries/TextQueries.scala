@@ -275,7 +275,7 @@ object TextQueries {
          |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_tok_len,
          |    CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
          |      / len(toks) AS stop_ratio,
-         |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
          |      / length(text) AS punct_ratio
          |  FROM t
          |)
@@ -293,8 +293,7 @@ object TextQueries {
         (length(regexp_replace(norm, " ", "")).cast("double") / size(toks))
           .as("avg_tok_len"),
         (stopwordCount(toks).cast("double") / size(toks)).as("stop_ratio"),
-        ((length(col("text")) -
-          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))).cast("double") /
+        (length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double") /
           length(col("text"))).as("punct_ratio"))
       base.select(col("doc_id"), col("n_toks"), col("avg_tok_len"),
         col("stop_ratio"), col("punct_ratio"),
@@ -570,7 +569,7 @@ object TextQueries {
          |    CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
          |      / len(toks) AS stop_ratio,
          |    len(toks) AS n_toks,
-         |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
          |      / length(text) AS punct_ratio
          |  FROM t
          |), q AS (
@@ -596,8 +595,8 @@ object TextQueries {
          |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
       val toks = tokens(col("text"))
       val stopRatio = stopwordCount(toks).cast("double") / size(toks)
-      val punctRatio = (length(col("text")) -
-        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))).cast("double") /
+      val punctRatio =
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double") /
         length(col("text"))
       val q = Tables.documents(s, d).select(col("doc_id"),
         when(stopRatio >= 0.05, "en").otherwise("und").as("predicted"),
