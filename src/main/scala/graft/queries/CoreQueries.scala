@@ -109,6 +109,67 @@ object CoreQueries {
       .orderBy("p_partkey")
   }
 
+  /** P5 — the --only-ip point filter + scan write-back
+    * (toner_hp.py:49-67): selection is normalized-IP equality ALONE —
+    * no good-ip screen, no model screen (Type is deliberately outside
+    * the target set on some selected rows) — and every matching row is
+    * processed; a selected row whose probe yields nothing takes the
+    * except-branch (status offline, cartridges []). Probe A's target
+    * has a scan answer, probe B's does not. The synthesis pads some
+    * "Printer IP" cells with \t...\n (str.strip parity — Spark trim
+    * would diverge) and blanks "Printer IP" on k%7==0 rows so norm_ip's
+    * truthy key scan falls through to "IP" (core/printers.py:28-33).
+    * Both target classes k≡6 and k≡21 (mod 30) hit only via the padded
+    * or fallback variants, so the oracle's residue predicate is the
+    * hand-derived reference outcome. */
+  val p5OnlyIp: QuerySpec = QuerySpec.sql(
+    "p5_only_ip",
+    """SELECT * FROM (
+      |  SELECT 'A' AS probe, c_custkey AS pid, '10.0.0.6' AS ip,
+      |         'online' AS status, 'Black,Cyan' AS carts
+      |  FROM customer WHERE c_custkey % 30 = 6
+      |  UNION ALL
+      |  SELECT 'B' AS probe, c_custkey AS pid, '10.0.0.21' AS ip,
+      |         'offline' AS status, '' AS carts
+      |  FROM customer WHERE c_custkey % 30 = 21
+      |)
+      |ORDER BY probe, pid""".stripMargin) { (s, d) =>
+    import graft.ops.ScanMerge
+    import graft.sources.DocumentIngest
+    val k = col("c_custkey")
+    val cartT = "array<struct<cartridge:string>>"
+    val printers = Tables.customer(s, d).select(
+      k.as("pid"),
+      when(k % 3 === 0, "FooModel").when(k % 3 === 1, "M404dn")
+        .otherwise("").as("Type"),
+      when(k % 7 === 0, lit(""))
+        .when(k % 5 === 0, concat(lit("10.0.0."), (k % 30).cast("string")))
+        .when(k % 5 === 1,
+          concat(lit("\t10.0.0."), (k % 30).cast("string"), lit("\n")))
+        .otherwise(concat(lit("192.168.1."), k.cast("string")))
+        .as("Printer IP"),
+      when(k % 7 === 0, concat(lit("10.0.0."), (k % 30).cast("string")))
+        .as("IP"),
+      struct(lit("idle").as("status"),
+        array().cast(cartT).as("cartridges")).as("printerInfo"))
+    val results = Tables.customer(s, d).limit(1).select(
+      lit("10.0.0.6").as("ip"), lit("online").as("status"),
+      array(struct(lit("Black").as("cartridge")),
+        struct(lit("Cyan").as("cartridge"))).as("cartridges"))
+    def probe(tag: String, target: String, r: DataFrame): DataFrame = {
+      val merged = ScanMerge(printers, r,
+        DocumentIngest.ipOf(printers) === lit(target))
+      merged.where(DocumentIngest.ipOf(merged) === lit(target))
+        .select(lit(tag).as("probe"), col("pid"), lit(target).as("ip"),
+          col("printerInfo.status").as("status"),
+          array_join(transform(col("printerInfo.cartridges"),
+            c => c.getField("cartridge")), ",").as("carts"))
+    }
+    probe("A", "10.0.0.6", results)
+      .unionByName(probe("B", "10.0.0.21", results.where(lit(false))))
+      .orderBy("probe", "pid")
+  }
+
   /** P6 — first-non-null/blank projection (`coalesce` IP pick,
     * core/printers.py:28-33) exercised over a regexp field extract. */
   val p6CoalesceNorm: QuerySpec = QuerySpec.sql(
@@ -450,7 +511,7 @@ object CoreQueries {
 
   val all: Seq[QuerySpec] = Seq(
     q1PricingSummary, p1UnionGroups, p3ValidFilter, p4ModelFilter,
-    p6CoalesceNorm, j1EnrichJoin, j2OrderedPairs, j3LastWinsUpsert,
+    p5OnlyIp, p6CoalesceNorm, j1EnrichJoin, j2OrderedPairs, j3LastWinsUpsert,
     j4DefaultKeyJoin, a1PivotEvents, a2SeverityArgmax, a5DedupFirstSeen,
     a6GroupRepresentative, a7OrderedDistinct, a8CodePairs,
     a12HeaderElection, w2NaturalSort)

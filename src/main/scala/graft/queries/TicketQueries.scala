@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.tickets.TicketSearch
+import graft.tickets.{TicketSearch, TonerOrder}
 
 /** Driver oracles for the ticket lookup/projection pair (SURVEY.md §2.3
   * P7/P8) — the last reference operators that were spec-verified only.
@@ -196,5 +196,89 @@ object TicketQueries {
       .orderBy("pid")
   }
 
-  val all: Seq[QuerySpec] = Seq(p7TicketLookup, p8TicketExtract)
+  /** A9 + F28 (real template) — subject + full RTL HTML render through
+    * the column-level TonerOrder renderer (make_subject TonerOrder.py:
+    * 152-160, make_html :162-195). The DuckDB twin interpolates the
+    * SAME template constants from the plugin object (drift-proof) and
+    * hand-derives the escaped fields, the single-vs-multi color string,
+    * and the qty total per residue class: k%3==0 → one item (bare qty,
+    * bare escaped color), k%3==1 → three items ('label × qty' joined,
+    * summed total), k%3==2 → NO items (empty string + 0 total). Subject
+    * branches: model "" (falsy) drops its part at k%3==0; the
+    * ' [branch_id]' suffix fires only off-Company with non-blank id
+    * (k%4==2). Escaping is exercised in customer and labels (& < >). */
+  val a9TonerTicket: QuerySpec = {
+    def ro(label: String, wrap: Boolean = false) =
+      TonerOrder.oracleRowOpen(label, wrap)
+    val close = "</td></tr>"
+    val sqlText =
+      s"""WITH t AS (
+         |  SELECT c_custkey AS pid,
+         |    CASE WHEN c_custkey % 5 = 0 THEN 'A&amp;B &lt;ltd&gt;'
+         |         ELSE 'סטימצקי' END AS cust_esc,
+         |    CASE WHEN c_custkey % 5 = 0 THEN 'A&B <ltd>'
+         |         ELSE 'סטימצקי' END AS cust_raw,
+         |    concat('sn', CAST(c_custkey AS VARCHAR)) AS serial,
+         |    CASE WHEN c_custkey % 3 = 0 THEN ''
+         |         ELSE concat('M-', CAST(c_custkey % 7 AS VARCHAR)) END AS model,
+         |    concat('Addr ', CAST(c_custkey % 11 AS VARCHAR)) AS address,
+         |    concat('05', CAST(c_custkey % 100 AS VARCHAR)) AS phone,
+         |    CASE WHEN c_custkey % 2 = 0 THEN 'Branches_Grouped'
+         |         ELSE 'Company_Grouped' END AS grp,
+         |    CASE WHEN c_custkey % 4 = 0 THEN ''
+         |         ELSE CAST(c_custkey % 50 AS VARCHAR) END AS bid,
+         |    CASE c_custkey % 3
+         |      WHEN 0 THEN 'Black&amp;White'
+         |      WHEN 1 THEN concat('Black × ', CAST(c_custkey % 4 + 1 AS VARCHAR),
+         |                         ', Cyan × 2, Yellow&lt;X&gt; × 1')
+         |      ELSE '' END AS color_str,
+         |    CASE c_custkey % 3
+         |      WHEN 0 THEN c_custkey % 5 + 1
+         |      WHEN 1 THEN c_custkey % 4 + 4
+         |      ELSE 0 END AS total
+         |  FROM customer
+         |)
+         |SELECT pid,
+         |  concat('הזמנת טונרים - ', cust_raw,
+         |    CASE WHEN model <> '' THEN concat(' | ', model) ELSE '' END,
+         |    CASE WHEN grp <> 'Company_Grouped' AND bid <> ''
+         |         THEN concat(' [', bid, ']') ELSE '' END) AS subject,
+         |  concat('${TonerOrder.oracleOpen}${ro("שם הלקוח")}', cust_esc,
+         |    '$close${ro("מספר סידורי")}', serial,
+         |    '$close${ro("דגם המכשיר")}', model,
+         |    '$close${ro("צבע טונר")}', color_str,
+         |    '$close${ro("כמות טונרים")}', CAST(total AS VARCHAR),
+         |    '$close${ro("כתובת מלאה לאספקת המשלוח", wrap = true)}', address,
+         |    '$close${ro("שם איש קשר")}Mgr$close${ro("מספר טלפון נייד")}', phone,
+         |    '$close</table></div>') AS html
+         |FROM t
+         |ORDER BY pid""".stripMargin
+    QuerySpec.sql("a9_toner_ticket", sqlText) { (s, d) =>
+      val k = col("c_custkey")
+      val customer = when(k % 5 === 0, lit("A&B <ltd>")).otherwise(lit("סטימצקי"))
+      val serial = concat(lit("sn"), k.cast("string"))
+      val model = when(k % 3 === 0, lit(""))
+        .otherwise(concat(lit("M-"), (k % 7).cast("string")))
+      val address = concat(lit("Addr "), (k % 11).cast("string"))
+      val phone = concat(lit("05"), (k % 100).cast("string"))
+      val group = when(k % 2 === 0, "Branches_Grouped")
+        .otherwise("Company_Grouped")
+      val branchId = when(k % 4 === 0, lit(""))
+        .otherwise((k % 50).cast("string"))
+      val labels = when(k % 3 === 0, array(lit("Black&White")))
+        .when(k % 3 === 1, array(lit("Black"), lit("Cyan"), lit("Yellow<X>")))
+        .otherwise(array().cast("array<string>"))
+      val qtys = when(k % 3 === 0, array((k % 5 + 1).cast("int")))
+        .when(k % 3 === 1, array((k % 4 + 1).cast("int"), lit(2), lit(1)))
+        .otherwise(array().cast("array<int>"))
+      Tables.customer(s, d).select(
+        k.as("pid"),
+        TonerOrder.subjectCol(customer, model, group, branchId).as("subject"),
+        TonerOrder.htmlCol(customer, serial, model, address, lit("Mgr"),
+          phone, labels, qtys).as("html"))
+        .orderBy("pid")
+    }
+  }
+
+  val all: Seq[QuerySpec] = Seq(p7TicketLookup, p8TicketExtract, a9TonerTicket)
 }

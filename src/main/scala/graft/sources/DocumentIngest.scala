@@ -150,7 +150,11 @@ object DocumentIngest {
           col(c).isNotNull && col(c) =!= 0
         case _ => col(c).isNotNull && col(c).cast(StringType) =!= ""
       }
-      when(truthy, trim(col(c).cast(StringType)))
+      // str(v).strip() removes ALL whitespace (\t \n \r \f), not just
+      // spaces — Spark's trim() is space-only, so a "\t10.0.0.6\n"
+      // cell would diverge under it (p5_only_ip hash-gates this).
+      when(truthy,
+        regexp_replace(col(c).cast(StringType), "^\\s+|\\s+$", ""))
     }
     coalesce(picks :+ lit(null).cast(StringType): _*)
   }

@@ -155,6 +155,37 @@ trait TicketPlugin {
     Option(s).getOrElse("").replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;").replace("'", "&#x27;")
 
+  /** Column-level twin of [[subject]] (make_subject, TonerOrder.py:
+    * 152-160): same truthy-part filter (`if p` — null AND "" drop) and
+    * branch-id suffix rule, as a codegen'd expression so a whole fleet
+    * renders in one narrow projection (no per-row driver loop). */
+  def subjectCol(customer: Column, model: Column, group: Column,
+      branchId: Column): Column = {
+    val parts = filter(array(customer, model), p => p.isNotNull && p =!= "")
+    val s = when(size(parts) > 0,
+      concat(lit(s"$subjectBase - "), array_join(parts, " | ")))
+      .otherwise(lit(subjectBase))
+    val bid = regexp_replace(coalesce(branchId.cast("string"), lit("")),
+      "^\\s+|\\s+$", "")
+    when(group =!= "Company_Grouped" && bid =!= "",
+      concat(s, lit(" ["), bid, lit("]"))).otherwise(s)
+  }
+
+  /** Column-level twin of [[esc]] — same replacement order. */
+  protected def escCol(c: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+      "\"" -> "&quot;", "'" -> "&#x27;")
+      .foldLeft(coalesce(c, lit(""))) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+
+  /** One rendered label/value row, sharing [[row]]'s literal skeleton. */
+  protected def rowColPiece(tdLabel: String, label: String, value: Column,
+      valueStyleSuffix: String = ""): Column =
+    concat(
+      lit(s"""<tr><td style="$tdLabel">$label</td><td style="$tdValue$valueStyleSuffix">"""),
+      value, lit("</td></tr>"))
+
   // Shared inline styles (verbatim template constants in all three
   // reference plugins; tech narrows the label/table widths).
   protected val tdValue = "padding:10px 12px;border:1px solid #ccc;"
@@ -206,6 +237,45 @@ object TonerOrder extends OrderPlugin {
       row(tdLabel, "מספר טלפון נייד", esc(t.phone)) +
       "</table></div>"
   }
+
+  /** Column-level twin of [[html]]: the SAME template constants (shared
+    * vals — drift between the two renderers is impossible) with the
+    * single-vs-multi color string and the A9 qty total computed via
+    * array HOFs, all inside whole-stage codegen. `labels`/`qtys` are
+    * parallel arrays (one element per ticket item). */
+  def htmlCol(customer: Column, serial: Column, model: Column,
+      address: Column, contact: Column, phone: Column,
+      labels: Column, qtys: Column): Column = {
+    val single = size(labels) === 1
+    val colorStr = when(single, escCol(get(labels, lit(0))))
+      .otherwise(array_join(zip_with(labels, qtys,
+        (l, q) => concat(escCol(l), lit(" × "), q.cast("string"))), ", "))
+    // A9 — len==1 takes the bare qty; otherwise Σ qty (empty → 0),
+    // mirroring qtyTotal / TonerOrder.py:170-175.
+    val total = when(single, get(qtys, lit(0)))
+      .otherwise(aggregate(qtys, lit(0), (a, x) => a + x))
+    concat(
+      lit(tableOpen(tableStyle) +
+        s"""<tr><th colspan="2" style="$thStyle">הזמנות טונרים</th></tr>"""),
+      rowColPiece(tdLabel, "שם הלקוח", escCol(customer)),
+      rowColPiece(tdLabel, "מספר סידורי", escCol(serial)),
+      rowColPiece(tdLabel, "דגם המכשיר", escCol(model)),
+      rowColPiece(tdLabel, "צבע טונר", colorStr),
+      rowColPiece(tdLabel, "כמות טונרים", total.cast("string")),
+      rowColPiece(tdLabel, "כתובת מלאה לאספקת המשלוח", escCol(address), wrapStyle),
+      rowColPiece(tdLabel, "שם איש קשר", escCol(contact)),
+      rowColPiece(tdLabel, "מספר טלפון נייד", escCol(phone)),
+      lit("</table></div>"))
+  }
+
+  /** Fixed template pieces for DuckDB-oracle interpolation: hash parity
+    * is bit-exact only when the twin SQL carries the SAME literal
+    * skeleton, so the oracle builder reads it from here, never retypes. */
+  private[graft] def oracleOpen: String =
+    tableOpen(tableStyle) +
+      s"""<tr><th colspan="2" style="$thStyle">הזמנות טונרים</th></tr>"""
+  private[graft] def oracleRowOpen(label: String, wrap: Boolean = false): String =
+    s"""<tr><td style="$tdLabel">$label</td><td style="$tdValue${if (wrap) wrapStyle else ""}">"""
 }
 
 object DrumOrder extends OrderPlugin {

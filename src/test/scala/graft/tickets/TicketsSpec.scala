@@ -98,4 +98,33 @@ class TicketsSpec extends SparkSpec {
     // plugin alias map resolves
     assert(TicketPlugins.byAlias("technician").name == "tech")
   }
+
+  test("a9 column renderer agrees byte-for-byte with the row-level plugin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Adversarial tickets: escaping in every field, empty model (falsy
+    // subject part), blank-vs-set branch id across both groups, and
+    // 0/1/3-item carts (bare qty vs summed total vs empty render).
+    val tickets = Seq(
+      ("a&b <x>", "12", "sn'1", "M\"1", "Ad<dr", "c&c", "05'0",
+        "Branches_Grouped", Seq("Black&White"), Seq(3)),
+      ("סטימצקי", "", "sn2", "", "Addr", "Mgr", "052",
+        "Branches_Grouped", Seq("Black", "Cy<an", "Yellow"), Seq(2, 1, 4)),
+      ("c", " 7 ", "sn3", "M3", "A", "m", "05",
+        "Company_Grouped", Seq.empty[String], Seq.empty[Int]))
+    val df = tickets.toDF("customer", "bid", "serial", "model", "address",
+      "contact", "phone", "group", "labels", "qtys")
+    val rendered = df.select(
+      TonerOrder.subjectCol(col("customer"), col("model"), col("group"),
+        col("bid")).as("subject"),
+      TonerOrder.htmlCol(col("customer"), col("serial"), col("model"),
+        col("address"), col("contact"), col("phone"), col("labels"),
+        col("qtys")).as("html")).collect()
+    tickets.zip(rendered).foreach { case (t, row) =>
+      val ticket = Ticket(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, Nil)
+      val items = t._9.zip(t._10).map { case (l, q) => TicketItem(l, q) }
+      assert(row.getString(0) == TonerOrder.subject(ticket))
+      assert(row.getString(1) == TonerOrder.html(ticket, items))
+    }
+  }
 }
