@@ -112,7 +112,10 @@ object Pipeline {
       case Some(st) =>
         plan += PlanItem(n, None, s"Step $n: convertToJson", Some(st))
       case None =>
-        warns += "convert to json not found; will be skipped."
+        // Reference phrasing is f"{conv_json} not found; 'convert to
+        // json' will be skipped." (core/pipeline.py:91); stages here
+        // carry no filesystem path, so the path prefix is elided.
+        warns += "not found; 'convert to json' will be skipped."
     }
     n += 1 // consumed either way (core/pipeline.py:92)
     groups.foreach { case (label, stages) =>
@@ -130,7 +133,9 @@ object Pipeline {
       case Some(st) =>
         plan += PlanItem(n, None, s"Step $n: convertToExcel", Some(st))
       case None => // core/pipeline.py:141-143 warns on this branch too
-        warns += "convert to excel not found; will be skipped."
+        // f"{conv_excel} not found; 'convert to excel' will be
+        // skipped." — path prefix unavailable (no filesystem stage id).
+        warns += "not found; 'convert to excel' will be skipped."
     }
     (plan.result(), warns.result())
   }

@@ -150,9 +150,13 @@ object DocumentIngest {
           col(c).isNotNull && col(c) =!= 0
         case _ => col(c).isNotNull && col(c).cast(StringType) =!= ""
       }
-      // str(v).strip() removes ALL whitespace (\t \n \r \f), not just
-      // spaces — Spark's trim() is space-only, so a "\t10.0.0.6\n"
-      // cell would diverge under it (p5_only_ip hash-gates this).
+      // str(v).strip() removes ALL ASCII whitespace (\t \n \r \f \x0B),
+      // not just spaces — Spark's trim() is space-only, so a
+      // "\t10.0.0.6\n" cell would diverge under it (p5_only_ip
+      // hash-gates this). Residual gap, same as TicketSearch.pyStrip:
+      // Python also strips Unicode whitespace (U+00A0, U+2028, U+0085,
+      // ...) which Java \s does not match; switch to "(?U)\\s" if
+      // real-world IP cells ever carry non-ASCII padding.
       when(truthy,
         regexp_replace(col(c).cast(StringType), "^\\s+|\\s+$", ""))
     }

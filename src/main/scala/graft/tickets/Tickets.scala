@@ -167,7 +167,12 @@ trait TicketPlugin {
       .otherwise(lit(subjectBase))
     val bid = regexp_replace(coalesce(branchId.cast("string"), lit("")),
       "^\\s+|\\s+$", "")
-    when(group =!= "Company_Grouped" && bid =!= "",
+    // Null group must still take the suffix: Python's
+    // fields.get("group","") != "Company_Grouped" is true for a missing
+    // group, but a bare `group =!= lit` is null-for-null and would
+    // silently suppress it — coalesce to "" like the reference default.
+    when(coalesce(group.cast("string"), lit("")) =!= "Company_Grouped" &&
+        bid =!= "",
       concat(s, lit(" ["), bid, lit("]"))).otherwise(s)
   }
 

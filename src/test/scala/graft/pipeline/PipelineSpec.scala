@@ -55,6 +55,9 @@ class PipelineSpec extends SparkSpec {
       Seq("A" -> Seq(s("b10"), s("b2")), "EMPTY" -> Seq(), "C" -> Seq(s("c1"))),
       Some(s("excel")))
     assert(warns.size == 1)
+    // Reference suffix parity (core/pipeline.py:91) — the f-string path
+    // prefix is elided because stages carry no filesystem path.
+    assert(warns.head.endsWith("not found; 'convert to json' will be skipped."))
     assert(plan.map(p => (p.step, p.substep)) ==
       Seq((2, Some(0)), (2, Some(1)), (2, Some(2)), // A: meta + sorted subs
         (3, Some(0)), (3, Some(1)), // EMPTY skipped → C is 3
