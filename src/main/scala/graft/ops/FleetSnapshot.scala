@@ -136,7 +136,13 @@ object FleetSnapshot {
     val updatable = idMap.columns.filterNot(_ == "id")
     def cell(c: String): Column =
       Normalize.sanitizeCell(Normalize.dashIfBlank(idMap(c)))
-    val joined = sheet.join(broadcast(idMap), sheetId === idMap("id"), "left")
+    // Deliberately NO broadcast() hint: the id-map is fleet-cardinality —
+    // the same order as the sheet side — so an unconditional hint would
+    // override AQE's size-based choice and become an OOM if this operator
+    // is ever reused on data-scale keys. Size-based selection (AQE at
+    // runtime, stats at plan time) still broadcasts every real printer
+    // fleet; PlanContractSpec pins that.
+    val joined = sheet.join(idMap, sheetId === idMap("id"), "left")
     val updated = sheet.columns.map { c =>
       if (updatable.contains(c))
         when(idMap("id").isNotNull, cell(c)).otherwise(sheet(c)).as(c)

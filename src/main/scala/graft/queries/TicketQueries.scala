@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.tickets.{TicketSearch, TonerOrder}
+import graft.tickets.{DrumOrder, PrinterTechnician, TicketSearch, TonerOrder}
 
 /** Driver oracles for the ticket lookup/projection pair (SURVEY.md §2.3
   * P7/P8) — the last reference operators that were spec-verified only.
@@ -280,5 +280,169 @@ object TicketQueries {
     }
   }
 
-  val all: Seq[QuerySpec] = Seq(p7TicketLookup, p8TicketExtract, a9TonerTicket)
+  /** A9b — Drum ticket render through the column-level DrumOrder twin
+    * (make_subject DrumOrder.py:76-84, make_html :86-132). Beyond a9's
+    * shapes this one hash-gates the two branches a9's synthesis never
+    * reaches: a NULL group (k%4==2) — Python's fields.get("group","")
+    * != 'Company_Grouped' is TRUE for a missing group, so the
+    * ' [branch_id]' suffix must still fire — and a tab/space-PADDED
+    * branch_id (k%3==1) whose suffix renders the STRIPPED id. Drum item
+    * semantics: items[0] only; k%2==1 → no items → ('', 0). */
+  val a9bDrumTicket: QuerySpec = {
+    def ro(label: String, wrap: Boolean = false) =
+      DrumOrder.oracleRowOpen(label, wrap)
+    val close = "</td></tr>"
+    val sqlText =
+      s"""WITH t AS (
+         |  SELECT c_custkey AS pid,
+         |    CASE WHEN c_custkey % 5 = 0 THEN 'A&amp;B &lt;ltd&gt;'
+         |         ELSE 'סטימצקי' END AS cust_esc,
+         |    CASE WHEN c_custkey % 5 = 0 THEN 'A&B <ltd>'
+         |         ELSE 'סטימצקי' END AS cust_raw,
+         |    concat('dsn', CAST(c_custkey AS VARCHAR)) AS serial,
+         |    CASE WHEN c_custkey % 3 = 0 THEN ''
+         |         ELSE concat('LJ-', CAST(c_custkey % 6 AS VARCHAR)) END AS model,
+         |    concat('Addr ', CAST(c_custkey % 11 AS VARCHAR)) AS address,
+         |    concat('Mgr', CAST(c_custkey % 4 AS VARCHAR)) AS contact,
+         |    concat('05', CAST(c_custkey % 100 AS VARCHAR)) AS phone,
+         |    CASE c_custkey % 4 WHEN 1 THEN 'Company_Grouped'
+         |         WHEN 2 THEN NULL ELSE 'Branches_Grouped' END AS grp,
+         |    CASE c_custkey % 3 WHEN 0 THEN ''
+         |         ELSE CAST(c_custkey % 50 AS VARCHAR) END AS bid_stripped,
+         |    CASE WHEN c_custkey % 2 = 0
+         |         THEN concat('DR&lt;', CAST(c_custkey % 3 AS VARCHAR),
+         |                     '&gt;&amp;co')
+         |         ELSE '' END AS type_esc,
+         |    CASE WHEN c_custkey % 2 = 0 THEN c_custkey % 5 + 1
+         |         ELSE 0 END AS total
+         |  FROM customer
+         |)
+         |SELECT pid,
+         |  concat('הזמנת דרמים - ', cust_raw,
+         |    CASE WHEN model <> '' THEN concat(' | ', model) ELSE '' END,
+         |    CASE WHEN coalesce(grp, '') <> 'Company_Grouped'
+         |          AND bid_stripped <> ''
+         |         THEN concat(' [', bid_stripped, ']') ELSE '' END) AS subject,
+         |  concat('${DrumOrder.oracleOpen}${ro("שם הלקוח")}', cust_esc,
+         |    '$close${ro("מספר סידורי")}', serial,
+         |    '$close${ro("דגם המכשיר")}', model,
+         |    '$close${ro("סוג דרם")}', type_esc,
+         |    '$close${ro("כמות דרמים")}', CAST(total AS VARCHAR),
+         |    '$close${ro("כתובת מלאה לאספקת המשלוח", wrap = true)}', address,
+         |    '$close${ro("שם איש קשר")}', contact,
+         |    '$close${ro("מספר טלפון נייד")}', phone,
+         |    '$close</table></div>') AS html
+         |FROM t
+         |ORDER BY pid""".stripMargin
+    QuerySpec.sql("a9b_drum_ticket", sqlText) { (s, d) =>
+      val k = col("c_custkey")
+      val customer = when(k % 5 === 0, lit("A&B <ltd>")).otherwise(lit("סטימצקי"))
+      val serial = concat(lit("dsn"), k.cast("string"))
+      val model = when(k % 3 === 0, lit(""))
+        .otherwise(concat(lit("LJ-"), (k % 6).cast("string")))
+      val address = concat(lit("Addr "), (k % 11).cast("string"))
+      val contact = concat(lit("Mgr"), (k % 4).cast("string"))
+      val phone = concat(lit("05"), (k % 100).cast("string"))
+      val group = when(k % 4 === 1, lit("Company_Grouped"))
+        .when(k % 4 === 2, lit(null).cast("string"))
+        .otherwise(lit("Branches_Grouped"))
+      // k%3==1 arrives TAB/space-padded: the rendered suffix must strip
+      // it (str(...).strip() — DrumOrder.py:81)
+      val branchId = when(k % 3 === 0, lit(""))
+        .when(k % 3 === 1,
+          concat(lit("\t"), (k % 50).cast("string"), lit(" ")))
+        .otherwise((k % 50).cast("string"))
+      val labels = when(k % 2 === 0,
+        array(concat(lit("DR<"), (k % 3).cast("string"), lit(">&co"))))
+        .otherwise(array().cast("array<string>"))
+      val qtys = when(k % 2 === 0, array((k % 5 + 1).cast("int")))
+        .otherwise(array().cast("array<int>"))
+      Tables.customer(s, d).select(
+        k.as("pid"),
+        DrumOrder.subjectCol(customer, model, group, branchId).as("subject"),
+        DrumOrder.htmlCol(customer, serial, model, address, contact,
+          phone, labels, qtys).as("html"))
+        .orderBy("pid")
+    }
+  }
+
+  /** A9c — Technician ticket render through the column-level
+    * PrinterTechnician twin (make_subject PrinterTechnician.py:73-81,
+    * make_html :83-120): no items; a pre-wrap remarks row whose notes
+    * carry a newline plus & and double-quote escapes, and a recipient
+    * row where a NULL to_addr renders '' (Python `to_addr or ""`).
+    * Subject base differs from the table title; null-group and
+    * padded-bid shapes are gated exactly as in a9b. */
+  val a9cTechTicket: QuerySpec = {
+    def ro(label: String, wrap: Boolean = false) =
+      PrinterTechnician.oracleRowOpen(label, wrap)
+    val close = "</td></tr>"
+    val sqlText =
+      s"""WITH t AS (
+         |  SELECT c_custkey AS pid,
+         |    concat('tsn', CAST(c_custkey AS VARCHAR)) AS serial,
+         |    CASE WHEN c_custkey % 3 = 0 THEN ''
+         |         ELSE concat('MFP-', CAST(c_custkey % 6 AS VARCHAR)) END AS model,
+         |    concat('Addr ', CAST(c_custkey % 11 AS VARCHAR)) AS address,
+         |    concat('Mgr', CAST(c_custkey % 4 AS VARCHAR)) AS contact,
+         |    concat('05', CAST(c_custkey % 100 AS VARCHAR)) AS phone,
+         |    CASE c_custkey % 4 WHEN 1 THEN 'Company_Grouped'
+         |         WHEN 2 THEN NULL ELSE 'Branches_Grouped' END AS grp,
+         |    CASE c_custkey % 3 WHEN 0 THEN ''
+         |         ELSE CAST(c_custkey % 50 AS VARCHAR) END AS bid_stripped,
+         |    concat('jam &amp; &quot;grind&quot;', chr(10), 'line',
+         |           CAST(c_custkey % 7 AS VARCHAR)) AS notes_esc,
+         |    CASE WHEN c_custkey % 2 = 0 THEN 'sysmoked@one1.co.il'
+         |         ELSE '' END AS to_esc
+         |  FROM customer
+         |)
+         |SELECT pid,
+         |  concat('פתיחת קריאת שירות - סטימצקי',
+         |    CASE WHEN model <> '' THEN concat(' | ', model) ELSE '' END,
+         |    CASE WHEN coalesce(grp, '') <> 'Company_Grouped'
+         |          AND bid_stripped <> ''
+         |         THEN concat(' [', bid_stripped, ']') ELSE '' END) AS subject,
+         |  concat('${PrinterTechnician.oracleOpen}${ro("שם הלקוח")}סטימצקי',
+         |    '$close${ro("מספר סידורי")}', serial,
+         |    '$close${ro("דגם המכשיר")}', model,
+         |    '$close${ro("כתובת")}', address,
+         |    '$close${ro("איש קשר")}', contact,
+         |    '$close${ro("טלפון")}', phone,
+         |    '$close${ro("הערות", wrap = true)}', notes_esc,
+         |    '$close${ro("נמען")}', to_esc,
+         |    '$close</table></div>') AS html
+         |FROM t
+         |ORDER BY pid""".stripMargin
+    QuerySpec.sql("a9c_tech_ticket", sqlText) { (s, d) =>
+      val k = col("c_custkey")
+      val customer = lit("סטימצקי")
+      val serial = concat(lit("tsn"), k.cast("string"))
+      val model = when(k % 3 === 0, lit(""))
+        .otherwise(concat(lit("MFP-"), (k % 6).cast("string")))
+      val address = concat(lit("Addr "), (k % 11).cast("string"))
+      val contact = concat(lit("Mgr"), (k % 4).cast("string"))
+      val phone = concat(lit("05"), (k % 100).cast("string"))
+      val group = when(k % 4 === 1, lit("Company_Grouped"))
+        .when(k % 4 === 2, lit(null).cast("string"))
+        .otherwise(lit("Branches_Grouped"))
+      val branchId = when(k % 3 === 0, lit(""))
+        .when(k % 3 === 1,
+          concat(lit("\t"), (k % 50).cast("string"), lit(" ")))
+        .otherwise((k % 50).cast("string"))
+      val notes = concat(lit("jam & \"grind\"\n"), lit("line"),
+        (k % 7).cast("string"))
+      val toAddr = when(k % 2 === 0, lit("sysmoked@one1.co.il"))
+        .otherwise(lit(null).cast("string"))
+      Tables.customer(s, d).select(
+        k.as("pid"),
+        PrinterTechnician.subjectCol(customer, model, group, branchId)
+          .as("subject"),
+        PrinterTechnician.htmlCol(customer, serial, model, address, contact,
+          phone, notes, toAddr).as("html"))
+        .orderBy("pid")
+    }
+  }
+
+  val all: Seq[QuerySpec] = Seq(p7TicketLookup, p8TicketExtract, a9TonerTicket,
+    a9bDrumTicket, a9cTechTicket)
 }

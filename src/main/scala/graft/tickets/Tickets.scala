@@ -198,6 +198,13 @@ trait TicketPlugin {
     "padding:12px;border:1px solid #ccc;font-size:18px;text-align:center;font-weight:800;"
   protected val wrapStyle = "white-space:pre-wrap;word-wrap:break-word;"
 
+  /** Per-plugin table-header title — NOT always subjectBase (tech's
+    * header reads 'פתיחת קריאה למדפסת' while its subject base is
+    * 'פתיחת קריאת שירות', PrinterTechnician.py:82,107). */
+  protected def htmlTitle: String
+  protected def tdLabel: String
+  protected def tableStyle: String
+
   protected def tableOpen(tableStyle: String): String =
     "<div dir=\"rtl\" style=\"font-family:Arial, sans-serif;line-height:1.6;font-size:14px;\">" +
       s"""<table style="$tableStyle" role="presentation">"""
@@ -205,6 +212,16 @@ trait TicketPlugin {
   protected def row(tdLabel: String, label: String, value: String,
       valueStyleSuffix: String = ""): String =
     s"""<tr><td style="$tdLabel">$label</td><td style="$tdValue$valueStyleSuffix">$value</td></tr>"""
+
+  /** Fixed template pieces for DuckDB-oracle interpolation: hash parity
+    * is bit-exact only when the twin SQL carries the SAME literal
+    * skeleton, so the oracle builder reads these from here, never
+    * retypes. Also the shared opening of both render paths. */
+  private[graft] def oracleOpen: String =
+    tableOpen(tableStyle) +
+      s"""<tr><th colspan="2" style="$thStyle">$htmlTitle</th></tr>"""
+  private[graft] def oracleRowOpen(label: String, wrap: Boolean = false): String =
+    s"""<tr><td style="$tdLabel">$label</td><td style="$tdValue${if (wrap) wrapStyle else ""}">"""
 
   /** A9 — Σ qty (TonerOrder.py:170-175). */
   protected def qtyTotal(items: Seq[TicketItem]): Int = items.map(_.qty).sum
@@ -221,6 +238,7 @@ sealed trait OrderPlugin extends TicketPlugin {
 object TonerOrder extends OrderPlugin {
   val name = "toner"
   protected val subjectBase = "הזמנת טונרים"
+  protected val htmlTitle = "הזמנות טונרים"
 
   /** TonerOrder.py:162-195: single item renders the bare color; multi
     * renders 'color × qty' joined by ', '; totals summed. */
@@ -230,8 +248,7 @@ object TonerOrder extends OrderPlugin {
       if (items.length == 1) (esc(items.head.label), items.head.qty)
       else (items.map(i => s"${esc(i.label)} × ${i.qty}").mkString(", "),
         qtyTotal(items))
-    tableOpen(tableStyle) +
-      s"""<tr><th colspan="2" style="$thStyle">הזמנות טונרים</th></tr>""" +
+    oracleOpen +
       row(tdLabel, "שם הלקוח", esc(t.customer)) +
       row(tdLabel, "מספר סידורי", esc(t.serial)) +
       row(tdLabel, "דגם המכשיר", esc(t.model)) +
@@ -260,8 +277,7 @@ object TonerOrder extends OrderPlugin {
     val total = when(single, get(qtys, lit(0)))
       .otherwise(aggregate(qtys, lit(0), (a, x) => a + x))
     concat(
-      lit(tableOpen(tableStyle) +
-        s"""<tr><th colspan="2" style="$thStyle">הזמנות טונרים</th></tr>"""),
+      lit(oracleOpen),
       rowColPiece(tdLabel, "שם הלקוח", escCol(customer)),
       rowColPiece(tdLabel, "מספר סידורי", escCol(serial)),
       rowColPiece(tdLabel, "דגם המכשיר", escCol(model)),
@@ -272,28 +288,19 @@ object TonerOrder extends OrderPlugin {
       rowColPiece(tdLabel, "מספר טלפון נייד", escCol(phone)),
       lit("</table></div>"))
   }
-
-  /** Fixed template pieces for DuckDB-oracle interpolation: hash parity
-    * is bit-exact only when the twin SQL carries the SAME literal
-    * skeleton, so the oracle builder reads it from here, never retypes. */
-  private[graft] def oracleOpen: String =
-    tableOpen(tableStyle) +
-      s"""<tr><th colspan="2" style="$thStyle">הזמנות טונרים</th></tr>"""
-  private[graft] def oracleRowOpen(label: String, wrap: Boolean = false): String =
-    s"""<tr><td style="$tdLabel">$label</td><td style="$tdValue${if (wrap) wrapStyle else ""}">"""
 }
 
 object DrumOrder extends OrderPlugin {
   val name = "drum"
   protected val subjectBase = "הזמנת דרמים"
+  protected val htmlTitle = "הזמנת דרמים"
 
   /** DrumOrder.py:99-132: single-item drum type + qty; empty → ("", 0). */
   def html(t: Ticket, items: Seq[TicketItem], notes: String = "",
       toAddr: String = ""): String = {
     val (typeStr, total) =
       if (items.nonEmpty) (esc(items.head.label), items.head.qty) else ("", 0)
-    tableOpen(tableStyle) +
-      s"""<tr><th colspan="2" style="$thStyle">הזמנת דרמים</th></tr>""" +
+    oracleOpen +
       row(tdLabel, "שם הלקוח", esc(t.customer)) +
       row(tdLabel, "מספר סידורי", esc(t.serial)) +
       row(tdLabel, "דגם המכשיר", esc(t.model)) +
@@ -304,21 +311,45 @@ object DrumOrder extends OrderPlugin {
       row(tdLabel, "מספר טלפון נייד", esc(t.phone)) +
       "</table></div>"
   }
+
+  /** Column-level twin of [[html]] (DrumOrder.py:99-132), the a9
+    * pattern: SAME shared template constants, drum's first-item-only
+    * semantics — `if items:` takes items[0]'s type/qty, else ("", 0) —
+    * expressed over parallel `labels`/`qtys` arrays so a whole fleet
+    * renders in one codegen'd projection. */
+  def htmlCol(customer: Column, serial: Column, model: Column,
+      address: Column, contact: Column, phone: Column,
+      labels: Column, qtys: Column): Column = {
+    val hasItems = size(labels) > 0
+    val typeStr = when(hasItems, escCol(get(labels, lit(0)))).otherwise(lit(""))
+    val total = when(hasItems, get(qtys, lit(0))).otherwise(lit(0))
+    concat(
+      lit(oracleOpen),
+      rowColPiece(tdLabel, "שם הלקוח", escCol(customer)),
+      rowColPiece(tdLabel, "מספר סידורי", escCol(serial)),
+      rowColPiece(tdLabel, "דגם המכשיר", escCol(model)),
+      rowColPiece(tdLabel, "סוג דרם", typeStr),
+      rowColPiece(tdLabel, "כמות דרמים", total.cast("string")),
+      rowColPiece(tdLabel, "כתובת מלאה לאספקת המשלוח", escCol(address), wrapStyle),
+      rowColPiece(tdLabel, "שם איש קשר", escCol(contact)),
+      rowColPiece(tdLabel, "מספר טלפון נייד", escCol(phone)),
+      lit("</table></div>"))
+  }
 }
 
 object PrinterTechnician extends TicketPlugin {
   val name = "tech"
   protected val subjectBase = "פתיחת קריאת שירות"
-  private val tdLabel =
+  protected val htmlTitle = "פתיחת קריאה למדפסת"
+  protected val tdLabel =
     "padding:10px 12px;border:1px solid #ccc;font-weight:600;width:200px;"
-  private val tableStyle =
+  protected val tableStyle =
     "border-collapse:collapse;width:100%;max-width:780px;mso-table-lspace:0pt;mso-table-rspace:0pt;"
 
   /** PrinterTechnician.py:92-120: no items — remarks + recipient rows. */
   def html(t: Ticket, items: Seq[TicketItem], notes: String = "",
       toAddr: String = ""): String =
-    tableOpen(tableStyle) +
-      s"""<tr><th colspan="2" style="$thStyle">פתיחת קריאה למדפסת</th></tr>""" +
+    oracleOpen +
       row(tdLabel, "שם הלקוח", esc(t.customer)) +
       row(tdLabel, "מספר סידורי", esc(t.serial)) +
       row(tdLabel, "דגם המכשיר", esc(t.model)) +
@@ -328,6 +359,24 @@ object PrinterTechnician extends TicketPlugin {
       row(tdLabel, "הערות", esc(notes), wrapStyle) +
       row(tdLabel, "נמען", esc(toAddr)) +
       "</table></div>"
+
+  /** Column-level twin of [[html]] (PrinterTechnician.py:92-120): no
+    * items — remarks (pre-wrap) + recipient rows; Python's
+    * `to_addr or ""` null-swallow is escCol's coalesce. */
+  def htmlCol(customer: Column, serial: Column, model: Column,
+      address: Column, contact: Column, phone: Column,
+      notes: Column, toAddr: Column): Column =
+    concat(
+      lit(oracleOpen),
+      rowColPiece(tdLabel, "שם הלקוח", escCol(customer)),
+      rowColPiece(tdLabel, "מספר סידורי", escCol(serial)),
+      rowColPiece(tdLabel, "דגם המכשיר", escCol(model)),
+      rowColPiece(tdLabel, "כתובת", escCol(address)),
+      rowColPiece(tdLabel, "איש קשר", escCol(contact)),
+      rowColPiece(tdLabel, "טלפון", escCol(phone)),
+      rowColPiece(tdLabel, "הערות", escCol(notes), wrapStyle),
+      rowColPiece(tdLabel, "נמען", escCol(toAddr)),
+      lit("</table></div>"))
 }
 
 object TicketPlugins {

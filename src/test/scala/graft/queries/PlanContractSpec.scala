@@ -61,6 +61,21 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("updateSheet: no forced hint, yet AQE still broadcasts a fleet-sized id-map") {
+    import org.apache.spark.sql.functions.col
+    val sheet = graft.Tables.customer(spark, sf).select(
+      col("c_custkey").cast("string").as("ID"), col("c_name").as("Status"))
+    val idMap = graft.Tables.nation(spark, sf).select(
+      col("n_nationkey").cast("string").as("id"), col("n_name").as("Status"))
+    val updated = graft.ops.FleetSnapshot.updateSheet(sheet, idMap)
+    // the operator must not force the strategy: an unconditional
+    // broadcast(idMap) would override AQE and OOM on data-scale keys
+    assert(!updated.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    updated.count() // finalize the adaptive plan
+    assert(updated.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("whole-stage codegen covers the scalar pipelines") {
     // a pure scalar projection (no exchange → no AQE wrapper): the
     // normalizer pack must stay inside one codegen stage

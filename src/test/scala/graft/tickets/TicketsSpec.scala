@@ -127,4 +127,47 @@ class TicketsSpec extends SparkSpec {
       assert(row.getString(1) == TonerOrder.html(ticket, items))
     }
   }
+
+  test("a9b/a9c column renderers match row-level, incl. null group + padded bid") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The two branches the a9 parity rows never reached: a NULL group
+    // (Python fields.get("group","") != 'Company_Grouped' is TRUE for a
+    // missing group → ' [bid]' suffix still fires) and a TAB/space-
+    // padded bid whose suffix renders STRIPPED. Plus Company-group
+    // suffix suppression, empty-items drum render, tech's null toAddr.
+    val tickets = Seq(
+      ("a&b <x>", "\t12 ", "sn'1", "M\"1", "Ad<dr", "c&c", "05'0",
+        null: String, Seq("DR<um>&1"), Seq(3), "note & \"q\"\nline2", "x@y"),
+      ("c", " 7 ", "sn3", "M3", "A", "m", "05",
+        "Company_Grouped", Seq.empty[String], Seq.empty[Int], "n",
+        null: String),
+      ("סטימצקי", "", "sn2", "", "Addr", "Mgr", "052",
+        "Branches_Grouped", Seq("T1"), Seq(2), "", ""))
+    val df = tickets.toDF("customer", "bid", "serial", "model", "address",
+      "contact", "phone", "group", "labels", "qtys", "notes", "toAddr")
+    val rendered = df.select(
+      DrumOrder.subjectCol(col("customer"), col("model"), col("group"),
+        col("bid")).as("dsub"),
+      DrumOrder.htmlCol(col("customer"), col("serial"), col("model"),
+        col("address"), col("contact"), col("phone"), col("labels"),
+        col("qtys")).as("dhtml"),
+      PrinterTechnician.subjectCol(col("customer"), col("model"),
+        col("group"), col("bid")).as("tsub"),
+      PrinterTechnician.htmlCol(col("customer"), col("serial"), col("model"),
+        col("address"), col("contact"), col("phone"), col("notes"),
+        col("toAddr")).as("thtml"),
+      TonerOrder.subjectCol(col("customer"), col("model"), col("group"),
+        col("bid")).as("osub")).collect()
+    tickets.zip(rendered).foreach { case (t, row) =>
+      val ticket = Ticket(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, Nil)
+      val items = t._9.zip(t._10).map { case (l, q) => TicketItem(l, q) }
+      assert(row.getString(0) == DrumOrder.subject(ticket))
+      assert(row.getString(1) == DrumOrder.html(ticket, items))
+      assert(row.getString(2) == PrinterTechnician.subject(ticket))
+      assert(row.getString(3) == PrinterTechnician.html(ticket, items,
+        notes = t._11, toAddr = Option(t._12).getOrElse("")))
+      assert(row.getString(4) == TonerOrder.subject(ticket))
+    }
+  }
 }
