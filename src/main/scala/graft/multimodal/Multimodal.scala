@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * real: the JDK's `javax.imageio` reads PNG/JPEG/GIF/BMP bytes to
   * actual pixel dimensions. The AUDIO decode path is real too: the
   * JDK's `javax.sound.sampled` parses WAV/AIFF/AU headers to sample
-  * rate and frame count (→ duration). Only VIDEO codec calls remain
-  * STUBBED (the JDK ships no video codec and this build has no media
-  * libraries): the site is marked `STUB:` and produces a deterministic
-  * fake derived from the bytes, so tests are stable and the codec swap
-  * is mechanical.
+  * rate and frame count (→ duration). The VIDEO path parses the
+  * ISO-BMFF/MP4 CONTAINER for real — a pure-JDK `ftyp`/`moov`/`mvhd`
+  * box walk yields timescale, duration, and track count — and only the
+  * PIXEL decode remains STUBBED (the JDK ships no video codec and this
+  * build has no media libraries): that one site is marked `STUB:` so
+  * the codec swap is mechanical.
   *
   * Scale notes: content rides in the row (parquet binary) — at lake
   * scale the column is typically a reference (uri, offset, nbytes) into
@@ -36,6 +37,64 @@ object Multimodal {
       meanByte: Double, checksum: Long, width: Int, height: Int,
       sampleRate: Int, durationMs: Long)
   final case class Features(mediaId: Long, embedding: Array[Float])
+
+  /** Container-level video metadata from the MP4 box walk. */
+  final case class Mp4Meta(majorBrand: String, timescaleHz: Long,
+      durationMs: Long, trackCount: Int)
+
+  /** Pure-JDK ISO-BMFF/MP4 container walk (NO codec): top-level boxes →
+    * `ftyp` major brand; `moov` children → `trak` count and `mvhd`
+    * (v0: 32-bit timescale/duration at payload+12/+16; v1: 64-bit
+    * duration at +20/+24) → duration in ms. Boxes are
+    * [u32 size][4cc type][payload]; size==1 pulls a 64-bit largesize,
+    * size==0 means to-end-of-enclosure. Returns None unless a
+    * well-formed `moov`/`mvhd` with a positive timescale is present —
+    * arbitrary bytes fail the very first size bound and fall out. */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
+    /** (type, payloadStart, payloadEnd) for each box in [start, end);
+      * stops at the first malformed header. */
+    def walk(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val size0 = u32(off)
+        val (hdr, size) =
+          if (size0 == 1 && off + 16 <= end) (16L, u64(off + 8))
+          else if (size0 == 0) (8L, (end - off).toLong)
+          else (8L, size0)
+        if (size < hdr || size > end - off) ok = false
+        else {
+          out += ((fourcc(off + 4), off + hdr.toInt, off + size.toInt))
+          off += size.toInt
+        }
+      }
+      out.result()
+    }
+    val top = walk(0, bytes.length)
+    val brand = top.collectFirst {
+      case ("ftyp", s, e) if e - s >= 4 => fourcc(s)
+    }
+    top.collectFirst { case ("moov", s, e) => walk(s, e) }.flatMap { kids =>
+      val tracks = kids.count(_._1 == "trak")
+      kids.collectFirst { case ("mvhd", s, e) => (s, e) }.flatMap {
+        case (s, e) =>
+          val v = if (e - s >= 1) bytes(s) & 0xff else -1
+          val tsDur =
+            if (v == 0 && e - s >= 20) Some((u32(s + 12), u32(s + 16)))
+            else if (v == 1 && e - s >= 32) Some((u32(s + 20), u64(s + 24)))
+            else None
+          tsDur.collect { case (ts, dur) if ts > 0 =>
+            Mp4Meta(brand.getOrElse(""), ts, dur * 1000L / ts, tracks)
+          }
+      }
+    }
+  }
 
   /** Deterministic fixture table: stable pseudo-random bytes per id. */
   def fixture(spark: SparkSession, n: Int, parts: Int = 4): Dataset[MediaRow] = {
@@ -60,11 +119,11 @@ object Multimodal {
     * from actual decoded pixels. Audio goes through a REAL parser too —
     * `javax.sound.sampled.AudioSystem` reads WAV/AIFF/AU headers:
     * sampleRate comes from the declared format and durationMs from the
-    * actual frame count (frames * 1000 / rate). Bytes the codec cannot
-    * parse (and non-matching kinds) carry zeros and keep the
-    * deterministic byte summary. Video remains STUB: the JDK has no
-    * video codec — a real implementation would open the decoder at the
-    * per-partition init point below. */
+    * actual frame count (frames * 1000 / rate). Video durationMs comes
+    * from the REAL container walk ([[parseMp4]] — mvhd duration over
+    * timescale); only pixel access is stubbed. Bytes a parser cannot
+    * read (and non-matching kinds) carry zeros and keep the
+    * deterministic byte summary. */
   def decode(media: Dataset[MediaRow]): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -99,7 +158,12 @@ object Multimodal {
                 else (0, 0L)
               } finally ais.close()
             } catch { case _: Exception => (0, 0L) }
-          } else (0, 0L)
+          } else if (m.kind == "video")
+            // container-level parse is real (ftyp/moov/mvhd box walk);
+            // STUB: pixel decode would need a video codec the JDK lacks —
+            // a real frame reader would open at the per-partition init
+            (0, parseMp4(m.content).map(_.durationMs).getOrElse(0L))
+          else (0, 0L)
         Decoded(m.mediaId, m.kind, m.content.length,
           sum.toDouble / m.content.length,
           m.content.foldLeft(1125899906842597L)((a, b) => 31 * a + (b & 0xff)),

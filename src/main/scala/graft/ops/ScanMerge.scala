@@ -28,18 +28,25 @@ object ScanMerge {
   /** One scan row per device: the reference processes each printer's IP
     * exactly once (a per-device call, not a result TABLE), so a results
     * frame carrying duplicate IPs (e.g. an appended retry) must not fan
-    * the fleet out through the merge join — keep one row per key,
-    * deterministically (min over the remaining columns). The winner is
-    * arbitrary-by-value: the results frame carries no row-order column,
-    * so "last appended wins" (dict-overwrite) is not reconstructable
-    * here; struct-min is the deterministic stand-in. Cost note: the
-    * dedup hashes on the SAME key the merge join shuffles the results
-    * by, so it rides that exchange (one extra partial-combining
+    * the fleet out through the merge join — keep one row per key.
+    * With `orderCol` (a row-order column in `r`, e.g. an append index)
+    * the winner is `max_by` over it — the reference's dict-overwrite
+    * "last appended wins", exactly. Without one, "last" is not
+    * reconstructable and the pick falls back to min over the value
+    * struct — deterministic but value-lexicographic. Cost note: either
+    * way the dedup hashes on the SAME key the merge join shuffles the
+    * results by, so it rides that exchange (one extra partial-combining
     * aggregate, no extra shuffle). */
-  private def onePerIp(r: DataFrame): DataFrame = {
-    val valueCols = r.columns.filterNot(_ == "scan_ip")
+  private def onePerIp(r: DataFrame, orderCol: Option[String]): DataFrame = {
+    val valueCols =
+      r.columns.filterNot(c => c == "scan_ip" || orderCol.contains(c))
+    val packed = struct(valueCols.map(col): _*)
+    val winner = orderCol match {
+      case Some(o) => max_by(packed, col(s"`$o`"))
+      case None => min(packed)
+    }
     r.groupBy("scan_ip")
-      .agg(min(struct(valueCols.map(col): _*)).as("__v"))
+      .agg(winner.as("__v"))
       .select(col("scan_ip") +: valueCols.map(c => col(s"__v.`$c`").as(c)): _*)
   }
 
@@ -48,10 +55,11 @@ object ScanMerge {
     * answered) or `miss` (selected but nothing came back — the
     * reference's per-printer except-branch). Unselected rows keep their
     * printerInfo verbatim. */
-  private def writeBack(printers: DataFrame, r0: DataFrame, selected: Column)(
+  private def writeBack(printers: DataFrame, r0: DataFrame, selected: Column,
+      orderCol: Option[String])(
       hit: Column => Column, miss: Column => Column): DataFrame = {
     val piBase = piBaseOf(printers)
-    val r = onePerIp(r0)
+    val r = onePerIp(r0, orderCol)
     val scanCols = r.columns.toSeq
     printers
       .withColumn("__sel", selected)
@@ -69,13 +77,19 @@ object ScanMerge {
     * @param selected the plugin's selection predicate over `printers`
     *                 (e.g. valid IP ∧ model set; NOTE the reference's
     *                 --only-ip mode selects by IP equality ALONE — no
-    *                 type screen — so pass only the ip predicate there) */
-  def apply(printers: DataFrame, results: DataFrame, selected: Column): DataFrame = {
+    *                 type screen — so pass only the ip predicate there)
+    * @param orderCol optional row-order column in `results` (append
+    *                 index): when present, a duplicated IP resolves
+    *                 last-appended-wins (the reference's dict
+    *                 overwrite); when absent, struct-min */
+  def apply(printers: DataFrame, results: DataFrame, selected: Column,
+      orderCol: Option[String] = None): DataFrame = {
     val piType = printers.schema("printerInfo").dataType.asInstanceOf[StructType]
     val cartsType = piType("cartridges").dataType
-    val r = results.select(col("ip").as("scan_ip"),
-      col("status").as("scan_status"), col("cartridges").as("scan_carts"))
-    writeBack(printers, r, selected)(
+    val r = results.select(Seq(col("ip").as("scan_ip"),
+      col("status").as("scan_status"), col("cartridges").as("scan_carts")) ++
+      orderCol.map(o => col(s"`$o`")): _*)
+    writeBack(printers, r, selected, orderCol)(
       hit = _.withField("status", col("scan_status"))
         .withField("cartridges", col("scan_carts").cast(cartsType)),
       miss = _.withField("status", lit("offline"))
@@ -122,15 +136,18 @@ object ScanMerge {
     *                 set, mirroring the reference's group builder)
     * @param web      which family's probe/write/empty rules apply */
   def tonerType(printers: DataFrame, results: DataFrame, selected: Column,
-      web: Boolean): DataFrame = {
+      web: Boolean, orderCol: Option[String] = None): DataFrame = {
     val piType = printers.schema("printerInfo").dataType.asInstanceOf[StructType]
     val ttType = piType("tonerType").dataType
     val piBase = piBaseOf(printers)
+    val ride = orderCol.map(o => col(s"`$o`")).toSeq
     val r = onePerIp(
-      if (web) results.select(col("ip").as("scan_ip"),
+      if (web) results.select(Seq(col("ip").as("scan_ip"),
         DocumentIngest.unifyTonerType(col("tid")).cast(ttType).as("scan_tt"))
-      else results.select(col("ip").as("scan_ip"),
-        col("codes").cast(ttType).as("scan_tt")))
+        ++ ride: _*)
+      else results.select(Seq(col("ip").as("scan_ip"),
+        col("codes").cast(ttType).as("scan_tt")) ++ ride: _*),
+      orderCol)
     val emptyPreset =
       (if (web) array(lit("")) else array()).cast(ttType)
     val ipN = DocumentIngest.ipOf(printers)
@@ -185,12 +202,14 @@ object ScanMerge {
     * {"Offline", "critical"} — not the tonerFinder ("offline", [])
     * pair. The struct replaces any previous printerError wholesale
     * (`info["printerError"] = {...}`). */
-  def alerts(printers: DataFrame, results: DataFrame, selected: Column): DataFrame = {
+  def alerts(printers: DataFrame, results: DataFrame, selected: Column,
+      orderCol: Option[String] = None): DataFrame = {
     def pe(p: Column, s: Column): Column =
       struct(p.as("problem"), s.as("severity"))
-    val r = results.select(col("ip").as("scan_ip"),
+    val r = results.select(Seq(col("ip").as("scan_ip"),
       col("problem").as("scan_problem"), col("severity").as("scan_severity"))
-    writeBack(printers, r, selected)(
+      ++ orderCol.map(o => col(s"`$o`")): _*)
+    writeBack(printers, r, selected, orderCol)(
       hit = _.withField("printerError",
         pe(col("scan_problem"), col("scan_severity"))),
       miss = _.withField("printerError", pe(lit("Offline"), lit("critical"))))

@@ -40,6 +40,9 @@ object GraftExtensions {
     (FunctionIdentifier("json_toner_ids"),
       new ExpressionInfo(classOf[JsonTonerIds].getName, "json_toner_ids"),
       (args: Seq[Expression]) => JsonTonerIds(one(args, "json_toner_ids"))),
+    (FunctionIdentifier("json_printers"),
+      new ExpressionInfo(classOf[JsonPrinterFinder].getName, "json_printers"),
+      (args: Seq[Expression]) => JsonPrinterFinder(one(args, "json_printers"))),
     (FunctionIdentifier("xml_local_records"),
       new ExpressionInfo(classOf[XmlLocalRecords].getName, "xml_local_records"),
       (args: Seq[Expression]) => {

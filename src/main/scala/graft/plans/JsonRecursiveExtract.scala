@@ -138,6 +138,63 @@ case class JsonAlertExtract(child: Expression) extends JsonWalkGenerator {
   }
 }
 
+/** P2 — the recursive printer finder, mirroring `_iter_printers`
+  * (core/excel/update_from_json.py:67-75) exactly: walking arbitrary
+  * JSON depth-first, a dict yields a row when it has key "ID"
+  * (EXACT case — Python `in`) AND its "printerInfo" value is a dict;
+  * the dict yields BEFORE its values are walked, and a matching dict's
+  * values are still walked (nested printers inside printers are found,
+  * as in the reference). Lists recurse element-wise; other scalars are
+  * ignored.
+  *
+  * Output: (ord, path, id, status) — `ord` is the reference's yield
+  * order; `path` is an engine addition for addressability (the
+  * reference yields the dict object itself); `id` and `status`
+  * (printerInfo.status) are Python-str scalar projections of the
+  * yielded record, null when absent/JSON-null. */
+case class JsonPrinterFinder(child: Expression) extends JsonWalkGenerator {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("ord", IntegerType, nullable = false),
+    StructField("path", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType)))
+
+  override protected def withNewChildInternal(c: Expression): JsonPrinterFinder =
+    copy(child = c)
+
+  override protected def walk(root: JsonNode): Iterator[InternalRow] = {
+    val out = mutable.ArrayBuffer.empty[InternalRow]
+    // Python str() for the projected scalars; compact JSON for the
+    // (never-synthesized) non-scalar case so output stays deterministic
+    def scalarStr(n: JsonNode): String =
+      if (n == null || n.isNull) null
+      else if (n.isTextual) n.asText()
+      else if (n.isBoolean) { if (n.asBoolean()) "True" else "False" }
+      else if (n.isNumber) n.asText()
+      else n.toString
+    def rec(node: JsonNode, path: String): Unit = {
+      if (node.isObject) {
+        val pi = node.get("printerInfo")
+        if (node.has("ID") && pi != null && pi.isObject)
+          out += InternalRow(out.length, utf8(path),
+            utf8(scalarStr(node.get("ID"))), utf8(scalarStr(pi.get("status"))))
+        val it = node.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          rec(e.getValue, s"$path.${e.getKey}")
+        }
+      } else if (node.isArray) {
+        var i = 0
+        val it = node.elements()
+        while (it.hasNext) { rec(it.next(), s"$path[$i]"); i += 1 }
+      }
+    }
+    rec(root, "$")
+    out.iterator
+  }
+}
+
 /** F25 — toner part-code CANDIDATES from arbitrary JSON, mirroring
   * `_extract_toner_from_supplies_json` (toner_type_web.py:28-53)
   * exactly: the accumulated lowercase key-path gates an EXTRA

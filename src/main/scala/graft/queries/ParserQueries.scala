@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.plans.GraftExtensions
-import graft.sources.{EwsAlerts, PayloadParsers}
+import graft.sources.{EwsAlerts, PayloadParsers, SnmpPayload}
 
 /** End-to-end oracles for the custom extractor components (the parts of
   * the engine DuckDB cannot run directly): each query SYNTHESIZES a
@@ -479,7 +479,115 @@ object ParserQueries {
       .orderBy("s_suppkey", "bar_idx")
   }
 
+  /** P2 — the recursive printer finder through the real generator
+    * (`_iter_printers`, update_from_json.py:67-75) over synthesized
+    * nested JSON: a root-level printer (numeric ID), a fleet-array
+    * printer, and a printer nested two dicts inside ANOTHER printer —
+    * yielded in depth-first dict-before-values order — plus three
+    * decoys that must NOT yield: printerInfo-is-a-list, lowercase
+    * `id` key (Python `in` is case-sensitive), and a missing ID. The
+    * oracle hand-derives the three yielded rows per document. */
+  val p2RecursiveFinder: QuerySpec = QuerySpec.sql(
+    "p2_recursive_finder",
+    """SELECT doc_id, ord, path, id, status FROM (
+      |  SELECT doc_id, 0 AS ord, '$' AS path,
+      |    CAST(doc_id AS VARCHAR) AS id, 'ready' AS status FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 1, '$.fleet[0]',
+      |    concat('A', CAST(doc_id % 7 AS VARCHAR)), 'idle' FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2, '$.fleet[0].nested.deep',
+      |    concat('D', CAST(doc_id % 5 AS VARCHAR)), NULL FROM documents
+      |)
+      |ORDER BY doc_id, ord""".stripMargin) { (s, d) =>
+    GraftExtensions.register(s)
+    val json = concat(
+      lit("{\"ID\": "), col("doc_id").cast("string"),
+      lit(", \"printerInfo\": {\"status\": \"ready\"}, \"fleet\": [" +
+        "{\"ID\": \"A"),
+      (col("doc_id") % 7).cast("string"),
+      lit("\", \"printerInfo\": {\"status\": \"idle\"}, " +
+        "\"nested\": {\"deep\": {\"ID\": \"D"),
+      (col("doc_id") % 5).cast("string"),
+      lit("\", \"printerInfo\": {}}}}, " +
+        "{\"ID\": \"L1\", \"printerInfo\": [\"x\"]}, " +
+        "{\"id\": \"low\", \"printerInfo\": {\"status\": \"x\"}}, " +
+        "{\"printerInfo\": {\"status\": \"y\"}}]}"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), json.as("body"))
+      .selectExpr("doc_id", "json_printers(body) AS (ord, path, id, status)")
+      .orderBy("doc_id", "ord")
+  }
+
+  /** S5 via DSv2 — the full custom-source path under the driver hash
+    * gate: 25 devices in the option list, an `In(ip, ...)` predicate
+    * that [[graft.sources.DevicePollScanBuilder]] pushes into the scan
+    * (only 3 devices polled — DevicePollSourceSpec pins the poll
+    * count), and the DeterministicSnmpFake's supplies walk re-derived
+    * in the oracle. The fake keys every row off Java
+    * `ip.hashCode` — reproduced in SQL as the 31-polynomial over the
+    * fixed 3-digit suffix with 32-bit signed wrap (prefix hash inlined
+    * as a constant computed from the same string). */
+  val s5DsV2Pushdown: QuerySpec = {
+    val base = SnmpPayload.SuppliesBase
+    val hp = "10.0.0.".hashCode
+    QuerySpec.sql(
+      "s5_dsv2_pushdown",
+      s"""WITH ips AS (
+         |  SELECT concat('10.0.0.', CAST(100 + n_nationkey AS VARCHAR)) AS ip,
+         |         100 + n_nationkey AS m
+         |  FROM nation WHERE 100 + n_nationkey IN (101, 105, 110)
+         |), h AS (
+         |  SELECT ip, abs(((((CAST($hp AS BIGINT) * 29791
+         |      + (48 + m // 100) * 961
+         |      + (48 + (m // 10) % 10) * 31
+         |      + (48 + m % 10)) % 4294967296)
+         |      + 4294967296 + 2147483648) % 4294967296) - 2147483648) AS habs
+         |  FROM ips
+         |), carts AS (
+         |  SELECT ip, habs, rn FROM h, (VALUES (1),(2),(3),(4)) AS r(rn)
+         |  WHERE rn <= 1 + habs % 4
+         |)
+         |SELECT ip, oid, value FROM (
+         |  SELECT ip, concat('$base.2.1.', CAST(rn AS VARCHAR)) AS oid,
+         |    '1' AS value FROM carts
+         |  UNION ALL
+         |  SELECT ip, concat('$base.3.1.', CAST(rn AS VARCHAR)),
+         |    CAST(rn AS VARCHAR) FROM carts
+         |  UNION ALL
+         |  SELECT ip, concat('$base.5.1.', CAST(rn AS VARCHAR)),
+         |    CASE WHEN rn = 4 THEN '5' ELSE '3' END FROM carts
+         |  UNION ALL
+         |  SELECT ip, concat('$base.6.1.', CAST(rn AS VARCHAR)),
+         |    concat(CASE rn WHEN 1 THEN 'black' WHEN 2 THEN 'cyan'
+         |                   WHEN 3 THEN 'magenta' ELSE 'yellow' END,
+         |           ' cartridge ', ip) FROM carts
+         |  UNION ALL
+         |  SELECT ip, concat('$base.7.1.', CAST(rn AS VARCHAR)),
+         |    CAST(CASE WHEN rn % 2 = 0 THEN 19 ELSE 7 END AS VARCHAR) FROM carts
+         |  UNION ALL
+         |  SELECT ip, concat('$base.8.1.', CAST(rn AS VARCHAR)),
+         |    CAST(CASE WHEN rn % 3 = 0 THEN 0
+         |              ELSE 100 + (habs % 5) * 50 END AS VARCHAR) FROM carts
+         |  UNION ALL
+         |  SELECT ip, concat('$base.9.1.', CAST(rn AS VARCHAR)),
+         |    CAST((habs // rn) % 111 - 5 AS VARCHAR) FROM carts
+         |)
+         |ORDER BY ip, oid, value""".stripMargin) { (s, d) =>
+      val devices = (0 until 25).map(i => s"10.0.0.${100 + i}").mkString(",")
+      s.read.format("graft.sources.DevicePollSource")
+        .option("devices", devices)
+        .option("baseOid", SnmpPayload.SuppliesBase)
+        .option("numPartitions", "4")
+        .option("failEvery", "0")
+        .load()
+        .where(col("ip").isin("10.0.0.101", "10.0.0.105", "10.0.0.110"))
+        .orderBy("ip", "oid", "value")
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     x1LedmEventElection, x2EwsPickAlert, x3JsonAlertExtract,
-    x4SnmpAlertDecide, x5TonerCodePairs, x6TonerIdPick, x7BrotherBars)
+    x4SnmpAlertDecide, x5TonerCodePairs, x6TonerIdPick, x7BrotherBars,
+    p2RecursiveFinder, s5DsV2Pushdown)
 }

@@ -146,6 +146,20 @@ class ScanMergeSpec extends SparkSpec {
     val hit = out.filter(col("group") === "Company_Grouped" && col("row_idx") === 0)
       .select(col("printerInfo.status")).collect().head.getString(0)
     assert(hit == "online")
+
+    // with a row-order column the RETRY row wins — the reference's
+    // dict-overwrite last-appended semantics, even though "retry-won"
+    // sorts after "online" (so struct-min would have picked the other)
+    val ordered = results.withColumn("scan_seq",
+      monotonically_increasing_id())
+    val out2 = ScanMerge(printers, ordered, selected,
+      orderCol = Some("scan_seq"))
+    assert(out2.count() == printers.count())
+    val hit2 = out2.filter(col("group") === "Company_Grouped" && col("row_idx") === 0)
+      .select(col("printerInfo.status")).collect().head.getString(0)
+    assert(hit2 == "retry-won")
+    // the order column must not leak into the merged output
+    assert(!out2.columns.contains("scan_seq"))
   }
 
   test("alerts merge: printerError family defaults to {Offline, critical}") {
