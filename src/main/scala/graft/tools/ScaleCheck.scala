@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.spark.Sessions
+
+/** Scale-parity spot-run (sf≈1.0): synthesizes a ×N scale-up of a
+  * driver-generated sf dir into a scratch dir, then runs the heaviest
+  * queries against it, timing two passes and reporting the join
+  * strategy markers of each final adaptive plan — the point is to
+  * catch plans that only worked at sf0.1 (a broadcast flipping to a
+  * sort-merge join, a skew cap not engaging, quadratic candidate
+  * growth in the near-dup families).
+  *
+  * The scale-up is NOT new synthetic truth (driver data stays the
+  * correctness substrate — TESTDATA.md): fact tables are replicated
+  * `copies`× with key offsets, and text/embeddings get a small
+  * per-copy perturbation so the dedup/ANN families see near-duplicate
+  * GROUPS (a crawl-like workload) rather than exact clones collapsing
+  * to nothing or blowing buckets up with byte-identical members. Dims
+  * (region/nation/customer/supplier/part) stay dim-sized, as they
+  * would at any real scale factor.
+  *
+  * Usage: runMain graft.tools.ScaleCheck [srcDir] [dstDir] [copies]
+  */
+object ScaleCheck {
+
+  /** Key offset between copies — far above any sf0.1 key range. */
+  private val Off = 100000000L
+
+  /** The heavy set from the bench tail: both LSH families, the n-gram
+    * and cosine near-dups, decontamination, repetition, IVF, the
+    * composed curation gate, the upsert join, and the e2e chain. */
+  private val Heavy = Seq(
+    "t2_minhash_lsh", "t4_ngram_jaccard", "t10_ann_lsh_buckets",
+    "t10b_ann_lsh_scale", "t11_cosine_neardup", "t12_decontaminate",
+    "t13_repetition", "t18_ann_ivf", "t19_curation_verdict",
+    "j3_last_wins_upsert", "x8_pipeline_e2e")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    scaleUp(spark, src, dst, copies)
+    runHeavy(spark, dst)
+    spark.stop()
+  }
+
+  def scaleUp(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
+    val cdf = spark.range(copies).select(col("id").as("__c"))
+    def write(t: String)(f: DataFrame => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      f(base).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scale] wrote $t")
+    }
+    def fanned(t: String)(f: (DataFrame, Column) => DataFrame): Unit =
+      // 10-row side broadcasts; each source partition fans out locally
+      write(t)(b => f(b.crossJoin(broadcast(cdf)), col("__c")).drop("__c"))
+
+    fanned("documents") { (d, c) =>
+      // copy 0 is the original; later copies append a short revision
+      // tag — near-identical versions, the crawl-dedup workload
+      val text = when(c === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" rev"), c.cast("string")))
+      d.select((col("doc_id") + c * Off).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+    }
+    fanned("embeddings") { (e, c) =>
+      e.select((col("vec_id") + c * Off).as("vec_id"),
+        transform(col("embedding"),
+          x => x + c.cast("float") * lit(0.001f)).as("embedding"),
+        col("label"))
+    }
+    fanned("lineitem") { (l, c) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + c * Off)
+    }
+    fanned("orders") { (o, c) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + c * Off)
+    }
+    fanned("events") { (e, c) =>
+      e.withColumn("event_id", col("event_id") + c * Off)
+        .withColumn("user_id", col("user_id") + c * 1000000L)
+    }
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(t)(identity))
+  }
+
+  def runHeavy(spark: SparkSession, dir: String): Unit = {
+    val qs = SparkEntry.queries
+    Heavy.foreach { name =>
+      val fn = qs(name)
+      def pass(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (cold, rows) = pass()
+      val (warm, _) = pass()
+      val df = fn(spark, dir)
+      df.count() // finalize AQE so join markers reflect runtime choices
+      val plan = df.queryExecution.executedPlan.toString
+      val markers = Seq("BroadcastHashJoin", "SortMergeJoin",
+        "BroadcastNestedLoopJoin", "ShuffledHashJoin")
+        .filter(plan.contains).mkString("+")
+      println(f"[scale] $name%-22s rows=$rows%8d cold=$cold%7.2fs " +
+        f"warm=$warm%7.2fs joins=${if (markers.isEmpty) "none" else markers}")
+    }
+  }
+}

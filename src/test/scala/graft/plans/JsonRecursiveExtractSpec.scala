@@ -67,6 +67,27 @@ class JsonRecursiveExtractSpec extends SparkSpec {
     assert(pick.contains("W1470A"))
   }
 
+  test("P2: printer finder — yield-before-recurse, case-sensitive ID, dict guard") {
+    // the branches the oracle row's synthesis can't reach: a printer
+    // nested INSIDE another printer's printerInfo (Python recurses into
+    // ALL values of a matching dict, printerInfo included), a JSON-null
+    // ID (`"ID" in obj` is TRUE for null → yields with null id), and a
+    // boolean status (str(True) == "True")
+    val payload =
+      """{"outer": {"ID": 7, "printerInfo": {"status": true,
+        |  "inner": {"ID": null, "printerInfo": {"status": "s2"}}}},
+        |"list": [[{"ID": "x", "printerInfo": {}}]],
+        |"noYield": {"Id": 1, "printerInfo": {}}}""".stripMargin
+    val rows = Seq(payload).toDF("body")
+      .selectExpr("json_printers(body) AS (ord, path, id, status)")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (0, "$.outer", "7", "True"),
+      (1, "$.outer.printerInfo.inner", null, "s2"),
+      (2, "$.list[0][0]", "x", null)))
+  }
+
   test("null input and LATERAL VIEW shape") {
     val df = Seq((1L, """{"alerts": [{"code": "X1-100", "desc": "d"}]}"""),
       (2L, null.asInstanceOf[String])).toDF("id", "body")
