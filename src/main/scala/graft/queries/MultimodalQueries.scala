@@ -77,5 +77,32 @@ object MultimodalQueries {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[QuerySpec] = Seq(m1ResizePlan, m2FrameSample)
+  /** M3 — the REAL video container path under the driver gate: genuine
+    * per-row MP4 bytes (ftyp + moov/mvhd, timescale 600, duration
+    * 600+k%100000 ticks) decoded by the distributed `decode` pass,
+    * whose durationMs comes from the mvhd box walk; DuckDB recomputes
+    * ticks·1000/timescale with the same truncating integer division.
+    * Pixel decode stays the one honest stub — this gates everything a
+    * container READ yields without a codec. */
+  val m3Mp4Duration: QuerySpec = QuerySpec.sql(
+    "m3_mp4_duration",
+    """SELECT CAST(c_custkey AS BIGINT) AS media_id,
+      |  (600 + CAST(c_custkey AS BIGINT) % 100000) * 1000 // 600 AS duration_ms
+      |FROM customer
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k")).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "video",
+          Multimodal.mp4Fixture(600, 600L + k % 100000),
+          Multimodal.MediaMeta("mp4", 0, 0, 0, 0))
+      }
+    Multimodal.decode(rows)
+      .select(col("mediaId").as("media_id"),
+        col("durationMs").as("duration_ms"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration)
 }
