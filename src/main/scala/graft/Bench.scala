@@ -41,7 +41,8 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val cold = pass()
-    val warmRuns = Seq(pass(), pass(), pass()) // three warm passes → median
+    val nRuns = 3 // warm passes; the artifact's "runs" derives from this
+    val warmRuns = Seq.fill(nRuns)(pass())
     // per-query median of the warm passes (odd count → true middle
     // element, no averaging), preserving registration order
     val warm: Seq[(String, Double, Option[String])] = queries.map {
@@ -69,19 +70,23 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
     // union of cold/warm failures, with which pass failed — a query
-    // failing only cold or only warm must be visible too
+    // failing only cold or only one warm pass must be visible too; the
+    // warm pass index keeps the errors-object keys unique (a query
+    // failing every warm pass would otherwise emit duplicate JSON keys)
     val failed = (cold.collect { case (n, _, Some(e)) => (n, "cold", e) } ++
-      warmRuns.flatten.collect { case (n, _, Some(e)) => (n, "warm", e) })
+      warmRuns.zipWithIndex.flatMap { case (run, i) =>
+        run.collect { case (n, _, Some(e)) => (n, s"warm${i + 1}", e) }
+      })
     val failedNames = failed.map(_._1).distinct
     val failedJson = failedNames.map(jstr).mkString("[", ",", "]")
     val errsJson = failed
       .map { case (n, p, e) => jstr(s"$n/$p") + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(warmTotal, 2)},"unit":"sec","queries":${obj(warm, 2)},"sf":"$sfDir","cold_total":${fmt(coldTotal, 2)},"warm_total":${fmt(warmTotal, 2)},"runs":3,"load":$loadJson,"n_failed":${failedNames.size},"failed":$failedJson,"methodology":"1 cold + 3 warm passes; value+queries=per-query median of warm"}"""
+      s"""{"metric":"total","value":${fmt(warmTotal, 2)},"unit":"sec","queries":${obj(warm, 2)},"sf":"$sfDir","cold_total":${fmt(coldTotal, 2)},"warm_total":${fmt(warmTotal, 2)},"runs":$nRuns,"load":$loadJson,"n_failed":${failedNames.size},"failed":$failedJson,"methodology":"1 cold + $nRuns warm passes; value+queries=per-query median of warm"}"""
     val warmRunsJson = warmRuns.map(obj(_, 4)).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_cold":${obj(cold, 4)},"warm_runs":$warmRunsJson,"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"runs":3,"load":$loadJson,"n_failed":${failedNames.size},"failed":$failedJson,"errors":$errsJson,"methodology":"four passes over all queries: the cold pass STARTS from a fresh JVM, but later queries in it share JVM/codegen/footer warmup from earlier ones — only cold_total is meaningful as a cold number, per-query queries_cold is not; value+queries report the per-query MEDIAN of the three fully-warm passes (warm_runs carries the raw samples); load stamps host conditions at exit"}"""
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_cold":${obj(cold, 4)},"warm_runs":$warmRunsJson,"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"runs":$nRuns,"load":$loadJson,"n_failed":${failedNames.size},"failed":$failedJson,"errors":$errsJson,"methodology":"1 cold + $nRuns warm passes over all queries: the cold pass STARTS from a fresh JVM, but later queries in it share JVM/codegen/footer warmup from earlier ones — only cold_total is meaningful as a cold number, per-query queries_cold is not; value+queries report the per-query MEDIAN of the fully-warm passes (warm_runs carries the raw samples); load stamps host conditions at exit"}"""
     // belt and braces against log-tail truncation: persist the full
     // artifact to a file, then print the compact line as the process's
     // LAST stdout line (after spark.stop()'s shutdown chatter)

@@ -42,7 +42,16 @@ object ScanMerge {
       r.columns.filterNot(c => c == "scan_ip" || orderCol.contains(c))
     val packed = struct(valueCols.map(col): _*)
     val winner = orderCol match {
-      case Some(o) => max_by(packed, col(s"`$o`"))
+      case Some(o) =>
+        // a bare max_by(_, ord) DROPS rows whose stamp is null (the agg
+        // ignores null ordering values — a key whose rows are all
+        // unstamped would yield a null struct, i.e. corrupted scan
+        // values). Rank instead: any stamped row beats any unstamped
+        // one, and ties — including the all-unstamped key — fall back
+        // to the value struct so the pick is total and deterministic.
+        val ord = col(s"`$o`")
+        max_by(packed,
+          struct(ord.isNotNull.as("has"), ord.as("o"), packed.as("v")))
       case None => min(packed)
     }
     r.groupBy("scan_ip")

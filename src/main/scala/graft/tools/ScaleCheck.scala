@@ -93,16 +93,17 @@ object ScaleCheck {
     val qs = SparkEntry.queries
     Heavy.foreach { name =>
       val fn = qs(name)
-      def pass(): (Double, Long) = {
+      def pass(): (Double, Long, org.apache.spark.sql.DataFrame) = {
+        val df = fn(spark, dir)
         val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        val n = df.count()
+        ((System.nanoTime() - t0) / 1e9, n, df)
       }
-      val (cold, rows) = pass()
-      val (warm, _) = pass()
-      val df = fn(spark, dir)
-      df.count() // finalize AQE so join markers reflect runtime choices
-      val plan = df.queryExecution.executedPlan.toString
+      val (cold, rows, _) = pass()
+      // the warm pass's count() already finalized its adaptive plan, so
+      // the join markers come from it — no extra execution
+      val (warm, _, wdf) = pass()
+      val plan = wdf.queryExecution.executedPlan.toString
       val markers = Seq("BroadcastHashJoin", "SortMergeJoin",
         "BroadcastNestedLoopJoin", "ShuffledHashJoin")
         .filter(plan.contains).mkString("+")
