@@ -27,6 +27,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // pre-run load: contention that was ALREADY on the host (the
+    // end-of-run reading mostly reflects this benchmark itself)
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = Sessions.local(cpus)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // (name, seconds, error) — a throwing query is RECORDED, never
@@ -61,12 +65,14 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // load stamp: processors + 1-min system loadavg + wall-clock, so a
-    // cross-round delta on untouched queries can be checked against
-    // host business instead of being read as a code regression
+    // load stamp: processors + 1-min system loadavg (before AND after
+    // the passes) + wall-clock, so a cross-round delta on untouched
+    // queries can be checked against host business instead of being
+    // read as a code regression; load_avg_before is the discriminating
+    // number (after mostly measures this benchmark's own footprint)
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadJson =
-      s"""{"available_processors":${os.getAvailableProcessors},"system_load_avg":${fmt(os.getSystemLoadAverage, 2)},"epoch_sec":${System.currentTimeMillis() / 1000L}}"""
+      s"""{"available_processors":${os.getAvailableProcessors},"load_avg_before":${fmt(loadBefore, 2)},"load_avg_after":${fmt(os.getSystemLoadAverage, 2)},"epoch_sec":${System.currentTimeMillis() / 1000L}}"""
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
     // union of cold/warm failures, with which pass failed — a query

@@ -61,6 +61,15 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s5 DSv2 scan: the In(ip) predicate reaches the source (3 of 25 polled)") {
+    graft.sources.DevicePollSource.pollCount.reset()
+    val n = ParserQueries.s5DsV2Pushdown.run(spark, sf).count()
+    assert(n > 0)
+    // the pushed filter pruned the DEVICE LIST inside the scan builder:
+    // only the three selected devices were ever polled
+    assert(graft.sources.DevicePollSource.pollCount.sum() == 3)
+  }
+
   test("updateSheet: no forced hint, yet AQE still broadcasts a fleet-sized id-map") {
     import org.apache.spark.sql.functions.col
     val sheet = graft.Tables.customer(spark, sf).select(
