@@ -435,7 +435,38 @@ object VectorQueries {
     }
   }
 
+  /** T20 — ANN recall observability: recall@3 of the IVF path against
+    * the brute-force ground truth, per query. The approximate families
+    * trade recall for sublinear search; a pipeline must MEASURE that
+    * trade (alongside t10's overflow and t18's occupancy views), not
+    * assume it. Composed from the t5/t18 definitions on BOTH sides —
+    * the Spark side joins the two operators' outputs, the oracle
+    * embeds their SQL texts as CTEs — so the recall gate can never
+    * drift from the operators it scores. */
+  val t20AnnRecall: QuerySpec = QuerySpec.sql(
+    "t20_ann_recall",
+    s"""WITH bf AS (${t5AnnBruteForce.oracle.get}),
+       |ivf AS (${t18AnnIvf.oracle.get})
+       |SELECT b.qid, count(i.nid) AS n_hits,
+       |  CAST(count(i.nid) AS DOUBLE) / 3 AS recall_at_3
+       |FROM (SELECT qid, nid FROM bf WHERE rank <= 3) b
+       |LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
+       |GROUP BY b.qid
+       |ORDER BY b.qid""".stripMargin) { (s, d) =>
+    val bf = t5AnnBruteForce.run(s, d).filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"))
+    val iv = t18AnnIvf.run(s, d)
+      .select(col("qid").as("iqid"), col("nid").as("inid"))
+    bf.join(iv, col("qid") === col("iqid") && col("nid") === col("inid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("inid")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / 3).as("recall_at_3"))
+      .orderBy("qid")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
-      t18AnnIvf)
+      t18AnnIvf, t20AnnRecall)
 }
