@@ -66,6 +66,29 @@ object TextAnalysis {
   /** LSH band key over `rows` consecutive signature columns. */
   def bandKey(sigs: Seq[Column]): Column = md5(concat_ws("|", sigs: _*))
 
+  /** The minhash-LSH operating point shared by the batch near-dup
+    * (t2) and its streaming analogue — ONE source so the two paths
+    * can never band differently. K signature elements, R rows per
+    * band, B = K/R bands; est.-Jaccard threshold is matches ≥ K/2. */
+  val MinhashK = 12
+  val LshRows = 3
+  val LshBands: Int = MinhashK / LshRows
+
+  /** The full (doc text → K-element signature) projection at the
+    * shared operating point: 3-word shingles → one md5 base hash per
+    * shingle → K Carter–Wegman minima. */
+  def minhashSignature(text: Column): Column = {
+    val hv = minhashBase(shingles(tokens(text), 3))
+    array((0 until MinhashK).map(i => minhashSig(hv, i)): _*)
+  }
+
+  /** The B band keys of a signature array (1-based element access). */
+  def lshBandKeys(sig: Column): Column =
+    array((0 until LshBands).map { b =>
+      bandKey((0 until LshRows).map(r =>
+        element_at(sig, b * LshRows + r + 1)))
+    }: _*)
+
   /** SimHash bit-contribution (±1) for bit b of the md5 hex in column
     * `hexCol` — nibble decode via instr over the hex alphabet, portable
     * to any engine with strpos/instr. */

@@ -45,9 +45,11 @@ object TextQueries {
       .orderBy("content_hash")
   }
 
-  private val K = 12 // minhash signature length
-  private val R = 3  // rows per LSH band
-  private val B = K / R
+  // the shared minhash-LSH operating point (TextAnalysis owns it so
+  // the streaming near-dup path bands identically)
+  private val K = MinhashK
+  private val R = LshRows
+  private val B = LshBands
 
   /** T2 — MinHash + LSH near-dup candidate pairs: shingle → K-element
     * signature → B band keys → band-bucket self-join → signature
