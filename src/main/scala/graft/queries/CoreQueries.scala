@@ -489,8 +489,9 @@ object CoreQueries {
 
   /** W2 — natural-key sort (step2 < step10; core/pipeline.py:24-35):
     * split into (alpha prefix, numeric run) and sort numerically aware.
-    * The global row_number is demo-scale; the scalable form is just the
-    * orderBy (range-partitioned sort) without the sequential rank. */
+    * The sequential rank comes from [[graft.ops.GlobalRank]] (range
+    * partition + per-partition offsets), NOT a PARTITION-BY-less
+    * window — identical values, no single-partition sort at scale. */
   val w2NaturalSort: QuerySpec = QuerySpec.sql(
     "w2_natural_sort",
     """SELECT ROW_NUMBER() OVER (ORDER BY
@@ -503,9 +504,10 @@ object CoreQueries {
     val alphaKey = lower(regexp_replace(col("c_name"), "[0-9]+", ""))
     val numKey = coalesce(
       regexp_extract(col("c_name"), "([0-9]+)", 1).try_cast("long"), lit(-1L))
-    val w = Window.orderBy(alphaKey, numKey, col("c_custkey"))
-    Tables.customer(s, d)
-      .select(row_number().over(w).as("rn"), col("c_custkey"), col("c_name"))
+    graft.ops.GlobalRank.withGlobalRowNumber(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+        "rn", alphaKey, numKey, col("c_custkey"))
+      .select(col("rn"), col("c_custkey"), col("c_name"))
       .orderBy("rn")
   }
 
