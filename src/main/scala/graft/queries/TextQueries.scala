@@ -51,11 +51,11 @@ object TextQueries {
   private val R = LshRows
   private val B = LshBands
 
-  /** T2 — MinHash + LSH near-dup candidate pairs: shingle → K-element
-    * signature → B band keys → band-bucket self-join → signature
-    * agreement fraction. Pairs with ≥ K/2 matching signature elements
-    * (est. Jaccard ≥ 0.5) survive. */
-  val t2MinhashLsh: QuerySpec = {
+  /** DuckDB CTE chain ending in `pairs(d1, d2, sig_matches, sig_frac)`
+    * — the filtered MinHash-LSH near-dup pair set. Shared by the t2
+    * oracle and t21's recursive-CTE clustering oracle so the two can
+    * never disagree on what an edge is. */
+  private val NearDupPairsCtesSql: String = {
     val P = MinhashP
     val sigDefsSql = (0 until K).map(i =>
       s"list_aggregate(list_transform(hv, v -> (v * ${minhashA(i)} + ${minhashB(i)}) % $P), 'min') AS sig_$i")
@@ -66,62 +66,112 @@ object TextQueries {
     }.mkString("\n  UNION ALL\n  ")
     val matchSql = (0 until K).map(i =>
       s"CASE WHEN x.sig_$i = y.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
-    QuerySpec.sql(
-      "t2_minhash_lsh",
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         |sh AS (SELECT doc_id, $ShinglesOverToks AS s FROM t),
-         |hvs AS (SELECT doc_id, list_transform(s,
-         |  x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $P) AS hv FROM sh),
-         |sigs AS (SELECT doc_id,
-         |  $sigDefsSql
-         |FROM hvs),
-         |bands AS (
-         |  $bandsSql
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |)
-         |SELECT d1, d2, ($matchSql) AS sig_matches,
-         |  CAST(($matchSql) AS DOUBLE) / $K AS sig_frac
-         |FROM cand JOIN sigs x ON d1 = x.doc_id JOIN sigs y ON d2 = y.doc_id
-         |WHERE ($matchSql) >= ${K / 2}
-         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      // Plan shape (the 100 TB-critical part): signatures live in one
-      // array column carried THROUGH the band explode and self-join, so
-      // no join-back to a signature table is ever needed; the only
-      // shuffles are the band-bucket self-join and the pair dedup.
-      // localCheckpoint materializes the signature table ONCE and
-      // truncates lineage — otherwise each side of the self-join
-      // recomputes the whole shingle+hash scan (the standard move for
-      // reuse-heavy self-joins over expensive derivations).
-      val sigs = Tables.documents(s, d)
-        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
-        .select(col("doc_id"), minhashBase(col("s")).as("hv"))
-        .select(col("doc_id"),
-          array((0 until K).map(i => minhashSig(col("hv"), i)): _*).as("sig"))
-        .localCheckpoint()
-      val bandCols = (0 until B).map { b =>
-        bandKey((0 until R).map(r => element_at(col("sig"), b * R + r + 1)))
-      }
-      val bands = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.sig").as("sx"), col("b.sig").as("sy"))
-        .dropDuplicates("d1", "d2") // sx/sy are functions of d1/d2
-      val matches =
-        size(filter(zip_with(col("sx"), col("sy"), (x, y) => x === y), b => b))
-      cand
-        .select(col("d1"), col("d2"), matches.as("sig_matches"),
-          (matches.cast("double") / K).as("sig_frac"))
-        .filter(col("sig_matches") >= K / 2)
-        .orderBy("d1", "d2")
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $ShinglesOverToks AS s FROM t),
+       |hvs AS (SELECT doc_id, list_transform(s,
+       |  x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $P) AS hv FROM sh),
+       |sigs AS (SELECT doc_id,
+       |  $sigDefsSql
+       |FROM hvs),
+       |bands AS (
+       |  $bandsSql
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |),
+       |pairs AS (
+       |  SELECT d1, d2, ($matchSql) AS sig_matches,
+       |    CAST(($matchSql) AS DOUBLE) / $K AS sig_frac
+       |  FROM cand JOIN sigs x ON d1 = x.doc_id JOIN sigs y ON d2 = y.doc_id
+       |  WHERE ($matchSql) >= ${K / 2}
+       |)""".stripMargin
+  }
+
+  /** Spark twin of [[NearDupPairsCtesSql]]: the filtered near-dup pair
+    * set (d1 < d2), unordered.
+    *
+    * Plan shape (the 100 TB-critical part): signatures live in one
+    * array column carried THROUGH the band explode and self-join, so
+    * no join-back to a signature table is ever needed; the only
+    * shuffles are the band-bucket self-join and the pair dedup.
+    * localCheckpoint materializes the signature table ONCE and
+    * truncates lineage — otherwise each side of the self-join
+    * recomputes the whole shingle+hash scan (the standard move for
+    * reuse-heavy self-joins over expensive derivations). */
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
+      .select(col("doc_id"), minhashBase(col("s")).as("hv"))
+      .select(col("doc_id"),
+        array((0 until K).map(i => minhashSig(col("hv"), i)): _*).as("sig"))
+      .localCheckpoint()
+    val bandCols = (0 until B).map { b =>
+      bandKey((0 until R).map(r => element_at(col("sig"), b * R + r + 1)))
     }
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sx"), col("b.sig").as("sy"))
+      .dropDuplicates("d1", "d2") // sx/sy are functions of d1/d2
+    val matches =
+      size(filter(zip_with(col("sx"), col("sy"), (x, y) => x === y), b => b))
+    cand
+      .select(col("d1"), col("d2"), matches.as("sig_matches"),
+        (matches.cast("double") / K).as("sig_frac"))
+      .filter(col("sig_matches") >= K / 2)
+  }
+
+  /** T2 — MinHash + LSH near-dup candidate pairs: shingle → K-element
+    * signature → B band keys → band-bucket self-join → signature
+    * agreement fraction. Pairs with ≥ K/2 matching signature elements
+    * (est. Jaccard ≥ 0.5) survive. */
+  val t2MinhashLsh: QuerySpec = QuerySpec.sql(
+    "t2_minhash_lsh",
+    s"""WITH $NearDupPairsCtesSql
+       |SELECT d1, d2, sig_matches, sig_frac FROM pairs
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    nearDupPairs(s, d).orderBy("d1", "d2")
+  }
+
+  /** T21 — near-dup CLUSTER resolution: connected components over the
+    * t2 pair graph (the step a real dedup pipeline runs after pair
+    * generation — pairs alone over-delete when A~B and B~C but A≁C).
+    * Every document gets the min doc_id of its component as
+    * cluster_id; `is_keeper` marks the one row per cluster a
+    * dedup-and-keep pass would retain. Oracle: DuckDB recursive CTE
+    * propagating labels over the SAME pair CTEs. */
+  val t21DupClusters: QuerySpec = QuerySpec.sql(
+    "t21_dup_clusters",
+    s"""WITH RECURSIVE $NearDupPairsCtesSql,
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |        UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT sym.dst, reach.label FROM reach JOIN sym ON reach.node = sym.src
+       |),
+       |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+       |       FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS is_keeper
+       |FROM cc
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val edges = nearDupPairs(s, d).select(col("d1"), col("d2"))
+    val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
+    val sized = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sized, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
   }
 
   /** T3 — 32-bit SimHash fingerprint (token-weighted, md5-nibble bits):
@@ -623,5 +673,5 @@ object TextQueries {
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
-    t17UrlFilter, t19CurationVerdict)
+    t17UrlFilter, t19CurationVerdict, t21DupClusters)
 }

@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain, blob, and singleton all resolve to min-id labels") {
+    // components: {1,2,3,4} (chain — needs >1 round), {10,11,12}
+    // (triangle), {20} (isolated node, no edges)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("n")
+    val got = ConnectedComponents.labels(edges, "a", "b", nodes, "n")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("long chain fails loudly when maxRounds is too small") {
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (1L to 8L).toDF("n")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.labels(edges, "a", "b", nodes, "n", maxRounds = 2)
+        .count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain fully merges
+    val ok = ConnectedComponents.labels(edges, "a", "b", nodes, "n")
+      .as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 1L))
+  }
+}
