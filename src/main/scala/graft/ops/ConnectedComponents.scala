@@ -26,7 +26,12 @@ object ConnectedComponents {
   /** Label every node in `nodes(nodeCol)` with the min node id of its
     * component under undirected `edges(srcCol, dstCol)`. Returns
     * (`nodeCol` → "id", "label"). Node ids must be non-null; edges may
-    * reference only a subset of nodes (the rest stay singletons). */
+    * reference only a subset of nodes (the rest stay singletons).
+    *
+    * Only edge-touched nodes enter the loop: a node with no edge can
+    * never change label, and in a deduplicated corpus near-dup members
+    * are a small minority — loop state is |touched|, not |V|, and the
+    * untouched majority joins back once at the end as singletons. */
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String, maxRounds: Int = 50): DataFrame = {
     val sym = edges
@@ -34,8 +39,9 @@ object ConnectedComponents {
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = nodes
-      .select(col(nodeCol).as("id"), col(nodeCol).as("label"))
+    var labels = sym
+      .select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var round = 0
     var changed = 1L
@@ -47,14 +53,20 @@ object ConnectedComponents {
       val neighborMin = sym
         .join(labels, sym("src") === labels("id"))
         .groupBy("dst").agg(min("label").as("nmin"))
+      // every touched node has ≥1 neighbor, so the join is inner: nmin
+      // always exists (self-label still wins via least)
       val staged = labels
-        .join(neighborMin, labels("id") === neighborMin("dst"), "left")
+        .join(neighborMin, labels("id") === neighborMin("dst"))
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+          least(col("label"), col("nmin")).as("next"))
         .localCheckpoint()
       changed = staged.filter(col("next") < col("label")).count()
       labels = staged.select(col("id"), col("next").as("label"))
     }
-    labels
+    nodes
+      .select(col(nodeCol).as("id"))
+      .join(labels.withColumnRenamed("id", "tid"),
+        col("id") === col("tid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 }

@@ -669,9 +669,78 @@ object TextQueries {
     }
   }
 
+  /** T22 — deterministic STRATIFIED sample: top-3 docs per
+    * (lang, source) stratum ranked by id-hash — uniform-without-RNG
+    * (same property family as T15), one partitioned window, no global
+    * shuffle; at 100 TB each stratum ranks independently. */
+  val t22StratifiedSample: QuerySpec = QuerySpec.sql(
+    "t22_stratified_sample",
+    """WITH h AS (SELECT doc_id, lang, source,
+      |    md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY lang, source ORDER BY hkey, doc_id) AS rnk FROM h)
+      |SELECT lang, source, doc_id, rnk FROM r WHERE rnk <= 3
+      |ORDER BY lang, source, rnk""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source").orderBy("hkey", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("doc_id").cast("string")).as("hkey"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("lang"), col("source"), col("doc_id"), col("rnk"))
+      .orderBy("lang", "source", "rnk")
+  }
+
+  /** T23 — per-document top-3 keywords by a BM25-style weight
+    * `tf * (N - df + 0.5) / (df + 0.5)` — the SAME ranking as
+    * tf·idf(log) (the idf ratio is a monotone transform) but built
+    * from ratio arithmetic only: IEEE divisions are correctly rounded
+    * in every engine, whereas `ln` is libm-dependent and would break
+    * cell-exact parity. df·2 ≤ N screens stopwords AND bounds the join
+    * fan-out (the t4 scale-guard move). Shuffles: tf groupBy, df
+    * groupBy, token join, per-doc window — all key-partitioned. */
+  val t23KeywordTopk: QuerySpec = QuerySpec.sql(
+    "t23_keyword_topk",
+    s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+       |       WHERE tok <> '' GROUP BY 1, 2),
+       |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t
+       |       WHERE tok <> '' GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |w AS (SELECT doc_id, tf.tok, tf.tf, df.df,
+       |        tf.tf * (n.n - df.df + 0.5) / (df.df + 0.5) AS weight
+       |      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+       |      WHERE df.df * 2 <= n.n),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY weight DESC, tok) AS rnk FROM w)
+       |SELECT doc_id, tok AS keyword, tf, df, weight, rnk FROM r
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("weight").desc, col("tok"))
+    tf.join(dfq, "tok").crossJoin(broadcast(n))
+      .filter(col("df") * 2 <= col("n"))
+      // parenthesization mirrors the SQL's left-to-right (tf*a)/b
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        ((col("tf") * (col("n") - col("df") + 0.5)) / (col("df") + 0.5))
+          .as("weight"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("tok").as("keyword"), col("tf"),
+        col("df"), col("weight"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
-    t17UrlFilter, t19CurationVerdict, t21DupClusters)
+    t17UrlFilter, t19CurationVerdict, t21DupClusters,
+    t22StratifiedSample, t23KeywordTopk)
 }

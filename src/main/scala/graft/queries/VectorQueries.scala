@@ -466,7 +466,34 @@ object VectorQueries {
       .orderBy("qid")
   }
 
+  /** T24 — per-label embedding CENTROIDS (the k-means E-step /
+    * class-prototype builder), long-form (label, dim) output. Float
+    * addition is order-dependent, so a naive avg over shuffled
+    * partitions is non-deterministic; summing the 1e6-scaled longs
+    * instead is associative-exact (same trick as the dot products),
+    * and the final double divisions are correctly rounded. One
+    * explode + one (label, dim) groupBy with map-side partial agg —
+    * no per-label collect, no skew cliff. */
+  val t24LabelCentroids: QuerySpec = QuerySpec.sql(
+    "t24_label_centroids",
+    s"""WITH e AS (SELECT label, i AS dim, ${scaledSql("embedding[i+1]")} AS v
+       |           FROM embeddings, range(0, 64) t(i)),
+       |g AS (SELECT label, dim, SUM(v) AS sv, COUNT(*) AS n_vecs
+       |      FROM e GROUP BY 1, 2)
+       |SELECT label, dim, CAST(sv AS DOUBLE) / 1e6 / n_vecs AS centroid, n_vecs
+       |FROM g ORDER BY label, dim""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(scaleL(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim"),
+        (col("sv").cast("double") / 1e6 / col("n_vecs")).as("centroid"),
+        col("n_vecs"))
+      .orderBy("label", "dim")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
-      t18AnnIvf, t20AnnRecall)
+      t18AnnIvf, t20AnnRecall, t24LabelCentroids)
 }

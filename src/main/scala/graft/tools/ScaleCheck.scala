@@ -32,19 +32,24 @@ object ScaleCheck {
 
   /** The heavy set from the bench tail: both LSH families, the n-gram
     * and cosine near-dups, decontamination, repetition, IVF, the
-    * composed curation gate, the upsert join, and the e2e chain. */
+    * composed curation gate, the upsert join, the e2e chain, and the
+    * iterative dup-cluster resolver (its round count is the scale
+    * variable: the rev-tagged copies form per-original near-dup blobs,
+    * so rounds should stay flat as copies grow). */
   private val Heavy = Seq(
     "t2_minhash_lsh", "t4_ngram_jaccard", "t10_ann_lsh_buckets",
     "t10b_ann_lsh_scale", "t11_cosine_neardup", "t12_decontaminate",
     "t13_repetition", "t18_ann_ivf", "t19_curation_verdict",
-    "j3_last_wins_upsert", "x8_pipeline_e2e")
+    "j3_last_wins_upsert", "x8_pipeline_e2e", "t21_dup_clusters")
 
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
-    val copies = if (args.length > 2) args(2).toInt else 10
+    val pos = args.filterNot(_.startsWith("--"))
+    val src = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (pos.length > 1) pos(1) else "/tmp/graft_sf1"
+    val copies = if (pos.length > 2) pos(2).toInt else 10
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    scaleUp(spark, src, dst, copies)
+    // --reuse: rerun queries against an already-written scale dir
+    if (!args.contains("--reuse")) scaleUp(spark, src, dst, copies)
     runHeavy(spark, dst)
     spark.stop()
   }
@@ -94,8 +99,11 @@ object ScaleCheck {
     Heavy.foreach { name =>
       val fn = qs(name)
       def pass(): (Double, Long, org.apache.spark.sql.DataFrame) = {
-        val df = fn(spark, dir)
+        // timer wraps the BUILD too: iterative operators (t21's label
+        // loop) execute eagerly inside fn — timing only count() would
+        // measure a join over already-checkpointed results
         val t0 = System.nanoTime()
+        val df = fn(spark, dir)
         val n = df.count()
         ((System.nanoTime() - t0) / 1e9, n, df)
       }
