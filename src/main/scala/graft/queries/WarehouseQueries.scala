@@ -79,5 +79,41 @@ object WarehouseQueries {
       .orderBy("user_id", "session_start_us")
   }
 
-  val all: Seq[QuerySpec] = Seq(s2Rollup, s3SetOps, s4SessionWindow)
+  /** J7 — AS-OF join (point-in-time enrichment): each purchase gets
+    * the same user's latest click at-or-before it, via
+    * [[graft.ops.AsOfJoin]]'s union + carry-forward (no range-join
+    * blow-up). Oracle: DuckDB's native ASOF LEFT JOIN over the same
+    * tie-deduped right side — two independent formulations of the
+    * same semantics. Timestamps are compared and emitted at µs
+    * (`ts DIV 1000` vs `epoch_us`): DuckDB's parquet reader truncates
+    * TIMESTAMP(NANOS) to µs, so µs is the finest cross-engine-exact
+    * resolution — both engines then run the SAME as-of, ties
+    * included. */
+  val j7AsOfJoin: QuerySpec = QuerySpec.sql(
+    "j7_asof_join",
+    """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |r0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+      |       FROM events WHERE event_type = 'click'),
+      |r AS (SELECT user_id, ts_us, max(event_id) AS event_id,
+      |        max_by(value, event_id) AS value FROM r0 GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id, l.ts_us, l.value,
+      |  r.event_id AS asof_event_id, r.ts_us AS asof_ts_us,
+      |  r.value AS asof_value
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+      |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    graft.ops.AsOfJoin(purchases, clicks, Seq("user_id"), "ts_us", "ts_us",
+      payload = Seq("event_id", "ts_us", "value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        col("asof_event_id"), col("asof_ts_us"), col("asof_value"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(s2Rollup, s3SetOps, s4SessionWindow, j7AsOfJoin)
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, 100L, 10L), // before any right row → nulls
+    (2L, 100L, 20L), // exactly at a right ts → <= matches it
+    (3L, 100L, 35L), // between right rows → latest earlier wins
+    (4L, 200L, 50L)  // key with no right rows at all
+  ).toDF("event_id", "user_id", "ts")
+
+  private val right = Seq(
+    (100L, 20L, 7L, "a"),
+    (100L, 20L, 9L, "b"), // tie on (key, ts): max id (9) wins
+    (100L, 30L, 11L, "c")
+  ).toDF("user_id", "ts", "rid", "tag")
+
+  test("as-of semantics: <=, latest-earlier, tie-dedupe, missing-key nulls") {
+    val out = AsOfJoin(left, right, Seq("user_id"), "ts", "ts",
+      payload = Seq("rid", "tag"))
+      .select("event_id", "asof_rid", "asof_tag")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.getString(2))))
+      .toSet
+    assert(out == Set(
+      (1L, None, None),
+      (2L, Some(9L), Some("b")),
+      (3L, Some(11L), Some("c")),
+      (4L, None, None)))
+  }
+
+  test("left columns and row count survive unchanged") {
+    val out = AsOfJoin(left, right, Seq("user_id"), "ts", "ts",
+      payload = Seq("rid"))
+    assert(out.count() == 4)
+    assert(Seq("event_id", "user_id", "ts", "asof_rid")
+      .forall(out.columns.contains))
+  }
+}
