@@ -99,4 +99,37 @@ class PlanContractSpec extends SparkSpec {
     val p = plan(ParserQueries.x4SnmpAlertDecide)
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty)
   }
+
+  test("t22 stratified sample prunes text from the scan and partitions its window") {
+    val p = plan(TextQueries.t22StratifiedSample)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // the sampler never needs document bodies — a scan reading text
+    // for a 3-narrow-column query would move ~all corpus bytes
+    assert(read.contains("doc_id") && read.contains("lang"))
+    assert(!read.contains("text"))
+    // partitioned window, not the single-partition Window-over-nothing
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("t23 keyword top-k broadcasts the corpus-count scalar") {
+    // the 1-row count side must broadcast; shuffling the tf table
+    // against a scalar would be absurd at scale
+    assert(plan(TextQueries.t23KeywordTopk)
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t24 centroids use two-phase aggregation over the exploded dims") {
+    val p = plan(VectorQueries.t24LabelCentroids)
+    // partial + final HashAggregate around the (label, dim) exchange:
+    // map-side combine is what keeps the explode from shuffling
+    // 64 rows per vector
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("j7 as-of join is window-based: no nested-loop range join anywhere") {
+    val p = plan(WarehouseQueries.j7AsOfJoin)
+    assert(p.contains("Window"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
