@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over 1e6-scaled long vectors — QUANTIZED
+  * on purpose: every E-step distance is an exact integer
+  * (`Σ (x_i − c_i)²` of longs), and the M-step re-quantizes each mean
+  * back to the long grid with the branch-explicit floor rounding the
+  * vector ops share. Cross-engine parity is therefore by construction:
+  * no float accumulation order, no libm — the only float op is one
+  * correctly-rounded IEEE division per (centroid, dim) per iteration.
+  *
+  * Scale shape: the E-step broadcasts k centroid rows against the
+  * corpus (one narrow cross join, argmin via a per-vector window);
+  * the M-step is the t24 centroid pattern — posexplode + (cid, dim)
+  * groupBy with map-side partial agg. State between iterations is the
+  * k-row centroid frame, localCheckpoint'd so plan depth stays O(1).
+  * Empty clusters keep their previous centroid (deterministic, and
+  * mirrors the oracle's per-dim COALESCE).
+  */
+object KMeans {
+
+  /** Exact squared L2 distance between two scaled-long arrays. */
+  private def distq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0L),
+      (acc, t) => acc + t)
+
+  private def rnd(v: org.apache.spark.sql.Column) =
+    when(v >= 0, floor(v + 0.5)).otherwise(-floor(-v + 0.5))
+
+  /** E-step: nearest centroid per vector, ties by centroid id.
+    * `emb`: (vec_id, eL), `cent`: (cid, cL) → (vec_id, cid, distq). */
+  def assign(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("distq"), col("cid"))
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), distq(col("eL"), col("cL")).as("distq"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** M-step: per-cluster re-quantized mean; clusters with no members
+    * keep their previous centroid. */
+  def step(emb: DataFrame, cent: DataFrame, assigned: DataFrame): DataFrame = {
+    val sums = assigned.select("vec_id", "cid")
+      .join(emb, "vec_id")
+      .select(col("cid"), posexplode(col("eL")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg(sum("x").as("sv"), count(lit(1)).as("n"))
+      .select(col("cid"), col("dim"),
+        rnd(col("sv").cast("double") / col("n")).cast("long").as("cnew"))
+    cent
+      .select(col("cid"), posexplode(col("cL")).as(Seq("dim", "cold")))
+      .join(sums, Seq("cid", "dim"), "left")
+      .select(col("cid"), col("dim"), coalesce(col("cnew"), col("cold")).as("c"))
+      .groupBy("cid")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cL"))
+  }
+
+  /** Run exactly `iters` E/M rounds from the first-k init (centroid
+    * cid = vec_id of the seed vector), then return the final
+    * assignment (vec_id, cid, distq). */
+  def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("eL").as("cL"))
+      .localCheckpoint()
+    for (_ <- 1 to iters)
+      cent = step(emb, cent, assign(emb, cent)).localCheckpoint()
+    assign(emb, cent)
+  }
+}

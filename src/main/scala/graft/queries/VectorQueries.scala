@@ -493,7 +493,52 @@ object VectorQueries {
       .orderBy("label", "dim")
   }
 
+  /** T25 — k-means, two Lloyd iterations from the first-k seed
+    * ([[graft.ops.KMeans]]): E-step distances are exact long integers
+    * over the 1e6 grid and the M-step RE-QUANTIZES each mean back to
+    * it, so both engines run identical integer arithmetic — the only
+    * float op is one correctly-rounded division per (cid, dim) per
+    * iteration. The oracle unrolls the same two iterations as long-form
+    * (cid, dim) CTEs. */
+  val t25KmeansAssign: QuerySpec = {
+    val k = 8
+    def rndSql(d: String): String =
+      s"CAST(CASE WHEN $d >= 0 THEN floor($d + 0.5) ELSE -floor(-$d + 0.5) END AS BIGINT)"
+    def iterSql(i: Int): String = {
+      val p = s"c${i - 1}"
+      s"""d$i AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq
+         |  FROM v JOIN $p p ON v.dim = p.dim GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cid, distq, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY distq, cid) AS rn FROM d$i),
+         |m$i AS (SELECT a.cid, v.dim, SUM(v.x) AS sv, COUNT(*) AS n
+         |  FROM a$i a JOIN v ON a.vec_id = v.vec_id AND a.rn = 1
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT p.cid, p.dim,
+         |    COALESCE(${rndSql("(CAST(sv AS DOUBLE) / n)")}, p.c) AS c
+         |  FROM $p p LEFT JOIN m$i USING (cid, dim))""".stripMargin
+    }
+    QuerySpec.sql(
+      "t25_kmeans_assign",
+      s"""WITH v AS (SELECT vec_id, i AS dim, ${scaledSql("embedding[i+1]")} AS x
+         |  FROM embeddings, range(0, 64) t(i)),
+         |c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < $k),
+         |${iterSql(1)},
+         |${iterSql(2)},
+         |d3 AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq
+         |  FROM v JOIN c2 p ON v.dim = p.dim GROUP BY 1, 2),
+         |a3 AS (SELECT vec_id, cid, distq, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY distq, cid) AS rn FROM d3)
+         |SELECT vec_id, cid AS cluster, distq FROM a3 WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
+      graft.ops.KMeans.fit(emb, k, 2)
+        .select(col("vec_id"), col("cid").as("cluster"), col("distq"))
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
-      t18AnnIvf, t20AnnRecall, t24LabelCentroids)
+      t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign)
 }
