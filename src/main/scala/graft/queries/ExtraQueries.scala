@@ -179,56 +179,106 @@ object ExtraQueries {
       .orderBy("n_nationkey")
   }
 
+  /** DuckDB CTE chain ending in `cpairs(d1, d2, cosine)` — the
+    * thresholded cosine near-dup pair set. Shared by the t11 oracle
+    * and t26's recursive-CTE clustering oracle (same
+    * edge-definition-sharing discipline as TextQueries' MinHash
+    * pairs). */
+  private val CosPairsCtesSql: String = {
+    import VectorQueries.prodLSql
+    s"""sq AS (
+       |  SELECT vec_id, CAST(SUM(${prodLSql("x", "x")}) AS DOUBLE) / 1e12 AS ss
+       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+       |b AS (SELECT vec_id, embedding,
+       |  concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+       |         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+       |         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+       |         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+       |         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+       |         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT x.vec_id AS d1, y.vec_id AS d2, x.embedding AS qe, y.embedding AS ne
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |dots AS (
+       |  SELECT d1, d2, CAST(SUM(p) AS DOUBLE) / 1e12 AS dot
+       |  FROM (SELECT d1, d2, ${prodLSql("qe[i+1]", "ne[i+1]")} AS p
+       |        FROM pairs, range(0, 64) t(i)) GROUP BY 1, 2),
+       |cpairs AS (
+       |  SELECT d1, d2, dot / (sqrt(a.ss) * sqrt(c.ss)) AS cosine
+       |  FROM dots JOIN sq a ON d1 = a.vec_id JOIN sq c ON d2 = c.vec_id
+       |  WHERE dot / (sqrt(a.ss) * sqrt(c.ss)) >= 0.35
+       |)""".stripMargin
+  }
+
+  /** Spark twin of [[CosPairsCtesSql]] (unordered). */
+  private def cosNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import VectorQueries.{dotL, scaleL}
+    val sumSq = (eL: org.apache.spark.sql.Column) =>
+      aggregate(transform(eL, x => x * x), lit(0L), (acc, x) => acc + x)
+        .cast("double") / lit(1e12)
+    val bucket = concat((1 to 6).map(i =>
+      when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), scaleL(col("embedding")).as("eL"), bucket.as("bucket"))
+      .withColumn("ss", sumSq(col("eL")))
+    b.as("x")
+      .join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
+        (dotL(col("x.eL"), col("y.eL")) /
+          (sqrt(col("x.ss")) * sqrt(col("y.ss")))).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+  }
+
   /** T11 — embedding-cosine near-dup pairs (fifth dedup family):
     * sign-bit LSH bucket join, keep pairs with cosine above threshold —
     * threshold dedup, not top-k (that is T10). Same scaled-long exact
     * dot products as VectorQueries (see its scaladoc for the parity
     * argument). */
-  val t11CosineNeardup: QuerySpec = {
-    import VectorQueries.{dotL, prodLSql, scaleL}
-    QuerySpec.sql(
-      "t11_cosine_neardup",
-      s"""WITH sq AS (
-         |  SELECT vec_id, CAST(SUM(${prodLSql("x", "x")}) AS DOUBLE) / 1e12 AS ss
-         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
-         |b AS (SELECT vec_id, embedding,
-         |  concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-         |         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-         |         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-         |         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-         |         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-         |         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
-         |  FROM embeddings),
-         |pairs AS (
-         |  SELECT x.vec_id AS d1, y.vec_id AS d2, x.embedding AS qe, y.embedding AS ne
-         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
-         |dots AS (
-         |  SELECT d1, d2, CAST(SUM(p) AS DOUBLE) / 1e12 AS dot
-         |  FROM (SELECT d1, d2, ${prodLSql("qe[i+1]", "ne[i+1]")} AS p
-         |        FROM pairs, range(0, 64) t(i)) GROUP BY 1, 2)
-         |SELECT d1, d2, dot / (sqrt(a.ss) * sqrt(c.ss)) AS cosine
-         |FROM dots JOIN sq a ON d1 = a.vec_id JOIN sq c ON d2 = c.vec_id
-         |WHERE dot / (sqrt(a.ss) * sqrt(c.ss)) >= 0.35
-         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val sumSq = (eL: org.apache.spark.sql.Column) =>
-        aggregate(transform(eL, x => x * x), lit(0L), (acc, x) => acc + x)
-          .cast("double") / lit(1e12)
-      val bucket = concat((1 to 6).map(i =>
-        when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
-      val b = Tables.embeddings(s, d)
-        .select(col("vec_id"), scaleL(col("embedding")).as("eL"), bucket.as("bucket"))
-        .withColumn("ss", sumSq(col("eL")))
-      val cos = b.as("x")
-        .join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
-          (dotL(col("x.eL"), col("y.eL")) /
-            (sqrt(col("x.ss")) * sqrt(col("y.ss")))).as("cosine"))
-      cos.filter(col("cosine") >= 0.35).orderBy("d1", "d2")
-    }
+  val t11CosineNeardup: QuerySpec = QuerySpec.sql(
+    "t11_cosine_neardup",
+    s"""WITH $CosPairsCtesSql
+       |SELECT d1, d2, cosine FROM cpairs
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    cosNearDupPairs(s, d).orderBy("d1", "d2")
+  }
+
+  /** T26 — SEMANTIC duplicate clusters: connected components over the
+    * t11 cosine-edge graph (the embedding-space analogue of t21's
+    * lexical clusters — same [[graft.ops.ConnectedComponents]]
+    * resolver, different edge family; a curation pipeline runs both
+    * and keeps one representative per union). */
+  val t26SemanticClusters: QuerySpec = QuerySpec.sql(
+    "t26_semantic_clusters",
+    s"""WITH RECURSIVE $CosPairsCtesSql,
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM cpairs
+       |        UNION ALL SELECT d2, d1 FROM cpairs),
+       |reach(node, label) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT sym.dst, reach.label FROM reach JOIN sym ON reach.node = sym.src
+       |),
+       |cc AS (SELECT node AS vec_id, MIN(label) AS cluster_id
+       |       FROM reach GROUP BY node)
+       |SELECT vec_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  vec_id = cluster_id AS is_keeper
+       |FROM cc
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val edges = cosNearDupPairs(s, d).select(col("d1"), col("d2"))
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
+    val sized = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sized, "label")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
+      .orderBy("vec_id")
   }
 
   val all: Seq[QuerySpec] = Seq(
     f1Norm, f3ColorNormalize, f11FriendlyColor, f14SeverityTag,
-    f19ShortLabel, f21SeverityProblem, j6CatalogLookup, t11CosineNeardup)
+    f19ShortLabel, f21SeverityProblem, j6CatalogLookup, t11CosineNeardup,
+    t26SemanticClusters)
 }
