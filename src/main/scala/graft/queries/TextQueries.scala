@@ -737,10 +737,31 @@ object TextQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** T27 — corpus-wide top-50 trigrams (the "count all n-grams" job
+    * behind boilerplate mining and contamination screens). Two-phase
+    * count groupBy, then `orderBy().limit()` — which Spark plans as
+    * TakeOrderedAndProject: per-partition partial top-k merged on the
+    * driver, NOT a full global sort (plan-contract-pinned). Total
+    * order (n desc, gram) makes the cut deterministic. */
+  val t27TopNgrams: QuerySpec = QuerySpec.sql(
+    "t27_top_ngrams",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest($ShinglesOverToks) AS gram
+       |       FROM t),
+       |g AS (SELECT gram, COUNT(*) AS n FROM sh GROUP BY gram)
+       |SELECT gram, n FROM g ORDER BY n DESC, gram LIMIT 50""".stripMargin) {
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(shingles(tokens(col("text")), 3)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(50)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
-    t22StratifiedSample, t23KeywordTopk)
+    t22StratifiedSample, t23KeywordTopk, t27TopNgrams)
 }

@@ -127,6 +127,14 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("t27 top n-grams plans a partial top-k, not a global sort") {
+    val p = plan(TextQueries.t27TopNgrams)
+    // TakeOrderedAndProject = per-partition top-k merged at the driver;
+    // a global Sort before the limit would materialize every gram count
+    assert(p.contains("TakeOrderedAndProject"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("j7 as-of join is window-based: no nested-loop range join anywhere") {
     val p = plan(WarehouseQueries.j7AsOfJoin)
     assert(p.contains("Window"))
