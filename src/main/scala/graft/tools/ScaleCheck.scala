@@ -40,7 +40,8 @@ object ScaleCheck {
     "t2_minhash_lsh", "t4_ngram_jaccard", "t10_ann_lsh_buckets",
     "t10b_ann_lsh_scale", "t11_cosine_neardup", "t12_decontaminate",
     "t13_repetition", "t18_ann_ivf", "t19_curation_verdict",
-    "j3_last_wins_upsert", "x8_pipeline_e2e", "t21_dup_clusters")
+    "j3_last_wins_upsert", "x8_pipeline_e2e", "t21_dup_clusters",
+    "t25_kmeans_assign", "t26_semantic_clusters")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
