@@ -29,13 +29,21 @@ object AsOfJoin {
   /** Left-join `left` to the as-of-latest `right` row per `keys`.
     * `payload` columns from the right side come back prefixed; a left
     * row with no prior right row gets nulls. Both ts columns must be
-    * the same orderable type. */
+    * the same orderable type. SQL join semantics on NULL keys: a
+    * null-keyed left row matches nothing (never another null). Column
+    * names starting with `__` are reserved for the op's bookkeeping. */
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
+    require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
+      "column names starting with __ are reserved by AsOfJoin")
     val keyCols: Seq[Column] = keys.map(col)
-    // one right row per (key, ts): greatest payload struct wins
+    // one right row per (key, ts): greatest payload struct wins.
+    // NULL-keyed right rows are dropped up front — the window's
+    // partitionBy would otherwise group NULLs together and match them
+    // to null-keyed left rows, which SQL (and the oracle) never does.
     val rightOne = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keyCols :+ col(rightTs).as("__ts"): _*)
       .agg(max(struct(payload.map(col): _*)).as("__p"))
     val leftTagged = left
@@ -52,7 +60,7 @@ object AsOfJoin {
     val carried = unioned
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    payload.zipWithIndex.foldLeft(carried) { case (df, (p, _)) =>
+    payload.foldLeft(carried) { (df, p) =>
       df.withColumn(prefix + p, col("__last").getField(p))
     }.drop("__ts", "__p", "__side", "__last")
   }

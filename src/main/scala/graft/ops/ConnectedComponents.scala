@@ -47,9 +47,6 @@ object ConnectedComponents {
     var changed = 1L
     while (changed > 0) {
       round += 1
-      require(round <= maxRounds,
-        s"connected components did not converge in $maxRounds rounds " +
-          "(component diameter exceeds the bound); raise maxRounds")
       val neighborMin = sym
         .join(labels, sym("src") === labels("id"))
         .groupBy("dst").agg(min("label").as("nmin"))
@@ -61,6 +58,12 @@ object ConnectedComponents {
           least(col("label"), col("nmin")).as("next"))
         .localCheckpoint()
       changed = staged.filter(col("next") < col("label")).count()
+      // bound CHANGE rounds only: up to maxRounds rounds may report
+      // changes, and a run converging in exactly maxRounds still gets
+      // its zero-change confirmation pass (round maxRounds+1)
+      require(changed == 0 || round <= maxRounds,
+        s"connected components did not converge in $maxRounds rounds " +
+          "(component diameter exceeds the bound); raise maxRounds")
       labels = staged.select(col("id"), col("next").as("label"))
     }
     nodes

@@ -29,8 +29,11 @@ import org.apache.spark.sql.types.{LongType, StructType}
 object GlobalRank {
 
   /** Append `rankCol` (1-based Long, dense sequential) ordering by
-    * `keys`. The result is range-partitioned by `keys` (sorted), so a
-    * downstream `orderBy(rankCol)` is partition-local. */
+    * `keys`. The rows COME OUT physically sorted by `keys` (≡ by
+    * `rankCol`), but the RDD seam erases that fact from Catalyst — a
+    * downstream `orderBy(rankCol)` plans a fresh range-shuffle sort,
+    * so skip it unless the consumer genuinely needs a declared
+    * ordering (e.g. a driver-gated deterministic dump). */
   def withGlobalRowNumber(df: DataFrame, rankCol: String, keys: Column*): DataFrame =
     withGlobalRowNumber(df, rankCol, None, keys)
 

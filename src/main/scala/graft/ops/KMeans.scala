@@ -28,7 +28,7 @@ object KMeans {
       (acc, t) => acc + t)
 
   private def rnd(v: org.apache.spark.sql.Column) =
-    when(v >= 0, floor(v + 0.5)).otherwise(-floor(-v + 0.5))
+    graft.functions.ExactNum.rnd(v)
 
   /** E-step: nearest centroid per vector, ties by centroid id.
     * `emb`: (vec_id, eL), `cent`: (cid, cL) → (vec_id, cid, distq). */

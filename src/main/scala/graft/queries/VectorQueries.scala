@@ -31,15 +31,11 @@ import graft.Tables
   * standard way to keep ANN sub-quadratic on a cluster. */
 object VectorQueries {
 
-  /** round-half-away-from-zero via floor — identical formula on the
-    * DuckDB side, so parity is by construction, not by trusting two
-    * engines' round() tie rules. */
-  private def rnd(v: Column): Column =
-    when(v >= 0, floor(v + 0.5)).otherwise(-floor(-v + 0.5))
-
-  /** Per-vector scaling: float coords → longs at 1e6. */
+  /** Per-vector scaling: float coords → longs at 1e6 (rounding is the
+    * shared [[graft.functions.ExactNum]] convention). */
   private[queries] def scaleL(e: Column): Column =
-    transform(e, x => rnd(x.cast("double") * lit(1e6)).cast("long"))
+    transform(e,
+      x => graft.functions.ExactNum.rnd(x.cast("double") * lit(1e6)).cast("long"))
 
   private def sumL(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
@@ -58,11 +54,9 @@ object VectorQueries {
         scaleL(col("embedding")).as("eL"))
       .withColumn("ss", normSqL(col("eL")))
 
-  /** SQL twin of scaleL — keep in lockstep. */
-  private[queries] def scaledSql(a: String): String = {
-    val v = s"(CAST($a AS DOUBLE) * 1e6)"
-    s"CAST(CASE WHEN $v >= 0 THEN floor($v + 0.5) ELSE -floor(-$v + 0.5) END AS BIGINT)"
-  }
+  /** SQL twin of scaleL — same shared rounding convention. */
+  private[queries] def scaledSql(a: String): String =
+    graft.functions.ExactNum.rndSql(s"(CAST($a AS DOUBLE) * 1e6)")
 
   private[queries] def prodLSql(a: String, b: String): String =
     s"(${scaledSql(a)} * ${scaledSql(b)})"
@@ -299,7 +293,8 @@ object VectorQueries {
       .select(col("vec_id"), e.as("e"), scale.as("scale"))
     val qi = (x: Column) =>
       when(col("scale") > 0,
-        rnd(x.cast("double") / col("scale")).cast("long")).otherwise(0L)
+        graft.functions.ExactNum.rnd(x.cast("double") / col("scale"))
+          .cast("long")).otherwise(0L)
     val qArr = transform(col("e"), x => qi(x))
     val idx = sequence(lit(1), lit(64))
     withS.select(col("vec_id"), col("scale"),
@@ -502,8 +497,7 @@ object VectorQueries {
     * (cid, dim) CTEs. */
   val t25KmeansAssign: QuerySpec = {
     val k = 8
-    def rndSql(d: String): String =
-      s"CAST(CASE WHEN $d >= 0 THEN floor($d + 0.5) ELSE -floor(-$d + 0.5) END AS BIGINT)"
+    def rndSql(d: String): String = graft.functions.ExactNum.rndSql(d)
     def iterSql(i: Int): String = {
       val p = s"c${i - 1}"
       s"""d$i AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.lit
+
 import graft.SparkSpec
 
 class AsOfJoinSpec extends SparkSpec {
@@ -30,6 +32,26 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, Some(9L), Some("b")),
       (3L, Some(11L), Some("c")),
       (4L, None, None)))
+  }
+
+  test("NULL keys never match each other (SQL join semantics)") {
+    val l = Seq((1L, Option.empty[Long], 50L), (2L, Option(100L), 50L))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((Option.empty[Long], 10L, 7L), (Option(100L), 10L, 8L))
+      .toDF("user_id", "ts", "rid")
+    val out = AsOfJoin(l, r, Seq("user_id"), "ts", "ts", payload = Seq("rid"))
+      .select("event_id", "asof_rid").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    // the null-keyed left row must NOT pick up the null-keyed right row
+    assert(out == Map(1L -> None, 2L -> Some(8L)))
+  }
+
+  test("reserved __ column names are rejected loudly") {
+    val bad = left.withColumnRenamed("ts", "__ts").withColumn("ts", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(bad, right, Seq("user_id"), "ts", "ts", payload = Seq("rid"))
+    }
+    assert(e.getMessage.contains("reserved"))
   }
 
   test("left columns and row count survive unchanged") {

@@ -30,4 +30,14 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(ok.forall(_._2 == 1L))
   }
+
+  test("converging in exactly maxRounds is NOT a failure") {
+    // 8-node path converges in 7 change rounds; the zero-change
+    // confirmation pass must not count against the bound
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (1L to 8L).toDF("n")
+    val ok = ConnectedComponents.labels(edges, "a", "b", nodes, "n",
+      maxRounds = 7).as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 1L))
+  }
 }
