@@ -697,9 +697,12 @@ object TextQueries {
     * tf·idf(log) (the idf ratio is a monotone transform) but built
     * from ratio arithmetic only: IEEE divisions are correctly rounded
     * in every engine, whereas `ln` is libm-dependent and would break
-    * cell-exact parity. df·2 ≤ N screens stopwords AND bounds the join
-    * fan-out (the t4 scale-guard move). Shuffles: tf groupBy, df
-    * groupBy, token join, per-doc window — all key-partitioned. */
+    * cell-exact parity (and the ratio stays positive past df = N/2,
+    * where log-idf flips sign). df·10 ≤ 9N screens the universal
+    * tokens AND bounds the join fan-out (the t4 scale-guard move) —
+    * the threshold is high because weights, not the screen, do the
+    * ranking. Shuffles: tf groupBy, df groupBy, token join, per-doc
+    * window — all key-partitioned. */
   val t23KeywordTopk: QuerySpec = QuerySpec.sql(
     "t23_keyword_topk",
     s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
@@ -711,7 +714,7 @@ object TextQueries {
        |w AS (SELECT doc_id, tf.tok, tf.tf, df.df,
        |        tf.tf * (n.n - df.df + 0.5) / (df.df + 0.5) AS weight
        |      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
-       |      WHERE df.df * 2 <= n.n),
+       |      WHERE df.df * 10 <= 9 * n.n),
        |r AS (SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY doc_id ORDER BY weight DESC, tok) AS rnk FROM w)
        |SELECT doc_id, tok AS keyword, tf, df, weight, rnk FROM r
@@ -725,7 +728,7 @@ object TextQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("weight").desc, col("tok"))
     tf.join(dfq, "tok").crossJoin(broadcast(n))
-      .filter(col("df") * 2 <= col("n"))
+      .filter(col("df") * 10 <= col("n") * 9)
       // parenthesization mirrors the SQL's left-to-right (tf*a)/b
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         ((col("tf") * (col("n") - col("df") + 0.5)) / (col("df") + 0.5))
