@@ -761,10 +761,38 @@ object TextQueries {
         .limit(50)
   }
 
+  /** T28 — the end-to-end TRAINING-SET MANIFEST: one row per document
+    * joining the quality verdict (t19), the near-dup cluster keeper
+    * flag (t21) and the deterministic split (t15) into the final
+    * include decision a curation pipeline materializes. Composed from
+    * the SAME three query definitions on both sides (Spark runs the
+    * three operators and joins; the oracle nests the three oracle SQL
+    * bodies as derived tables), so this row is green only if the
+    * components agree AND compose consistently. */
+  val t28CurationManifest: QuerySpec = QuerySpec.sql(
+    "t28_curation_manifest",
+    s"""SELECT q.doc_id, q.keep, q.drop_reason, c.cluster_id, c.is_keeper,
+       |  s.split, (q.keep AND c.is_keeper) AS selected
+       |FROM (${t19CurationVerdict.oracle.get}) q
+       |JOIN (${t21DupClusters.oracle.get}) c ON q.doc_id = c.doc_id
+       |JOIN (${t15HashSplit.oracle.get}) s ON q.doc_id = s.doc_id
+       |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+    t19CurationVerdict.run(s, d)
+      .select(col("doc_id"), col("keep"), col("drop_reason"))
+      .join(t21DupClusters.run(s, d)
+        .select(col("doc_id"), col("cluster_id"), col("is_keeper")), "doc_id")
+      .join(t15HashSplit.run(s, d).select(col("doc_id"), col("split")), "doc_id")
+      .select(col("doc_id"), col("keep"), col("drop_reason"),
+        col("cluster_id"), col("is_keeper"), col("split"),
+        (col("keep") && col("is_keeper")).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
-    t22StratifiedSample, t23KeywordTopk, t27TopNgrams)
+    t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
+    t28CurationManifest)
 }
