@@ -788,11 +788,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T29 — per-source corpus profile (the health dashboard a curation
+    * run publishes): doc counts, exact distinct languages, char
+    * totals/mean, id range. One two-phase groupBy; the mean is the
+    * only double (exact long sum ÷ count — correctly rounded, so
+    * cell-exact cross-engine). */
+  val t29CorpusProfile: QuerySpec = QuerySpec.sql(
+    "t29_corpus_profile",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_chars").as("total_chars"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("mean_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
-    t28CurationManifest)
+    t28CurationManifest, t29CorpusProfile)
 }
