@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+/** Property tests for the graph/join ops: each distributed result is
+  * checked against a brute-force in-memory reference over randomly
+  * generated inputs (one Spark job per case set, fixed seed via
+  * Gen.sample determinism not required — any sampled instance must
+  * hold). */
+class OpsPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ConnectedComponents equals union-find on random graphs") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 25)
+      m <- Gen.chooseNum(0, 40)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    for (_ <- 1 to 5) {
+      val (n, edges) = gen.sample.get
+      // reference: driver-side union-find with min-label normalization
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n.toInt)
+        .map(i => i.toLong -> find(i).toLong).toMap
+      val edgeDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+        else edges.toDF("a", "b")
+      val got = ConnectedComponents
+        .labels(edgeDf, "a", "b", (0L until n.toLong).toDF("id"), "id")
+        .as[(Long, Long)].collect().toMap
+      // union-find roots are min labels here because unions always
+      // point the larger root at the smaller one
+      assert(got == expect, s"n=$n edges=$edges")
+    }
+  }
+
+  test("AsOfJoin equals the brute-force per-row scan on random inputs") {
+    val gen = for {
+      nl <- Gen.chooseNum(1, 20)
+      nr <- Gen.chooseNum(0, 20)
+      l <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 20L)))
+      r <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 20L)))
+    } yield (l.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) },
+      r.zipWithIndex.map { case ((k, ts), i) => (i.toLong + 100, k, ts) })
+    for (_ <- 1 to 5) {
+      val (l, r) = gen.sample.get
+      // reference: latest right row (key match, ts <=), tie on ts by
+      // greatest payload struct = max rid here (rid leads the struct)
+      val expect = l.map { case (id, k, ts) =>
+        val cands = r.filter(x => x._2 == k && x._3 <= ts)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(x => (x._3, x._1))._1))
+      }.toMap
+      val rDf =
+        if (r.isEmpty) Seq.empty[(Long, Long, Long)].toDF("rid", "k", "ts")
+        else r.toDF("rid", "k", "ts")
+      val got = AsOfJoin(l.toDF("lid", "k", "ts"), rDf,
+        Seq("k"), "ts", "ts", payload = Seq("rid"))
+        .select("lid", "asof_rid").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      assert(got == expect, s"l=$l r=$r")
+    }
+  }
+}
