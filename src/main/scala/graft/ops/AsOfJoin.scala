@@ -42,8 +42,12 @@ object AsOfJoin {
     // NULL-keyed right rows are dropped up front — the window's
     // partitionBy would otherwise group NULLs together and match them
     // to null-keyed left rows, which SQL (and the oracle) never does.
-    val rightOne = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    // (With no keys at all the join is a global carry-forward and
+    // there is nothing to null-screen.)
+    val rightNonNull =
+      if (keys.isEmpty) right
+      else right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val rightOne = rightNonNull
       .groupBy(keyCols :+ col(rightTs).as("__ts"): _*)
       .agg(max(struct(payload.map(col): _*)).as("__p"))
     val leftTagged = left

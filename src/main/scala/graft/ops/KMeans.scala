@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd k-means over 1e6-scaled long vectors — QUANTIZED
@@ -31,15 +30,18 @@ object KMeans {
     graft.functions.ExactNum.rnd(v)
 
   /** E-step: nearest centroid per vector, ties by centroid id.
-    * `emb`: (vec_id, eL), `cent`: (cid, cL) → (vec_id, cid, distq). */
-  def assign(emb: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("distq"), col("cid"))
+    * `emb`: (vec_id, eL), `cent`: (cid, cL) → (vec_id, cid, distq).
+    * The argmin is `min(struct(distq, cid))` — lexicographic struct
+    * min IS the (distance, then centroid-id) tie rule — so the k rows
+    * per vector partially aggregate map-side instead of shuffling and
+    * sorting N·k rows through a window. */
+  def assign(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"), distq(col("eL"), col("cL")).as("distq"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+      .groupBy("vec_id")
+      .agg(min(struct(col("distq"), col("cid"))).as("__best"))
+      .select(col("vec_id"), col("__best.cid").as("cid"),
+        col("__best.distq").as("distq"))
 
   /** M-step: per-cluster re-quantized mean; clusters with no members
     * keep their previous centroid. */
@@ -64,11 +66,14 @@ object KMeans {
     * cid = vec_id of the seed vector), then return the final
     * assignment (vec_id, cid, distq). */
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cent = emb.filter(col("vec_id") < k)
+    // materialize the (possibly expensive) scaled input ONCE — it is
+    // referenced twice per iteration plus the final assign
+    val e = emb.localCheckpoint()
+    var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("eL").as("cL"))
       .localCheckpoint()
     for (_ <- 1 to iters)
-      cent = step(emb, cent, assign(emb, cent)).localCheckpoint()
-    assign(emb, cent)
+      cent = step(e, cent, assign(e, cent)).localCheckpoint()
+    assign(e, cent)
   }
 }

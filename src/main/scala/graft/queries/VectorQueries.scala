@@ -276,9 +276,8 @@ object VectorQueries {
        |  SELECT vec_id, MAX(ABS(x)) / 127 AS scale FROM v GROUP BY vec_id
        |), q AS (
        |  SELECT v.vec_id, i, x, scale,
-       |    CASE WHEN scale > 0 THEN CAST(CASE WHEN x / scale >= 0
-       |           THEN floor(x / scale + 0.5)
-       |           ELSE -floor(-(x / scale) + 0.5) END AS BIGINT)
+       |    CASE WHEN scale > 0
+       |         THEN ${graft.functions.ExactNum.rndSql("(x / scale)")}
        |         ELSE 0 END AS qi
        |  FROM v JOIN m ON v.vec_id = m.vec_id
        |)

@@ -54,6 +54,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("empty key list = global carry-forward join") {
+    val out = AsOfJoin(left, right, Seq.empty, "ts", "ts",
+      payload = Seq("rid"))
+      .select("event_id", "asof_rid").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    // rights at ts=20 (rid 9 after tie-dedupe) and ts=30 serve ALL
+    // left rows regardless of user_id
+    assert(out == Map(1L -> None, 2L -> Some(9L), 3L -> Some(11L),
+      4L -> Some(11L)))
+  }
+
   test("left columns and row count survive unchanged") {
     val out = AsOfJoin(left, right, Seq("user_id"), "ts", "ts",
       payload = Seq("rid"))
