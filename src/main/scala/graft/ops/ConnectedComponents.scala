@@ -72,4 +72,63 @@ object ConnectedComponents {
         col("id") === col("tid"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
+
+  /** Alternating large-star/small-star variant (the O(log n)-round
+    * algorithm from the MapReduce connected-components literature) for
+    * graphs where [[labels]]' O(diameter) rounds is the wrong bound —
+    * long chains, lattice-like graphs. Near-dup blobs don't need it;
+    * an adversarial similarity graph might.
+    *
+    * State is an edge list that converges to a star per component
+    * (every node → its component min). Per round: one groupBy per
+    * star operation, both with map-side partial agg on the collected
+    * neighbor mins; edges stay (child > parent)-oriented so the list
+    * shrinks monotonically once stars form.
+    */
+  def labelsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, maxRounds: Int = 50): DataFrame = {
+    // orient every edge large→small ((u,v) with u > v), drop loops
+    def orient(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    var l = orient(edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))).distinct()
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      // LARGE-STAR: per node u over ALL neighbors (both directions),
+      // m = min(Γ(u) ∪ {u}); link every strictly-larger neighbor to m.
+      val nbrAll = l.unionAll(l.select(col("v").as("u"), col("u").as("v")))
+      val mAll = nbrAll.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = orient(nbrAll.join(mAll, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+        .distinct()
+      // SMALL-STAR: per node u over its SMALLER neighbors (the list is
+      // already (u > v)-oriented), m = min; link u and each smaller
+      // neighbor to m.
+      val mSmall = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val next = orient(afterLarge.join(mSmall, "u")
+        .select(explode(array(col("u"), col("v"))).as("u"),
+          col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val changed = next.unionAll(l).groupBy("u", "v").count()
+        .filter(col("count") === 1).limit(1).count()
+      done = changed == 0
+      require(done || round <= maxRounds,
+        s"star contraction did not converge in $maxRounds rounds")
+      l = next
+    }
+    // l is now a star forest: u → component min. Singletons label
+    // themselves.
+    nodes.select(col(nodeCol).as("id"))
+      .join(l.select(col("u").as("tid"), col("v").as("tlabel")),
+        col("id") === col("tid"), "left")
+      .select(col("id"), coalesce(col("tlabel"), col("id")).as("label"))
+  }
 }

@@ -31,6 +31,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ok.forall(_._2 == 1L))
   }
 
+  test("labelsStar: long chain converges in O(log n) rounds") {
+    // a 200-node path needs 199 change rounds under min-propagation;
+    // star contraction must land it in ~log2(200) — well under 15
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (1L to 200L).toDF("n")
+    val got = ConnectedComponents.labelsStar(edges, "a", "b", nodes, "n",
+      maxRounds = 15).as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 1L))
+  }
+
+  test("labelsStar matches labels on the mixed graph") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("n")
+    val a = ConnectedComponents.labels(edges, "a", "b", nodes, "n")
+      .as[(Long, Long)].collect().toMap
+    val b = ConnectedComponents.labelsStar(edges, "a", "b", nodes, "n")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("converging in exactly maxRounds is NOT a failure") {
     // 8-node path converges in 7 change rounds; the zero-change
     // confirmation pass must not count against the bound

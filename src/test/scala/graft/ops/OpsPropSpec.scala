@@ -41,6 +41,10 @@ class OpsPropSpec extends SparkSpec {
       // union-find roots are min labels here because unions always
       // point the larger root at the smaller one
       assert(got == expect, s"n=$n edges=$edges")
+      val gotStar = ConnectedComponents
+        .labelsStar(edgeDf, "a", "b", (0L until n.toLong).toDF("id"), "id")
+        .as[(Long, Long)].collect().toMap
+      assert(gotStar == expect, s"star: n=$n edges=$edges")
     }
   }
 
