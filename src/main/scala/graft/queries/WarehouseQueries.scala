@@ -114,6 +114,43 @@ object WarehouseQueries {
       .orderBy("event_id")
   }
 
+  /** S6 — EXACT per-group quantiles (p25/p50/p75 of event value) by
+    * rank selection: row_number over the per-group sort, keep rank
+    * `ceil(p·n)` — DuckDB `quantile_disc`'s convention, verified
+    * empirically. The p values are dyadic (exactly representable), so
+    * `p·n` and its ceil are bit-identical cross-engine; a 0.9-style p
+    * would hit float-product ties at integer boundaries. Scale note:
+    * exact quantiles NEED the per-group sort (each group lands in one
+    * sort partition — fine for bounded-cardinality groups like
+    * event_type); for unbounded groups the engine answer is
+    * `approx_percentile`, which trades the sort for a sketch. */
+  val s6ExactQuantiles: QuerySpec = QuerySpec.sql(
+    "s6_exact_quantiles",
+    """SELECT event_type, CAST(0.25 AS DOUBLE) AS p,
+      |       quantile_disc(value, 0.25) AS q FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT event_type, CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5)
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT event_type, CAST(0.75 AS DOUBLE), quantile_disc(value, 0.75)
+      |FROM events GROUP BY 1
+      |ORDER BY event_type, p""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val wSort = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value", "event_id")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val ranked = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(wSort))
+      .withColumn("n", count(lit(1)).over(wAll))
+    ranked
+      .crossJoin(broadcast(Seq(0.25, 0.5, 0.75).toDF("p")))
+      .filter(col("rn") === ceil(col("p") * col("n")))
+      .select(col("event_type"), col("p"), col("value").as("q"))
+      .orderBy("event_type", "p")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(s2Rollup, s3SetOps, s4SessionWindow, j7AsOfJoin)
+    Seq(s2Rollup, s3SetOps, s4SessionWindow, j7AsOfJoin, s6ExactQuantiles)
 }

@@ -26,12 +26,27 @@ object IntervalJoin {
     * watermark delay. Event-time columns must be TIMESTAMP (the
     * watermark rides them). */
   def attribute(purchases: DataFrame, clicks: DataFrame,
-      delay: String, horizon: String): DataFrame = {
+      delay: String, horizon: String): DataFrame =
+    joined(purchases, clicks, delay, horizon, "inner")
+
+  /** Left-outer variant: purchases with NO in-horizon click still come
+    * out (null click columns) — but only once the click-side watermark
+    * has passed their last possible match, since until then a late
+    * click could still arrive. Unmatched rows therefore trail the
+    * watermark delay; that latency is the price of a correct outer
+    * result on streams, not a bug. */
+  def attributeLeftOuter(purchases: DataFrame, clicks: DataFrame,
+      delay: String, horizon: String): DataFrame =
+    joined(purchases, clicks, delay, horizon, "left_outer")
+
+  private def joined(purchases: DataFrame, clicks: DataFrame,
+      delay: String, horizon: String, joinType: String): DataFrame = {
     val p = purchases.withWatermark("p_ts", delay)
     val c = clicks.withWatermark("c_ts", delay)
     p.join(c,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
   }
 }

@@ -38,6 +38,37 @@ class IntervalJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left outer: unmatched purchase emits nulls after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = IntervalJoin.attributeLeftOuter(
+      pIn.toDF().toDF("p_id", "p_user", "p_ts"),
+      cIn.toDF().toDF("c_id", "c_user", "c_ts"),
+      delay = "5 seconds", horizon = "10 seconds")
+      .select("p_id", "c_id")
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // purchase 1 matches a click; purchase 2 has none
+      cIn.addData((101L, 1L, t(12)))
+      pIn.addData((1L, 1L, t(20)), (2L, 9L, t(20)))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past purchase 2's match window so
+      // the unmatched row can be emitted
+      cIn.addData((199L, 8L, t(1000)))
+      pIn.addData((99L, 8L, t(1000)))
+      q.processAllAvailable()
+      cIn.addData((198L, 8L, t(2000)))
+      pIn.addData((98L, 8L, t(2000)))
+      q.processAllAvailable()
+      val got = spark.table("attr_outer").select("p_id", "c_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(got.contains((1L, Some(101L))))
+      assert(got.contains((2L, None)), s"unmatched purchase missing: $got")
+    } finally q.stop()
+  }
+
   test("streaming result == the same interval join run as a batch") {
     implicit val sqlCtx = spark.sqlContext
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
