@@ -48,6 +48,40 @@ object CoreQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Q3 — segment revenue top-10 (the TPC-H Q3 shape): two fact⋈fact
+    * joins + grouped revenue + partial top-k. Revenue sums ride
+    * DECIMAL (order-independent exact addition — the q1 convention;
+    * a double SUM would be shuffle-order-dependent), and the final
+    * top-10 is `orderBy().limit()` → TakeOrderedAndProject. Join
+    * strategy is AQE's call: customer filter is selective enough to
+    * broadcast at small sf, orders⋈lineitem is genuine fact⋈fact. */
+  val q3TopOrders: QuerySpec = QuerySpec.sql(
+    "q3_top_orders",
+    """SELECT l.l_orderkey,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_date, o.o_orderpriority
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY l.l_orderkey, o_date, o.o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ — a yyyy-MM-dd string is the
+        // timezone-free cross-engine form
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_date"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** P1/U1 — union with group discriminator (the reference's
     * Company++Branches record stream, core/printers.py:6-17); schemas
     * differ so `unionByName(allowMissingColumns=true)` fills the gap. */
@@ -512,7 +546,7 @@ object CoreQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q1PricingSummary, p1UnionGroups, p3ValidFilter, p4ModelFilter,
+    q1PricingSummary, q3TopOrders, p1UnionGroups, p3ValidFilter, p4ModelFilter,
     p5OnlyIp, p6CoalesceNorm, j1EnrichJoin, j2OrderedPairs, j3LastWinsUpsert,
     j4DefaultKeyJoin, a1PivotEvents, a2SeverityArgmax, a5DedupFirstSeen,
     a6GroupRepresentative, a7OrderedDistinct, a8CodePairs,
