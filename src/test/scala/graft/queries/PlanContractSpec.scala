@@ -135,6 +135,19 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q3 revenue top-10 plans a partial top-k after the joins") {
+    val p = plan(CoreQueries.q3TopOrders)
+    assert(p.contains("TakeOrderedAndProject"))
+    // the revenue agg must be two-phase around its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("s6 exact quantiles keep every window partitioned by group") {
+    val p = plan(WarehouseQueries.s6ExactQuantiles)
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"))
+  }
+
   test("j7 as-of join is window-based: no nested-loop range join anywhere") {
     val p = plan(WarehouseQueries.j7AsOfJoin)
     assert(p.contains("Window"))
