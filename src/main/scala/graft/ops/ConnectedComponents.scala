@@ -66,12 +66,20 @@ object ConnectedComponents {
           "(component diameter exceeds the bound); raise maxRounds")
       labels = staged.select(col("id"), col("next").as("label"))
     }
+    attachLabels(nodes, nodeCol, labels)
+  }
+
+  /** Shared closing step of both variants: left-join the computed
+    * (id, label) pairs onto the node set; absent nodes are singletons
+    * labeling themselves. One copy so the two algorithms can never
+    * return differently-shaped results. */
+  private def attachLabels(nodes: DataFrame, nodeCol: String,
+      pairs: DataFrame): DataFrame =
     nodes
       .select(col(nodeCol).as("id"))
-      .join(labels.withColumnRenamed("id", "tid"),
-        col("id") === col("tid"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-  }
+      .join(pairs.select(col(pairs.columns(0)).as("tid"),
+        col(pairs.columns(1)).as("tlabel")), col("id") === col("tid"), "left")
+      .select(col("id"), coalesce(col("tlabel"), col("id")).as("label"))
 
   /** Alternating large-star/small-star variant (the O(log n)-round
     * algorithm from the MapReduce connected-components literature) for
@@ -126,9 +134,6 @@ object ConnectedComponents {
     }
     // l is now a star forest: u → component min. Singletons label
     // themselves.
-    nodes.select(col(nodeCol).as("id"))
-      .join(l.select(col("u").as("tid"), col("v").as("tlabel")),
-        col("id") === col("tid"), "left")
-      .select(col("id"), coalesce(col("tlabel"), col("id")).as("label"))
+    attachLabels(nodes, nodeCol, l.select(col("u"), col("v")))
   }
 }

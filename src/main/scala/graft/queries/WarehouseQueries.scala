@@ -142,6 +142,9 @@ object WarehouseQueries {
       .partitionBy("event_type")
     val ranked = Tables.events(s, d)
       .select(col("event_type"), col("value"), col("event_id"))
+      // quantile_disc ignores NULLs; without this filter they'd both
+      // inflate n and rank first (asc_nulls_first), shifting every rank
+      .filter(col("value").isNotNull)
       .withColumn("rn", row_number().over(wSort))
       .withColumn("n", count(lit(1)).over(wAll))
     ranked
