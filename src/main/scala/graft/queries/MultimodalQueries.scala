@@ -104,5 +104,33 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration)
+  /** M4 — audio metadata through the REAL javax.sound decode path,
+    * distributed: per-row genuine WAV bytes (8 kHz mono PCM,
+    * id-derived frame count) decoded on executors; frames are a
+    * multiple of rate/1000 so duration_ms is integer-exact and the
+    * oracle is pure arithmetic. The m3 pattern, audio edition. */
+  val m4WavDuration: QuerySpec = QuerySpec.sql(
+    "m4_wav_duration",
+    """SELECT CAST(c_custkey AS BIGINT) AS media_id,
+      |  CAST(8000 AS INT) AS sample_rate,
+      |  100 + CAST(c_custkey AS BIGINT) % 1000 AS duration_ms
+      |FROM customer
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k")).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "audio",
+          Multimodal.wavFixture((800 + (k % 1000) * 8).toInt),
+          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+      }
+    Multimodal.decode(rows)
+      .select(col("mediaId").as("media_id"),
+        col("sampleRate").as("sample_rate"),
+        col("durationMs").as("duration_ms"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration)
 }
