@@ -108,20 +108,24 @@ object MultimodalQueries {
     * distributed: per-row genuine WAV bytes (8 kHz mono PCM,
     * id-derived frame count) decoded on executors; frames are a
     * multiple of rate/1000 so duration_ms is integer-exact and the
-    * oracle is pure arithmetic. The m3 pattern, audio edition. */
+    * oracle is pure arithmetic. The m3 pattern, audio edition. The
+    * id cap bounds the gate's cost: unlike m3's ~150-byte boxes, WAV
+    * synthesis writes real PCM per row, and the gate's job is codec
+    * coverage, not fixture-generation throughput. */
   val m4WavDuration: QuerySpec = QuerySpec.sql(
     "m4_wav_duration",
     """SELECT CAST(c_custkey AS BIGINT) AS media_id,
       |  CAST(8000 AS INT) AS sample_rate,
-      |  100 + CAST(c_custkey AS BIGINT) % 1000 AS duration_ms
-      |FROM customer
+      |  100 + CAST(c_custkey AS BIGINT) % 100 AS duration_ms
+      |FROM customer WHERE c_custkey < 1000
       |ORDER BY media_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val rows = Tables.customer(s, d)
-      .select(col("c_custkey").cast("long").as("k")).as[Long]
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 1000).as[Long]
       .map { k =>
         Multimodal.MediaRow(k, "audio",
-          Multimodal.wavFixture((800 + (k % 1000) * 8).toInt),
+          Multimodal.wavFixture((800 + (k % 100) * 8).toInt),
           Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
       }
     Multimodal.decode(rows)
