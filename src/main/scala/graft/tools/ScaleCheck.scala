@@ -41,7 +41,8 @@ object ScaleCheck {
     "t10b_ann_lsh_scale", "t11_cosine_neardup", "t12_decontaminate",
     "t13_repetition", "t18_ann_ivf", "t19_curation_verdict",
     "j3_last_wins_upsert", "x8_pipeline_e2e", "t21_dup_clusters",
-    "t25_kmeans_assign", "t26_semantic_clusters")
+    "t25_kmeans_assign", "t26_semantic_clusters", "q3_top_orders",
+    "j7_asof_join", "s6_exact_quantiles")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
