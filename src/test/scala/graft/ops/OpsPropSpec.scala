@@ -48,6 +48,24 @@ class OpsPropSpec extends SparkSpec {
     }
   }
 
+  test("GlobalRank equals the sort-index reference on random keyed data") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 500)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 1000000L)))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+    for (_ <- 1 to 3) {
+      val rows = gen.sample.get
+      // reference: in-memory sort by (k, v, id) → 1-based position
+      val expect = rows.sortBy(r => (r._2, r._3, r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> (i + 1L) }.toMap
+      val got = GlobalRank.withGlobalRowNumber(
+        rows.toDF("id", "k", "v"), "rn", Some(7),
+        Seq(col("k"), col("v"), col("id")))
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"rows=${rows.take(20)}...")
+    }
+  }
+
   test("AsOfJoin equals the brute-force per-row scan on random inputs") {
     val gen = for {
       nl <- Gen.chooseNum(1, 20)
