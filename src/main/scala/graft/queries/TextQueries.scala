@@ -797,7 +797,7 @@ object TextQueries {
     "t29_corpus_profile",
     """SELECT source, COUNT(*) AS n_docs,
       |  COUNT(DISTINCT lang) AS n_langs,
-      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>

@@ -521,7 +521,8 @@ object VectorQueries {
          |  FROM v JOIN c2 p ON v.dim = p.dim GROUP BY 1, 2),
          |a3 AS (SELECT vec_id, cid, distq, ROW_NUMBER() OVER (
          |    PARTITION BY vec_id ORDER BY distq, cid) AS rn FROM d3)
-         |SELECT vec_id, cid AS cluster, distq FROM a3 WHERE rn = 1
+         |SELECT vec_id, cid AS cluster, CAST(distq AS BIGINT) AS distq
+         |FROM a3 WHERE rn = 1
          |ORDER BY vec_id""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
