@@ -30,8 +30,14 @@ object AsOfJoin {
     * `payload` columns from the right side come back prefixed; a left
     * row with no prior right row gets nulls. Both ts columns must be
     * the same orderable type. SQL join semantics on NULL keys: a
-    * null-keyed left row matches nothing (never another null). Column
-    * names starting with `__` are reserved for the op's bookkeeping. */
+    * null-keyed left row matches nothing (never another null). NULL
+    * timestamps follow ASOF's `r.ts <= l.ts` predicate: a right row
+    * with NULL `rightTs` never matches (dropped up front — otherwise
+    * the nulls-first window order would carry its payload onto every
+    * left row of its key), and a left row with NULL `leftTs` matches
+    * nothing (it sorts before every non-null right row, so the
+    * carry-forward is null there). Column names starting with `__`
+    * are reserved for the op's bookkeeping. */
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
@@ -44,9 +50,12 @@ object AsOfJoin {
     // to null-keyed left rows, which SQL (and the oracle) never does.
     // (With no keys at all the join is a global carry-forward and
     // there is nothing to null-screen.)
+    // NULL-ts right rows are likewise unmatched under `<=`; screen them
+    // with the keys so they can't win the nulls-first carry-forward.
     val rightNonNull =
-      if (keys.isEmpty) right
-      else right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      (if (keys.isEmpty) right
+       else right.filter(keys.map(col(_).isNotNull).reduce(_ && _)))
+        .filter(col(rightTs).isNotNull)
     val rightOne = rightNonNull
       .groupBy(keyCols :+ col(rightTs).as("__ts"): _*)
       .agg(max(struct(payload.map(col): _*)).as("__p"))

@@ -147,10 +147,19 @@ object WarehouseQueries {
       .filter(col("value").isNotNull)
       .withColumn("rn", row_number().over(wSort))
       .withColumn("n", count(lit(1)).over(wAll))
-    ranked
-      .crossJoin(broadcast(Seq(0.25, 0.5, 0.75).toDF("p")))
+    val pFrame = broadcast(Seq(0.25, 0.5, 0.75).toDF("p"))
+    val qRows = ranked
+      .crossJoin(pFrame)
       .filter(col("rn") === ceil(col("p") * col("n")))
       .select(col("event_type"), col("p"), col("value").as("q"))
+    // quantile_disc over an all-NULL group is NULL, but GROUP BY still
+    // emits the group — rebuild the full (event_type, p) frame from a
+    // column-pruned distinct scan and left-join the quantiles back so
+    // such a group yields (event_type, p, NULL) instead of vanishing.
+    Tables.events(s, d).select("event_type").distinct()
+      .crossJoin(pFrame)
+      .join(qRows, Seq("event_type", "p"), "left")
+      .select(col("event_type"), col("p"), col("q"))
       .orderBy("event_type", "p")
   }
 

@@ -46,6 +46,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(1L -> None, 2L -> Some(8L)))
   }
 
+  test("NULL timestamps never match (ASOF's <= predicate)") {
+    val l = Seq((1L, 100L, Option(50L)), (2L, 100L, Option.empty[Long]))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((100L, Option.empty[Long], 7L), (100L, Option(10L), 8L))
+      .toDF("user_id", "ts", "rid")
+    val out = AsOfJoin(l, r, Seq("user_id"), "ts", "ts", payload = Seq("rid"))
+      .select("event_id", "asof_rid").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    // the NULL-ts right row must not carry onto anyone (it would
+    // otherwise sort first and serve every left row of key 100);
+    // the NULL-ts left row matches nothing
+    assert(out == Map(1L -> Some(8L), 2L -> None))
+  }
+
   test("reserved __ column names are rejected loudly") {
     val bad = left.withColumnRenamed("ts", "__ts").withColumn("ts", lit(1L))
     val e = intercept[IllegalArgumentException] {
