@@ -114,6 +114,39 @@ object WarehouseQueries {
       .orderBy("event_id")
   }
 
+  /** J8 — event-time INTERVAL join, batch twin of
+    * [[graft.streaming.IntervalJoin]] (left-outer attribution): each
+    * purchase pairs with ALL the same user's clicks from the preceding
+    * 6 hours, purchases with none come out with null click columns.
+    * Unlike j7's as-of (latest one), this keeps every in-horizon match
+    * — the "which clicks get credit" shape. Same µs convention as j7.
+    * The nullable c_id is COALESCE'd in the sort key on both sides
+    * because the engines disagree on default NULL ordering. */
+  val j8IntervalJoin: QuerySpec = QuerySpec.sql(
+    "j8_interval_join",
+    """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+      |             epoch_us(ts) AS p_ts, value AS p_value
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_ts
+      |      FROM events WHERE event_type = 'click')
+      |SELECT p_id, p_user, p_ts, p_value, c_id, c_ts
+      |FROM p LEFT JOIN c ON p_user = c_user
+      |  AND c_ts <= p_ts AND c_ts >= p_ts - 21600000000
+      |ORDER BY p_id, COALESCE(c_id, -1)""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("us", expr("ts DIV 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("us").as("p_ts"), col("value").as("p_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("us").as("c_ts"))
+    graft.streaming.IntervalJoin
+      .attributeBatchLeftOuter(purchases, clicks, horizonUs = 21600000000L)
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("p_value"),
+        col("c_id"), col("c_ts"))
+      .orderBy(col("p_id"), coalesce(col("c_id"), lit(-1L)))
+  }
+
   /** S6 — EXACT per-group quantiles (p25/p50/p75 of event value) by
     * rank selection: row_number over the per-group sort, keep rank
     * `ceil(p·n)` — DuckDB `quantile_disc`'s convention, verified
@@ -164,5 +197,6 @@ object WarehouseQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(s2Rollup, s3SetOps, s4SessionWindow, j7AsOfJoin, s6ExactQuantiles)
+    Seq(s2Rollup, s3SetOps, s4SessionWindow, j7AsOfJoin, j8IntervalJoin,
+      s6ExactQuantiles)
 }

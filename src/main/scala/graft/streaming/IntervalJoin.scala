@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Stream-stream event-time INTERVAL join — the attribution shape: a
@@ -39,14 +39,29 @@ object IntervalJoin {
       delay: String, horizon: String): DataFrame =
     joined(purchases, clicks, delay, horizon, "left_outer")
 
+  /** The one attribution predicate both the streaming and batch twins
+    * join on: same user, click at-or-before the purchase, at most
+    * `horizon` older. Factored so the two executions cannot drift. */
+  private def condition(horizon: Column): Column =
+    col("p_user") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - horizon
+
+  /** Batch twin of [[attributeLeftOuter]] over µs-epoch longs — the
+    * SAME predicate with the horizon as a µs literal, no watermark
+    * (batch needs no state bound: the equi-key on user drives a
+    * sort-merge join and the range rides along as its condition, so
+    * there is no per-key cross product). This is what the `j8` driver
+    * gate runs, making batch/oracle parity driver-checked — the spec
+    * separately pins streaming == batch on the same shape. */
+  def attributeBatchLeftOuter(purchases: DataFrame, clicks: DataFrame,
+      horizonUs: Long): DataFrame =
+    purchases.join(clicks, condition(lit(horizonUs)), "left_outer")
+
   private def joined(purchases: DataFrame, clicks: DataFrame,
       delay: String, horizon: String, joinType: String): DataFrame = {
     val p = purchases.withWatermark("p_ts", delay)
     val c = clicks.withWatermark("c_ts", delay)
-    p.join(c,
-      col("p_user") === col("c_user") &&
-        col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
-      joinType)
+    p.join(c, condition(expr(s"INTERVAL $horizon")), joinType)
   }
 }

@@ -148,6 +148,16 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"))
   }
 
+  test("j8 interval join rides the user equi-key, range as join condition") {
+    val p = plan(WarehouseQueries.j8IntervalJoin)
+    // the equality on user must drive the join strategy (hash/merge);
+    // a planner that only sees the range would fall back to a
+    // nested-loop over all purchase×click pairs — the scale killer
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("j7 as-of join is window-based: no nested-loop range join anywhere") {
     val p = plan(WarehouseQueries.j7AsOfJoin)
     assert(p.contains("Window"))
