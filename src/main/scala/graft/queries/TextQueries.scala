@@ -164,15 +164,39 @@ object TextQueries {
        |  doc_id = cluster_id AS is_keeper
        |FROM cc
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    buildDupClusters(s, d).orderBy("doc_id")
+  }
+
+  /** t21's cluster frame, built fresh and recorded for reuse. The CC
+    * loop executes EAGERLY (localCheckpoint per round), so any second
+    * build in the same process — t28 composing on a t21 that already
+    * ran — would pay the whole iterative clustering again; the final
+    * checkpoint makes reuse a block read instead. On a cluster the
+    * same contract is "materialize the cluster table once, join
+    * downstream consumers against it", not a per-query rebuild. */
+  private val dupClustersMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def buildDupClusters(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val edges = nearDupPairs(s, d).select(col("d1"), col("d2"))
     val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
     val sized = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sized, "label")
+    val out = cc.join(sized, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
-      .orderBy("doc_id")
+      .localCheckpoint()
+    dupClustersMemo.put((s, d), out)
+    out
   }
+
+  /** The reuse path consumers compose on: the recorded frame if this
+    * process already built t21 for (session, dir), else a fresh build. */
+  private def dupClustersReused(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Option(dupClustersMemo.get((s, d))).getOrElse(buildDupClusters(s, d))
 
   /** T3 — 32-bit SimHash fingerprint (token-weighted, md5-nibble bits):
     * one shuffle (groupBy doc) over exploded tokens; signature is a
@@ -768,7 +792,11 @@ object TextQueries {
     * the SAME three query definitions on both sides (Spark runs the
     * three operators and joins; the oracle nests the three oracle SQL
     * bodies as derived tables), so this row is green only if the
-    * components agree AND compose consistently. */
+    * components agree AND compose consistently. The cluster side comes
+    * through [[dupClustersReused]]: when t21 already ran in this
+    * process its checkpointed frame is joined directly, so the
+    * manifest never pays the iterative CC loop twice (the oracle
+    * nests the SQL textually — DuckDB dedups the CTE itself). */
   val t28CurationManifest: QuerySpec = QuerySpec.sql(
     "t28_curation_manifest",
     s"""SELECT q.doc_id, q.keep, q.drop_reason, c.cluster_id, c.is_keeper,
@@ -779,7 +807,7 @@ object TextQueries {
        |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
     t19CurationVerdict.run(s, d)
       .select(col("doc_id"), col("keep"), col("drop_reason"))
-      .join(t21DupClusters.run(s, d)
+      .join(dupClustersReused(s, d)
         .select(col("doc_id"), col("cluster_id"), col("is_keeper")), "doc_id")
       .join(t15HashSplit.run(s, d).select(col("doc_id"), col("split")), "doc_id")
       .select(col("doc_id"), col("keep"), col("drop_reason"),
