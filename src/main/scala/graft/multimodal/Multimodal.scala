@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * real: the JDK's `javax.imageio` reads PNG/JPEG/GIF/BMP bytes to
   * actual pixel dimensions. The AUDIO decode path is real too: the
   * JDK's `javax.sound.sampled` parses WAV/AIFF/AU headers to sample
-  * rate and frame count (→ duration). The VIDEO path parses the
-  * ISO-BMFF/MP4 CONTAINER for real — a pure-JDK `ftyp`/`moov`/`mvhd`
-  * box walk yields timescale, duration, and track count — and only the
-  * PIXEL decode remains STUBBED (the JDK ships no video codec and this
-  * build has no media libraries): that one site is marked `STUB:` so
-  * the codec swap is mechanical.
+  * rate and frame count (→ duration). The VIDEO path parses BOTH
+  * containers for real — a pure-JDK `ftyp`/`moov`/`mvhd` box walk for
+  * ISO-BMFF/MP4 and a RIFF `hdrl`/`movi` walk for AVI — and for
+  * MJPEG-in-AVI even the PIXELS are real: [[frameSampleAvi]] decodes
+  * the sampled `00dc` chunks with ImageIO's JPEG codec. Only non-JPEG
+  * video codecs (H.26x in MP4) remain STUBBED (the JDK ships no such
+  * codec and this build has no media libraries): that one site is
+  * marked `STUB:` so the codec swap is mechanical.
   *
   * Scale notes: content rides in the row (parquet binary) — at lake
   * scale the column is typically a reference (uri, offset, nbytes) into
@@ -117,6 +119,133 @@ object Multimodal {
       .getBytes("ISO-8859-1"))
     ftyp ++ box("moov", box("mvhd", mvhd) ++
       Array.fill(tracks)(box("trak", Array.emptyByteArray)).flatten)
+  }
+
+  /** Container-level video metadata from the RIFF/AVI walk. */
+  final case class AviMeta(microSecPerFrame: Long, totalFrames: Int,
+      streams: Int, width: Int, height: Int)
+
+  /** One sampled-and-DECODED video frame: `frameIdx` is the sample
+    * position (0 until k), `frameNo` the container frame it mapped to;
+    * width/height/pixChecksum come from actually decoded pixels. */
+  final case class AviFrame(mediaId: Long, frameIdx: Int, frameNo: Int,
+      frameTsMs: Long, width: Int, height: Int, pixChecksum: Long)
+
+  // RIFF is little-endian (unlike ISO-BMFF's big-endian u32s) and pads
+  // every chunk to an even boundary; both walks share the shape:
+  // [4cc][u32le size][payload], LIST/RIFF payloads lead with a 4cc type.
+  private def riffWalk(bytes: Array[Byte], start: Int,
+      end: Int): Seq[(String, Int, Int)] = {
+    def u32le(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = start
+    var ok = true
+    while (ok && off + 8 <= end) {
+      val size = u32le(off + 4)
+      if (size > end - off - 8) ok = false
+      else {
+        out += ((new String(bytes, off, 4, "ISO-8859-1"),
+          off + 8, off + 8 + size.toInt))
+        off += 8 + size.toInt + (size.toInt & 1) // even-boundary pad
+      }
+    }
+    out.result()
+  }
+
+  /** Pure-JDK RIFF/AVI container walk (NO codec): `RIFF…AVI ` →
+    * `LIST hdrl` → `avih` (MainAVIHeader: µs/frame at +0, total frames
+    * at +16, stream count at +24, dims at +32/+36, all u32le). Returns
+    * None unless the RIFF signature, the AVI form type and a
+    * well-formed avih are all present — arbitrary bytes fall out at
+    * the signature check. */
+  def parseAvi(bytes: Array[Byte]): Option[AviMeta] = {
+    def u32le(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      None
+    else riffWalk(bytes, 12, bytes.length)
+      .collectFirst { case ("LIST", s, e) if e - s >= 4 && fourcc(s) == "hdrl" =>
+        riffWalk(bytes, s + 4, e)
+      }
+      .flatMap(_.collectFirst { case ("avih", s, e) if e - s >= 40 =>
+        AviMeta(u32le(s), u32le(s + 16).toInt, u32le(s + 24).toInt,
+          u32le(s + 32).toInt, u32le(s + 36).toInt)
+      })
+  }
+
+  /** Payload ranges of the `movi` frame chunks (`##dc` compressed /
+    * `##db` uncompressed), in container order — for MJPEG each range
+    * is one complete JPEG stream. */
+  def aviFrameChunks(bytes: Array[Byte]): Vector[(Int, Int)] = {
+    def fourcc(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      Vector.empty
+    else riffWalk(bytes, 12, bytes.length)
+      .collectFirst { case ("LIST", s, e) if e - s >= 4 && fourcc(s) == "movi" =>
+        riffWalk(bytes, s + 4, e).collect {
+          case (cc, cs, ce) if cc.endsWith("dc") || cc.endsWith("db") =>
+            (cs, ce)
+        }.toVector
+      }
+      .getOrElse(Vector.empty)
+  }
+
+  /** Minimal GENUINE MJPEG-in-AVI bytes: RIFF(AVI ) with a real
+    * `hdrl` (avih + a vids/MJPG strl) and a `movi` list whose `00dc`
+    * chunks are actual ImageIO-encoded JPEG frames (deterministic
+    * per-frame gradient fill). Built for the m5 driver gate and the
+    * frame-decode specs; any MJPEG-capable player structure-wise. */
+  def aviMjpegFixture(frames: Int, width: Int, height: Int,
+      fps: Int = 10): Array[Byte] = {
+    require(frames >= 0 && width > 0 && height > 0 && fps > 0,
+      s"bad AVI fixture request: frames=$frames ${width}x$height @$fps")
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] =
+      cc.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++
+        (if ((payload.length & 1) == 1) Array(0.toByte)
+         else Array.emptyByteArray)
+    def list(tp: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", tp.getBytes("ISO-8859-1") ++ children)
+    javax.imageio.ImageIO.setUseCache(false)
+    val jpegs = (0 until frames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y,
+            ((f * 53 + x * 3) % 256 << 16) | ((f * 29 + y * 5) % 256 << 8) |
+              ((f * 17 + x + y) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val avih = le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("ISO-8859-1") ++ "MJPG".getBytes("ISO-8859-1") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(frames) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      Array.fill(8)(0.toByte)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("ISO-8859-1") ++
+      le32(width.toLong * height * 3) ++ Array.fill(16)(0.toByte)
+    val body = "AVI ".getBytes("ISO-8859-1") ++
+      list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
+      list("movi", jpegs.toArray.flatMap(chunk("00dc", _)))
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
   }
 
   /** Minimal GENUINE RIFF/WAVE bytes (8 kHz mono 16-bit PCM with
@@ -244,6 +373,57 @@ object Multimodal {
       .where(col("kind") === "image")
       .withColumn("target_width", ceil(w * scale).cast("int"))
       .withColumn("target_height", ceil(h * scale).cast("int"))
+  }
+
+  /** Video frame sampling WITH REAL PIXELS for MJPEG-in-AVI: the RIFF
+    * walk lists the `00dc` JPEG chunks, k evenly spaced ones
+    * (`frameNo = i·n/k`) are decoded by ImageIO on the executor, and
+    * each sampled frame comes back with its decoded dimensions and a
+    * pixel-raster checksum. This retires the video pixel stub for the
+    * one codec the JDK ships (JPEG); MP4/H.26x pixel decode remains
+    * the honest stub in [[decode]]. Timestamps come from avih's
+    * µs/frame. Partition-parallel, no shuffle; clips that fail the
+    * container walk or have no frames yield no rows, a frame that
+    * fails JPEG decode keeps its row with zero dims (same convention
+    * as [[decode]]). */
+  def frameSampleAvi(media: Dataset[MediaRow], k: Int): Dataset[AviFrame] = {
+    import media.sparkSession.implicits._
+    require(k > 0, s"sample count must be positive: $k")
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.filter(_.kind == "video").flatMap { m =>
+        parseAvi(m.content).toSeq.flatMap { meta =>
+          val chunks = aviFrameChunks(m.content)
+          val n = chunks.length
+          if (n == 0) Seq.empty
+          else (0 until k).map { i =>
+            val fno = i * n / k
+            val (cs, ce) = chunks(fno)
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(m.content, cs, ce - cs))
+              catch { case _: Exception => null }
+            val (w, h, sum) =
+              if (img == null) (0, 0, 0L)
+              else {
+                var acc = 1125899906842597L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    acc = 31 * acc + (img.getRGB(x, y) & 0xffffff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                (img.getWidth, img.getHeight, acc)
+              }
+            AviFrame(m.mediaId, i, fno,
+              fno * meta.microSecPerFrame / 1000, w, h, sum)
+          }
+        }
+      }
+    }
   }
 
   /** Video frame sampling: k evenly spaced timestamps per clip from the

@@ -135,6 +135,51 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** M5 — MJPEG-in-AVI frame sampling with REAL PIXEL DECODE under the
+    * driver gate: per-row genuine AVI bytes (id-derived frame count and
+    * dims, 10 fps, actual ImageIO-encoded JPEG frames) run through the
+    * distributed `frameSampleAvi` — RIFF walk, evenly spaced sample,
+    * per-frame JPEG decode on executors. The gated columns are the
+    * container/sampling math plus the DECODED dimensions (real pixels:
+    * dims come off the decoded raster, not the header); the pixel
+    * CHECKSUM is spec-checked against a direct ImageIO decode instead,
+    * because JPEG is lossy — no SQL oracle can recompute raster bytes.
+    * Same id cap as m4: JPEG encode per row is fixture cost, not the
+    * gate's subject. */
+  val m5AviFrames: QuerySpec = QuerySpec.sql(
+    "m5_avi_frames",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    4 + CAST(c_custkey AS BIGINT) % 5 AS n
+      |  FROM customer WHERE c_custkey < 300
+      |)
+      |SELECT k AS media_id, CAST(i AS INT) AS frame_idx,
+      |  CAST(i * n // 3 AS INT) AS frame_no,
+      |  (i * n // 3) * 100 AS frame_ts_ms,
+      |  CAST(32 + k % 3 * 16 AS INT) AS width,
+      |  CAST(24 + k % 2 * 8 AS INT) AS height
+      |FROM m, range(0, 3) t(i)
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 300).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "video",
+          Multimodal.aviMjpegFixture(
+            frames = (4 + k % 5).toInt,
+            width = (32 + k % 3 * 16).toInt,
+            height = (24 + k % 2 * 8).toInt, fps = 10),
+          Multimodal.MediaMeta("avi", 0, 0, 0, 0))
+      }
+    Multimodal.frameSampleAvi(rows, k = 3)
+      .select(col("mediaId").as("media_id"), col("frameIdx").as("frame_idx"),
+        col("frameNo").as("frame_no"), col("frameTsMs").as("frame_ts_ms"),
+        col("width"), col("height"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration)
+    Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
+      m5AviFrames)
 }

@@ -116,6 +116,65 @@ class MultimodalSpec extends SparkSpec {
     assert(d(2L).durationMs == 0) // unparseable → zeros, not a throw
   }
 
+  test("parseAvi: genuine RIFF/AVI header fields; garbage → None") {
+    val avi = Multimodal.aviMjpegFixture(frames = 6, width = 48, height = 32,
+      fps = 25)
+    val m = Multimodal.parseAvi(avi).get
+    assert(m.microSecPerFrame == 40000) // 1e6 / 25 fps
+    assert(m.totalFrames == 6 && m.streams == 1)
+    assert(m.width == 48 && m.height == 32)
+    assert(Multimodal.aviFrameChunks(avi).length == 6)
+    assert(Multimodal.parseAvi(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).isEmpty)
+    assert(Multimodal.aviFrameChunks("RIFFxxxxJUNK".getBytes).isEmpty)
+  }
+
+  test("frameSampleAvi: real JPEG pixel decode, checksum parity, sampling math") {
+    import spark.implicits._
+    val avi = Multimodal.aviMjpegFixture(frames = 10, width = 40, height = 24)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", avi,
+        Multimodal.MediaMeta("avi", 0, 0, 0, 1000)),
+      // an audio row and a garbage video row must both yield no frames
+      Multimodal.MediaRow(2L, "audio", avi,
+        Multimodal.MediaMeta("wav", 0, 0, 8000, 0)),
+      Multimodal.MediaRow(3L, "video", Array[Byte](5, 4, 3, 2, 1),
+        Multimodal.MediaMeta("avi", 0, 0, 0, 0)))
+    val got = Multimodal.frameSampleAvi(rows.toDS(), k = 4).collect()
+      .sortBy(_.frameIdx)
+    assert(got.forall(_.mediaId == 1L))
+    // i*n/k over n=10, k=4 → frames 0,2,5,7; ts at 10 fps (100 ms each)
+    assert(got.map(_.frameNo).toSeq == Seq(0, 2, 5, 7))
+    assert(got.map(_.frameTsMs).toSeq == Seq(0L, 200L, 500L, 700L))
+    // dims come from the DECODED raster
+    assert(got.forall(f => f.width == 40 && f.height == 24))
+    // checksum parity vs a direct ImageIO decode of the same chunks —
+    // JPEG is lossy so this is the only honest pixel reference
+    val chunks = Multimodal.aviFrameChunks(avi)
+    got.foreach { f =>
+      val (cs, ce) = chunks(f.frameNo)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(avi, cs, ce - cs))
+      var acc = 1125899906842597L
+      (0 until img.getHeight).foreach(y => (0 until img.getWidth).foreach(x =>
+        acc = 31 * acc + (img.getRGB(x, y) & 0xffffff)))
+      assert(f.pixChecksum == acc, s"frame ${f.frameNo} checksum drift")
+      assert(f.pixChecksum != 0L)
+    }
+    // frames differ (the per-frame gradient moves) → checksums differ
+    assert(got.map(_.pixChecksum).distinct.length == got.length)
+  }
+
+  test("frameSampleAvi: k > frame count duplicates frames, stays total") {
+    import spark.implicits._
+    val avi = Multimodal.aviMjpegFixture(frames = 2, width = 16, height = 16)
+    val rows = Seq(Multimodal.MediaRow(7L, "video", avi,
+      Multimodal.MediaMeta("avi", 0, 0, 0, 200)))
+    val got = Multimodal.frameSampleAvi(rows.toDS(), k = 5).collect()
+      .sortBy(_.frameIdx)
+    assert(got.length == 5)
+    assert(got.map(_.frameNo).toSeq == Seq(0, 0, 0, 1, 1)) // i*2/5
+  }
+
   test("features: fixed-dim embeddings, deterministic") {
     val f = Multimodal.features(media, dim = 16).collect()
     assert(f.length == 30)
