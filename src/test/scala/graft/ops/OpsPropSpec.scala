@@ -94,4 +94,67 @@ class OpsPropSpec extends SparkSpec {
       assert(got == expect, s"l=$l r=$r")
     }
   }
+
+  test("AsOfJoin no-key path equals the global brute-force scan") {
+    val gen = for {
+      nl <- Gen.chooseNum(1, 20)
+      nr <- Gen.chooseNum(0, 20)
+      l <- Gen.listOfN(nl, Gen.chooseNum(0L, 20L))
+      r <- Gen.listOfN(nr, Gen.chooseNum(0L, 20L))
+    } yield (l.zipWithIndex.map { case (ts, i) => (i.toLong, ts) },
+      r.zipWithIndex.map { case (ts, i) => (i.toLong + 100, ts) })
+    for (_ <- 1 to 5) {
+      val (l, r) = gen.sample.get
+      // global carry-forward: every right row serves every left row,
+      // latest-earlier wins, ties by max rid (payload struct order)
+      val expect = l.map { case (id, ts) =>
+        val cands = r.filter(_._2 <= ts)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(x => (x._2, x._1))._1))
+      }.toMap
+      val rDf =
+        if (r.isEmpty) Seq.empty[(Long, Long)].toDF("rid", "ts")
+        else r.toDF("rid", "ts")
+      val got = AsOfJoin(l.toDF("lid", "ts"), rDf,
+        Seq.empty, "ts", "ts", payload = Seq("rid"))
+        .select("lid", "asof_rid").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      assert(got == expect, s"l=$l r=$r")
+    }
+  }
+
+  test("AsOfJoin with NULL keys and NULL timestamps equals the SQL reference") {
+    val optK = Gen.option(Gen.chooseNum(0L, 2L))
+    val optTs = Gen.option(Gen.chooseNum(0L, 15L))
+    val gen = for {
+      nl <- Gen.chooseNum(1, 15)
+      nr <- Gen.chooseNum(0, 15)
+      l <- Gen.listOfN(nl, Gen.zip(optK, optTs))
+      r <- Gen.listOfN(nr, Gen.zip(optK, optTs))
+    } yield (l.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) },
+      r.zipWithIndex.map { case ((k, ts), i) => (i.toLong + 100, k, ts) })
+    for (_ <- 1 to 5) {
+      val (l, r) = gen.sample.get
+      // SQL semantics: a match needs BOTH keys non-null and equal and
+      // BOTH timestamps non-null with r.ts <= l.ts — NULL never
+      // matches anything, on either side of either column
+      val expect = l.map { case (id, k, ts) =>
+        val cands = r.filter(x => k.isDefined && x._2 == k &&
+          ts.isDefined && x._3.isDefined && x._3.get <= ts.get)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(x => (x._3.get, x._1))._1))
+      }.toMap
+      val rDf =
+        if (r.isEmpty)
+          Seq.empty[(Long, Option[Long], Option[Long])].toDF("rid", "k", "ts")
+        else r.toDF("rid", "k", "ts")
+      val got = AsOfJoin(l.toDF("lid", "k", "ts"), rDf,
+        Seq("k"), "ts", "ts", payload = Seq("rid"))
+        .select("lid", "asof_rid").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      assert(got == expect, s"l=$l r=$r")
+    }
+  }
 }
