@@ -52,7 +52,10 @@ object ScaleCheck {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     // --reuse: rerun queries against an already-written scale dir
     if (!args.contains("--reuse")) scaleUp(spark, src, dst, copies)
-    runHeavy(spark, dst)
+    // --skew: run the SaltedJoin skew demonstration instead of the
+    // heavy-query sweep (same scaled dir)
+    if (args.contains("--skew")) skewDemo(spark, dst)
+    else runHeavy(spark, dst)
     spark.stop()
   }
 
@@ -94,6 +97,87 @@ object ScaleCheck {
     }
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(t)(identity))
+  }
+
+  /** SaltedJoin demonstration on a SYNTHESIZED dominant key: ~30% of
+    * the scaled lineitem is remapped to one supplier, then joined to
+    * the supplier dim under the regime [[graft.ops.SaltedJoin]] exists
+    * for — auto-broadcast and AQE OFF (a streaming join, or an engine
+    * without runtime skew splitting; with AQE on, its skew-join split
+    * handles this case by itself and salting is unnecessary). A task
+    * listener records per-task durations so the claim is MEASURED: the
+    * plain shuffle join funnels the dominant key through one task
+    * (max/median spread ≫ 1), the salted join spreads it over
+    * `buckets` tasks. Row counts must match exactly — salting may only
+    * change partitioning, never the result. */
+  def skewDemo(spark: SparkSession, dir: String, buckets: Int = 32): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import scala.jdk.CollectionConverters._
+    // full-width rows: the skewed task must MOVE the dominant key's
+    // bytes, not just probe narrow keys — that is what hurts at scale
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("l_suppkey",
+        when(pmod(col("l_orderkey"), lit(10)) < 3, lit(1L))
+          .otherwise(col("l_suppkey").cast("long")))
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").cast("long").as("l_suppkey"),
+        col("s_nationkey"))
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def measure(label: String)(df: org.apache.spark.sql.DataFrame): Long = {
+        val durs =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+        val listener = new SparkListener {
+          override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+            if (te.taskInfo != null && te.taskMetrics != null)
+              durs.add((te.stageId, te.taskInfo.duration,
+                te.taskMetrics.shuffleReadMetrics.totalBytesRead))
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        // NOT count(): Catalyst would prune everything but the join key
+        // and the shuffle would carry 8-byte keys — the hash-sum forces
+        // every column through the exchange, like a real consumer
+        val row = df.agg(count(lit(1)),
+          sum(pmod(xxhash64(df.columns.map(col): _*), lit(1000000L))))
+          .collect().head
+        val n = row.getLong(0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener bus is async; let the tail drain
+        spark.sparkContext.removeSparkListener(listener)
+        // the skew shows inside ONE stage — the join's shuffle-READ
+        // side — so stats across scan stages would dilute it: the join
+        // stage is the one reading the most shuffle bytes (the final
+        // count agg also reads shuffle, but only 32 tiny partial rows)
+        val byStage = durs.asScala.toSeq.groupBy(_._1)
+        val (_, joinStage) = byStage.maxBy { case (_, ts) => ts.map(_._3).sum }
+        val ds = joinStage.map(_._2).sorted
+        val bs = joinStage.map(_._3).sorted
+        val (mx, med) = (ds.last, ds(ds.size / 2))
+        val (bmx, bmed) = (bs.last, math.max(bs(bs.size / 2), 1L))
+        // BYTES spread is the deterministic skew evidence (what each
+        // task must fetch); DURATION spread is the observed effect —
+        // honest caveat: on local[32] all tasks share the same cores,
+        // so CPU contention compresses duration differences that a
+        // real cluster (one task = one executor slot, the stage waits
+        // for the straggler) pays in full
+        println(f"[skew] $label%-7s rows=$n%9d wall=$wall%6.2fs " +
+          f"joinTasks=${ds.size}%3d maxBytes=${bmx / 1048576}%5dMB " +
+          f"p50Bytes=${bmed / 1048576}%4dMB byteSpread=${bmx.toDouble / bmed}%5.1fx " +
+          f"maxTask=${mx}%5dms p50Task=${med}%5dms " +
+          f"taskSpread=${mx.toDouble / math.max(med, 1)}%4.1fx")
+        n
+      }
+      val plain = measure("plain")(
+        li.join(supp, "l_suppkey"))
+      val salted = measure("salted")(
+        graft.ops.SaltedJoin(li, supp, "l_suppkey", buckets))
+      require(plain == salted,
+        s"salted join changed the result: $plain != $salted")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   def runHeavy(spark: SparkSession, dir: String): Unit = {
