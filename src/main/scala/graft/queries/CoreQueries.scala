@@ -82,6 +82,49 @@ object CoreQueries {
       .limit(10)
   }
 
+  /** Q18-shape — large-volume orders: filter on an AGGREGATE (HAVING
+    * over the per-order lineitem quantity rollup), then join the
+    * surviving keys back to orders and customer and keep the top-100
+    * by price. The missing classic from the q1/q3 family: its
+    * distinguishing plan property is that the selective predicate
+    * exists only AFTER an aggregation, so pushdown can't help — the
+    * scale story is the two-phase quantity rollup (map-side combine)
+    * followed by a HAVING output small enough that AQE broadcasts it
+    * against orders (fact-sized scan, dim-sized join input), then
+    * TakeOrderedAndProject for the top-k. The oracle casts the SUM to
+    * BIGINT inside the CTE — DuckDB's bare integer SUM is HUGEINT
+    * (the s2/t29 trap). */
+  val q18BigOrders: QuerySpec = QuerySpec.sql(
+    "q18_big_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+      |)
+      |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+      |  b.total_qty
+      |FROM big b
+      |JOIN orders o ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        dec2(col("o_totalprice")).cast("double").as("total_price"),
+        col("total_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** P1/U1 — union with group discriminator (the reference's
     * Company++Branches record stream, core/printers.py:6-17); schemas
     * differ so `unionByName(allowMissingColumns=true)` fills the gap. */
@@ -546,7 +589,8 @@ object CoreQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q1PricingSummary, q3TopOrders, p1UnionGroups, p3ValidFilter, p4ModelFilter,
+    q1PricingSummary, q3TopOrders, q18BigOrders,
+    p1UnionGroups, p3ValidFilter, p4ModelFilter,
     p5OnlyIp, p6CoalesceNorm, j1EnrichJoin, j2OrderedPairs, j3LastWinsUpsert,
     j4DefaultKeyJoin, a1PivotEvents, a2SeverityArgmax, a5DedupFirstSeen,
     a6GroupRepresentative, a7OrderedDistinct, a8CodePairs,

@@ -198,15 +198,19 @@ object TextQueries {
       d: String): org.apache.spark.sql.DataFrame =
     Option(dupClustersMemo.get((s, d))).getOrElse(buildDupClusters(s, d))
 
+  /** Per-bit SimHash contribution aggregate (DuckDB side) — shared by
+    * t3's fingerprint and t31's banded near-dup join so the bit
+    * definition cannot drift between them. */
+  private def simhashBitSql(b: Int): String = {
+    val j = b / 4 + 1; val sh = 3 - b % 4
+    s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(hh, $j, 1)) - 1) >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS s_$b"
+  }
+
   /** T3 — 32-bit SimHash fingerprint (token-weighted, md5-nibble bits):
     * one shuffle (groupBy doc) over exploded tokens; signature is a
     * '0'/'1' string so it is engine-portable. */
   val t3Simhash: QuerySpec = {
-    def bitSql(b: Int): String = {
-      val j = b / 4 + 1; val sh = 3 - b % 4
-      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(hh, $j, 1)) - 1) >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS s_$b"
-    }
-    val aggSql = (0 until 32).map(bitSql).mkString(",\n  ")
+    val aggSql = (0 until 32).map(simhashBitSql).mkString(",\n  ")
     val fpSql = (0 until 32).map(b =>
       s"CASE WHEN s_$b > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
     QuerySpec.sql(
@@ -229,6 +233,72 @@ object TextQueries {
         .agg(aggs.head, aggs.tail: _*)
         .select(col("doc_id"), fp.as("simhash"))
         .orderBy("doc_id")
+    }
+  }
+
+  /** T31 — SimHash NEAR-DUP via the banded hamming join (the classic
+    * web-dedup design): the t3 fingerprint packed into a 32-bit long,
+    * split into 4 byte-bands; candidates share ≥1 identical band
+    * (pigeonhole: hamming ≤ 3 over 4 bands forces one equal band, so
+    * recall at the threshold is EXACT, not probabilistic like
+    * MinHash), verified by `bit_count(xor)` ≤ 3. A third independent
+    * near-dup family beside t2 (MinHash/Jaccard) and t11 (cosine).
+    * Scale: the self-join is band-bucket-keyed like t2's; 8-bit bands
+    * mean 256 buckets per band, which is the right operating point for
+    * this corpus — at crawl scale the same plan runs on a 64-bit
+    * fingerprint with 16-bit bands (65k buckets), nothing else
+    * changes. The fingerprint table is checkpointed once and feeds
+    * both sides of the self-join (the t2 signature-table move). */
+  val t31SimhashNearDup: QuerySpec = {
+    val aggSql = (0 until 32).map(simhashBitSql).mkString(",\n  ")
+    val fpSql = (0 until 32).map(b =>
+      s"(CASE WHEN s_$b > 0 THEN CAST(1 AS BIGINT) << ${31 - b} ELSE 0 END)")
+      .mkString(" + ")
+    QuerySpec.sql(
+      "t31_simhash_neardup",
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+         |agg AS (SELECT doc_id,
+         |  $aggSql
+         |FROM h GROUP BY doc_id),
+         |fpt AS (SELECT doc_id, $fpSql AS fp FROM agg),
+         |bands AS (SELECT doc_id, fp, b AS band,
+         |    (fp >> CAST(8 * (3 - b) AS INT)) & 255 AS bkey
+         |  FROM fpt, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |    a.fp AS f1, b.fp AS f2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(f1, f2)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(f1, f2)) <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val fpL = (0 until 32)
+        .map(b => when(col(s"s_$b") > 0, lit(1L << (31 - b))).otherwise(0L))
+        .reduce(_ + _)
+      val aggs = (0 until 32).map(b => sum(simhashContrib("hh", b)).as(s"s_$b"))
+      val fpt = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("hh", md5(col("tok")))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), fpL.as("fp"))
+        .localCheckpoint()
+      val bands = fpt
+        .select(col("doc_id"), col("fp"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey", expr("shiftright(fp, 8 * (3 - band)) & 255"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.fp").as("f1"), col("b.fp").as("f2"))
+        .dropDuplicates("d1", "d2") // f1/f2 are functions of d1/d2
+      cand
+        .select(col("d1"), col("d2"),
+          expr("bit_count(f1 ^ f2)").cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("d1", "d2")
     }
   }
 
@@ -693,6 +763,69 @@ object TextQueries {
     }
   }
 
+  /** T30 — near-dup RECALL gate (the t20 idea for the dedup family):
+    * ground truth = EXACT trigram-shingle Jaccard ≥ 0.5 over a bounded
+    * id sample (recall is always audited on a sample at corpus scale —
+    * exact all-pairs Jaccard is the quadratic thing LSH exists to
+    * avoid), candidates = the SAME t2 banded-LSH pair set the
+    * production dedup runs (per-doc band keys don't depend on the rest
+    * of the corpus, so full-corpus LSH restricted to the sample equals
+    * sample LSH). Each truth pair comes back with `found` — a recall
+    * regression after retuning K/R/B flips rows and fails the hash
+    * gate. The df≤100 rare-shingle screen bounds the inverted-index
+    * self-join (the t4 scale guard; boilerplate shingles carry no
+    * identity signal). Truth and candidates share their CTEs with
+    * t2/t21 so the definitions cannot drift. */
+  val t30LshRecall: QuerySpec = QuerySpec.sql(
+    "t30_lsh_recall",
+    s"""WITH $NearDupPairsCtesSql,
+       |st AS (SELECT doc_id, $ToksSql AS toks FROM documents
+       |       WHERE doc_id < 1000),
+       |ssh AS (SELECT doc_id, $ShinglesOverToks AS s FROM st),
+       |dsh AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM ssh),
+       |rare AS (SELECT sh FROM dsh GROUP BY sh HAVING COUNT(*) <= 100),
+       |dshr AS (SELECT dsh.doc_id, dsh.sh FROM dsh JOIN rare USING (sh)),
+       |nsz AS (SELECT doc_id, COUNT(*) AS n FROM dshr GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |  FROM dshr a JOIN dshr b
+       |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT d1, d2,
+       |    CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+       |  FROM inter JOIN nsz x ON d1 = x.doc_id JOIN nsz y ON d2 = y.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5)
+       |SELECT t.d1, t.d2, t.jaccard, (p.d1 IS NOT NULL) AS found
+       |FROM truth t LEFT JOIN pairs p ON t.d1 = p.d1 AND t.d2 = p.d2
+       |ORDER BY t.d1, t.d2""".stripMargin) { (s, d) =>
+    val dsh = Tables.documents(s, d).filter(col("doc_id") < 1000)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .distinct()
+    val rare = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("sh")
+    val dshr = dsh.join(rare, "sh")
+    val nsz = dshr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = dshr.as("a")
+      .join(dshr.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(nsz.select(col("doc_id").as("d1"), col("n").as("nx")), "d1")
+      .join(nsz.select(col("doc_id").as("d2"), col("n").as("ny")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("nx") + col("ny") - col("i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    val lsh = nearDupPairs(s, d).filter(col("d2") < 1000)
+      .select(col("d1").as("pd1"), col("d2").as("pd2"))
+    truth
+      .join(lsh, col("d1") === col("pd1") && col("d2") === col("pd2"), "left")
+      .select(col("d1"), col("d2"), col("jaccard"),
+        col("pd1").isNotNull.as("found"))
+      .orderBy("d1", "d2")
+  }
+
   /** T22 — deterministic STRATIFIED sample: top-3 docs per
     * (lang, source) stratum ranked by id-hash — uniform-without-RNG
     * (same property family as T15), one partitioned window, no global
@@ -845,5 +978,6 @@ object TextQueries {
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
-    t28CurationManifest, t29CorpusProfile)
+    t28CurationManifest, t29CorpusProfile, t30LshRecall,
+    t31SimhashNearDup)
 }

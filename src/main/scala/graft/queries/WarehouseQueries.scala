@@ -114,6 +114,40 @@ object WarehouseQueries {
       .orderBy("event_id")
   }
 
+  /** S7 — CUBE over (status, priority): all four grouping sets in one
+    * pass (the OLAP dashboard rollup s2's linear ROLLUP doesn't
+    * cover). Spark expands grouping sets BEFORE the exchange, so the
+    * partial aggregate still combines map-side — one shuffle carries
+    * all 2^k set combinations. Parity: GROUPING() flags (cast to INT)
+    * disambiguate "ALL" rows from genuine NULL keys, and the COALESCE
+    * labels keep NULLs out of the ORDER BY (the engines disagree on
+    * default NULL ordering); money goes through the DECIMAL cast
+    * (q1 idiom). */
+  val s7CubeProfile: QuerySpec = QuerySpec.sql(
+    "s7_cube_profile",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("g_status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_priority"), col("n_orders"), col("total_price"))
+      .orderBy("g_status", "g_priority", "status", "priority")
+  }
+
   /** J8 — event-time INTERVAL join, batch twin of
     * [[graft.streaming.IntervalJoin]] (left-outer attribution): each
     * purchase pairs with ALL the same user's clicks from the preceding
@@ -198,5 +232,5 @@ object WarehouseQueries {
 
   val all: Seq[QuerySpec] =
     Seq(s2Rollup, s3SetOps, s4SessionWindow, j7AsOfJoin, j8IntervalJoin,
-      s6ExactQuantiles)
+      s6ExactQuantiles, s7CubeProfile)
 }

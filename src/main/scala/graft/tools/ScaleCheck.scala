@@ -42,7 +42,7 @@ object ScaleCheck {
     "t13_repetition", "t18_ann_ivf", "t19_curation_verdict",
     "j3_last_wins_upsert", "x8_pipeline_e2e", "t21_dup_clusters",
     "t25_kmeans_assign", "t26_semantic_clusters", "q3_top_orders",
-    "j7_asof_join", "s6_exact_quantiles")
+    "j7_asof_join", "s6_exact_quantiles", "t28_curation_manifest")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
@@ -53,9 +53,16 @@ object ScaleCheck {
     // --reuse: rerun queries against an already-written scale dir
     if (!args.contains("--reuse")) scaleUp(spark, src, dst, copies)
     // --skew: run the SaltedJoin skew demonstration instead of the
-    // heavy-query sweep (same scaled dir)
+    // heavy-query sweep (same scaled dir); --only=a,b,c restricts the
+    // sweep (the ×100 point runs the top-5 heavy set, not all 17)
     if (args.contains("--skew")) skewDemo(spark, dst)
-    else runHeavy(spark, dst)
+    else {
+      val only = args.collectFirst {
+        case a if a.startsWith("--only=") =>
+          a.stripPrefix("--only=").split(',').toSet
+      }
+      runHeavy(spark, dst, only)
+    }
     spark.stop()
   }
 
@@ -180,9 +187,10 @@ object ScaleCheck {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
-  def runHeavy(spark: SparkSession, dir: String): Unit = {
+  def runHeavy(spark: SparkSession, dir: String,
+      only: Option[Set[String]] = None): Unit = {
     val qs = SparkEntry.queries
-    Heavy.foreach { name =>
+    Heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = qs(name)
       def pass(): (Double, Long, org.apache.spark.sql.DataFrame) = {
         // timer wraps the BUILD too: iterative operators (t21's label
