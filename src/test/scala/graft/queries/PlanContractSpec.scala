@@ -142,6 +142,22 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q18 big-orders plans two-phase quantity rollup + partial top-k") {
+    val p = plan(CoreQueries.q18BigOrders)
+    // the HAVING filter lives on an aggregate — pushdown can't help, so
+    // the defense at scale is map-side combine before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("t31 simhash near-dup joins band buckets, never all pairs") {
+    val p = plan(TextQueries.t31SimhashNearDup)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s6 exact quantiles keep every window partitioned by group") {
     val p = plan(WarehouseQueries.s6ExactQuantiles)
     assert(p.contains("Window"))
