@@ -51,11 +51,19 @@ object TextQueries {
   private val R = LshRows
   private val B = LshBands
 
-  /** DuckDB CTE chain ending in `pairs(d1, d2, sig_matches, sig_frac)`
-    * — the filtered MinHash-LSH near-dup pair set. Shared by the t2
-    * oracle and t21's recursive-CTE clustering oracle so the two can
-    * never disagree on what an edge is. */
-  private val NearDupPairsCtesSql: String = {
+  /** Signature-agreement count between sig rows aliased `x` and `y`
+    * (DuckDB side) — shared by the full-pair and star-edge filters so
+    * the ≥ K/2 operating point is one definition. */
+  private val SigMatchSql: String = (0 until K).map(i =>
+    s"CASE WHEN x.sig_$i = y.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+
+  /** DuckDB CTE chain `t → sh → hvs → sigs → bands` over the docs
+    * relation `rel` — the shared MinHash-signature + band-key
+    * derivation every near-dup variant (full pairs, star edges, the
+    * rep-collapsed pipeline) builds on, parameterized so t34 can run
+    * it over the exact-dedup representatives instead of raw
+    * `documents`. */
+  private def nearDupBaseCtes(rel: String): String = {
     val P = MinhashP
     val sigDefsSql = (0 until K).map(i =>
       s"list_aggregate(list_transform(hv, v -> (v * ${minhashA(i)} + ${minhashB(i)}) % $P), 'min') AS sig_$i")
@@ -64,9 +72,7 @@ object TextQueries {
       val cols = (0 until R).map(r => s"sig_${b * R + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    val matchSql = (0 until K).map(i =>
-      s"CASE WHEN x.sig_$i = y.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM $rel),
        |sh AS (SELECT doc_id, $ShinglesOverToks AS s FROM t),
        |hvs AS (SELECT doc_id, list_transform(s,
        |  x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $P) AS hv FROM sh),
@@ -75,19 +81,51 @@ object TextQueries {
        |FROM hvs),
        |bands AS (
        |  $bandsSql
-       |),
-       |cand AS (
+       |)""".stripMargin
+  }
+
+  /** The FULL within-bucket pair CTEs (`cand`, `pairs`) appended to
+    * [[nearDupBaseCtes]] — C(m,2) candidates per bucket. */
+  private val NearDupPairCtes: String =
+    s"""cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |),
        |pairs AS (
-       |  SELECT d1, d2, ($matchSql) AS sig_matches,
-       |    CAST(($matchSql) AS DOUBLE) / $K AS sig_frac
+       |  SELECT d1, d2, ($SigMatchSql) AS sig_matches,
+       |    CAST(($SigMatchSql) AS DOUBLE) / $K AS sig_frac
        |  FROM cand JOIN sigs x ON d1 = x.doc_id JOIN sigs y ON d2 = y.doc_id
-       |  WHERE ($matchSql) >= ${K / 2}
+       |  WHERE ($SigMatchSql) >= ${K / 2}
        |)""".stripMargin
-  }
+
+  /** STAR-topology edge CTEs (`hubs`, `scand`, `star_pairs`) appended
+    * to [[nearDupBaseCtes]] — each bucket member pairs ONLY with the
+    * bucket-min hub: m−1 edges per bucket instead of C(m,2), the
+    * linear-in-duplication-depth feed for connected components (see
+    * t32's scaladoc for the scale rationale). Shares `bands`/`sigs`
+    * and the ≥ K/2 filter with the full-pair CTEs. */
+  private val StarPairCtes: String =
+    s"""hubs AS (
+       |  SELECT band, bkey, MIN(doc_id) AS hub FROM bands GROUP BY band, bkey
+       |),
+       |scand AS (
+       |  SELECT DISTINCT h.hub AS d1, b.doc_id AS d2
+       |  FROM bands b JOIN hubs h ON b.band = h.band AND b.bkey = h.bkey
+       |  WHERE b.doc_id <> h.hub
+       |),
+       |star_pairs AS (
+       |  SELECT d1, d2
+       |  FROM scand JOIN sigs x ON d1 = x.doc_id JOIN sigs y ON d2 = y.doc_id
+       |  WHERE ($SigMatchSql) >= ${K / 2}
+       |)""".stripMargin
+
+  /** DuckDB CTE chain ending in `pairs(d1, d2, sig_matches, sig_frac)`
+    * — the filtered MinHash-LSH near-dup pair set over `documents`.
+    * Shared by the t2 oracle and t21's recursive-CTE clustering oracle
+    * so the two can never disagree on what an edge is. */
+  private val NearDupPairsCtesSql: String =
+    nearDupBaseCtes("documents") + ",\n" + NearDupPairCtes
 
   /** Spark twin of [[NearDupPairsCtesSql]]: the filtered near-dup pair
     * set (d1 < d2), unordered.
@@ -101,18 +139,40 @@ object TextQueries {
     * recomputes the whole shingle+hash scan (the standard move for
     * reuse-heavy self-joins over expensive derivations). */
   private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val sigs = Tables.documents(s, d)
+      d: String): org.apache.spark.sql.DataFrame =
+    nearDupPairsOf(Tables.documents(s, d))
+
+  /** Checkpointed (doc_id, sig) MinHash signature table over an
+    * arbitrary docs frame — the shared derivation under every near-dup
+    * variant, parameterized so t34 can run it over exact-dedup
+    * representatives. */
+  private def nearDupSigs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
       .select(col("doc_id"), minhashBase(col("s")).as("hv"))
       .select(col("doc_id"),
         array((0 until K).map(i => minhashSig(col("hv"), i)): _*).as("sig"))
       .localCheckpoint()
+
+  /** (doc_id, sig, band, bkey): one row per band key, signature array
+    * carried through so no join-back to the signature table is needed. */
+  private def nearDupBands(
+      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bandCols = (0 until B).map { b =>
       bandKey((0 until R).map(r => element_at(col("sig"), b * R + r + 1)))
     }
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Spark twin of [[SigMatchSql]] over carried sig arrays sx/sy. */
+  private def sigMatches: org.apache.spark.sql.Column =
+    size(filter(zip_with(col("sx"), col("sy"), (x, y) => x === y), b => b))
+
+  private def nearDupPairsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = nearDupBands(nearDupSigs(docs))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -120,12 +180,31 @@ object TextQueries {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.sig").as("sx"), col("b.sig").as("sy"))
       .dropDuplicates("d1", "d2") // sx/sy are functions of d1/d2
-    val matches =
-      size(filter(zip_with(col("sx"), col("sy"), (x, y) => x === y), b => b))
     cand
-      .select(col("d1"), col("d2"), matches.as("sig_matches"),
-        (matches.cast("double") / K).as("sig_frac"))
+      .select(col("d1"), col("d2"), sigMatches.as("sig_matches"),
+        (sigMatches.cast("double") / K).as("sig_frac"))
       .filter(col("sig_matches") >= K / 2)
+  }
+
+  /** Spark twin of [[StarPairCtes]]: per (band, bkey) bucket, each
+    * member pairs ONLY with the bucket-min hub (m−1 edges, not
+    * C(m,2)), then the same ≥ K/2 signature screen. d1 < d2 holds by
+    * construction (the hub is the bucket min). The hub's signature
+    * rides in a `min(struct(doc_id, sig))` aggregate — struct ordering
+    * is by leading field, and doc_id is unique — so no join back to
+    * the signature table is needed on either side. */
+  private def nearDupStarEdgesOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = nearDupBands(nearDupSigs(docs))
+    val hubs = bands.groupBy("band", "bkey")
+      .agg(min(struct(col("doc_id"), col("sig"))).as("h"))
+    bands.join(hubs, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("h.doc_id"))
+      .select(col("h.doc_id").as("d1"), col("doc_id").as("d2"),
+        col("h.sig").as("sx"), col("sig").as("sy"))
+      .dropDuplicates("d1", "d2")
+      .filter(sigMatches >= K / 2)
+      .select(col("d1"), col("d2"))
   }
 
   /** T2 — MinHash + LSH near-dup candidate pairs: shingle → K-element
@@ -178,16 +257,22 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  /** (doc_id, cluster_id, cluster_size, is_keeper) from a CC label
+    * frame — the output shape t21/t32 share. */
+  private def clustersOf(
+      cc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sized = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sized, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
+  }
+
   private def buildDupClusters(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val edges = nearDupPairs(s, d).select(col("d1"), col("d2"))
     val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
-    val sized = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    val out = cc.join(sized, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
-      .localCheckpoint()
+    val out = clustersOf(cc).localCheckpoint()
     dupClustersMemo.put((s, d), out)
     out
   }
@@ -197,6 +282,168 @@ object TextQueries {
   private def dupClustersReused(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Option(dupClustersMemo.get((s, d))).getOrElse(buildDupClusters(s, d))
+
+  private val starClustersMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** Star-edge cluster frame, memoized like [[dupClustersReused]] so
+    * t32 and the t33 parity gate pay the CC loop once per process. */
+  private def starClustersReused(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Option(starClustersMemo.get((s, d))).getOrElse {
+      val edges = nearDupStarEdgesOf(Tables.documents(s, d))
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val cc =
+        graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
+      val out = clustersOf(cc).localCheckpoint()
+      starClustersMemo.put((s, d), out)
+      out
+    }
+
+  /** T32 — near-dup clusters over the STAR edge feed: the
+    * linear-in-duplication-depth variant of t21. The ×100 scale run
+    * (COVERAGE.md round-10) showed why this exists: full within-bucket
+    * pair emission is C(g,2) in dup-group size g, so a corpus whose
+    * mirror families are 100 deep turned 10× the docs into 106× the
+    * edges and CC over them blew past 45 min. A bucket of m members
+    * needs only m−1 hub edges for CONNECTIVITY — star edges make the
+    * CC feed linear in corpus size regardless of duplication depth,
+    * which is the production formulation for crawl-scale dedup.
+    * Trade-off: star edges are a SUBSET of the full pairs (the hub
+    * pair (hub,m) is itself a full-pair candidate), so components can
+    * only split, never merge, relative to t21 — a member whose hub
+    * edge fails the ≥ K/2 signature screen loses the link a
+    * member-member edge might have kept. t33 quantifies exactly that
+    * cost under the driver gate. */
+  val t32StarClusters: QuerySpec = QuerySpec.sql(
+    "t32_star_clusters",
+    s"""WITH RECURSIVE ${nearDupBaseCtes("documents")},
+       |$StarPairCtes,
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM star_pairs
+       |        UNION ALL SELECT d2, d1 FROM star_pairs),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT sym.dst, reach.label FROM reach JOIN sym ON reach.node = sym.src
+       |),
+       |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+       |       FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS is_keeper
+       |FROM cc
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    starClustersReused(s, d).orderBy("doc_id")
+  }
+
+  /** T33 — star-vs-full clustering PARITY gate (the t30 idea applied
+    * to the t32 edge reduction): one summary row counting docs whose
+    * star cluster equals their full-t21 cluster, plus the cluster
+    * counts on each side. Star edges ⊆ full pairs, so star clustering
+    * is a refinement — n_agree ≤ n_docs and n_clusters_star ≥
+    * n_clusters_full always; the gate pins the measured split cost at
+    * the committed operating point so a K/R/B retune that degrades the
+    * star feed flips this row. Both sides reuse the per-process
+    * memoized cluster frames, so the gate adds two joins, not two CC
+    * loops. */
+  val t33StarParity: QuerySpec = QuerySpec.sql(
+    "t33_star_parity",
+    s"""WITH RECURSIVE $NearDupPairsCtesSql,
+       |$StarPairCtes,
+       |sym_f AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach_f(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT sym_f.dst, reach_f.label
+       |  FROM reach_f JOIN sym_f ON reach_f.node = sym_f.src
+       |),
+       |cc_f AS (SELECT node, MIN(label) AS cluster_id
+       |         FROM reach_f GROUP BY node),
+       |sym_s AS (SELECT d1 AS src, d2 AS dst FROM star_pairs
+       |          UNION ALL SELECT d2, d1 FROM star_pairs),
+       |reach_s(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT sym_s.dst, reach_s.label
+       |  FROM reach_s JOIN sym_s ON reach_s.node = sym_s.src
+       |),
+       |cc_s AS (SELECT node, MIN(label) AS cluster_id
+       |         FROM reach_s GROUP BY node)
+       |SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN f.cluster_id = s.cluster_id
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  COUNT(DISTINCT f.cluster_id) AS n_clusters_full,
+       |  COUNT(DISTINCT s.cluster_id) AS n_clusters_star
+       |FROM cc_f f JOIN cc_s s ON f.node = s.node""".stripMargin) { (s, d) =>
+    val full = dupClustersReused(s, d)
+      .select(col("doc_id"), col("cluster_id").as("cf"))
+    val star = starClustersReused(s, d)
+      .select(col("doc_id"), col("cluster_id").as("cs"))
+    full.join(star, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cf") === col("cs"), 1L).otherwise(0L)).as("n_agree"),
+        countDistinct("cf").as("n_clusters_full"),
+        countDistinct("cs").as("n_clusters_star"))
+  }
+
+  /** T34 — the PRODUCTION dedup pipeline order: collapse EXACT
+    * duplicates first (t1's hash-groupBy — cheap), run near-dup over
+    * the per-hash representatives only, then map every document back
+    * through its representative. At crawl scale this is the other half
+    * of the ×100 mitigation: byte-identical mirror families (the
+    * common case) collapse to ONE node before the quadratic-prone LSH
+    * stage ever sees them, so near-dup cost scales with DISTINCT
+    * content, not raw row count. Semantics: exact dups share identical
+    * shingle sets → identical signatures and band keys → any
+    * cross-group full pair implies the same rep-level pair with the
+    * same signature agreement, so t34's clusters EQUAL t21's (the
+    * RepDedupPipelineSpec pins that equivalence; the driver gate pins
+    * the composition independently). Cluster labels are min doc_ids:
+    * a rep is its exact group's min, and CC labels are min reps, so
+    * mapped-back labels are the true component minima. */
+  val t34RepDedup: QuerySpec = QuerySpec.sql(
+    "t34_rep_dedup",
+    s"""WITH RECURSIVE chash AS (
+       |  SELECT doc_id, md5($NormSql) AS ch FROM documents),
+       |km AS (SELECT ch, MIN(doc_id) AS keeper FROM chash GROUP BY ch),
+       |dk AS (SELECT c.doc_id, k.keeper FROM chash c JOIN km k ON c.ch = k.ch),
+       |reps AS (SELECT d.* FROM documents d JOIN km ON d.doc_id = km.keeper),
+       |${nearDupBaseCtes("reps")},
+       |$NearDupPairCtes,
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |        UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT keeper, keeper FROM km
+       |  UNION
+       |  SELECT sym.dst, reach.label FROM reach JOIN sym ON reach.node = sym.src
+       |),
+       |cc AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+       |fin AS (SELECT dk.doc_id, cc.cluster_id
+       |        FROM dk JOIN cc ON dk.keeper = cc.node)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS is_keeper
+       |FROM fin
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val chash = docs.select(col("doc_id"), md5(normText(col("text"))).as("ch"))
+    val km = chash.groupBy("ch").agg(min("doc_id").as("keeper"))
+    val dk = chash.join(km, "ch").select(col("doc_id"), col("keeper"))
+    val reps = docs.join(km.select(col("keeper").as("doc_id")), "doc_id")
+    val edges = nearDupPairsOf(reps).select(col("d1"), col("d2"))
+    val nodes = km.select(col("keeper").as("id"))
+    val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
+    val fin = dk.join(
+      cc.select(col("id").as("keeper"), col("label").as("cluster_id")),
+      "keeper")
+    val sized = fin.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    fin.join(sized, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
 
   /** Per-bit SimHash contribution aggregate (DuckDB side) — shared by
     * t3's fingerprint and t31's banded near-dup join so the bit
@@ -979,5 +1226,5 @@ object TextQueries {
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
     t28CurationManifest, t29CorpusProfile, t30LshRecall,
-    t31SimhashNearDup)
+    t31SimhashNearDup, t32StarClusters, t33StarParity, t34RepDedup)
 }
