@@ -179,12 +179,9 @@ object ExtraQueries {
       .orderBy("n_nationkey")
   }
 
-  /** DuckDB CTE chain ending in `cpairs(d1, d2, cosine)` — the
-    * thresholded cosine near-dup pair set. Shared by the t11 oracle
-    * and t26's recursive-CTE clustering oracle (same
-    * edge-definition-sharing discipline as TextQueries' MinHash
-    * pairs). */
-  private val CosPairsCtesSql: String = {
+  /** Shared base CTEs `sq` (scaled squared norms) and `b` (sign-bit
+    * bucketed embeddings) every cosine near-dup variant builds on. */
+  private val CosBaseCtesSql: String = {
     import VectorQueries.prodLSql
     s"""sq AS (
        |  SELECT vec_id, CAST(SUM(${prodLSql("x", "x")}) AS DOUBLE) / 1e12 AS ss
@@ -196,8 +193,14 @@ object ExtraQueries {
        |         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
        |         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
        |         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
-       |  FROM embeddings),
-       |pairs AS (
+       |  FROM embeddings)""".stripMargin
+  }
+
+  /** FULL within-bucket pair CTEs ending in `cpairs(d1, d2, cosine)` —
+    * C(m,2) candidate dot products per bucket. */
+  private val CosPairCtes: String = {
+    import VectorQueries.prodLSql
+    s"""pairs AS (
        |  SELECT x.vec_id AS d1, y.vec_id AS d2, x.embedding AS qe, y.embedding AS ne
        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |dots AS (
@@ -211,18 +214,58 @@ object ExtraQueries {
        |)""".stripMargin
   }
 
-  /** Spark twin of [[CosPairsCtesSql]] (unordered). */
-  private def cosNearDupPairs(s: org.apache.spark.sql.SparkSession,
+  /** STAR edge CTEs ending in `cstar_pairs(d1, d2)` — each bucket
+    * member dotted against ONLY the bucket-min hub: m−1 dot products
+    * per bucket instead of C(m,2). One bucket per vector (single-table
+    * sign-LSH), so no cross-band dedup is needed and d1 < d2 holds by
+    * hub-min construction. Same ≥ 0.35 cosine screen as `cpairs`. */
+  private val CosStarCtes: String = {
+    import VectorQueries.prodLSql
+    s"""chubs AS (SELECT bucket, MIN(vec_id) AS hub FROM b GROUP BY bucket),
+       |cstar AS (
+       |  SELECT h.hub AS d1, x.vec_id AS d2, y.embedding AS qe, x.embedding AS ne
+       |  FROM b x JOIN chubs h ON x.bucket = h.bucket
+       |            JOIN b y ON y.vec_id = h.hub
+       |  WHERE x.vec_id <> h.hub),
+       |cstar_dots AS (
+       |  SELECT d1, d2, CAST(SUM(p) AS DOUBLE) / 1e12 AS dot
+       |  FROM (SELECT d1, d2, ${prodLSql("qe[i+1]", "ne[i+1]")} AS p
+       |        FROM cstar, range(0, 64) t(i)) GROUP BY 1, 2),
+       |cstar_pairs AS (
+       |  SELECT d1, d2
+       |  FROM cstar_dots JOIN sq a ON d1 = a.vec_id JOIN sq c ON d2 = c.vec_id
+       |  WHERE dot / (sqrt(a.ss) * sqrt(c.ss)) >= 0.35
+       |)""".stripMargin
+  }
+
+  /** DuckDB CTE chain ending in `cpairs(d1, d2, cosine)` — the
+    * thresholded cosine near-dup pair set. Shared by the t11 oracle
+    * and t26's recursive-CTE clustering oracle (same
+    * edge-definition-sharing discipline as TextQueries' MinHash
+    * pairs). */
+  private val CosPairsCtesSql: String = CosBaseCtesSql + ",\n" + CosPairCtes
+
+  /** (vec_id, eL, ss, bucket): scaled-long embedding, squared norm and
+    * sign-bit bucket — the shared frame under both cosine pair
+    * variants. */
+  private def cosBucketed(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    import VectorQueries.{dotL, scaleL}
+    import VectorQueries.scaleL
     val sumSq = (eL: org.apache.spark.sql.Column) =>
       aggregate(transform(eL, x => x * x), lit(0L), (acc, x) => acc + x)
         .cast("double") / lit(1e12)
     val bucket = concat((1 to 6).map(i =>
       when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
-    val b = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select(col("vec_id"), scaleL(col("embedding")).as("eL"), bucket.as("bucket"))
       .withColumn("ss", sumSq(col("eL")))
+  }
+
+  /** Spark twin of [[CosPairsCtesSql]] (unordered). */
+  private def cosNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import VectorQueries.dotL
+    val b = cosBucketed(s, d)
     b.as("x")
       .join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
@@ -230,6 +273,31 @@ object ExtraQueries {
         (dotL(col("x.eL"), col("y.eL")) /
           (sqrt(col("x.ss")) * sqrt(col("y.ss")))).as("cosine"))
       .filter(col("cosine") >= 0.35)
+  }
+
+  /** Spark twin of [[CosStarCtes]]: per sign-bit bucket, each member
+    * dotted against ONLY the bucket-min hub — m−1 dot products per
+    * bucket instead of C(m,2). The t11 family's ×100 failure mode is
+    * worse than MinHash's: the bucket SPACE is fixed (2^6 hyperplane
+    * signs), so members per bucket grow linearly with corpus size and
+    * full pair emission grows quadratically in N — ~2 billion 64-dim
+    * dot products at 500k vectors. Star edges restore linearity for
+    * the clustering consumer. The hub's vector rides in a
+    * `min(struct(vec_id, eL, ss))` aggregate (ordering is by leading
+    * field; vec_id unique), so no join back to the embedding table. */
+  private[queries] def cosStarEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import VectorQueries.dotL
+    val b = cosBucketed(s, d)
+    val hubs = b.groupBy("bucket")
+      .agg(min(struct(col("vec_id"), col("eL"), col("ss"))).as("h"))
+    b.join(hubs, "bucket")
+      .filter(col("vec_id") =!= col("h.vec_id"))
+      .select(col("h.vec_id").as("d1"), col("vec_id").as("d2"),
+        (dotL(col("h.eL"), col("eL")) /
+          (sqrt(col("h.ss")) * sqrt(col("ss")))).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .select(col("d1"), col("d2"))
   }
 
   /** T11 — embedding-cosine near-dup pairs (fifth dedup family):
@@ -267,18 +335,114 @@ object ExtraQueries {
        |  vec_id = cluster_id AS is_keeper
        |FROM cc
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val edges = cosNearDupPairs(s, d).select(col("d1"), col("d2"))
+    buildSemanticClusters(s, d, star = false).orderBy("vec_id")
+  }
+
+  private val semanticMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, Boolean),
+      org.apache.spark.sql.DataFrame]
+
+  /** Fresh semantic-cluster build (full or star edge feed), recorded
+    * for reuse — the TextQueries memo pattern: direct t26/t35 runs
+    * always rebuild (scale/bench numbers stay honest); the t36 parity
+    * gate composes on the recorded checkpoints. */
+  private def buildSemanticClusters(s: org.apache.spark.sql.SparkSession,
+      d: String, star: Boolean): org.apache.spark.sql.DataFrame = {
+    val edges = (if (star) cosStarEdges(s, d)
+                 else cosNearDupPairs(s, d)).select(col("d1"), col("d2"))
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
     val sized = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sized, "label")
+    val out = cc.join(sized, "label")
       .select(col("id").as("vec_id"), col("label").as("cluster_id"),
         col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
-      .orderBy("vec_id")
+      .localCheckpoint()
+    semanticMemo.put((s, d, star), out)
+    out
+  }
+
+  private def semanticClustersReused(s: org.apache.spark.sql.SparkSession,
+      d: String, star: Boolean): org.apache.spark.sql.DataFrame =
+    Option(semanticMemo.get((s, d, star)))
+      .getOrElse(buildSemanticClusters(s, d, star))
+
+  /** T35 — semantic clusters over the STAR edge feed: t32's
+    * linear-edge formulation applied to the cosine family, where it
+    * matters even more — the sign-bit bucket space is FIXED at 2^6, so
+    * full within-bucket pair emission is quadratic in corpus size
+    * itself (not merely in dup-group depth like MinHash): the ×100
+    * spot-run put t11 past 35 minutes on ~2B candidate dot products,
+    * while the star feed computes exactly N − #buckets dots. t36
+    * quantifies the split cost against full t26 clustering. */
+  val t35SemanticStar: QuerySpec = QuerySpec.sql(
+    "t35_semantic_star",
+    s"""WITH RECURSIVE $CosBaseCtesSql,
+       |$CosStarCtes,
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM cstar_pairs
+       |        UNION ALL SELECT d2, d1 FROM cstar_pairs),
+       |reach(node, label) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT sym.dst, reach.label FROM reach JOIN sym ON reach.node = sym.src
+       |),
+       |cc AS (SELECT node AS vec_id, MIN(label) AS cluster_id
+       |       FROM reach GROUP BY node)
+       |SELECT vec_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  vec_id = cluster_id AS is_keeper
+       |FROM cc
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    buildSemanticClusters(s, d, star = true).orderBy("vec_id")
+  }
+
+  /** T36 — star-vs-full SEMANTIC parity gate (t33's shape for the
+    * cosine family): star edges ⊆ full cosine pairs, so star
+    * clustering refines t26's — the row pins the measured split cost
+    * at the committed 6-bit/0.35 operating point. */
+  val t36SemanticStarParity: QuerySpec = QuerySpec.sql(
+    "t36_semantic_star_parity",
+    s"""WITH RECURSIVE $CosPairsCtesSql,
+       |$CosStarCtes,
+       |sym_f AS (SELECT d1 AS src, d2 AS dst FROM cpairs
+       |          UNION ALL SELECT d2, d1 FROM cpairs),
+       |reach_f(node, label) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT sym_f.dst, reach_f.label
+       |  FROM reach_f JOIN sym_f ON reach_f.node = sym_f.src
+       |),
+       |cc_f AS (SELECT node, MIN(label) AS cluster_id
+       |         FROM reach_f GROUP BY node),
+       |sym_s AS (SELECT d1 AS src, d2 AS dst FROM cstar_pairs
+       |          UNION ALL SELECT d2, d1 FROM cstar_pairs),
+       |reach_s(node, label) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT sym_s.dst, reach_s.label
+       |  FROM reach_s JOIN sym_s ON reach_s.node = sym_s.src
+       |),
+       |cc_s AS (SELECT node, MIN(label) AS cluster_id
+       |         FROM reach_s GROUP BY node)
+       |SELECT COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN f.cluster_id = s.cluster_id
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  COUNT(DISTINCT f.cluster_id) AS n_clusters_full,
+       |  COUNT(DISTINCT s.cluster_id) AS n_clusters_star
+       |FROM cc_f f JOIN cc_s s ON f.node = s.node""".stripMargin) { (s, d) =>
+    val full = semanticClustersReused(s, d, star = false)
+      .select(col("vec_id"), col("cluster_id").as("cf"))
+    val star = semanticClustersReused(s, d, star = true)
+      .select(col("vec_id"), col("cluster_id").as("cs"))
+    full.join(star, "vec_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cf") === col("cs"), 1L).otherwise(0L)).as("n_agree"),
+        countDistinct("cf").as("n_clusters_full"),
+        countDistinct("cs").as("n_clusters_star"))
   }
 
   val all: Seq[QuerySpec] = Seq(
     f1Norm, f3ColorNormalize, f11FriendlyColor, f14SeverityTag,
     f19ShortLabel, f21SeverityProblem, j6CatalogLookup, t11CosineNeardup,
-    t26SemanticClusters)
+    t26SemanticClusters, t35SemanticStar, t36SemanticStarParity)
 }

@@ -42,7 +42,8 @@ object ScaleCheck {
     "t13_repetition", "t18_ann_ivf", "t19_curation_verdict",
     "j3_last_wins_upsert", "x8_pipeline_e2e", "t21_dup_clusters",
     "t25_kmeans_assign", "t26_semantic_clusters", "q3_top_orders",
-    "j7_asof_join", "s6_exact_quantiles", "t28_curation_manifest")
+    "j7_asof_join", "s6_exact_quantiles", "t28_curation_manifest",
+    "t32_star_clusters", "t34_rep_dedup", "t35_semantic_star")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))

@@ -179,4 +179,30 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("Window"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("t32 star edge feed: bucket-keyed equi-join, hub agg two-phase, edge count linear") {
+    // (t32's own final plan is a checkpoint scan — the CC loop runs
+    // eagerly — so the contract targets the edge builder directly)
+    val docs = graft.Tables.documents(spark, sf)
+    val edges = TextQueries.nearDupStarEdgesOf(docs)
+    val n = edges.count()
+    val p = edges.queryExecution.executedPlan.toString
+    // the hub election must combine map-side before the (band,bkey)
+    // exchange, and the member⋈hub join must ride that key — never a
+    // cartesian/NLJ over bucket members
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the structural point of the star feed: per bucket m−1 edges, so
+    // total edges ≤ docs × bands regardless of duplication depth —
+    // the bound the full pair set (C(m,2) per bucket) cannot give
+    assert(n <= docs.count() * graft.functions.TextAnalysis.LshBands)
+  }
+
+  test("t34 rep pipeline: no cartesian anywhere in the composed plan") {
+    val p = plan(TextQueries.t34RepDedup)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

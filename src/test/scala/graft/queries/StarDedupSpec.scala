@@ -48,4 +48,30 @@ class StarDedupSpec extends SparkSpec {
     assert(nAgree <= nDocs)
     assert(ncStar >= ncFull, "refinement can only add clusters")
   }
+
+  test("t35 semantic star clusters REFINE t26 full clusters") {
+    val full = ExtraQueries.t26SemanticClusters.run(spark, sf)
+      .select("vec_id", "cluster_id").withColumnRenamed("cluster_id", "cf")
+    val star = ExtraQueries.t35SemanticStar.run(spark, sf)
+      .select("vec_id", "cluster_id").withColumnRenamed("cluster_id", "cs")
+    val mixed = star.join(full, "vec_id")
+      .groupBy("cs")
+      .agg(org.apache.spark.sql.functions.countDistinct("cf").as("nf"))
+      .filter(org.apache.spark.sql.functions.col("nf") > 1)
+      .count()
+    assert(mixed == 0L, s"$mixed star clusters span multiple full clusters")
+  }
+
+  test("cosine star edge count is linear: at most one edge per non-hub vector") {
+    val edges = ExtraQueries.cosStarEdges(spark, sf)
+    val n = edges.count()
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    // one bucket per vector (single-table sign-LSH) → ≤ N − #buckets
+    // edges regardless of corpus size; the full pair set is C(m,2)
+    // per bucket and has no such bound
+    assert(n <= nVecs)
+    // d1 is always the bucket-min hub
+    assert(edges.filter(org.apache.spark.sql.functions
+      .col("d1") >= org.apache.spark.sql.functions.col("d2")).count() == 0)
+  }
 }
