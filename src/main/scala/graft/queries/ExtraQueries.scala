@@ -339,9 +339,7 @@ object ExtraQueries {
   }
 
   private val semanticMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String, Boolean),
-      org.apache.spark.sql.DataFrame]
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, Boolean)]
 
   /** Fresh semantic-cluster build (full or star edge feed), recorded
     * for reuse — the TextQueries memo pattern: direct t26/t35 runs
@@ -353,19 +351,13 @@ object ExtraQueries {
                  else cosNearDupPairs(s, d)).select(col("d1"), col("d2"))
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
-    val sized = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    val out = cc.join(sized, "label")
-      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
-        col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
-      .localCheckpoint()
-    semanticMemo.put((s, d, star), out)
-    out
+    semanticMemo.record((s, d, star),
+      Clustering.frame(cc, "vec_id").localCheckpoint())
   }
 
   private def semanticClustersReused(s: org.apache.spark.sql.SparkSession,
       d: String, star: Boolean): org.apache.spark.sql.DataFrame =
-    Option(semanticMemo.get((s, d, star)))
-      .getOrElse(buildSemanticClusters(s, d, star))
+    semanticMemo.reuse((s, d, star))(buildSemanticClusters(s, d, star))
 
   /** T35 — semantic clusters over the STAR edge feed: t32's
     * linear-edge formulation applied to the cosine family, where it

@@ -170,7 +170,7 @@ object TextQueries {
   private def sigMatches: org.apache.spark.sql.Column =
     size(filter(zip_with(col("sx"), col("sy"), (x, y) => x === y), b => b))
 
-  private def nearDupPairsOf(
+  private[queries] def nearDupPairsOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bands = nearDupBands(nearDupSigs(docs))
     val cand = bands.as("a")
@@ -254,38 +254,25 @@ object TextQueries {
     * same contract is "materialize the cluster table once, join
     * downstream consumers against it", not a per-query rebuild. */
   private val dupClustersMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-
-  /** (doc_id, cluster_id, cluster_size, is_keeper) from a CC label
-    * frame — the output shape t21/t32 share. */
-  private def clustersOf(
-      cc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sized = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sized, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
-  }
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String)]
 
   private def buildDupClusters(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val edges = nearDupPairs(s, d).select(col("d1"), col("d2"))
     val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
-    val out = clustersOf(cc).localCheckpoint()
-    dupClustersMemo.put((s, d), out)
-    out
+    dupClustersMemo.record((s, d),
+      Clustering.frame(cc, "doc_id").localCheckpoint())
   }
 
   /** The reuse path consumers compose on: the recorded frame if this
     * process already built t21 for (session, dir), else a fresh build. */
   private def dupClustersReused(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    Option(dupClustersMemo.get((s, d))).getOrElse(buildDupClusters(s, d))
+    dupClustersMemo.reuse((s, d))(buildDupClusters(s, d))
 
   private val starClustersMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String)]
 
   /** Fresh star-edge cluster build, recorded for reuse — mirrors
     * [[buildDupClusters]]: direct t32 runs always rebuild (bench/scale
@@ -296,14 +283,13 @@ object TextQueries {
     val edges = nearDupStarEdgesOf(Tables.documents(s, d))
     val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
-    val out = clustersOf(cc).localCheckpoint()
-    starClustersMemo.put((s, d), out)
-    out
+    starClustersMemo.record((s, d),
+      Clustering.frame(cc, "doc_id").localCheckpoint())
   }
 
   private def starClustersReused(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    Option(starClustersMemo.get((s, d))).getOrElse(buildStarClusters(s, d))
+    starClustersMemo.reuse((s, d))(buildStarClusters(s, d))
 
   /** T32 — near-dup clusters over the STAR edge feed: the
     * linear-in-duplication-depth variant of t21. The ×100 scale run
@@ -432,7 +418,10 @@ object TextQueries {
        |FROM fin
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // checkpoint: chash feeds dk's both sides AND the reps screen — the
+    // full-text normalize+md5 scan must run once, not three times
     val chash = docs.select(col("doc_id"), md5(normText(col("text"))).as("ch"))
+      .localCheckpoint()
     val km = chash.groupBy("ch").agg(min("doc_id").as("keeper"))
     val dk = chash.join(km, "ch").select(col("doc_id"), col("keeper"))
     val reps = docs.join(km.select(col("keeper").as("doc_id")), "doc_id")

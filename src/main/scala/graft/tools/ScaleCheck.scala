@@ -55,7 +55,7 @@ object ScaleCheck {
     if (!args.contains("--reuse")) scaleUp(spark, src, dst, copies)
     // --skew: run the SaltedJoin skew demonstration instead of the
     // heavy-query sweep (same scaled dir); --only=a,b,c restricts the
-    // sweep (the ×100 point runs the top-5 heavy set, not all 17)
+    // sweep (the ×100 points run small subsets, not the full Heavy set)
     if (args.contains("--skew")) skewDemo(spark, dst)
     else {
       val only = args.collectFirst {

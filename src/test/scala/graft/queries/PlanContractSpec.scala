@@ -200,8 +200,17 @@ class PlanContractSpec extends SparkSpec {
     assert(n <= docs.count() * graft.functions.TextAnalysis.LshBands)
   }
 
-  test("t34 rep pipeline: no cartesian anywhere in the composed plan") {
-    val p = plan(TextQueries.t34RepDedup)
+  test("full near-dup pair builder: band-bucket equi-join, never all pairs") {
+    // t34's composed plan can't carry this contract — its eager
+    // checkpoints (chash, signature table, CC loop) leave only the
+    // tail joins visible — so the contract targets the full-pair
+    // builder itself, which t2/t21/t30/t34 all run
+    val docs = graft.Tables.documents(spark, sf)
+    val pairs = TextQueries.nearDupPairsOf(docs)
+    pairs.count()
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
