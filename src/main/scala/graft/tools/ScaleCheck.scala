@@ -43,7 +43,10 @@ object ScaleCheck {
     "j3_last_wins_upsert", "x8_pipeline_e2e", "t21_dup_clusters",
     "t25_kmeans_assign", "t26_semantic_clusters", "q3_top_orders",
     "j7_asof_join", "s6_exact_quantiles", "t28_curation_manifest",
-    "t32_star_clusters", "t34_rep_dedup", "t35_semantic_star")
+    "t32_star_clusters", "t34_rep_dedup", "t35_semantic_star",
+    // the parity gates run full+star in one process (memo-composed):
+    // at scale factors they MEASURE the star feeds' split cost
+    "t33_star_parity", "t36_semantic_star_parity")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
