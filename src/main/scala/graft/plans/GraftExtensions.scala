@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point (SURVEY.md §2.8): registers the custom
@@ -56,6 +57,25 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "xml_first_local_text(xml, tagsCsv)")
         XmlFirstLocalText(args.head, foldedCsv(args(1)))
+      }),
+    // Spark ships distributed bloom-sketch expressions for its own
+    // runtime row-level filtering but does not expose them as SQL
+    // functions; surfacing them gives the engine a fixed-size set
+    // membership prescreen (see t39) without any UDF.
+    (FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_build"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) =>
+          new BloomFilterAggregate(v, Literal(1000000L), Literal(8388608L))
+        case Seq(v, items, bits) => new BloomFilterAggregate(v, items, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_build(xxhash64_value[, est_items, num_bits])")
+      }),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_contains(bloom, xxhash64_value)")
+        BloomFilterMightContain(args.head, args(1))
       }))
 
   private def foldedString(e: Expression): String = {

@@ -438,6 +438,136 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T37 — BLOCK-LEVEL BOILERPLATE detection (the C4/RefinedWeb
+    * line-dedup rule, adapted to this corpus's separator-free text):
+    * documents are segmented into consecutive 10-token blocks; a block
+    * whose exact text occurs in ≥ 3 distinct documents is boilerplate
+    * (nav bars, cookie banners, mirrored footers at crawl scale), and
+    * each document reports how much of it is boilerplate plus a keep
+    * verdict at the 50% line.
+    *
+    * Scale shape: segmentation is scan-local; the block
+    * document-frequency groupBy is the one big shuffle (two-phase,
+    * map-side combined); the ≥ 3 screen then shrinks the boiler set to
+    * a sliver that AQE broadcasts for the flagging join, so the corpus
+    * never shuffles twice. The exploded block frame feeds both the df
+    * count and the flagging join — localCheckpoint materializes that
+    * one scan instead of tokenizing the corpus twice. */
+  val t37BlockBoilerplate: QuerySpec = QuerySpec.sql(
+    "t37_block_boilerplate",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |blk AS (SELECT doc_id, unnest(list_transform(
+       |    range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+       |    i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS block
+       |  FROM t),
+       |dfreq AS (SELECT block, COUNT(DISTINCT doc_id) AS df
+       |          FROM blk GROUP BY 1),
+       |boiler AS (SELECT block FROM dfreq WHERE df >= 3),
+       |flag AS (SELECT b.doc_id, y.block AS hit
+       |         FROM blk b LEFT JOIN boiler y ON b.block = y.block)
+       |SELECT doc_id, COUNT(*) AS n_blocks,
+       |  COUNT(hit) AS n_boiler,
+       |  CAST(COUNT(hit) AS DOUBLE) / COUNT(*) AS boiler_frac,
+       |  (CAST(COUNT(hit) AS DOUBLE) / COUNT(*) < 0.5) AS keep
+       |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val blk = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ceil(size(col("toks")) / lit(10.0)).cast("int") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))))
+          .as("block"))
+      .localCheckpoint()
+    val boiler = blk.groupBy("block")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 3)
+      .select(col("block"), lit(1).as("hit"))
+    val frac = col("n_boiler").cast("double") / col("n_blocks")
+    blk.join(boiler, Seq("block"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"), count(col("hit")).as("n_boiler"))
+      .select(col("doc_id"), col("n_blocks"), col("n_boiler"),
+        frac.as("boiler_frac"), (frac < 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** T38 — INCREMENTAL (delta) near-dedup: the production ingest
+    * pattern. A new batch (docs whose t15 hash-byte < 26, ~10%) is
+    * probed against the standing corpus through the SAME LSH band
+    * rule as t2 — a batch doc is `dup_corpus` if it near-matches any
+    * corpus doc, `dup_batch` if it only near-matches an EARLIER
+    * (smaller doc_id) batch doc, else `keep`.
+    *
+    * Scale shape — the whole point of the operator: candidate
+    * generation joins the BATCH side's band keys against the corpus
+    * index, so the corpus is probed, never self-paired — cost is
+    * (batch band rows) × (bucket fan-in), independent of corpus pair
+    * counts. At 100 TB the corpus (band, bkey) index is a bucketed
+    * table maintained across ingests and the probe join is
+    * shuffle-free on the corpus side; re-pairing the corpus per batch
+    * (t2's shape) would redo quadratic work every ingest. */
+  val t38DeltaNearDup: QuerySpec = QuerySpec.sql(
+    "t38_delta_neardup",
+    s"""WITH ${nearDupBaseCtes("documents")},
+       |hb AS (SELECT doc_id,
+       |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+       |      AS BIGINT) < 26) AS is_batch
+       |  FROM documents),
+       |bcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a
+       |  JOIN hb ha ON a.doc_id = ha.doc_id AND ha.is_batch
+       |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id <> b.doc_id),
+       |bhits AS (SELECT d1 AS px, d2 AS py, hy.is_batch AS y_batch
+       |  FROM bcand
+       |  JOIN sigs x ON bcand.d1 = x.doc_id
+       |  JOIN sigs y ON bcand.d2 = y.doc_id
+       |  JOIN hb hy ON bcand.d2 = hy.doc_id
+       |  WHERE ($SigMatchSql) >= ${K / 2}),
+       |agg AS (SELECT px,
+       |    COUNT(CASE WHEN NOT y_batch THEN 1 END) AS n_corpus_hits,
+       |    COUNT(CASE WHEN y_batch AND py < px THEN 1 END)
+       |      AS n_earlier_batch_hits
+       |  FROM bhits GROUP BY 1)
+       |SELECT h.doc_id,
+       |  COALESCE(n_corpus_hits, 0) AS n_corpus_hits,
+       |  COALESCE(n_earlier_batch_hits, 0) AS n_earlier_batch_hits,
+       |  CASE WHEN COALESCE(n_corpus_hits, 0) > 0 THEN 'dup_corpus'
+       |       WHEN COALESCE(n_earlier_batch_hits, 0) > 0 THEN 'dup_batch'
+       |       ELSE 'keep' END AS verdict
+       |FROM hb h LEFT JOIN agg ON h.doc_id = agg.px
+       |WHERE h.is_batch
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def hashByte(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("long")
+    val bands = nearDupBands(nearDupSigs(docs.select("doc_id", "text")))
+      .withColumn("is_batch", hashByte(col("doc_id")) < 26)
+    val hits = bands.filter(col("is_batch")).as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        col("a.sig").as("sx"), col("b.sig").as("sy"),
+        col("b.is_batch").as("y_batch"))
+      .dropDuplicates("x", "y") // sx/sy/y_batch are functions of x/y
+      .filter(sigMatches >= K / 2)
+    val agg = hits.groupBy("x").agg(
+      count(when(!col("y_batch"), 1)).as("n_corpus_hits"),
+      count(when(col("y_batch") && col("y") < col("x"), 1))
+        .as("n_earlier_batch_hits"))
+    docs.select(col("doc_id")).filter(hashByte(col("doc_id")) < 26)
+      .join(agg, col("doc_id") === col("x"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_hits"), lit(0)).as("n_corpus_hits"),
+        coalesce(col("n_earlier_batch_hits"), lit(0))
+          .as("n_earlier_batch_hits"),
+        when(coalesce(col("n_corpus_hits"), lit(0)) > 0, "dup_corpus")
+          .when(coalesce(col("n_earlier_batch_hits"), lit(0)) > 0, "dup_batch")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Per-bit SimHash contribution aggregate (DuckDB side) — shared by
     * t3's fingerprint and t31's banded near-dup join so the bit
     * definition cannot drift between them. */
@@ -1219,5 +1349,6 @@ object TextQueries {
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
     t28CurationManifest, t29CorpusProfile, t30LshRecall,
-    t31SimhashNearDup, t32StarClusters, t33StarParity, t34RepDedup)
+    t31SimhashNearDup, t32StarClusters, t33StarParity, t34RepDedup,
+    t37BlockBoilerplate, t38DeltaNearDup)
 }

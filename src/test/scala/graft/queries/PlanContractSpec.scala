@@ -200,6 +200,33 @@ class PlanContractSpec extends SparkSpec {
     assert(n <= docs.count() * graft.functions.TextAnalysis.LshBands)
   }
 
+  test("t37 boilerplate: two-phase block-df agg, flag join finalizes to broadcast") {
+    val df = TextQueries.t37BlockBoilerplate.run(spark, sf)
+    df.count() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // block document-frequency must combine map-side before its exchange
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2)
+    // the ≥3-df screen shrinks boiler to a sliver — AQE must broadcast
+    // it so the corpus-sized block frame shuffles exactly once (the df
+    // agg), not twice
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t38 delta probe joins batch bands to the corpus index on the bucket key") {
+    val df = TextQueries.t38DeltaNearDup.run(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // candidate generation must ride the (band, bkey) equi-key — a
+    // nested loop over batch×corpus is the re-pair-everything failure
+    // the operator exists to avoid
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("full near-dup pair builder: band-bucket equi-join, never all pairs") {
     // t34's composed plan can't carry this contract — its eager
     // checkpoints (chash, signature table, CC loop) leave only the
