@@ -67,7 +67,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(v) =>
           new BloomFilterAggregate(v, Literal(1000000L), Literal(8388608L))
-        case Seq(v, items, bits) => new BloomFilterAggregate(v, items, bits)
+        case Seq(v, items, bits) =>
+          // the aggregate demands BIGINT constants; SQL integer
+          // literals arrive as INT, so re-literalize foldable sizes
+          new BloomFilterAggregate(v, foldedLong(items), foldedLong(bits))
         case _ => throw new IllegalArgumentException(
           "bloom_build(xxhash64_value[, est_items, num_bits])")
       }),
@@ -85,6 +88,11 @@ object GraftExtensions {
 
   private def foldedCsv(e: Expression): Seq[String] =
     foldedString(e).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def foldedLong(e: Expression): Literal = {
+    require(e.foldable, s"expected a numeric literal, got $e")
+    Literal(String.valueOf(e.eval(null)).toLong)
+  }
 
   /** Late registration on an existing session. */
   def register(spark: SparkSession): Unit =

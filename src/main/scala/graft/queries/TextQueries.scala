@@ -856,6 +856,25 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The exact decontamination computation, as DuckDB SQL — shared by
+    * t12 (exact broadcast join) and t39 (bloom prescreen + exact
+    * confirm): the two engines' plans differ, the answer may not. */
+  private val DecontaminationOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |s0 AS (SELECT doc_id, unnest($ShinglesOverToks) AS shingle FROM t),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM s0),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+       |corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+       |agg AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_shingles,
+       |    COUNT(b.shingle) AS n_contaminated
+       |  FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+       |  GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination,
+       |  (CAST(n_contaminated AS DOUBLE) / n_shingles >= 0.2) AS flagged
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** T12 — train/test DECONTAMINATION: flag corpus documents whose
     * 3-gram shingles overlap a benchmark set beyond a threshold (the
     * GPT-3/Dolma n-gram overlap rule). The benchmark here is the
@@ -910,24 +929,61 @@ object TextQueries {
   }
 
   val t12Decontaminate: QuerySpec = QuerySpec.sql(
-    "t12_decontaminate",
-    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-       |s0 AS (SELECT doc_id, unnest($ShinglesOverToks) AS shingle FROM t),
-       |sh AS (SELECT DISTINCT doc_id, shingle FROM s0),
-       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
-       |corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
-       |agg AS (
-       |  SELECT c.doc_id, COUNT(*) AS n_shingles,
-       |    COUNT(b.shingle) AS n_contaminated
-       |  FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
-       |  GROUP BY 1)
-       |SELECT doc_id, n_shingles, n_contaminated,
-       |  CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination,
-       |  (CAST(n_contaminated AS DOUBLE) / n_shingles >= 0.2) AS flagged
-       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    "t12_decontaminate", DecontaminationOracleSql) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
       docs.filter(col("doc_id") % 50 === 0), 3, 0.2)
+  }
+
+  /** T39 — decontamination with a BLOOM-SKETCH prescreen: same answer
+    * as t12 (the oracle IS t12's SQL), different scale regime. t12
+    * broadcasts the benchmark's exact shingle set — right while the
+    * eval suite is megabytes, impossible when the screen list reaches
+    * billions of entries (all published benchmarks × paraphrases, or
+    * an opt-out corpus). The bloom variant aggregates the set into a
+    * FIXED-SIZE sketch on the executors (`bloom_filter_agg`, exposed
+    * as `bloom_build` via GraftExtensions — Spark ships the expression
+    * for its runtime row filtering but doesn't register it), ships it
+    * as a scalar subquery, and prescreens corpus shingles with the
+    * codegen'd `might_contain` before the exact-confirm join. False
+    * positives are killed by the confirm join (which now probes only
+    * prescreen survivors — at threshold FPR that's ~overlap-sized, so
+    * it can shuffle-join against a disk-resident benchmark table);
+    * false negatives are impossible. Sketch is sized ~8 bits/item
+    * here; production sizing is items=|set|, bits≈items×10 for ~1%
+    * FPR. */
+  val t39BloomDecontaminate: QuerySpec = QuerySpec.sql(
+    "t39_bloom_decontaminate", DecontaminationOracleSql) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    val sh = Tables.documents(s, d).select("doc_id", "text")
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 3)).as("shingle"))
+      .distinct()
+      .localCheckpoint() // feeds bench agg, per-doc totals AND the probe
+    sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
+      .createOrReplaceTempView("t39_bench")
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .createOrReplaceTempView("t39_corpus")
+    s.sql(s"""
+      WITH hits AS (
+        SELECT c.doc_id, COUNT(b.shingle) AS n_contaminated
+        FROM t39_corpus c
+        JOIN t39_bench b ON c.shingle = b.shingle
+        WHERE bloom_contains(
+            (SELECT bloom_build(xxhash64(shingle), 100000, 800000)
+             FROM t39_bench),
+            xxhash64(c.shingle))
+        GROUP BY c.doc_id),
+      tot AS (SELECT doc_id, COUNT(*) AS n_shingles
+              FROM t39_corpus GROUP BY doc_id)
+      SELECT t.doc_id, t.n_shingles,
+        COALESCE(h.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+        CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles
+          AS contamination,
+        (CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles
+          >= 0.2) AS flagged
+      FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      ORDER BY t.doc_id""")
   }
 
   /** T13 — intra-document REPETITION score (the Gopher boilerplate
@@ -1350,5 +1406,5 @@ object TextQueries {
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
     t28CurationManifest, t29CorpusProfile, t30LshRecall,
     t31SimhashNearDup, t32StarClusters, t33StarParity, t34RepDedup,
-    t37BlockBoilerplate, t38DeltaNearDup)
+    t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate)
 }

@@ -227,6 +227,18 @@ class PlanContractSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t39 plans the bloom prescreen: sketch subquery + might_contain filter") {
+    val df = TextQueries.t39BloomDecontaminate.run(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the codegen'd membership test must gate the exact-confirm join —
+    // without it this is just t12 with extra steps
+    assert(p.contains("might_contain"))
+    // the sketch is built by an aggregate in a scalar subquery (on the
+    // executors), not collected to the driver
+    assert(p.contains("Subquery") || p.contains("subquery"))
+  }
+
   test("full near-dup pair builder: band-bucket equi-join, never all pairs") {
     // t34's composed plan can't carry this contract — its eager
     // checkpoints (chash, signature table, CC loop) leave only the
