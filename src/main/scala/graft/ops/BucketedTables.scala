@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-located joins — the storage-layout half of the
+  * 100 TB join story.
+  *
+  * A fact⋈fact join (j3's id-map upsert against a fleet snapshot,
+  * t38's per-ingest probe of the corpus band index) pays a full
+  * shuffle of BOTH sides every run: at 100 TB that is the dominant
+  * cost, and it repeats on every pipeline execution. Writing both
+  * sides bucketed by the join key moves that shuffle to WRITE time,
+  * once: `bucketBy(n, key)` hash-partitions rows into n files per
+  * write task and records the bucketing in the catalog, after which
+  * every equi-join (and aggregation) on the key between tables with
+  * matching bucket counts plans with ZERO Exchange operators — the
+  * scan itself satisfies the join's distribution requirement.
+  *
+  * This is the standing-index contract the incremental operators
+  * assume: the corpus side of t38 is written bucketed by its band
+  * key at ingest N, and ingest N+1's probe join shuffles only the
+  * (small) batch side. The cost model is
+  * `write-once shuffle + k × shuffle-free joins` versus
+  * `k × (shuffle both sides)` — the former wins for any table joined
+  * more than once on the same key, which is what "index" means.
+  *
+  * Bucket-count discipline at scale: pick n so a bucket's largest
+  * file fits an executor's read slice (Spark joins tables with
+  * DIFFERENT bucket counts by shuffling the smaller-bucketed side
+  * unless one count divides the other), and bucket by the HIGH-NGRAM
+  * join key, not a low-cardinality column — a 16-bucket table with a
+  * dominant key is the skew problem again, at rest (see SaltedJoin
+  * for the in-flight answer).
+  */
+object BucketedTables {
+
+  /** Write `df` as a parquet table bucketed (and sorted) by `keys` —
+    * the one-time shuffle that buys every later join on them.
+    * Replaces any previous `table`, including an ORPHANED managed
+    * location left by a process whose in-memory catalog died without
+    * dropping it (overwrite alone cannot: the new catalog doesn't know
+    * the table, so CREATE refuses the existing path). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: String*): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val path = new org.apache.hadoop.fs.Path(loc)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two tables on `key`. When both were written via
+    * [[writeBucketed]] with the same bucket count, the planned join
+    * has no Exchange on either side (assert it with
+    * [[isShuffleFreeJoin]] — plan contracts, not hope). */
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+
+  /** True when `df`'s executed plan contains a join and no shuffle
+    * exchange — the property bucketing exists to buy. */
+  def isShuffleFreeJoin(df: DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains("Join") && !p.contains("Exchange")
+  }
+}

@@ -186,6 +186,14 @@ object TextQueries {
       .filter(col("sig_matches") >= K / 2)
   }
 
+  /** The (doc_id, sig, band, bkey) band index over a docs frame — the
+    * standing structure t38's incremental probe joins against. Exposed
+    * for the ScaleCheck bucketed-index demonstration, which measures
+    * what writing this index bucketed by its join key buys. */
+  private[graft] def bandIndexOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    nearDupBands(nearDupSigs(docs))
+
   /** Spark twin of [[StarPairCtes]]: per (band, bkey) bucket, each
     * member pairs ONLY with the bucket-min hub (m−1 edges, not
     * C(m,2)), then the same ≥ K/2 signature screen. d1 < d2 holds by

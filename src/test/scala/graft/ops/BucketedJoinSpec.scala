@@ -1,63 +1,74 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 
-import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
 
-import graft.SparkSpec
-
-/** Co-located joins via bucketing (the 100 TB join-strategy claim,
-  * SURVEY.md §4.3 / README scale notes): two tables bucketed by the
-  * join key into the same bucket count join WITHOUT a shuffle — the
-  * physical plan has no Exchange on either side. This is the standing
-  * answer to "is there a shuffle here that becomes the bottleneck at
-  * 100×": pre-bucket the fact tables on their join keys once, then
-  * every downstream join is exchange-free. */
+/** The co-located join contract: same-bucketed tables join with zero
+  * Exchange operators, while the identical join over plain parquet
+  * shuffles both sides. Broadcast is disabled for the duration so the
+  * comparison is shuffle-vs-no-shuffle at the SortMergeJoin strategy
+  * both plans would use at data scale (where neither side broadcasts
+  * anyway). */
 class BucketedJoinSpec extends SparkSpec {
-  import spark.implicits._
 
-  test("bucketed tables join with zero Exchange in the plan") {
-    // tables land in the default warehouse dir (gitignored); dropped in
-    // the finally block
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  private val sf = "/root/testdata/sf0.001"
 
-    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("b_lineitem")
+  private def withNoBroadcast[A](body: => A): A = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe =
+      conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try body finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
 
-    // disable auto-broadcast so the join strategy is decided by
-    // co-location, not by table size
-    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val joined = spark.table("b_lineitem")
-        .join(spark.table("b_orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select("l_orderkey", "l_quantity", "o_orderstatus")
-      // the JOIN must be exchange-free: bucketed layout satisfies the
-      // join's distribution requirement on both sides
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"bucketed join should not shuffle:\n$plan")
+  test("same-bucketed orders ⋈ lineitem plans with zero Exchange; plain parquet shuffles") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lineitem = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
 
-      // and it computes the same result as the plain parquet join
-      val expected = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-        .join(spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select("l_orderkey", "l_quantity", "o_orderstatus")
-        .collect().map(_.toSeq).toSet
-      val got = joined.collect().map(_.toSeq).toSet
-      assert(got == expected)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    BucketedTables.writeBucketed(orders, "bkt_orders", 8, "o_orderkey")
+    BucketedTables.writeBucketed(lineitem, "bkt_lineitem", 8, "o_orderkey")
+
+    withNoBroadcast {
+      val co = BucketedTables.colocatedJoin(
+        spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+      val n = co.count()
+      co.queryExecution.executedPlan // finalize
+      assert(n > 0)
+      assert(BucketedTables.isShuffleFreeJoin(co),
+        s"expected exchange-free join, got:\n${co.queryExecution.executedPlan}")
+
+      // the same join over plain parquet MUST shuffle both sides —
+      // this is the repeated cost bucketing converts to a write-once
+      val plain = orders.join(lineitem, Seq("o_orderkey"))
+      assert(plain.count() == n) // identical result either layout
+      val p = plain.queryExecution.executedPlan.toString
+      assert(p.contains("Exchange"), s"expected shuffles in:\n$p")
+    }
+  }
+
+  test("mismatched bucket counts fall back to a shuffle on one side only") {
+    val orders = Tables.orders(spark, sf).select(col("o_orderkey"))
+    val lineitem = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"))
+    BucketedTables.writeBucketed(orders, "bkt_orders8", 8, "o_orderkey")
+    BucketedTables.writeBucketed(lineitem, "bkt_lineitem4", 4, "o_orderkey")
+    withNoBroadcast {
+      val j = BucketedTables.colocatedJoin(
+        spark, "bkt_orders8", "bkt_lineitem4", "o_orderkey")
+      j.count()
+      val p = j.queryExecution.executedPlan.toString
+      // exactly one Exchange: the 4-bucket side re-hashes to 8 while
+      // the 8-bucket side still scans bucketed
+      assert("Exchange".r.findAllIn(p).size == 1, s"plan:\n$p")
+      assert(p.contains("Bucketed: true"), s"plan:\n$p")
     }
   }
 }
