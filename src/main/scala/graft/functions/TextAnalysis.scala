@@ -107,4 +107,19 @@ object TextAnalysis {
 
   def stopwordCount(toks: Column): Column =
     size(filter(toks, t => array_contains(array(EnStopwords.map(lit): _*), t)))
+
+  /** Deterministic id→[0,256) hash byte (first md5 byte of the decimal
+    * string) — the RNG-free split primitive t15 buckets on and t38/
+    * ScaleCheck's index demo reuse for the batch/corpus split; one
+    * definition here so the split rule cannot drift between them.
+    * [[IdHashByteSql]] is its DuckDB twin. */
+  def idHashByte(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long")
+
+  /** DuckDB twin of [[idHashByte]] over a column reference. */
+  def idHashByteSql(ref: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($ref AS VARCHAR)), 1, 2)) AS BIGINT)"
+
+  /** The t38 ingest-batch rule: ids whose hash byte < 26 (~10%). */
+  val DeltaBatchThreshold = 26
 }

@@ -36,23 +36,39 @@ object BucketedTables {
 
   /** Write `df` as a parquet table bucketed (and sorted) by `keys` —
     * the one-time shuffle that buys every later join on them.
-    * Replaces any previous `table`, including an ORPHANED managed
-    * location left by a process whose in-memory catalog died without
-    * dropping it (overwrite alone cannot: the new catalog doesn't know
-    * the table, so CREATE refuses the existing path). */
+    *
+    * Replacement is STAGED: the new data lands in a `__staging` table
+    * first and only a successful write swaps it in, so a failed write
+    * (disk full, executor loss) leaves the previous standing index
+    * intact — destroying the index a pipeline amortizes its cost over
+    * is precisely the failure this op must not have. Also clears
+    * ORPHANED managed locations left by a process whose in-memory
+    * catalog died without dropping its tables (overwrite alone cannot:
+    * the new catalog doesn't know the table, so CREATE refuses the
+    * existing path). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       keys: String*): Unit = {
     val spark = df.sparkSession
+    val staging = table + "__staging"
+    dropWithLocation(spark, staging)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(staging)
+    // the write succeeded — swap (metadata-only window)
+    dropWithLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
+
+  /** DROP TABLE IF EXISTS plus removal of the default managed location
+    * if a prior catalog's death orphaned it. */
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = spark.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val path = new org.apache.hadoop.fs.Path(loc)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path)) fs.delete(path, true)
-    df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
   }
 
   /** Equi-join two tables on `key`. When both were written via
@@ -63,10 +79,15 @@ object BucketedTables {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key))
 
-  /** True when `df`'s executed plan contains a join and no shuffle
-    * exchange — the property bucketing exists to buy. */
+  /** True when `df`'s planned physical tree contains a join and no
+    * SHUFFLE exchange — the property bucketing exists to buy. A
+    * BroadcastExchange does not count: broadcast joins are shuffle-free
+    * with or without bucketing. Checked on the static plan: bucketed
+    * scan distribution is a planning-time property, and AQE never adds
+    * an exchange the static plan didn't need. */
   def isShuffleFreeJoin(df: DataFrame): Boolean = {
     val p = df.queryExecution.executedPlan.toString
-    p.contains("Join") && !p.contains("Exchange")
+    p.contains("Join") && !p.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
   }
 }

@@ -91,7 +91,11 @@ object GraftExtensions {
 
   private def foldedLong(e: Expression): Literal = {
     require(e.foldable, s"expected a numeric literal, got $e")
-    Literal(String.valueOf(e.eval(null)).toLong)
+    e.eval(null) match {
+      case n: java.lang.Number => Literal(n.longValue())
+      case other => throw new IllegalArgumentException(
+        s"bloom_build sizes must be integral literals, got $other")
+    }
   }
 
   /** Late registration on an existing session. */

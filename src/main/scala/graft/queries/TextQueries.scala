@@ -518,8 +518,7 @@ object TextQueries {
     "t38_delta_neardup",
     s"""WITH ${nearDupBaseCtes("documents")},
        |hb AS (SELECT doc_id,
-       |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
-       |      AS BIGINT) < 26) AS is_batch
+       |    (${idHashByteSql("doc_id")} < $DeltaBatchThreshold) AS is_batch
        |  FROM documents),
        |bcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a
@@ -547,10 +546,8 @@ object TextQueries {
        |WHERE h.is_batch
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    def hashByte(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("long")
     val bands = nearDupBands(nearDupSigs(docs.select("doc_id", "text")))
-      .withColumn("is_batch", hashByte(col("doc_id")) < 26)
+      .withColumn("is_batch", idHashByte(col("doc_id")) < DeltaBatchThreshold)
     val hits = bands.filter(col("is_batch")).as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -564,7 +561,8 @@ object TextQueries {
       count(when(!col("y_batch"), 1)).as("n_corpus_hits"),
       count(when(col("y_batch") && col("y") < col("x"), 1))
         .as("n_earlier_batch_hits"))
-    docs.select(col("doc_id")).filter(hashByte(col("doc_id")) < 26)
+    docs.select(col("doc_id"))
+      .filter(idHashByte(col("doc_id")) < DeltaBatchThreshold)
       .join(agg, col("doc_id") === col("x"), "left")
       .select(col("doc_id"),
         coalesce(col("n_corpus_hits"), lit(0)).as("n_corpus_hits"),
@@ -968,22 +966,28 @@ object TextQueries {
         explode(shingles(tokens(col("text")), 3)).as("shingle"))
       .distinct()
       .localCheckpoint() // feeds bench agg, per-doc totals AND the probe
+    // views are invocation-unique and dropped right after sql()'s eager
+    // analysis resolves them — concurrent builders on one session must
+    // not race on a shared view name, and nothing may leak
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val benchV = s"t39_bench_$tag"
+    val corpusV = s"t39_corpus_$tag"
     sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
-      .createOrReplaceTempView("t39_bench")
+      .createOrReplaceTempView(benchV)
     sh.filter(col("doc_id") % 50 =!= 0)
-      .createOrReplaceTempView("t39_corpus")
-    s.sql(s"""
+      .createOrReplaceTempView(corpusV)
+    try s.sql(s"""
       WITH hits AS (
         SELECT c.doc_id, COUNT(b.shingle) AS n_contaminated
-        FROM t39_corpus c
-        JOIN t39_bench b ON c.shingle = b.shingle
+        FROM $corpusV c
+        JOIN $benchV b ON c.shingle = b.shingle
         WHERE bloom_contains(
             (SELECT bloom_build(xxhash64(shingle), 100000, 800000)
-             FROM t39_bench),
+             FROM $benchV),
             xxhash64(c.shingle))
         GROUP BY c.doc_id),
       tot AS (SELECT doc_id, COUNT(*) AS n_shingles
-              FROM t39_corpus GROUP BY doc_id)
+              FROM $corpusV GROUP BY doc_id)
       SELECT t.doc_id, t.n_shingles,
         COALESCE(h.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
         CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles
@@ -992,6 +996,10 @@ object TextQueries {
           >= 0.2) AS flagged
       FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
       ORDER BY t.doc_id""")
+    finally {
+      s.catalog.dropTempView(benchV)
+      s.catalog.dropTempView(corpusV)
+    }
   }
 
   /** T13 — intra-document REPETITION score (the Gopher boilerplate
@@ -1064,17 +1072,16 @@ object TextQueries {
     * never reassigns existing ones). ~80/10/10 via byte < 205/230. */
   val t15HashSplit: QuerySpec = QuerySpec.sql(
     "t15_hash_split",
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
-      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS b
+      |    ${idHashByteSql("doc_id")} AS b
       |  FROM documents
       |)
       |SELECT doc_id, b,
       |  CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val b = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-      .cast("long")
+    val b = idHashByte(col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"), b.as("b"),
         when(b < 205, "train").when(b < 230, "val").otherwise("test")

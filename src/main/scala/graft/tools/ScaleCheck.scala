@@ -115,6 +115,44 @@ object ScaleCheck {
       .foreach(t => write(t)(identity))
   }
 
+  /** Per-task metrics captured while `job` runs:
+    * (stageId, durationMs, shuffleReadBytes, shuffleWriteBytes).
+    * Shared by the skew and index demos so the listener-drain and
+    * detach behavior cannot diverge between them. */
+  private def withTaskMetrics[A](spark: SparkSession)(
+      job: => A): (A, Seq[(Int, Long, Long, Long)]) = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import scala.jdk.CollectionConverters._
+    val q =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null && te.taskMetrics != null)
+          q.add((te.stageId, te.taskInfo.duration,
+            te.taskMetrics.shuffleReadMetrics.totalBytesRead,
+            te.taskMetrics.shuffleWriteMetrics.bytesWritten))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = job
+      Thread.sleep(300) // listener bus is async; let the tail drain
+      (r, q.asScala.toSeq)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Set confs for the duration of `body`, restoring (or unsetting)
+    * previous values after. */
+  private def withConfs[A](spark: SparkSession, pairs: (String, String)*)(
+      body: => A): A = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.get(k, null) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, null) => spark.conf.unset(k)
+      case (k, v) => spark.conf.set(k, v)
+    }
+  }
+
   /** SaltedJoin demonstration on a SYNTHESIZED dominant key: ~30% of
     * the scaled lineitem is remapped to one supplier, then joined to
     * the supplier dim under the regime [[graft.ops.SaltedJoin]] exists
@@ -127,8 +165,6 @@ object ScaleCheck {
     * `buckets` tasks. Row counts must match exactly — salting may only
     * change partitioning, never the result. */
   def skewDemo(spark: SparkSession, dir: String, buckets: Int = 32): Unit = {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    import scala.jdk.CollectionConverters._
     // full-width rows: the skewed task must MOVE the dominant key's
     // bytes, not just probe narrow keys — that is what hurts at scale
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -138,37 +174,25 @@ object ScaleCheck {
     val supp = spark.read.parquet(s"$dir/supplier.parquet")
       .select(col("s_suppkey").cast("long").as("l_suppkey"),
         col("s_nationkey"))
-    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
       def measure(label: String)(df: org.apache.spark.sql.DataFrame): Long = {
-        val durs =
-          new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
-        val listener = new SparkListener {
-          override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-            if (te.taskInfo != null && te.taskMetrics != null)
-              durs.add((te.stageId, te.taskInfo.duration,
-                te.taskMetrics.shuffleReadMetrics.totalBytesRead))
-        }
-        spark.sparkContext.addSparkListener(listener)
-        val t0 = System.nanoTime()
         // NOT count(): Catalyst would prune everything but the join key
         // and the shuffle would carry 8-byte keys — the hash-sum forces
         // every column through the exchange, like a real consumer
-        val row = df.agg(count(lit(1)),
-          sum(pmod(xxhash64(df.columns.map(col): _*), lit(1000000L))))
-          .collect().head
-        val n = row.getLong(0)
-        val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // listener bus is async; let the tail drain
-        spark.sparkContext.removeSparkListener(listener)
+        val ((n, wall), tasks) = withTaskMetrics(spark) {
+          val t0 = System.nanoTime()
+          val row = df.agg(count(lit(1)),
+            sum(pmod(xxhash64(df.columns.map(col): _*), lit(1000000L))))
+            .collect().head
+          (row.getLong(0), (System.nanoTime() - t0) / 1e9)
+        }
         // the skew shows inside ONE stage — the join's shuffle-READ
         // side — so stats across scan stages would dilute it: the join
         // stage is the one reading the most shuffle bytes (the final
         // count agg also reads shuffle, but only 32 tiny partial rows)
-        val byStage = durs.asScala.toSeq.groupBy(_._1)
+        val byStage = tasks.groupBy(_._1)
         val (_, joinStage) = byStage.maxBy { case (_, ts) => ts.map(_._3).sum }
         val ds = joinStage.map(_._2).sorted
         val bs = joinStage.map(_._3).sorted
@@ -193,7 +217,7 @@ object ScaleCheck {
         graft.ops.SaltedJoin(li, supp, "l_suppkey", buckets))
       require(plain == salted,
         s"salted join changed the result: $plain != $salted")
-    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
   }
 
   /** Bucketed STANDING-INDEX demonstration — t38's scale contract,
@@ -208,42 +232,31 @@ object ScaleCheck {
     * to broadcast is exactly where the layout matters. Candidate
     * counts must match between the two executions. */
   def indexDemo(spark: SparkSession, dir: String, buckets: Int = 32): Unit = {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    import scala.jdk.CollectionConverters._
+    import graft.functions.TextAnalysis.{idHashByte, DeltaBatchThreshold}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
-    def hashByte(c: Column) =
-      conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("long")
     val bands = graft.queries.TextQueries.bandIndexOf(docs)
       .select(col("doc_id"), col("band"), col("bkey"))
-    val corpus = bands.filter(hashByte(col("doc_id")) >= 26)
-    val batch = bands.filter(hashByte(col("doc_id")) < 26)
+    // the SAME split rule as t38 (one definition in TextAnalysis) —
+    // this demo measures that operator's standing-index contract
+    val corpus = bands.filter(idHashByte(col("doc_id")) >= DeltaBatchThreshold)
+    val batch = bands.filter(idHashByte(col("doc_id")) < DeltaBatchThreshold)
       .withColumnRenamed("doc_id", "probe_id").localCheckpoint()
     val t0 = System.nanoTime()
     graft.ops.BucketedTables.writeBucketed(
       corpus, "scale_band_index", buckets, "band", "bkey")
     val tw = (System.nanoTime() - t0) / 1e9
-    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
-      .map(k => k -> spark.conf.get(k, "10485760b"))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    try {
+    withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       def probe(label: String, rhs: DataFrame): Long = {
-        val written = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-        val listener = new SparkListener {
-          override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-            if (te.taskMetrics != null)
-              written.add(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        val ((n, wall), tasks) = withTaskMetrics(spark) {
+          val t1 = System.nanoTime()
+          val n = batch.join(rhs, Seq("band", "bkey"))
+            .filter(col("probe_id") =!= col("doc_id")).count()
+          (n, (System.nanoTime() - t1) / 1e9)
         }
-        spark.sparkContext.addSparkListener(listener)
-        val t1 = System.nanoTime()
-        val n = batch.join(rhs, Seq("band", "bkey"))
-          .filter(col("probe_id") =!= col("doc_id")).count()
-        val wall = (System.nanoTime() - t1) / 1e9
-        Thread.sleep(300) // async listener bus drain
-        spark.sparkContext.removeSparkListener(listener)
-        val mb = written.asScala.sum / 1048576.0
+        val mb = tasks.map(_._4).sum / 1048576.0
         println(f"[index] $label%-8s candidates=$n%9d wall=$wall%6.2fs " +
           f"shuffleWrite=$mb%8.1fMB")
         n
@@ -257,7 +270,7 @@ object ScaleCheck {
         s"layout changed the candidates: $adhoc != $indexed")
       println(f"[index] one-time bucketed index write: $tw%.2fs " +
         s"(amortized over every later ingest probe)")
-    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
   }
 
   def runHeavy(spark: SparkSession, dir: String,
@@ -267,18 +280,24 @@ object ScaleCheck {
       val fn = qs(name)
       def pass(): (Double, Long, org.apache.spark.sql.DataFrame) = {
         // timer wraps the BUILD too: iterative operators (t21's label
-        // loop) execute eagerly inside fn — timing only count() would
-        // measure a join over already-checkpointed results
+        // loop) execute eagerly inside fn — timing only the action
+        // would measure a join over already-checkpointed results.
+        // toRdd.count() (not df.count()) so the df's OWN QueryExecution
+        // runs and its adaptive plan finalizes — df.count() plans a
+        // separate execution and would leave the inspected plan at its
+        // initial static form
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
-        val n = df.count()
+        val n = df.queryExecution.toRdd.count()
         ((System.nanoTime() - t0) / 1e9, n, df)
       }
       val (cold, rows, _) = pass()
-      // the warm pass's count() already finalized its adaptive plan, so
-      // the join markers come from it — no extra execution
+      // the warm pass finalized its own adaptive plan, so the join
+      // markers come from its Final Plan section (the echoed Initial
+      // Plan would show pre-AQE strategies)
       val (warm, _, wdf) = pass()
       val plan = wdf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
       val markers = Seq("BroadcastHashJoin", "SortMergeJoin",
         "BroadcastNestedLoopJoin", "ShuffledHashJoin")
         .filter(plan.contains).mkString("+")

@@ -39,18 +39,25 @@ class BucketedJoinSpec extends SparkSpec {
     withNoBroadcast {
       val co = BucketedTables.colocatedJoin(
         spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
-      val n = co.count()
-      co.queryExecution.executedPlan // finalize
-      assert(n > 0)
+      // bucketed distribution is a STATIC planning property (AQE never
+      // adds an exchange the initial plan didn't need), so the helper
+      // checks the static plan
       assert(BucketedTables.isShuffleFreeJoin(co),
         s"expected exchange-free join, got:\n${co.queryExecution.executedPlan}")
 
       // the same join over plain parquet MUST shuffle both sides —
       // this is the repeated cost bucketing converts to a write-once
       val plain = orders.join(lineitem, Seq("o_orderkey"))
-      assert(plain.count() == n) // identical result either layout
       val p = plain.queryExecution.executedPlan.toString
-      assert(p.contains("Exchange"), s"expected shuffles in:\n$p")
+      assert(p.contains("Exchange hashpartitioning"),
+        s"expected shuffles in:\n$p")
+
+      // identical CONTENT (multiset) either layout — row counts alone
+      // would pass a layout bug that mispairs rows while preserving
+      // cardinality
+      val got = co.collect().map(_.toSeq.toString).sorted.toSeq
+      val expected = plain.collect().map(_.toSeq.toString).sorted.toSeq
+      assert(got.nonEmpty && got == expected)
     }
   }
 
@@ -63,12 +70,13 @@ class BucketedJoinSpec extends SparkSpec {
     withNoBroadcast {
       val j = BucketedTables.colocatedJoin(
         spark, "bkt_orders8", "bkt_lineitem4", "o_orderkey")
-      j.count()
+      // static plan (see above): exactly one Exchange — the 4-bucket
+      // side re-hashes to 8 while the 8-bucket side still scans
+      // bucketed
       val p = j.queryExecution.executedPlan.toString
-      // exactly one Exchange: the 4-bucket side re-hashes to 8 while
-      // the 8-bucket side still scans bucketed
       assert("Exchange".r.findAllIn(p).size == 1, s"plan:\n$p")
       assert(p.contains("Bucketed: true"), s"plan:\n$p")
+      assert(j.count() > 0)
     }
   }
 }

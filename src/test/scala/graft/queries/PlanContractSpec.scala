@@ -18,6 +18,17 @@ class PlanContractSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** The FINALIZED adaptive plan (Final Plan section only). `count()`
+    * cannot finalize: it plans a separate QueryExecution, leaving the
+    * inspected one at its initial static plan — so contracts about
+    * AQE's runtime choices must execute THIS QueryExecution via
+    * `toRdd` and then strip the echoed Initial Plan section (whose
+    * operators would double-count in substring asserts). */
+  private def finalizedPlan(df: DataFrame): String = {
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
   test("j1 enrich join broadcasts the dimension side") {
     assert(plan(CoreQueries.j1EnrichJoin).contains("BroadcastHashJoin"))
   }
@@ -80,9 +91,7 @@ class PlanContractSpec extends SparkSpec {
     // the operator must not force the strategy: an unconditional
     // broadcast(idMap) would override AQE and OOM on data-scale keys
     assert(!updated.queryExecution.analyzed.toString.contains("ResolvedHint"))
-    updated.count() // finalize the adaptive plan
-    assert(updated.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin"))
+    assert(finalizedPlan(updated).contains("BroadcastHashJoin"))
   }
 
   test("whole-stage codegen covers the scalar pipelines") {
@@ -201,9 +210,7 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("t37 boilerplate: two-phase block-df agg, flag join finalizes to broadcast") {
-    val df = TextQueries.t37BlockBoilerplate.run(spark, sf)
-    df.count() // finalize the adaptive plan
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalizedPlan(TextQueries.t37BlockBoilerplate.run(spark, sf))
     // block document-frequency must combine map-side before its exchange
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2)
     // the ≥3-df screen shrinks boiler to a sliver — AQE must broadcast
@@ -215,9 +222,7 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("t38 delta probe joins batch bands to the corpus index on the bucket key") {
-    val df = TextQueries.t38DeltaNearDup.run(spark, sf)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalizedPlan(TextQueries.t38DeltaNearDup.run(spark, sf))
     // candidate generation must ride the (band, bkey) equi-key — a
     // nested loop over batch×corpus is the re-pair-everything failure
     // the operator exists to avoid
@@ -228,9 +233,7 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("t39 plans the bloom prescreen: sketch subquery + might_contain filter") {
-    val df = TextQueries.t39BloomDecontaminate.run(spark, sf)
-    df.count()
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalizedPlan(TextQueries.t39BloomDecontaminate.run(spark, sf))
     // the codegen'd membership test must gate the exact-confirm join —
     // without it this is just t12 with extra steps
     assert(p.contains("might_contain"))
