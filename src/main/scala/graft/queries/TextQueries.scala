@@ -574,6 +574,105 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T40 — SOURCE-MIX REBALANCING (the Dolma/Pile data-mixing step):
+    * given a target share per source (here proportional to the
+    * source's numeric suffix — a deterministic stand-in for the config
+    * a mixing run is handed), compute each source's up/down-weight
+    * (target/actual, a single division so parity is exact) and make
+    * the keep/drop decision deterministically — each doc's
+    * within-source hash rank percentile is compared against the
+    * weight, so two runs (or two engines) select the SAME documents,
+    * no RNG anywhere (the t15/t22 discipline applied to mixing).
+    *
+    * Scale shape: two tiny aggregates (per-source counts; one global
+    * row broadcast by AQE), one source-partitioned window for ranks —
+    * no unpartitioned window, no corpus self-join. */
+  val t40MixRebalance: QuerySpec = QuerySpec.sql(
+    "t40_mix_rebalance",
+    """WITH t AS (SELECT doc_id, source FROM documents),
+      |n AS (SELECT source, CAST(substr(source, 4) AS BIGINT) AS src_idx,
+      |        COUNT(*) AS n_source
+      |      FROM t GROUP BY 1, 2),
+      |g AS (SELECT COUNT(*) AS total FROM t),
+      |s AS (SELECT SUM(src_idx + 1) AS denom FROM n),
+      |w AS (SELECT source, n_source,
+      |        CAST((src_idx + 1) * total AS DOUBLE) / (denom * n_source)
+      |          AS weight
+      |      FROM n CROSS JOIN g CROSS JOIN s),
+      |r AS (SELECT doc_id, t.source,
+      |        ROW_NUMBER() OVER (PARTITION BY t.source
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM t)
+      |SELECT r.doc_id, r.source, w.n_source, w.weight,
+      |  (CAST(rk AS DOUBLE) / w.n_source <= w.weight) AS keep
+      |FROM r JOIN w ON r.source = w.source
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d).select("doc_id", "source")
+    val n = t.groupBy(col("source"),
+        substring(col("source"), 4, 10).cast("long").as("src_idx"))
+      .agg(count(lit(1)).as("n_source"))
+    val g = t.agg(count(lit(1)).as("total"))
+    val denom = n.agg(sum(col("src_idx") + 1).as("denom"))
+    val w = n.crossJoin(g).crossJoin(denom)
+      .select(col("source"), col("n_source"),
+        (((col("src_idx") + 1) * col("total")).cast("double") /
+          (col("denom") * col("n_source"))).as("weight"))
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    t.withColumn("rk", row_number().over(wdw))
+      .join(w, "source")
+      .select(col("doc_id"), col("source"), col("n_source"), col("weight"),
+        (col("rk").cast("double") / col("n_source") <= col("weight"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** T41 — SEQUENCE PACKING (concat-and-chunk): the pretraining
+    * pattern of concatenating documents into a token stream and
+    * cutting fixed-size chunks. Documents are sharded by the id-hash
+    * byte (8 shards — production packs per data-loader shard, which
+    * is also what keeps the cumulative-sum window PARTITIONED instead
+    * of the single-task global window this engine forbids); within a
+    * shard the stream offset is a running token sum, and each doc
+    * reports its start/end chunk at a 512-token chunk size plus how
+    * many chunk boundaries it straddles. All-integer arithmetic —
+    * parity is exact by construction. */
+  val t41SequencePack: QuerySpec = QuerySpec.sql(
+    "t41_sequence_pack",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |m AS (SELECT doc_id, len(toks) AS n_toks,
+       |        CAST(${idHashByteSql("doc_id")} % 8 AS INT) AS shard
+       |      FROM t),
+       |c AS (SELECT doc_id, shard, n_toks,
+       |        SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM m)
+       |SELECT doc_id, shard, CAST(n_toks AS BIGINT) AS n_toks,
+       |  CAST(cum - n_toks AS BIGINT) AS strm_offset,
+       |  CAST((cum - n_toks) // 512 AS BIGINT) AS start_chunk,
+       |  CAST((cum - 1) // 512 AS BIGINT) AS end_chunk,
+       |  CAST((cum - 1) // 512 - (cum - n_toks) // 512 AS BIGINT)
+       |    AS chunks_crossed
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        (idHashByte(col("doc_id")) % 8).cast("int").as("shard"))
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    m.withColumn("cum", sum("n_toks").over(wdw))
+      .select(col("doc_id"), col("shard"), col("n_toks"),
+        (col("cum") - col("n_toks")).as("strm_offset"),
+        expr("(cum - n_toks) div 512").as("start_chunk"),
+        expr("(cum - 1) div 512").as("end_chunk"),
+        (expr("(cum - 1) div 512") - expr("(cum - n_toks) div 512"))
+          .as("chunks_crossed"))
+      .orderBy("doc_id")
+  }
+
   /** Per-bit SimHash contribution aggregate (DuckDB side) — shared by
     * t3's fingerprint and t31's banded near-dup join so the bit
     * definition cannot drift between them. */
@@ -1421,5 +1520,6 @@ object TextQueries {
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
     t28CurationManifest, t29CorpusProfile, t30LshRecall,
     t31SimhashNearDup, t32StarClusters, t33StarParity, t34RepDedup,
-    t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate)
+    t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
+    t40MixRebalance, t41SequencePack)
 }

@@ -232,6 +232,23 @@ class PlanContractSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t40 mix rebalance: rank window partitioned by source, no corpus self-join") {
+    val p = plan(TextQueries.t40MixRebalance)
+    // the rank window must carry the source partition spec (a global
+    // agg's 1-row final merge legitimately passes a SinglePartition
+    // exchange, so assert on the window itself, not the whole plan)
+    assert(p.contains("windowspecdefinition(source"))
+    assert(!p.contains("CartesianProduct")) // the 1-row frames broadcast
+  }
+
+  test("t41 sequence pack: cumulative sum rides a shard-partitioned window") {
+    // the whole operator is one window — if the shard partitioning is
+    // lost, the token stream funnels through ONE task at data scale
+    val p = plan(TextQueries.t41SequencePack)
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"))
+  }
+
   test("t39 plans the bloom prescreen: sketch subquery + might_contain filter") {
     val p = finalizedPlan(TextQueries.t39BloomDecontaminate.run(spark, sf))
     // the codegen'd membership test must gate the exact-confirm join —
