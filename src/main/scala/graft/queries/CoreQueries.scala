@@ -82,6 +82,53 @@ object CoreQueries {
       .limit(10)
   }
 
+  /** Q5-shape — local-supplier volume: the classic six-table join
+    * (region → nation → customer → orders → lineitem → supplier with
+    * the supplier-in-customer-nation constraint), revenue per nation
+    * in one region and year.
+    *
+    * Scale story — the textbook dim-chain plan: the region filter
+    * prunes nation, nation prunes customer, all three are DIM-sized so
+    * every dim join broadcasts; orders carries a pushed date-range
+    * predicate into its scan; the only big shuffle is orders⋈lineitem
+    * (fact⋈fact). A planner that shuffled the facts against every dim
+    * would move the corpus five times; this shape moves it once.
+    * DECIMAL-exact revenue (the q1/q3 discipline) cast to double only
+    * at the end. */
+  val q5LocalSupplier: QuerySpec = QuerySpec.sql(
+    "q5_local_supplier",
+    """SELECT n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM region r
+      |JOIN nation n ON r.r_regionkey = n.n_regionkey
+      |JOIN customer c ON n.n_nationkey = c.c_nationkey
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = c.c_nationkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n.n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    Tables.region(s, d).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Q18-shape — large-volume orders: filter on an AGGREGATE (HAVING
     * over the per-order lineitem quantity rollup), then join the
     * surviving keys back to orders and customer and keep the top-100
@@ -589,7 +636,7 @@ object CoreQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    q1PricingSummary, q3TopOrders, q18BigOrders,
+    q1PricingSummary, q3TopOrders, q5LocalSupplier, q18BigOrders,
     p1UnionGroups, p3ValidFilter, p4ModelFilter,
     p5OnlyIp, p6CoalesceNorm, j1EnrichJoin, j2OrderedPairs, j3LastWinsUpsert,
     j4DefaultKeyJoin, a1PivotEvents, a2SeverityArgmax, a5DedupFirstSeen,

@@ -47,7 +47,8 @@ object ScaleCheck {
     // the parity gates run full+star in one process (memo-composed):
     // at scale factors they MEASURE the star feeds' split cost
     "t33_star_parity", "t36_semantic_star_parity",
-    "t37_block_boilerplate", "t38_delta_neardup", "t39_bloom_decontaminate")
+    "t37_block_boilerplate", "t38_delta_neardup", "t39_bloom_decontaminate",
+    "t40_mix_rebalance", "t41_sequence_pack")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))

@@ -151,6 +151,16 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q5 dim chain broadcasts the dims; date range reaches the orders scan") {
+    val p = finalizedPlan(CoreQueries.q5LocalSupplier.run(spark, sf))
+    // region/nation/customer/supplier are all dim-sized: every dim
+    // join must broadcast — the fact side shuffles for orders⋈lineitem
+    // only
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // the year filter must prune at the parquet scan, not post-join
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("q18 big-orders plans two-phase quantity rollup + partial top-k") {
     val p = plan(CoreQueries.q18BigOrders)
     // the HAVING filter lives on an aggregate — pushdown can't help, so
