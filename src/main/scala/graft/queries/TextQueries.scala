@@ -1060,11 +1060,15 @@ object TextQueries {
   val t39BloomDecontaminate: QuerySpec = QuerySpec.sql(
     "t39_bloom_decontaminate", DecontaminationOracleSql) { (s, d) =>
     graft.plans.GraftExtensions.register(s)
+    // NO checkpoint of this frame: it is corpus-sized, and
+    // materializing it OOMed the ×100 ScaleCheck point — t12's rule
+    // ("re-reading pruned parquet is cheaper than materializing a
+    // corpus-sized shingle set") applies; each consumer re-derives
+    // from the pruned scan
     val sh = Tables.documents(s, d).select("doc_id", "text")
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), 3)).as("shingle"))
       .distinct()
-      .localCheckpoint() // feeds bench agg, per-doc totals AND the probe
     // views are invocation-unique and dropped right after sql()'s eager
     // analysis resolves them — concurrent builders on one session must
     // not race on a shared view name, and nothing may leak
