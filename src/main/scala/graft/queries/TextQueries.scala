@@ -609,7 +609,10 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val t = Tables.documents(s, d).select("doc_id", "source")
     val n = t.groupBy(col("source"),
-        substring(col("source"), 4, 10).cast("long").as("src_idx"))
+        // to-end substring, like the oracle's substr(source, 4) — a
+        // fixed length cap would silently truncate long source ids
+        col("source").substr(lit(4), length(col("source")))
+          .cast("long").as("src_idx"))
       .agg(count(lit(1)).as("n_source"))
     val g = t.agg(count(lit(1)).as("total"))
     val denom = n.agg(sum(col("src_idx") + 1).as("denom"))
