@@ -446,6 +446,76 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T31b — the SimHash near-dup SCALE operating point (the t10b
+    * lesson applied to the third near-dup family): t31's 32-bit
+    * fingerprint with 8-bit bands has a bucket space of only 4×256 —
+    * at 500k docs the ×100 sweep shows buckets averaging thousands of
+    * members and the C(m,2) candidate join never finishing. The scale
+    * variant widens to a 64-bit fingerprint with 16-bit bands (bucket
+    * space 4×65536); pigeonhole still makes recall at hamming ≤ 3
+    * EXACT (4 bands, ≤3 differing bits ⇒ one band equal). The four
+    * band keys stay SEPARATE 16-bit ints — no packed 64-bit value, so
+    * no signed-shift/overflow portability edge anywhere — and hamming
+    * is the sum of four 16-bit bit_count(xor) terms. */
+  val t31bSimhashScale: QuerySpec = {
+    def bandSql(i: Int): String = (0 until 16).map { j =>
+      s"(CASE WHEN s_${16 * i + j} > 0 THEN ${1L << (15 - j)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val aggSql = (0 until 64).map(simhashBitSql).mkString(",\n  ")
+    val hammingSql = (0 until 4)
+      .map(i => s"bit_count(xor(a.b$i, b.b$i))").mkString(" + ")
+    QuerySpec.sql(
+      "t31b_simhash_scale",
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+         |agg AS (SELECT doc_id,
+         |  $aggSql
+         |FROM h GROUP BY doc_id),
+         |fpt AS (SELECT doc_id, ${(0 until 4).map(i =>
+             s"${bandSql(i)} AS b$i").mkString(", ")} FROM agg),
+         |bands AS (SELECT doc_id, b0, b1, b2, b3, t.band,
+         |    CASE t.band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |                WHEN 2 THEN b2 ELSE b3 END AS bkey
+         |  FROM fpt, range(0, 4) t(band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |    ($hammingSql) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, CAST(hamming AS INT) AS hamming
+         |FROM cand WHERE hamming <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val aggs = (0 until 64).map(b => sum(simhashContrib("hh", b)).as(s"s_$b"))
+      def bandCol(i: Int): org.apache.spark.sql.Column = (0 until 16).map { j =>
+        when(col(s"s_${16 * i + j}") > 0, lit(1L << (15 - j))).otherwise(0L)
+      }.reduce(_ + _)
+      val fpt = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("hh", md5(col("tok")))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id") +: (0 until 4).map(i => bandCol(i).as(s"b$i")): _*)
+        .localCheckpoint() // 5 narrow cols per doc — bounded, not corpus-sized
+      val bands = fpt.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
+        col("b3"), posexplode(array(col("b0"), col("b1"), col("b2"),
+          col("b3"))).as(Seq("band", "bkey")))
+      val hamming = (0 until 4)
+        .map(i => expr(s"bit_count(f${i}a ^ f${i}b)")).reduce(_ + _)
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.b0").as("f0a"), col("b.b0").as("f0b"),
+          col("a.b1").as("f1a"), col("b.b1").as("f1b"),
+          col("a.b2").as("f2a"), col("b.b2").as("f2b"),
+          col("a.b3").as("f3a"), col("b.b3").as("f3b"))
+        .dropDuplicates("d1", "d2") // band values are functions of d1/d2
+        .select(col("d1"), col("d2"), hamming.cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("d1", "d2")
+    }
+  }
+
   /** T37 — BLOCK-LEVEL BOILERPLATE detection (the C4/RefinedWeb
     * line-dedup rule, adapted to this corpus's separator-free text):
     * documents are segmented into consecutive 10-token blocks; a block
@@ -721,12 +791,15 @@ object TextQueries {
     * recall at the threshold is EXACT, not probabilistic like
     * MinHash), verified by `bit_count(xor)` ≤ 3. A third independent
     * near-dup family beside t2 (MinHash/Jaccard) and t11 (cosine).
-    * Scale: the self-join is band-bucket-keyed like t2's; 8-bit bands
-    * mean 256 buckets per band, which is the right operating point for
-    * this corpus — at crawl scale the same plan runs on a 64-bit
-    * fingerprint with 16-bit bands (65k buckets), nothing else
-    * changes. The fingerprint table is checkpointed once and feeds
-    * both sides of the self-join (the t2 signature-table move). */
+    *
+    * SCALE CEILING (measured at ×100, recorded in COVERAGE): the
+    * 8-bit bands give a bucket space of only 4×256, so buckets grow
+    * linearly with corpus size and the within-bucket join goes
+    * quadratic — 500k docs did not finish. [[t31bSimhashScale]] is
+    * the operating point past ~10k docs (64-bit fingerprint, 16-bit
+    * bands); this query remains the small-corpus/reference form. The
+    * fingerprint table is checkpointed once and feeds both sides of
+    * the self-join (the t2 signature-table move). */
   val t31SimhashNearDup: QuerySpec = {
     val aggSql = (0 until 32).map(simhashBitSql).mkString(",\n  ")
     val fpSql = (0 until 32).map(b =>
@@ -1526,7 +1599,7 @@ object TextQueries {
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
     t28CurationManifest, t29CorpusProfile, t30LshRecall,
-    t31SimhashNearDup, t32StarClusters, t33StarParity, t34RepDedup,
+    t31SimhashNearDup, t31bSimhashScale, t32StarClusters, t33StarParity, t34RepDedup,
     t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
     t40MixRebalance, t41SequencePack)
 }

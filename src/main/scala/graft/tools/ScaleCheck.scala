@@ -48,7 +48,7 @@ object ScaleCheck {
     // at scale factors they MEASURE the star feeds' split cost
     "t33_star_parity", "t36_semantic_star_parity",
     "t37_block_boilerplate", "t38_delta_neardup", "t39_bloom_decontaminate",
-    "t40_mix_rebalance", "t41_sequence_pack")
+    "t40_mix_rebalance", "t41_sequence_pack", "t31b_simhash_scale")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
@@ -277,7 +277,16 @@ object ScaleCheck {
   def runHeavy(spark: SparkSession, dir: String,
       only: Option[Set[String]] = None): Unit = {
     val qs = SparkEntry.queries
-    Heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
+    // --only may name ANY suite query, not just the Heavy defaults —
+    // unknown names fail loudly rather than being silently skipped
+    val names = only match {
+      case Some(o) =>
+        val unknown = o.diff(qs.keySet)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+        Heavy.filter(o.contains) ++ (o -- Heavy).toSeq.sorted
+      case None => Heavy
+    }
+    names.foreach { name =>
       val fn = qs(name)
       def pass(): (Double, Long, org.apache.spark.sql.DataFrame) = {
         // timer wraps the BUILD too: iterative operators (t21's label

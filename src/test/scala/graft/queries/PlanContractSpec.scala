@@ -177,6 +177,14 @@ class PlanContractSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t31b wide simhash keeps the banded equi-join shape") {
+    val p = plan(TextQueries.t31bSimhashScale)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s6 exact quantiles keep every window partitioned by group") {
     val p = plan(WarehouseQueries.s6ExactQuantiles)
     assert(p.contains("Window"))
