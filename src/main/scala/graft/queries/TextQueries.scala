@@ -456,7 +456,16 @@ object TextQueries {
     * EXACT (4 bands, ≤3 differing bits ⇒ one band equal). The four
     * band keys stay SEPARATE 16-bit ints — no packed 64-bit value, so
     * no signed-shift/overflow portability edge anywhere — and hamming
-    * is the sum of four 16-bit bit_count(xor) terms. */
+    * is the sum of four 16-bit bit_count(xor) terms.
+    *
+    * Features are 3-gram SHINGLES, not tokens (the Manku/Charikar
+    * web-dedup form): token-level bits over a small vocabulary are
+    * CORRELATED across unrelated documents, so band keys concentrate
+    * in a few hot buckets and the self-join explodes regardless of
+    * band width — measured at ×100, the token-feature variant spilled
+    * the disk to death. Shingle md5s are ~independent, so unrelated
+    * docs spread uniformly over the 65536-bucket space while
+    * near-identical docs still agree. */
   val t31bSimhashScale: QuerySpec = {
     def bandSql(i: Int): String = (0 until 16).map { j =>
       s"(CASE WHEN s_${16 * i + j} > 0 THEN ${1L << (15 - j)} ELSE 0 END)"
@@ -466,8 +475,9 @@ object TextQueries {
       .map(i => s"bit_count(xor(a.b$i, b.b$i))").mkString(" + ")
     QuerySpec.sql(
       "t31b_simhash_scale",
-      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
-         |h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, unnest($ShinglesOverToks) AS tok FROM t),
+         |h AS (SELECT doc_id, md5(tok) AS hh FROM sh0),
          |agg AS (SELECT doc_id,
          |  $aggSql
          |FROM h GROUP BY doc_id),
@@ -489,7 +499,8 @@ object TextQueries {
         when(col(s"s_${16 * i + j}") > 0, lit(1L << (15 - j))).otherwise(0L)
       }.reduce(_ + _)
       val fpt = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          explode(shingles(tokens(col("text")), 3)).as("tok"))
         .withColumn("hh", md5(col("tok")))
         .groupBy("doc_id")
         .agg(aggs.head, aggs.tail: _*)
