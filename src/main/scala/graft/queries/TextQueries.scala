@@ -490,9 +490,10 @@ object TextQueries {
          |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
          |    ($hammingSql) AS hamming
          |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE ($hammingSql) <= 3)
          |SELECT d1, d2, CAST(hamming AS INT) AS hamming
-         |FROM cand WHERE hamming <= 3
+         |FROM cand
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       val aggs = (0 until 64).map(b => sum(simhashContrib("hh", b)).as(s"s_$b"))
       def bandCol(i: Int): org.apache.spark.sql.Column = (0 until 16).map { j =>
@@ -509,20 +510,19 @@ object TextQueries {
       val bands = fpt.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
         col("b3"), posexplode(array(col("b0"), col("b1"), col("b2"),
           col("b3"))).as(Seq("band", "bkey")))
+      // hamming computed and filtered BEFORE the pair dedup, so the
+      // distinct exchange carries only surviving pairs at 3 narrow
+      // columns — not every within-bucket candidate at 10-column width
       val hamming = (0 until 4)
-        .map(i => expr(s"bit_count(f${i}a ^ f${i}b)")).reduce(_ + _)
+        .map(i => expr(s"bit_count(a.b$i ^ b.b$i)")).reduce(_ + _)
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.b0").as("f0a"), col("b.b0").as("f0b"),
-          col("a.b1").as("f1a"), col("b.b1").as("f1b"),
-          col("a.b2").as("f2a"), col("b.b2").as("f2b"),
-          col("a.b3").as("f3a"), col("b.b3").as("f3b"))
-        .dropDuplicates("d1", "d2") // band values are functions of d1/d2
-        .select(col("d1"), col("d2"), hamming.cast("int").as("hamming"))
+          hamming.cast("int").as("hamming"))
         .filter(col("hamming") <= 3)
+        .dropDuplicates("d1", "d2") // hamming is a function of d1/d2
         .orderBy("d1", "d2")
     }
   }
