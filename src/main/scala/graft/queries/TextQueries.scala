@@ -466,65 +466,136 @@ object TextQueries {
     * the disk to death. Shingle md5s are ~independent, so unrelated
     * docs spread uniformly over the 65536-bucket space while
     * near-identical docs still agree. */
-  val t31bSimhashScale: QuerySpec = {
-    def bandSql(i: Int): String = (0 until 16).map { j =>
-      s"(CASE WHEN s_${16 * i + j} > 0 THEN ${1L << (15 - j)} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+  // ---- Wide SimHash (64-bit shingle-feature fingerprint, 16-bit
+  // bands): ONE definition of the fingerprint, band keys and pair rule
+  // shared by t31b and its recall gate t42, in both SQL and Spark
+  // forms, so the two cannot drift.
+  private def simhashWideBandSql(i: Int): String = (0 until 16).map { j =>
+    s"(CASE WHEN s_${16 * i + j} > 0 THEN ${1L << (15 - j)} ELSE 0 END)"
+  }.mkString("(", " + ", ")")
+
+  /** DuckDB CTE chain `t -> sh0 -> h -> agg -> fpt -> bands` ending in
+    * the per-(band,bkey) rows; `fpt` carries the four 16-bit band
+    * values b0..b3 per doc. */
+  private val SimhashWideCtes: String = {
     val aggSql = (0 until 64).map(simhashBitSql).mkString(",\n  ")
-    val hammingSql = (0 until 4)
-      .map(i => s"bit_count(xor(a.b$i, b.b$i))").mkString(" + ")
-    QuerySpec.sql(
-      "t31b_simhash_scale",
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         |sh0 AS (SELECT doc_id, unnest($ShinglesOverToks) AS tok FROM t),
-         |h AS (SELECT doc_id, md5(tok) AS hh FROM sh0),
-         |agg AS (SELECT doc_id,
-         |  $aggSql
-         |FROM h GROUP BY doc_id),
-         |fpt AS (SELECT doc_id, ${(0 until 4).map(i =>
-             s"${bandSql(i)} AS b$i").mkString(", ")} FROM agg),
-         |bands AS (SELECT doc_id, b0, b1, b2, b3, t.band,
-         |    CASE t.band WHEN 0 THEN b0 WHEN 1 THEN b1
-         |                WHEN 2 THEN b2 ELSE b3 END AS bkey
-         |  FROM fpt, range(0, 4) t(band)),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-         |    ($hammingSql) AS hamming
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE ($hammingSql) <= 3)
-         |SELECT d1, d2, CAST(hamming AS INT) AS hamming
-         |FROM cand
-         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val aggs = (0 until 64).map(b => sum(simhashContrib("hh", b)).as(s"s_$b"))
-      def bandCol(i: Int): org.apache.spark.sql.Column = (0 until 16).map { j =>
-        when(col(s"s_${16 * i + j}") > 0, lit(1L << (15 - j))).otherwise(0L)
-      }.reduce(_ + _)
-      val fpt = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(shingles(tokens(col("text")), 3)).as("tok"))
-        .withColumn("hh", md5(col("tok")))
-        .groupBy("doc_id")
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id") +: (0 until 4).map(i => bandCol(i).as(s"b$i")): _*)
-        .localCheckpoint() // 5 narrow cols per doc — bounded, not corpus-sized
-      val bands = fpt.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
-        col("b3"), posexplode(array(col("b0"), col("b1"), col("b2"),
-          col("b3"))).as(Seq("band", "bkey")))
-      // hamming computed and filtered BEFORE the pair dedup, so the
-      // distinct exchange carries only surviving pairs at 3 narrow
-      // columns — not every within-bucket candidate at 10-column width
-      val hamming = (0 until 4)
-        .map(i => expr(s"bit_count(a.b$i ^ b.b$i)")).reduce(_ + _)
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          hamming.cast("int").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .dropDuplicates("d1", "d2") // hamming is a function of d1/d2
-        .orderBy("d1", "d2")
-    }
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |sh0 AS (SELECT doc_id, unnest($ShinglesOverToks) AS tok FROM t),
+       |h AS (SELECT doc_id, md5(tok) AS hh FROM sh0),
+       |agg AS (SELECT doc_id,
+       |  $aggSql
+       |FROM h GROUP BY doc_id),
+       |fpt AS (SELECT doc_id, ${(0 until 4).map(i =>
+           s"${simhashWideBandSql(i)} AS b$i").mkString(", ")} FROM agg),
+       |bands AS (SELECT doc_id, b0, b1, b2, b3, t.band,
+       |    CASE t.band WHEN 0 THEN b0 WHEN 1 THEN b1
+       |                WHEN 2 THEN b2 ELSE b3 END AS bkey
+       |  FROM fpt, range(0, 4) t(band))""".stripMargin
+  }
+
+  /** Banded hamming over two `fpt`-shaped relations aliased a/b. */
+  private def simhashWideHammingSql(a: String, b: String): String =
+    (0 until 4).map(i => s"bit_count(xor($a.b$i, $b.b$i))").mkString(" + ")
+
+  /** The production pair rule: band-bucket candidates, hamming <= 3
+    * screened BEFORE the pair dedup (narrow distinct exchange). */
+  private val SimhashWidePairCte: String =
+    s"""cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    (${simhashWideHammingSql("a", "b")}) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE (${simhashWideHammingSql("a", "b")}) <= 3)""".stripMargin
+
+  /** Spark twin of the `fpt` CTE: checkpointed (doc_id, b0..b3) —
+    * 5 narrow cols per doc, bounded, not corpus-sized. */
+  private def simhashWideFpt(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val aggs = (0 until 64).map(b => sum(simhashContrib("hh", b)).as(s"s_$b"))
+    def bandCol(i: Int): org.apache.spark.sql.Column = (0 until 16).map { j =>
+      when(col(s"s_${16 * i + j}") > 0, lit(1L << (15 - j))).otherwise(0L)
+    }.reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 3)).as("tok"))
+      .withColumn("hh", md5(col("tok")))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: (0 until 4).map(i => bandCol(i).as(s"b$i")): _*)
+      .localCheckpoint()
+  }
+
+  /** Spark twin of [[SimhashWidePairCte]] over a `fpt` frame. */
+  private def simhashWidePairs(
+      fpt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = fpt.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
+      col("b3"), posexplode(array(col("b0"), col("b1"), col("b2"),
+        col("b3"))).as(Seq("band", "bkey")))
+    // hamming computed and filtered BEFORE the pair dedup, so the
+    // distinct exchange carries only surviving pairs at 3 narrow
+    // columns — not every within-bucket candidate at 10-column width
+    val hamming = (0 until 4)
+      .map(i => expr(s"bit_count(a.b$i ^ b.b$i)")).reduce(_ + _)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("d1", "d2") // hamming is a function of d1/d2
+  }
+
+  val t31bSimhashScale: QuerySpec = QuerySpec.sql(
+    "t31b_simhash_scale",
+    s"""WITH $SimhashWideCtes,
+       |$SimhashWidePairCte
+       |SELECT d1, d2, CAST(hamming AS INT) AS hamming
+       |FROM cand
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    simhashWidePairs(simhashWideFpt(s, d)).orderBy("d1", "d2")
+  }
+
+  /** T42 — SimHash recall GATE (t30's role for the t31b family): the
+    * pigeonhole argument says recall at hamming <= 3 is EXACT — every
+    * truth pair must be found, always, not probabilistically. Ground
+    * truth = brute-force all-pairs banded hamming over the bounded
+    * doc_id < 1000 sample (the t30 idiom: scale-up copies get offset
+    * ids, so the sample stays bounded at any scale factor); candidates
+    * = the SAME wide-band pair rule the production query runs (band
+    * keys are corpus-independent, so full-corpus banding restricted to
+    * the sample equals sample banding). A single `found = false` row
+    * — an implementation break of the pigeonhole guarantee — flips the
+    * driver hash. */
+  val t42SimhashRecall: QuerySpec = QuerySpec.sql(
+    "t42_simhash_recall",
+    s"""WITH $SimhashWideCtes,
+       |$SimhashWidePairCte,
+       |samp AS (SELECT * FROM fpt WHERE doc_id < 1000),
+       |truth AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    (${simhashWideHammingSql("a", "b")}) AS hamming
+       |  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+       |  WHERE (${simhashWideHammingSql("a", "b")}) <= 3)
+       |SELECT t.d1, t.d2, CAST(t.hamming AS INT) AS hamming,
+       |  (c.d1 IS NOT NULL) AS found
+       |FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+       |ORDER BY t.d1, t.d2""".stripMargin) { (s, d) =>
+    val fpt = simhashWideFpt(s, d)
+    val samp = fpt.filter(col("doc_id") < 1000)
+    val hamming = (0 until 4)
+      .map(i => expr(s"bit_count(a.b$i ^ b.b$i)")).reduce(_ + _)
+    val truth = samp.as("a")
+      .join(samp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+    val cand = simhashWidePairs(fpt)
+      .select(col("d1").as("cd1"), col("d2").as("cd2"))
+    truth
+      .join(cand, col("d1") === col("cd1") && col("d2") === col("cd2"),
+        "left")
+      .select(col("d1"), col("d2"), col("hamming"),
+        col("cd1").isNotNull.as("found"))
+      .orderBy("d1", "d2")
   }
 
   /** T37 — BLOCK-LEVEL BOILERPLATE detection (the C4/RefinedWeb
@@ -1610,7 +1681,7 @@ object TextQueries {
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
     t28CurationManifest, t29CorpusProfile, t30LshRecall,
-    t31SimhashNearDup, t31bSimhashScale, t32StarClusters, t33StarParity, t34RepDedup,
+    t31SimhashNearDup, t31bSimhashScale, t42SimhashRecall, t32StarClusters, t33StarParity, t34RepDedup,
     t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
     t40MixRebalance, t41SequencePack)
 }
