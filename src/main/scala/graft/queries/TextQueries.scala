@@ -476,10 +476,12 @@ object TextQueries {
 
   /** DuckDB CTE chain `t -> sh0 -> h -> agg -> fpt -> bands` ending in
     * the per-(band,bkey) rows; `fpt` carries the four 16-bit band
-    * values b0..b3 per doc. */
-  private val SimhashWideCtes: String = {
+    * values b0..b3 per doc. Parameterized by the docs relation so t42
+    * can run it over the bounded sample only (per-doc fingerprints
+    * are corpus-independent). */
+  private def simhashWideCtes(rel: String): String = {
     val aggSql = (0 until 64).map(simhashBitSql).mkString(",\n  ")
-    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM $rel),
        |sh0 AS (SELECT doc_id, unnest($ShinglesOverToks) AS tok FROM t),
        |h AS (SELECT doc_id, md5(tok) AS hh FROM sh0),
        |agg AS (SELECT doc_id,
@@ -493,9 +495,18 @@ object TextQueries {
        |  FROM fpt, range(0, 4) t(band))""".stripMargin
   }
 
+  /** The near-dup threshold: pigeonhole over 4 bands is exact for
+    * hamming <= bands - 1; one definition for every SQL/Spark site. */
+  private val SimhashHammingMax = 3
+
   /** Banded hamming over two `fpt`-shaped relations aliased a/b. */
   private def simhashWideHammingSql(a: String, b: String): String =
     (0 until 4).map(i => s"bit_count(xor($a.b$i, $b.b$i))").mkString(" + ")
+
+  /** Spark twin of [[simhashWideHammingSql]]. */
+  private def simhashWideHammingCol(a: String,
+      b: String): org.apache.spark.sql.Column =
+    (0 until 4).map(i => expr(s"bit_count($a.b$i ^ $b.b$i)")).reduce(_ + _)
 
   /** The production pair rule: band-bucket candidates, hamming <= 3
     * screened BEFORE the pair dedup (narrow distinct exchange). */
@@ -504,17 +515,18 @@ object TextQueries {
        |    (${simhashWideHammingSql("a", "b")}) AS hamming
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |  WHERE (${simhashWideHammingSql("a", "b")}) <= 3)""".stripMargin
+       |  WHERE (${simhashWideHammingSql("a", "b")}) <= $SimhashHammingMax)"""
+      .stripMargin
 
   /** Spark twin of the `fpt` CTE: checkpointed (doc_id, b0..b3) —
     * 5 narrow cols per doc, bounded, not corpus-sized. */
-  private def simhashWideFpt(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  private def simhashWideFptOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val aggs = (0 until 64).map(b => sum(simhashContrib("hh", b)).as(s"s_$b"))
     def bandCol(i: Int): org.apache.spark.sql.Column = (0 until 16).map { j =>
       when(col(s"s_${16 * i + j}") > 0, lit(1L << (15 - j))).otherwise(0L)
     }.reduce(_ + _)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), 3)).as("tok"))
       .withColumn("hh", md5(col("tok")))
@@ -533,61 +545,64 @@ object TextQueries {
     // hamming computed and filtered BEFORE the pair dedup, so the
     // distinct exchange carries only surviving pairs at 3 narrow
     // columns — not every within-bucket candidate at 10-column width
-    val hamming = (0 until 4)
-      .map(i => expr(s"bit_count(a.b$i ^ b.b$i)")).reduce(_ + _)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        hamming.cast("int").as("hamming"))
-      .filter(col("hamming") <= 3)
+        simhashWideHammingCol("a", "b").cast("int").as("hamming"))
+      .filter(col("hamming") <= SimhashHammingMax)
       .dropDuplicates("d1", "d2") // hamming is a function of d1/d2
   }
 
   val t31bSimhashScale: QuerySpec = QuerySpec.sql(
     "t31b_simhash_scale",
-    s"""WITH $SimhashWideCtes,
+    s"""WITH ${simhashWideCtes("documents")},
        |$SimhashWidePairCte
        |SELECT d1, d2, CAST(hamming AS INT) AS hamming
        |FROM cand
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    simhashWidePairs(simhashWideFpt(s, d)).orderBy("d1", "d2")
+    simhashWidePairs(simhashWideFptOf(Tables.documents(s, d)))
+      .orderBy("d1", "d2")
   }
 
   /** T42 — SimHash recall GATE (t30's role for the t31b family): the
-    * pigeonhole argument says recall at hamming <= 3 is EXACT — every
-    * truth pair must be found, always, not probabilistically. Ground
-    * truth = brute-force all-pairs banded hamming over the bounded
-    * doc_id < 1000 sample (the t30 idiom: scale-up copies get offset
-    * ids, so the sample stays bounded at any scale factor); candidates
-    * = the SAME wide-band pair rule the production query runs (band
-    * keys are corpus-independent, so full-corpus banding restricted to
-    * the sample equals sample banding). A single `found = false` row
-    * — an implementation break of the pigeonhole guarantee — flips the
-    * driver hash. */
+    * pigeonhole argument says recall at hamming ≤ [[SimhashHammingMax]]
+    * is EXACT — every truth pair must be found, always, not
+    * probabilistically. Ground truth = brute-force all-pairs banded
+    * hamming over the bounded doc_id < 1000 sample (the t30 idiom:
+    * scale-up copies get offset ids, so the sample stays bounded at
+    * any scale factor); candidates = the SAME wide-band pair rule the
+    * production query runs, restricted to the sample (band keys are
+    * corpus-independent, so sample banding equals full-corpus banding
+    * restricted — and the gate must not cost a full production run).
+    *
+    * The ORACLE does not recompute `found` — it asserts the THEOREM
+    * (`TRUE AS found`). That is what makes this a gate rather than a
+    * mirror: if the implementation (or a future edit to the shared
+    * pair rule, even one applied consistently to BOTH engines' pair
+    * sides) ever loses a truth pair, Spark's computed `found` goes
+    * false against the oracle's constant and the driver hash flips.
+    * A mirrored oracle would reproduce the break and stay green. */
   val t42SimhashRecall: QuerySpec = QuerySpec.sql(
     "t42_simhash_recall",
-    s"""WITH $SimhashWideCtes,
-       |$SimhashWidePairCte,
-       |samp AS (SELECT * FROM fpt WHERE doc_id < 1000),
+    s"""WITH ${simhashWideCtes(
+           "(SELECT * FROM documents WHERE doc_id < 1000)")},
        |truth AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
        |    (${simhashWideHammingSql("a", "b")}) AS hamming
-       |  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
-       |  WHERE (${simhashWideHammingSql("a", "b")}) <= 3)
+       |  FROM fpt a JOIN fpt b ON a.doc_id < b.doc_id
+       |  WHERE (${simhashWideHammingSql("a", "b")}) <= $SimhashHammingMax)
        |SELECT t.d1, t.d2, CAST(t.hamming AS INT) AS hamming,
-       |  (c.d1 IS NOT NULL) AS found
-       |FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+       |  TRUE AS found
+       |FROM truth t
        |ORDER BY t.d1, t.d2""".stripMargin) { (s, d) =>
-    val fpt = simhashWideFpt(s, d)
-    val samp = fpt.filter(col("doc_id") < 1000)
-    val hamming = (0 until 4)
-      .map(i => expr(s"bit_count(a.b$i ^ b.b$i)")).reduce(_ + _)
-    val truth = samp.as("a")
-      .join(samp.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val fpt = simhashWideFptOf(
+      Tables.documents(s, d).filter(col("doc_id") < 1000))
+    val truth = fpt.as("a")
+      .join(fpt.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        hamming.cast("int").as("hamming"))
-      .filter(col("hamming") <= 3)
+        simhashWideHammingCol("a", "b").cast("int").as("hamming"))
+      .filter(col("hamming") <= SimhashHammingMax)
     val cand = simhashWidePairs(fpt)
       .select(col("d1").as("cd1"), col("d2").as("cd2"))
     truth
