@@ -48,7 +48,8 @@ object ScaleCheck {
     // at scale factors they MEASURE the star feeds' split cost
     "t33_star_parity", "t36_semantic_star_parity",
     "t37_block_boilerplate", "t38_delta_neardup", "t39_bloom_decontaminate",
-    "t40_mix_rebalance", "t41_sequence_pack", "t31b_simhash_scale")
+    "t40_mix_rebalance", "t41_sequence_pack", "t31b_simhash_scale",
+    "t42_simhash_recall")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
