@@ -843,6 +843,89 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T43 — EXACT DUPLICATED SPANS (the Lee et al. substring-dedup
+    * metric): every sliding 20-token window whose exact text occurs in
+    * ≥ 2 distinct documents is a duplicated position; per document the
+    * positions merge into MAXIMAL runs (interval union) and the row
+    * reports span count, covered tokens and the duplicated fraction —
+    * the quantity substring-level dedup removes. Unlike t37 (fixed
+    * block grid) this is sliding, so shifted boilerplate is caught.
+    *
+    * The interval union needs no UDF or iterative pass: for sorted
+    * same-width intervals, position p covers least(next_p − p, W)
+    * tokens (W for the last), and a run starts where the gap from the
+    * previous position exceeds W−1 — two window functions per doc,
+    * both PARTITIONED by doc_id. Scale shape: the only corpus-wide
+    * shuffles are the span document-frequency groupBy (two-phase) and
+    * the join-back; windows are per-doc. Spark's `sequence(a, b)`
+    * DESCENDS when b < a, so short docs (< W tokens) are screened to
+    * an empty position array rather than a poisoned one. */
+  val t43DupSpans: QuerySpec = {
+    val W = 20
+    QuerySpec.sql(
+      "t43_dup_spans",
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, len(toks) AS n_toks FROM t),
+         |sh AS (SELECT doc_id, i - 1 AS pos,
+         |         array_to_string(toks[i : i + $W - 1], ' ') AS s
+         |       FROM t, unnest(range(1, len(toks) - $W + 2)) AS u(i)),
+         |dup AS (SELECT s FROM sh GROUP BY s
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+         |runs AS (SELECT doc_id, pos,
+         |    LEAST(COALESCE(LEAD(pos) OVER w - pos, $W), $W) AS cov,
+         |    CASE WHEN pos - COALESCE(LAG(pos) OVER w, -$W) > $W - 1
+         |         THEN 1 ELSE 0 END AS run_start
+         |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |agg AS (SELECT doc_id, SUM(run_start) AS n_dup_spans,
+         |          SUM(cov) AS n_dup_tokens
+         |        FROM runs GROUP BY doc_id)
+         |SELECT n.doc_id AS doc_id, n.n_toks,
+         |  CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(COALESCE(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         |  CAST(COALESCE(a.n_dup_tokens, 0) AS DOUBLE) / n.n_toks
+         |    AS dup_frac
+         |FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
+         |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val n = t.select(col("doc_id"), size(col("toks")).cast("long")
+        .as("n_toks"))
+      val positions = when(size(col("toks")) >= W,
+        sequence(lit(0), size(col("toks")) - W))
+        .otherwise(array().cast("array<int>"))
+      val sh = t.select(col("doc_id"),
+        explode(transform(positions,
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(W))).as("s"))))
+          .as("e"))
+        .select(col("doc_id"), col("e.pos").as("pos"), col("e.s").as("s"))
+      val dup = sh.groupBy("s").agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2).select("s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val runs = sh.join(dup, "s").select(col("doc_id"), col("pos"))
+        .withColumn("cov",
+          least(coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(W)),
+            lit(W)))
+        .withColumn("run_start",
+          when(col("pos") - coalesce(lag(col("pos"), 1).over(w), lit(-W))
+            > W - 1, 1).otherwise(0))
+      val agg = runs.groupBy("doc_id")
+        .agg(sum("run_start").as("n_dup_spans"),
+          sum("cov").as("n_dup_tokens"))
+      n.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_dup_spans"), lit(0L)).cast("long")
+            .as("n_dup_spans"),
+          coalesce(col("n_dup_tokens"), lit(0L)).cast("long")
+            .as("n_dup_tokens"),
+          (coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+            col("n_toks")).as("dup_frac"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Per-bit SimHash contribution aggregate (DuckDB side) — shared by
     * t3's fingerprint and t31's banded near-dup join so the bit
     * definition cannot drift between them. */
@@ -1698,5 +1781,5 @@ object TextQueries {
     t28CurationManifest, t29CorpusProfile, t30LshRecall,
     t31SimhashNearDup, t31bSimhashScale, t42SimhashRecall, t32StarClusters, t33StarParity, t34RepDedup,
     t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
-    t40MixRebalance, t41SequencePack)
+    t40MixRebalance, t41SequencePack, t43DupSpans)
 }

@@ -267,6 +267,15 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"))
   }
 
+  test("t43 dup spans: doc-partitioned run windows, two-phase span-df agg") {
+    val p = plan(TextQueries.t43DupSpans)
+    // the interval-union windows must ride the doc_id partition — an
+    // unpartitioned window over the corpus-wide position frame is the
+    // single-task failure mode
+    assert(p.contains("windowspecdefinition(doc_id"))
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("t39 plans the bloom prescreen: sketch subquery + might_contain filter") {
     val p = finalizedPlan(TextQueries.t39BloomDecontaminate.run(spark, sf))
     // the codegen'd membership test must gate the exact-confirm join —
