@@ -844,11 +844,13 @@ object TextQueries {
   }
 
   /** T43 — EXACT DUPLICATED SPANS (the Lee et al. substring-dedup
-    * metric): every sliding 20-token window whose exact text occurs in
-    * ≥ 2 distinct documents is a duplicated position; per document the
-    * positions merge into MAXIMAL runs (interval union) and the row
-    * reports span count, covered tokens and the duplicated fraction —
-    * the quantity substring-level dedup removes. Unlike t37 (fixed
+    * metric): every sliding 20-token window whose exact text occurs
+    * ≥ 2 times in the corpus — across documents OR repeated within
+    * one (suffix-array dedup removes both classes) — is a duplicated
+    * position; per document the positions merge into MAXIMAL runs
+    * (interval union: abutting W-wide windows merge, a run breaks
+    * only at a real coverage hole) and the row reports span count,
+    * covered tokens and the duplicated fraction. Unlike t37 (fixed
     * block grid) this is sliding, so shifted boilerplate is caught.
     *
     * The interval union needs no UDF or iterative pass: for sorted
@@ -870,11 +872,11 @@ object TextQueries {
          |         array_to_string(toks[i : i + $W - 1], ' ') AS s
          |       FROM t, unnest(range(1, len(toks) - $W + 2)) AS u(i)),
          |dup AS (SELECT s FROM sh GROUP BY s
-         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |        HAVING COUNT(*) >= 2),
          |dp AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
          |runs AS (SELECT doc_id, pos,
          |    LEAST(COALESCE(LEAD(pos) OVER w - pos, $W), $W) AS cov,
-         |    CASE WHEN pos - COALESCE(LAG(pos) OVER w, -$W) > $W - 1
+         |    CASE WHEN pos - COALESCE(LAG(pos) OVER w, -$W - 1) > $W
          |         THEN 1 ELSE 0 END AS run_start
          |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
          |agg AS (SELECT doc_id, SUM(run_start) AS n_dup_spans,
@@ -900,7 +902,7 @@ object TextQueries {
             concat_ws(" ", slice(col("toks"), i + 1, lit(W))).as("s"))))
           .as("e"))
         .select(col("doc_id"), col("e.pos").as("pos"), col("e.s").as("s"))
-      val dup = sh.groupBy("s").agg(countDistinct("doc_id").as("df"))
+      val dup = sh.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select("s")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
@@ -909,8 +911,8 @@ object TextQueries {
           least(coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(W)),
             lit(W)))
         .withColumn("run_start",
-          when(col("pos") - coalesce(lag(col("pos"), 1).over(w), lit(-W))
-            > W - 1, 1).otherwise(0))
+          when(col("pos") - coalesce(lag(col("pos"), 1).over(w), lit(-W - 1))
+            > W, 1).otherwise(0))
       val agg = runs.groupBy("doc_id")
         .agg(sum("run_start").as("n_dup_spans"),
           sum("cov").as("n_dup_tokens"))

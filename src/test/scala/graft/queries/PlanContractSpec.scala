@@ -267,13 +267,17 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"))
   }
 
-  test("t43 dup spans: doc-partitioned run windows, two-phase span-df agg") {
+  test("t43 dup spans: doc-partitioned run windows, two-phase aggs throughout") {
     val p = plan(TextQueries.t43DupSpans)
     // the interval-union windows must ride the doc_id partition — an
     // unpartitioned window over the corpus-wide position frame is the
     // single-task failure mode
     assert(p.contains("windowspecdefinition(doc_id"))
-    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2)
+    // BOTH aggregations (span document-frequency AND the per-doc runs
+    // rollup) must be partial+final pairs: >= 4 aggregate operators.
+    // A bare >= 2 would be satisfied by the runs rollup alone and let
+    // the corpus-wide df agg regress to single-phase unnoticed.
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
   test("t39 plans the bloom prescreen: sketch subquery + might_contain filter") {
