@@ -41,23 +41,33 @@ object BucketedTables {
     * first and only a successful write swaps it in, so a failed write
     * (disk full, executor loss) leaves the previous standing index
     * intact — destroying the index a pipeline amortizes its cost over
-    * is precisely the failure this op must not have. Also clears
-    * ORPHANED managed locations left by a process whose in-memory
-    * catalog died without dropping its tables (overwrite alone cannot:
-    * the new catalog doesn't know the table, so CREATE refuses the
-    * existing path). */
+    * is precisely the failure this op must not have. The swap itself
+    * is rename-only (live → `__old`, staging → live, drop `__old`):
+    * at every instant the previous index exists under SOME name, so a
+    * crash mid-swap is recoverable by renaming `__old` back — there
+    * is no window in which data files are deleted before the
+    * replacement is live. Also clears ORPHANED managed locations left
+    * by a process whose in-memory catalog died without dropping its
+    * tables (overwrite alone cannot: the new catalog doesn't know the
+    * table, so CREATE refuses the existing path). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       keys: String*): Unit = {
     val spark = df.sparkSession
     val staging = table + "__staging"
+    val old = table + "__old"
     dropWithLocation(spark, staging)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(staging)
-    // the write succeeded — swap (metadata-only window)
-    dropWithLocation(spark, table)
+    // the write succeeded — swap via renames; the live index is never
+    // deleted until its replacement is installed
+    dropWithLocation(spark, old)
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    else dropWithLocation(spark, table) // no live index — only clear orphans
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    dropWithLocation(spark, old)
   }
 
   /** DROP TABLE IF EXISTS plus removal of the default managed location
