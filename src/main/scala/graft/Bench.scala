@@ -33,32 +33,47 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = Sessions.local(cpus)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    // (name, seconds, error) — a throwing query is RECORDED, never
-    // silently timed as near-zero success
-    def pass(): Seq[(String, Double, Option[String])] = queries.map {
+    // cumulative JVM GC wall time (ms) across all collectors — deltas
+    // around a query attribute its GC share, so a cross-round drift can
+    // be split into "plan got slower" vs "heap pressure grew"
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    // (name, seconds, gcSeconds, error) — a throwing query is RECORDED,
+    // never silently timed as near-zero success
+    def pass(): Seq[(String, Double, Double, Option[String])] = queries.map {
       case (name, fn) =>
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        (name, (System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3, err)
     }
     val cold = pass()
     val nRuns = 3 // warm passes; the artifact's "runs" derives from this
     val warmRuns = Seq.fill(nRuns)(pass())
     // per-query median of the warm passes (odd count → true middle
-    // element, no averaging), preserving registration order
-    val warm: Seq[(String, Double, Option[String])] = queries.map {
+    // element, no averaging), preserving registration order; gc takes
+    // the SAME run as the median time (its co-sample, not its own
+    // median) so time and gc describe one actual execution
+    val warm: Seq[(String, Double, Double, Option[String])] = queries.map {
       case (name, _) =>
         val samples = warmRuns.map(_.find(_._1 == name).get)
-        val times = samples.map(_._2).sorted
-        (name, times(times.size / 2), samples.flatMap(_._3).headOption)
+        val byTime = samples.sortBy(_._2)
+        val med = byTime(byTime.size / 2)
+        (name, med._2, med._3, samples.flatMap(_._4).headOption)
     }
     def fmt(v: Double, dp: Int): String =
       String.format(Locale.ROOT, s"%.${dp}f", Double.box(v))
-    def obj(rs: Seq[(String, Double, Option[String])], dp: Int): String =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dp) }
+    def obj(rs: Seq[(String, Double, Double, Option[String])], dp: Int): String =
+      rs.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+    def gcObj(rs: Seq[(String, Double, Double, Option[String])]): String =
+      rs.map { case (k, _, g, _) => "\"" + k + "\":" + fmt(g, 3) }
         .mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -71,28 +86,34 @@ object Bench {
     // read as a code regression; load_avg_before is the discriminating
     // number (after mostly measures this benchmark's own footprint)
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val rt = Runtime.getRuntime
     val loadJson =
-      s"""{"available_processors":${os.getAvailableProcessors},"load_avg_before":${fmt(loadBefore, 2)},"load_avg_after":${fmt(os.getSystemLoadAverage, 2)},"epoch_sec":${System.currentTimeMillis() / 1000L}}"""
-    val coldTotal = cold.map(_._2).sum
-    val warmTotal = warm.map(_._2).sum
+      s"""{"available_processors":${os.getAvailableProcessors},"load_avg_before":${fmt(loadBefore, 2)},"load_avg_after":${fmt(os.getSystemLoadAverage, 2)},"epoch_sec":${System.currentTimeMillis() / 1000L},"heap_max_gb":${fmt(rt.maxMemory / 1e9, 2)},"heap_used_gb":${fmt((rt.totalMemory - rt.freeMemory) / 1e9, 2)},"gc_total_sec":${fmt(gcMillis() / 1e3, 1)}}"""
     // union of cold/warm failures, with which pass failed — a query
     // failing only cold or only one warm pass must be visible too; the
     // warm pass index keeps the errors-object keys unique (a query
     // failing every warm pass would otherwise emit duplicate JSON keys)
-    val failed = (cold.collect { case (n, _, Some(e)) => (n, "cold", e) } ++
+    val failed = (cold.collect { case (n, _, _, Some(e)) => (n, "cold", e) } ++
       warmRuns.zipWithIndex.flatMap { case (run, i) =>
-        run.collect { case (n, _, Some(e)) => (n, s"warm${i + 1}", e) }
+        run.collect { case (n, _, _, Some(e)) => (n, s"warm${i + 1}", e) }
       })
     val failedNames = failed.map(_._1).distinct
+    // totals sum COMPLETING queries only: a failing query's fail-fast
+    // exception time (~0.3 s where its real cost is seconds) would make
+    // cross-round totals incomparable (ADVICE r11)
+    val coldTotal =
+      cold.collect { case (n, t, _, _) if !failedNames.contains(n) => t }.sum
+    val warmTotal =
+      warm.collect { case (n, t, _, _) if !failedNames.contains(n) => t }.sum
     val failedJson = failedNames.map(jstr).mkString("[", ",", "]")
     val errsJson = failed
       .map { case (n, p, e) => jstr(s"$n/$p") + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(warmTotal, 2)},"unit":"sec","queries":${obj(warm, 2)},"sf":"$sfDir","cold_total":${fmt(coldTotal, 2)},"warm_total":${fmt(warmTotal, 2)},"runs":$nRuns,"load":$loadJson,"n_failed":${failedNames.size},"failed":$failedJson,"methodology":"1 cold + $nRuns warm passes; value+queries=per-query median of warm"}"""
+      s"""{"metric":"total","value":${fmt(warmTotal, 2)},"unit":"sec","queries":${obj(warm, 2)},"sf":"$sfDir","cold_total":${fmt(coldTotal, 2)},"warm_total":${fmt(warmTotal, 2)},"runs":$nRuns,"load":$loadJson,"n_failed":${failedNames.size},"failed":$failedJson,"methodology":"1 cold + $nRuns warm passes; value+queries=per-query median of warm; totals exclude failed queries"}"""
     val warmRunsJson = warmRuns.map(obj(_, 4)).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_cold":${obj(cold, 4)},"warm_runs":$warmRunsJson,"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"runs":$nRuns,"load":$loadJson,"n_failed":${failedNames.size},"failed":$failedJson,"errors":$errsJson,"methodology":"1 cold + $nRuns warm passes over all queries: the cold pass STARTS from a fresh JVM, but later queries in it share JVM/codegen/footer warmup from earlier ones — only cold_total is meaningful as a cold number, per-query queries_cold is not; value+queries report the per-query MEDIAN of the fully-warm passes (warm_runs carries the raw samples); load stamps host conditions at exit"}"""
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_gc":${gcObj(warm)},"queries_cold":${obj(cold, 4)},"queries_cold_gc":${gcObj(cold)},"warm_runs":$warmRunsJson,"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"runs":$nRuns,"load":$loadJson,"n_failed":${failedNames.size},"failed":$failedJson,"errors":$errsJson,"methodology":"1 cold + $nRuns warm passes over all queries: the cold pass STARTS from a fresh JVM, but later queries in it share JVM/codegen/footer warmup from earlier ones — only cold_total is meaningful as a cold number, per-query queries_cold is not; value+queries report the per-query MEDIAN of the fully-warm passes (warm_runs carries the raw samples); queries_gc is each median run's co-sampled JVM GC seconds; totals exclude failed queries (their fail-fast times would skew cross-round comparison); load stamps host conditions + heap/GC totals at exit"}"""
     // belt and braces against log-tail truncation: persist the full
     // artifact to a file, then print the compact line as the process's
     // LAST stdout line (after spark.stop()'s shutdown chatter)

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet tables (TESTDATA.md). Plain
   * `spark.read.parquet` so Catalyst owns pushdown/pruning — every query
@@ -9,6 +11,40 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Canonical-ns rewrite for an event-time column: whatever the parquet
+    * physically carries, downstream code sees int64 epoch NANOSECONDS
+    * and does exact integer arithmetic (ns epochs ~1.7e18 exceed
+    * double's 53-bit mantissa, so float math is never safe on them).
+    *
+    *  - TIMESTAMP(NANOS) files surface as [[LongType]] under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (Sessions) — already
+    *    canonical, passthrough;
+    *  - TIMESTAMP(isAdjustedToUTC=false) files surface as
+    *    TIMESTAMP_NTZ. NTZ is a wall-clock with no instant, and
+    *    `unix_micros` takes TIMESTAMP, so the cast to TIMESTAMP comes
+    *    first — it reinterprets the wall-clock in the SESSION timezone.
+    *    Sessions pins `spark.sql.session.timeZone=UTC`, making the cast
+    *    the identity reinterpretation whose `unix_micros` equals the
+    *    file's raw int64 µs — exactly what the nanos path reads ÷1000.
+    *    (A non-UTC session would shift the epoch; the engine pins UTC
+    *    precisely so event-time math is tz-free.)
+    *  - TIMESTAMP (instant) needs no cast: `unix_micros` directly.
+    *
+    * Scale note: the rewrite replaces the physical column with an
+    * expression, so a filter against canonical ns is evaluated
+    * post-scan rather than pushed to parquet row-group stats. At 100 TB
+    * event-time selectivity comes from partition pruning over the
+    * date-partitioned layout (directory-level, unaffected by this
+    * rewrite), so nothing is lost where it matters. */
+  def tsNanos(physical: DataType, ts: Column): Column = physical match {
+    case LongType         => ts
+    case TimestampNTZType => unix_micros(ts.cast(TimestampType)) * lit(1000L)
+    case TimestampType    => unix_micros(ts) * lit(1000L)
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported physical type $other " +
+        "(expected int64-ns, TIMESTAMP, or TIMESTAMP_NTZ)")
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
@@ -16,7 +52,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** `events` with `ts` normalized to canonical int64-ns (see
+    * [[tsNanos]]) — the driver's testdata has shipped both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) physical types across
+    * regenerations; every consumer keeps identical semantics under
+    * either. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    raw.withColumn("ts", tsNanos(raw.schema("ts").dataType, col("ts")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -12,11 +12,23 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).take(800)
+        failures += name -> msg
+        System.err.println(s"[verify] $name failed: $msg")
+        // An erring query must still produce an output, or the gate's
+        // per-query record silently OMITS it (r11: 4 analysis errors →
+        // a 117-row all-green artifact that read as 100% pass). A
+        // single `__error` row forces the downstream compare to record
+        // an explicit schema-mismatch FAIL carrying the message.
+        import spark.implicits._
+        Seq(msg).toDF("__error").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -34,6 +46,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure list (query id → captured error), so a
+    // consumer of the verify output alone sees n_failed without diffing
+    // row counts against a previous round.
+    val failedJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
     spark.stop()
   }
 }

@@ -261,26 +261,33 @@ object TextQueries {
     * checkpoint makes reuse a block read instead. On a cluster the
     * same contract is "materialize the cluster table once, join
     * downstream consumers against it", not a per-query rebuild. */
+  // keys carry a Clustering.fingerprint of documents.parquet so an
+  // in-process rewrite of the dir invalidates rather than serving a
+  // stale checkpointed frame
   private val dupClustersMemo =
-    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String)]
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String)]
+
+  private def docsKey(s: org.apache.spark.sql.SparkSession, d: String) =
+    (s, d, Clustering.fingerprint(d, "documents"))
 
   private def buildDupClusters(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val edges = nearDupPairs(s, d).select(col("d1"), col("d2"))
     val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
-    dupClustersMemo.record((s, d),
+    dupClustersMemo.record(docsKey(s, d),
       Clustering.frame(cc, "doc_id").localCheckpoint())
   }
 
   /** The reuse path consumers compose on: the recorded frame if this
-    * process already built t21 for (session, dir), else a fresh build. */
+    * process already built t21 for (session, dir, fingerprint), else a
+    * fresh build. */
   private def dupClustersReused(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    dupClustersMemo.reuse((s, d))(buildDupClusters(s, d))
+    dupClustersMemo.reuse(docsKey(s, d))(buildDupClusters(s, d))
 
   private val starClustersMemo =
-    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String)]
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String)]
 
   /** Fresh star-edge cluster build, recorded for reuse — mirrors
     * [[buildDupClusters]]: direct t32 runs always rebuild (bench/scale
@@ -291,13 +298,13 @@ object TextQueries {
     val edges = nearDupStarEdgesOf(Tables.documents(s, d))
     val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
-    starClustersMemo.record((s, d),
+    starClustersMemo.record(docsKey(s, d),
       Clustering.frame(cc, "doc_id").localCheckpoint())
   }
 
   private def starClustersReused(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    starClustersMemo.reuse((s, d))(buildStarClusters(s, d))
+    starClustersMemo.reuse(docsKey(s, d))(buildStarClusters(s, d))
 
   /** T32 — near-dup clusters over the STAR edge feed: the
     * linear-in-duplication-depth variant of t21. The ×100 scale run
@@ -425,6 +432,17 @@ object TextQueries {
        |  doc_id = cluster_id AS is_keeper
        |FROM fin
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    buildRepDedup(s, d).orderBy("doc_id")
+  }
+
+  private val repDedupMemo =
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String)]
+
+  /** Fresh t34 rep-collapsed cluster build, recorded for reuse — the
+    * [[buildDupClusters]] pattern: direct t34 runs always rebuild,
+    * composing consumers (t28) read the recorded checkpoint. */
+  private def buildRepDedup(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
     // checkpoint: chash feeds dk's both sides AND the reps screen — the
     // full-text normalize+md5 scan must run once, not three times
@@ -440,11 +458,16 @@ object TextQueries {
       cc.select(col("id").as("keeper"), col("label").as("cluster_id")),
       "keeper")
     val sized = fin.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    fin.join(sized, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_keeper"))
-      .orderBy("doc_id")
+    repDedupMemo.record(docsKey(s, d),
+      fin.join(sized, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_keeper"))
+        .localCheckpoint())
   }
+
+  private def repDedupReused(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    repDedupMemo.reuse(docsKey(s, d))(buildRepDedup(s, d))
 
   /** T31b — the SimHash near-dup SCALE operating point (the t10b
     * lesson applied to the third near-dup family): t31's 32-bit
@@ -645,13 +668,18 @@ object TextQueries {
        |  CAST(COUNT(hit) AS DOUBLE) / COUNT(*) AS boiler_frac,
        |  (CAST(COUNT(hit) AS DOUBLE) / COUNT(*) < 0.5) AS keep
        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // Spark's sequence(a, b) DESCENDS when b < a (t43's lesson): a
+    // zero-token doc would poison sequence(0, -1) into [0, -1] — screen
+    // to an empty block array instead (explode then drops the doc, the
+    // same as DuckDB's unnest of an empty list)
+    val nBlocks = ceil(size(col("toks")) / lit(10.0)).cast("int")
+    val blocks = when(nBlocks > 0,
+      transform(sequence(lit(0), nBlocks - 1),
+        i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))))
+      .otherwise(array().cast("array<string>"))
     val blk = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), ceil(size(col("toks")) / lit(10.0)).cast("int") - 1),
-          i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))))
-          .as("block"))
+      .select(col("doc_id"), explode(blocks).as("block"))
       .localCheckpoint()
     val boiler = blk.groupBy("block")
       .agg(countDistinct("doc_id").as("df"))
@@ -840,6 +868,58 @@ object TextQueries {
         expr("(cum - 1) div 512").as("end_chunk"),
         (expr("(cum - 1) div 512") - expr("(cum - n_toks) div 512"))
           .as("chunks_crossed"))
+      .orderBy("doc_id")
+  }
+
+  /** T41b — the LOADER CONTRACT for t41's packing: per document, the
+    * token offsets WITHIN the doc where 512-token chunk boundaries
+    * fall (`boundaries: array<bigint>`, empty when the doc sits inside
+    * one chunk). This is the split list a sequence-packing data loader
+    * actually consumes — boundary chunk k (start_chunk < k ≤
+    * end_chunk) begins at global token k·512, i.e. local offset
+    * k·512 − strm_offset. The cumsum stays PARTITIONED by shard (the
+    * same window as t41 — no global sort, no single-partition
+    * bottleneck); the boundary list is per-row arithmetic on top.
+    * Guard: Spark's `sequence(a, b)` descends when b < a, so the
+    * no-boundary case is screened to an empty array explicitly. */
+  val t41bPackBoundaries: QuerySpec = QuerySpec.sql(
+    "t41b_pack_boundaries",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |m AS (SELECT doc_id, len(toks) AS n_toks,
+       |        CAST(${idHashByteSql("doc_id")} % 8 AS INT) AS shard
+       |      FROM t),
+       |c AS (SELECT doc_id, shard, n_toks,
+       |        SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM m),
+       |p AS (SELECT doc_id, shard, n_toks,
+       |        CAST(cum - n_toks AS BIGINT) AS strm_offset,
+       |        CAST((cum - n_toks) // 512 AS BIGINT) AS sc,
+       |        CAST((cum - 1) // 512 AS BIGINT) AS ec
+       |      FROM c)
+       |SELECT doc_id, shard, CAST(n_toks AS BIGINT) AS n_toks,
+       |  CAST(strm_offset AS BIGINT) AS strm_offset,
+       |  list_transform(range(sc + 1, ec + 1),
+       |                 k -> CAST(k * 512 - strm_offset AS BIGINT))
+       |    AS boundaries
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        (idHashByte(col("doc_id")) % 8).cast("int").as("shard"))
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    m.withColumn("cum", sum("n_toks").over(wdw))
+      .withColumn("strm_offset", col("cum") - col("n_toks"))
+      .withColumn("sc", expr("(cum - n_toks) div 512"))
+      .withColumn("ec", expr("(cum - 1) div 512"))
+      .select(col("doc_id"), col("shard"), col("n_toks"), col("strm_offset"),
+        when(col("ec") > col("sc"),
+          transform(sequence(col("sc") + 1, col("ec")),
+            k => k * 512 - col("strm_offset")))
+          .otherwise(array().cast("array<bigint>")).as("boundaries"))
       .orderBy("doc_id")
   }
 
@@ -1722,16 +1802,18 @@ object TextQueries {
 
   /** T28 — the end-to-end TRAINING-SET MANIFEST: one row per document
     * joining the quality verdict (t19), the near-dup cluster keeper
-    * flag (t21) and the deterministic split (t15) into the final
-    * include decision a curation pipeline materializes. Composed from
-    * the SAME three query definitions on both sides (Spark runs the
-    * three operators and joins; the oracle nests the three oracle SQL
-    * bodies as derived tables), so this row is green only if the
-    * components agree AND compose consistently. The cluster side comes
-    * through [[dupClustersReused]]: when t21 already ran in this
-    * process its checkpointed frame is joined directly, so the
-    * manifest never pays the iterative CC loop twice (the oracle
-    * nests the SQL textually — DuckDB dedups the CTE itself). */
+    * flag and the deterministic split (t15) into the final include
+    * decision a curation pipeline materializes. The cluster side
+    * composes the REP-COLLAPSED frame ([[repDedupReused]], t34's
+    * production order: exact-collapse → near-dup over representatives →
+    * map back) — the ×100 scale run killed the full-pair t21
+    * composition this manifest originally used, while t34's feed stays
+    * linear in distinct content. The ORACLE still nests t21's full-pair
+    * SQL: t34's clusters provably equal t21's (exact dups share
+    * identical shingle sets → same signatures/band keys;
+    * RepDedupPipelineSpec pins the equivalence), so this gate row
+    * green = the components agree AND the rep-collapsed composition
+    * reproduces full-pair truth. */
   val t28CurationManifest: QuerySpec = QuerySpec.sql(
     "t28_curation_manifest",
     s"""SELECT q.doc_id, q.keep, q.drop_reason, c.cluster_id, c.is_keeper,
@@ -1742,7 +1824,7 @@ object TextQueries {
        |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
     t19CurationVerdict.run(s, d)
       .select(col("doc_id"), col("keep"), col("drop_reason"))
-      .join(dupClustersReused(s, d)
+      .join(repDedupReused(s, d)
         .select(col("doc_id"), col("cluster_id"), col("is_keeper")), "doc_id")
       .join(t15HashSplit.run(s, d).select(col("doc_id"), col("split")), "doc_id")
       .select(col("doc_id"), col("keep"), col("drop_reason"),
@@ -1783,5 +1865,5 @@ object TextQueries {
     t28CurationManifest, t29CorpusProfile, t30LshRecall,
     t31SimhashNearDup, t31bSimhashScale, t42SimhashRecall, t32StarClusters, t33StarParity, t34RepDedup,
     t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
-    t40MixRebalance, t41SequencePack, t43DupSpans)
+    t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans)
 }

@@ -244,7 +244,17 @@ object VectorQueries {
     }
   }
 
-  /** T10 — the oracle/bench operating point. */
+  /** T10 — the oracle/bench operating point.
+    *
+    * SATURATION BY DESIGN: the bucket space at (bits=6, tables=4) is
+    * 4×64 tags. The COVERAGE.md ×100 ScaleCheck row shows t10 emitting
+    * 0 pairs at 150k vectors — EVERY bucket blows past the cap, the
+    * overflow screen drops them all, and the query degrades to an empty
+    * (correct, observable via [[annLshOverflow]]) result rather than a
+    * quadratic self-join. That cliff is the point of keeping this row:
+    * it pins the failure MODE (graceful saturation, not blow-up). The
+    * scale operating point is [[t10bAnnLshScale]], whose wider keys keep
+    * bucket occupancy bounded as the corpus grows. */
   val t10AnnLshBuckets: QuerySpec =
     annLshSpec("t10_ann_lsh_buckets", LshBits, LshTables, LshBucketCap)
 

@@ -9,9 +9,13 @@ import org.apache.spark.sql.SparkSession
   *    splitting replaces hand-tuned partition counts per query.
   *  - `shuffle.partitions` defaults to the local core count; on a real
   *    cluster this is overridden (or AQE's coalescing makes it moot).
-  *  - `parquet.nanosAsLong`: the `events` table carries TIMESTAMP(NANOS)
-  *    which Spark's vectorized reader surfaces as an ns-epoch long; all
-  *    engine code treats `ts` as int64 nanoseconds (exact, tz-free).
+  *  - `parquet.nanosAsLong`: a TIMESTAMP(NANOS) `events` file surfaces
+  *    as an ns-epoch long (Spark would otherwise refuse NANOS). The
+  *    engine's canonical `ts` is int64 nanoseconds (exact, tz-free);
+  *    `Tables.tsNanos` normalizes whatever physical type the file
+  *    actually carries (the driver's testdata has shipped both NANOS
+  *    and MICROS), relying on `session.timeZone=UTC` below for the
+  *    TIMESTAMP_NTZ reinterpretation to be epoch-exact.
   */
 object Sessions {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =

@@ -33,13 +33,18 @@ import org.apache.spark.sql.types._
   */
 object SnapshotPoll {
 
-  val EventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Schema for streaming reads of an events directory: one batch
+    * footer read. `readStream` requires an explicit schema, and the
+    * physical type of `ts` has varied across testdata generations
+    * (int64-ns under nanosAsLong vs TIMESTAMP_NTZ from a MICROS file) —
+    * inferring from the footer keeps the stream robust to both;
+    * [[windowedStatus]] then canonicalizes `ts` via
+    * [[graft.Tables.tsNanos]]. */
+  def eventsSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(dir).schema
 
-  /** `ts` arrives as int64 nanoseconds (nanosAsLong read of
-    * TIMESTAMP(NANOS)); event-time operators need a real timestamp.
+  /** `ts` is canonical int64 nanoseconds (see [[graft.Tables.tsNanos]]);
+    * event-time operators need a real timestamp.
     * Integer `div`, not `/`: ns epochs exceed double's 53-bit mantissa
     * and float division corrupts the low microseconds. */
   def eventTime(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -48,10 +53,12 @@ object SnapshotPoll {
   /** Core transform, identical for batch and streaming inputs: tumbling
     * per-device window → latest event wins (max_by on event time, the
     * deterministic "last answer in this poll run"), plus activity
-    * stats. */
+    * stats. First canonicalizes `ts` to int64-ns whatever the source's
+    * physical type resolved to. */
   def windowedStatus(events: DataFrame, windowDur: String,
       watermarkDelay: String): DataFrame =
     events
+      .withColumn("ts", graft.Tables.tsNanos(events.schema("ts").dataType, col("ts")))
       .withColumn("etime", eventTime(col("ts")))
       .withWatermark("etime", watermarkDelay)
       .groupBy(window(col("etime"), windowDur).as("w"), col("user_id"))
@@ -77,7 +84,8 @@ object SnapshotPoll {
   def run(spark: SparkSession, eventsDir: String, roster: DataFrame,
       store: SnapshotStore, windowDur: String = "1 hour",
       watermarkDelay: String = "1 hour"): StreamingQuery = {
-    val stream = spark.readStream.schema(EventsSchema).parquet(eventsDir)
+    val stream = spark.readStream.schema(eventsSchema(spark, eventsDir))
+      .parquet(eventsDir)
     val agg = windowedStatus(stream, windowDur, watermarkDelay)
     val rosterRows = roster.select(col("user_id").cast("long")).collect()
       .map(_.getLong(0))

@@ -57,8 +57,14 @@ object ScaleCheck {
     val dst = if (pos.length > 1) pos(1) else "/tmp/graft_sf1"
     val copies = if (pos.length > 2) pos(2).toInt else 10
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // --tables=a,b restricts the scale-up to the tables a targeted run
+    // actually reads (at ×1000 writing every fact would be pure waste)
+    val tables = args.collectFirst {
+      case a if a.startsWith("--tables=") =>
+        a.stripPrefix("--tables=").split(',').toSet
+    }
     // --reuse: rerun queries against an already-written scale dir
-    if (!args.contains("--reuse")) scaleUp(spark, src, dst, copies)
+    if (!args.contains("--reuse")) scaleUp(spark, src, dst, copies, tables)
     // --skew: run the SaltedJoin skew demonstration instead of the
     // heavy-query sweep (same scaled dir); --only=a,b,c restricts the
     // sweep (the ×100 points run small subsets, not the full Heavy set)
@@ -67,24 +73,60 @@ object ScaleCheck {
     // ingest probe (write the corpus band index bucketed by its join
     // key once; measure what each later probe then stops shuffling)
     else if (args.contains("--index")) indexDemo(spark, dst)
+    // --index-j3: the same standing-index treatment for j3's ×100
+    // fact⋈fact upsert (bucket the standing sheet by its canonical key)
+    else if (args.contains("--index-j3")) indexDemoJ3(spark, dst)
     else {
       val only = args.collectFirst {
         case a if a.startsWith("--only=") =>
           a.stripPrefix("--only=").split(',').toSet
       }
-      runHeavy(spark, dst, only)
+      val names = only match {
+        case Some(o) => o.toSeq.sorted
+        case None => Heavy
+      }
+      // --fork: one fresh JVM per query — heap/codegen state accumulated
+      // by earlier queries cannot pollute later timings (the ×100 sweeps
+      // showed warm > cold from old-gen pressure built up across the set)
+      if (args.contains("--fork")) forkPerQuery(names, dst)
+      else runHeavy(spark, dst, only)
     }
     spark.stop()
   }
 
-  def scaleUp(spark: SparkSession, src: String, dst: String,
-      copies: Int): Unit = {
-    val cdf = spark.range(copies).select(col("id").as("__c"))
-    def write(t: String)(f: DataFrame => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$t.parquet")
-      f(base).write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"[scale] wrote $t")
+  /** Run each named query in its own child JVM (`--reuse --only=name`
+    * against the already-written scale dir), inheriting this JVM's heap
+    * ceiling. Child stdout/stderr pass through, so the per-query
+    * `[scale]` lines appear exactly as in-process runs. */
+  private def forkPerQuery(names: Seq[String], dst: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    // under sbt the JVM classpath is just the launcher — build the
+    // engine classpath explicitly (compiled classes + the Spark dist)
+    val cp = (Seq("target/scala-2.13/classes") ++
+      Option(new java.io.File("/opt/spark/jars").listFiles)
+        .map(_.toSeq).getOrElse(Nil).map(_.getPath))
+      .mkString(java.io.File.pathSeparator)
+    val heap = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("-Xmx") || a.startsWith("-Xms"))
+    names.foreach { n =>
+      val cmd = (Seq(javaBin) ++ heap ++ Seq("-cp", cp,
+        "graft.tools.ScaleCheck", dst, dst, "1", "--reuse", s"--only=$n"))
+      val rc = new ProcessBuilder(cmd.asJava).inheritIO().start().waitFor()
+      if (rc != 0) println(s"[scale] $n FORK EXIT $rc")
     }
+  }
+
+  def scaleUp(spark: SparkSession, src: String, dst: String,
+      copies: Int, tables: Option[Set[String]] = None): Unit = {
+    val cdf = spark.range(copies).select(col("id").as("__c"))
+    def write(t: String)(f: DataFrame => DataFrame): Unit =
+      if (tables.forall(_.contains(t))) {
+        val base = spark.read.parquet(s"$src/$t.parquet")
+        f(base).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+        println(s"[scale] wrote $t")
+      }
     def fanned(t: String)(f: (DataFrame, Column) => DataFrame): Unit =
       // 10-row side broadcasts; each source partition fans out locally
       write(t)(b => f(b.crossJoin(broadcast(cdf)), col("__c")).drop("__c"))
@@ -137,10 +179,29 @@ object ScaleCheck {
     spark.sparkContext.addSparkListener(listener)
     try {
       val r = job
-      Thread.sleep(300) // listener bus is async; let the tail drain
+      drainListenerBus(spark) // listener bus is async; drain the tail
       (r, q.asScala.toSeq)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  /** Deterministic listener drain: LiveListenerBus.waitUntilEmpty
+    * blocks until every posted event is dispatched (the fixed sleep it
+    * replaces under-waited on a loaded host and over-waited on an idle
+    * one). The bus is private[spark], so the call goes through
+    * reflection; if the API ever moves, fall back to the old sleep
+    * rather than dropping metrics silently. */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      try bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      catch {
+        case _: NoSuchMethodException =>
+          bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+            .invoke(bus, Long.box(10000L))
+      }
+      ()
+    } catch { case _: Throwable => Thread.sleep(300) }
 
   /** Set confs for the duration of `body`, restoring (or unsetting)
     * previous values after. */
@@ -272,6 +333,62 @@ object ScaleCheck {
         s"layout changed the candidates: $adhoc != $indexed")
       println(f"[index] one-time bucketed index write: $tw%.2fs " +
         s"(amortized over every later ingest probe)")
+    }
+  }
+
+  /** Bucketed standing-sheet demonstration — j3's ×100 fact⋈fact
+    * upsert, measured. The reference's update loop joins a regenerated
+    * id-map (lineitem last-wins, needs its window shuffle regardless)
+    * against the STANDING sheet (orders) every run; ad hoc, the sheet
+    * re-shuffles on every upsert. Written once bucketed by its
+    * canonical key ([[graft.ops.BucketedTables]]), the sheet scan
+    * satisfies the join's distribution and each upsert shuffles ONLY
+    * the id-map side — t38's standing-index contract applied to the
+    * MERGE INTO shape. Broadcast off: at ×100 both sides are
+    * fact-sized, exactly the regime where layout matters. Row counts
+    * must match between executions. */
+  def indexDemoJ3(spark: SparkSession, dir: String, buckets: Int = 32): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val t0 = System.nanoTime()
+    graft.ops.BucketedTables.writeBucketed(
+      orders, "scale_orders_sheet", buckets, "o_orderkey")
+    val tw = (System.nanoTime() - t0) / 1e9
+    withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      def idMap(): DataFrame = {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber").desc, col("l_partkey").desc,
+            col("l_suppkey").desc)
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn", "l_linenumber")
+      }
+      def upsert(label: String, sheet: DataFrame): Long = {
+        val ((n, wall), tasks) = withTaskMetrics(spark) {
+          val t1 = System.nanoTime()
+          val n = sheet
+            .join(idMap(), sheet("o_orderkey") === col("l_orderkey"), "left")
+            .select(sheet("o_orderkey"), col("o_orderstatus"),
+              coalesce(col("l_partkey"), lit(-1L)).as("last_part"),
+              coalesce(col("l_suppkey"), lit(-1L)).as("last_supp"))
+            .count()
+          (n, (System.nanoTime() - t1) / 1e9)
+        }
+        val mb = tasks.map(_._4).sum / 1048576.0
+        println(f"[index-j3] $label%-8s rows=$n%9d wall=$wall%6.2fs " +
+          f"shuffleWrite=$mb%8.1fMB")
+        n
+      }
+      val adhoc = upsert("adhoc", orders)
+      val indexed = upsert("indexed", spark.table("scale_orders_sheet"))
+      require(adhoc == indexed,
+        s"layout changed the result: $adhoc != $indexed")
+      println(f"[index-j3] one-time bucketed sheet write: $tw%.2fs " +
+        "(amortized over every later upsert run)")
     }
   }
 

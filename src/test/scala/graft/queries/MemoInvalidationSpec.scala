@@ -1,0 +1,39 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Pins the Clustering memo's staleness contract: keys carry a content
+  * fingerprint of the backing parquet, so an input dir rewritten
+  * in-process misses the memo and rebuilds instead of serving the old
+  * checkpointed frame. */
+class MemoInvalidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint changes when the backing parquet is rewritten") {
+    val dir = Files.createTempDirectory("graft-memo").toString
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f1 = Clustering.fingerprint(dir, "documents")
+    assert(f1.nonEmpty)
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f2 = Clustering.fingerprint(dir, "documents")
+    assert(f1 != f2, "rewriting the table must change the fingerprint")
+    // stable when nothing changed
+    assert(f2 == Clustering.fingerprint(dir, "documents"))
+  }
+
+  test("memo reuses only under the recorded key; a new key rebuilds") {
+    val m = new Clustering.Memo[String]
+    val recorded = spark.range(1).toDF("a")
+    m.record("k-old", recorded)
+    assert(m.reuse("k-old")(sys.error("must not rebuild")) eq recorded)
+    var built = false
+    val fresh = spark.range(2).toDF("a")
+    val got = m.reuse("k-new") { built = true; fresh }
+    assert(built, "a changed key (e.g. new fingerprint) must rebuild")
+    assert(got eq fresh)
+  }
+}

@@ -71,7 +71,10 @@ class IntervalJoinSpec extends SparkSpec {
 
   test("streaming result == the same interval join run as a batch") {
     implicit val sqlCtx = spark.sqlContext
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // Tables.events canonicalizes ts to int64-ns whatever the parquet
+    // physical type is (the raw read broke when testdata regenerated
+    // from TIMESTAMP(NANOS) to TIMESTAMP(MICROS))
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),

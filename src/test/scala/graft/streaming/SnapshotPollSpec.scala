@@ -73,7 +73,8 @@ class SnapshotPollSpec extends SparkSpec {
   test("watermark is attached on the streaming plan (late-data bound)") {
     // Batch plans eliminate EventTimeWatermark; the structural check
     // must run on a streaming source.
-    val stream = spark.readStream.schema(SnapshotPoll.EventsSchema)
+    val stream = spark.readStream
+      .schema(SnapshotPoll.eventsSchema(spark, streamDir))
       .parquet(streamDir)
     val plan = SnapshotPoll.windowedStatus(stream, "1 hour", "30 minutes")
       .queryExecution.analyzed.toString()

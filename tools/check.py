@@ -49,6 +49,10 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 def compare(got, want):
     gcols, wcols = sorted(got.column_names), sorted(want.column_names)
+    if gcols == ["__error"]:
+        # Verify's explicit fail row for a query that erred Spark-side
+        err = got.column("__error").to_pylist()
+        return False, f"spark error: {err[0] if err else '?'}"
     if gcols != wcols:
         return False, f"columns differ: spark={gcols} oracle={wcols}"
     if got.num_rows != want.num_rows:
