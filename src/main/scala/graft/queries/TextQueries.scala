@@ -1833,6 +1833,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T28b — the manifest's SCALE operating point: identical row shape
+    * to t28, with the cluster side composed from the STAR frame (t32's
+    * linear edge feed) instead of a full-pair build. Why both exist:
+    * t34's exact-collapse neutralizes byte-identical mirror families
+    * (the real-crawl common case), but a corpus whose dup families are
+    * near- not exact-identical — the ×100 synthetic rev-tagged copies,
+    * or a crawl after template perturbation — collapses nothing, and
+    * any full-pair feed goes C(g,2). Star edges keep the CC feed
+    * linear REGARDLESS of duplication structure (m−1 edges per
+    * bucket), so this is the row whose ×100 run completes. Oracle
+    * nests t32's star SQL — the gate pins the star composition
+    * end-to-end; the keeper-flag cost of star-vs-full refinement is
+    * exactly t33's measured number. */
+  val t28bManifestStar: QuerySpec = QuerySpec.sql(
+    "t28b_manifest_star",
+    s"""SELECT q.doc_id, q.keep, q.drop_reason, c.cluster_id, c.is_keeper,
+       |  s.split, (q.keep AND c.is_keeper) AS selected
+       |FROM (${t19CurationVerdict.oracle.get}) q
+       |JOIN (${t32StarClusters.oracle.get}) c ON q.doc_id = c.doc_id
+       |JOIN (${t15HashSplit.oracle.get}) s ON q.doc_id = s.doc_id
+       |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+    t19CurationVerdict.run(s, d)
+      .select(col("doc_id"), col("keep"), col("drop_reason"))
+      .join(starClustersReused(s, d)
+        .select(col("doc_id"), col("cluster_id"), col("is_keeper")), "doc_id")
+      .join(t15HashSplit.run(s, d).select(col("doc_id"), col("split")), "doc_id")
+      .select(col("doc_id"), col("keep"), col("drop_reason"),
+        col("cluster_id"), col("is_keeper"), col("split"),
+        (col("keep") && col("is_keeper")).as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** T29 — per-source corpus profile (the health dashboard a curation
     * run publishes): doc counts, exact distinct languages, char
     * totals/mean, id range. One two-phase groupBy; the mean is the
@@ -1862,7 +1894,7 @@ object TextQueries {
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
-    t28CurationManifest, t29CorpusProfile, t30LshRecall,
+    t28CurationManifest, t28bManifestStar, t29CorpusProfile, t30LshRecall,
     t31SimhashNearDup, t31bSimhashScale, t42SimhashRecall, t32StarClusters, t33StarParity, t34RepDedup,
     t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
     t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans)

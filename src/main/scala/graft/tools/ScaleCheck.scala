@@ -43,7 +43,8 @@ object ScaleCheck {
     "j3_last_wins_upsert", "x8_pipeline_e2e", "t21_dup_clusters",
     "t25_kmeans_assign", "t26_semantic_clusters", "q3_top_orders",
     "j7_asof_join", "s6_exact_quantiles", "t28_curation_manifest",
-    "t32_star_clusters", "t34_rep_dedup", "t35_semantic_star",
+    "t28b_manifest_star", "t32_star_clusters", "t34_rep_dedup",
+    "t35_semantic_star",
     // the parity gates run full+star in one process (memo-composed):
     // at scale factors they MEASURE the star feeds' split cost
     "t33_star_parity", "t36_semantic_star_parity",
@@ -370,13 +371,21 @@ object ScaleCheck {
       def upsert(label: String, sheet: DataFrame): Long = {
         val ((n, wall), tasks) = withTaskMetrics(spark) {
           val t1 = System.nanoTime()
-          val n = sheet
+          // the real upsert rewrites the sheet: EVERY sheet column rides
+          // through the join (updateSheet passes non-updated columns
+          // along). The hash-sum consumes all of them, so Catalyst
+          // cannot prune the sheet side down to the join key — a
+          // count() over two columns would understate the ad hoc
+          // shuffle by the whole sheet width
+          val out = sheet
             .join(idMap(), sheet("o_orderkey") === col("l_orderkey"), "left")
-            .select(sheet("o_orderkey"), col("o_orderstatus"),
+            .select(sheet.columns.map(sheet(_)) ++ Seq(
               coalesce(col("l_partkey"), lit(-1L)).as("last_part"),
-              coalesce(col("l_suppkey"), lit(-1L)).as("last_supp"))
-            .count()
-          (n, (System.nanoTime() - t1) / 1e9)
+              coalesce(col("l_suppkey"), lit(-1L)).as("last_supp")): _*)
+          val row = out.agg(count(lit(1)),
+            sum(pmod(xxhash64(out.columns.map(col): _*), lit(1000000L))))
+            .collect().head
+          (row.getLong(0), (System.nanoTime() - t1) / 1e9)
         }
         val mb = tasks.map(_._4).sum / 1048576.0
         println(f"[index-j3] $label%-8s rows=$n%9d wall=$wall%6.2fs " +
