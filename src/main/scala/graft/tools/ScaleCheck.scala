@@ -86,11 +86,17 @@ object ScaleCheck {
         case Some(o) => o.toSeq.sorted
         case None => Heavy
       }
+      // --once: a single timed pass per query — the ×1000 points cost
+      // tens of minutes each, and the finalized adaptive plan (the
+      // marker evidence) comes out of the first pass already; warm
+      // deltas are a ×10/×100 question
+      val once = args.contains("--once")
       // --fork: one fresh JVM per query — heap/codegen state accumulated
       // by earlier queries cannot pollute later timings (the ×100 sweeps
       // showed warm > cold from old-gen pressure built up across the set)
-      if (args.contains("--fork")) forkPerQuery(names, dst)
-      else runHeavy(spark, dst, only)
+      if (args.contains("--fork"))
+        forkPerQuery(names, dst, if (once) Seq("--once") else Nil)
+      else runHeavy(spark, dst, only, once)
     }
     spark.stop()
   }
@@ -99,7 +105,8 @@ object ScaleCheck {
     * against the already-written scale dir), inheriting this JVM's heap
     * ceiling. Child stdout/stderr pass through, so the per-query
     * `[scale]` lines appear exactly as in-process runs. */
-  private def forkPerQuery(names: Seq[String], dst: String): Unit = {
+  private def forkPerQuery(names: Seq[String], dst: String,
+      extra: Seq[String] = Nil): Unit = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     // under sbt the JVM classpath is just the launcher — build the
@@ -113,7 +120,8 @@ object ScaleCheck {
         a.startsWith("-Xmx") || a.startsWith("-Xms"))
     names.foreach { n =>
       val cmd = (Seq(javaBin) ++ heap ++ Seq("-cp", cp,
-        "graft.tools.ScaleCheck", dst, dst, "1", "--reuse", s"--only=$n"))
+        "graft.tools.ScaleCheck", dst, dst, "1", "--reuse",
+        s"--only=$n") ++ extra)
       val rc = new ProcessBuilder(cmd.asJava).inheritIO().start().waitFor()
       if (rc != 0) println(s"[scale] $n FORK EXIT $rc")
     }
@@ -402,7 +410,7 @@ object ScaleCheck {
   }
 
   def runHeavy(spark: SparkSession, dir: String,
-      only: Option[Set[String]] = None): Unit = {
+      only: Option[Set[String]] = None, once: Boolean = false): Unit = {
     val qs = SparkEntry.queries
     // --only may name ANY suite query, not just the Heavy defaults —
     // unknown names fail loudly rather than being silently skipped
@@ -428,18 +436,21 @@ object ScaleCheck {
         val n = df.queryExecution.toRdd.count()
         ((System.nanoTime() - t0) / 1e9, n, df)
       }
-      val (cold, rows, _) = pass()
-      // the warm pass finalized its own adaptive plan, so the join
-      // markers come from its Final Plan section (the echoed Initial
-      // Plan would show pre-AQE strategies)
-      val (warm, _, wdf) = pass()
+      val (cold, rows, cdf) = pass()
+      // the (cold or warm) pass finalized its own adaptive plan, so the
+      // join markers come from its Final Plan section (the echoed
+      // Initial Plan would show pre-AQE strategies)
+      val (warm, wdf) =
+        if (once) (Double.NaN, cdf)
+        else { val (w, _, df) = pass(); (w, df) }
       val plan = wdf.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
       val markers = Seq("BroadcastHashJoin", "SortMergeJoin",
         "BroadcastNestedLoopJoin", "ShuffledHashJoin")
         .filter(plan.contains).mkString("+")
+      val warmS = if (once) "   n/a" else f"$warm%7.2fs"
       println(f"[scale] $name%-22s rows=$rows%8d cold=$cold%7.2fs " +
-        f"warm=$warm%7.2fs joins=${if (markers.isEmpty) "none" else markers}")
+        f"warm=$warmS joins=${if (markers.isEmpty) "none" else markers}")
     }
   }
 }
