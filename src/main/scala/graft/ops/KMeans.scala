@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Exact squared L2 distance between two scaled-long arrays. */
-  private def distq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  /** Exact squared L2 distance between two scaled-long arrays (shared
+    * with the PQ encode/ADC stages — one distance definition). */
+  private[graft] def distq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0L),
       (acc, t) => acc + t)
 
@@ -69,11 +70,21 @@ object KMeans {
     // materialize the (possibly expensive) scaled input ONCE — it is
     // referenced twice per iteration plus the final assign
     val e = emb.localCheckpoint()
+    assign(e, centroidsOn(e, k, iters))
+  }
+
+  /** The trained CENTROIDS (cid, cL) after `iters` rounds from the
+    * first-k init — the codebook-training entry point ([[fit]] is
+    * this plus one final E-step). */
+  def fitCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    centroidsOn(emb.localCheckpoint(), k, iters)
+
+  private def centroidsOn(e: DataFrame, k: Int, iters: Int): DataFrame = {
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("eL").as("cL"))
       .localCheckpoint()
     for (_ <- 1 to iters)
       cent = step(e, cent, assign(e, cent)).localCheckpoint()
-    assign(e, cent)
+    cent
   }
 }

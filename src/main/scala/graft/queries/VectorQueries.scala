@@ -542,7 +542,184 @@ object VectorQueries {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Product quantization (t44/t45) — the billion-vector memory play:
+  // 64 float dims (256 B) compress to M=4 one-byte codes by splitting
+  // each vector into M subspaces and k-means-coding each independently
+  // (Jégou et al., "Product Quantization for Nearest Neighbor
+  // Search"). Query time never decompresses: an Asymmetric Distance
+  // Computation (ADC) table of query-to-centroid distances (M·k
+  // entries per query) is broadcast, and each candidate's distance is
+  // M lookups + adds — scan-local, shuffle-free until the final
+  // top-k. Everything rides the t25 integer discipline: subvector
+  // distances are exact longs on the 1e6 grid, codebooks come from
+  // the same quantized Lloyd ([[graft.ops.KMeans]], one fit per
+  // subspace), so oracle parity is by construction.
+
+  private val PqM = 4 // subspaces
+  private val PqSub = 16 // dims per subspace
+  private val PqK = 8 // centroids per subspace codebook
+  private val PqIters = 2 // Lloyd rounds (t25's depth)
+  private val PqNq = 10 // ADC query set: vec_id < 10 (t5's set)
+
+  /** Scaled embeddings (vec_id, eL) — the PQ input frame. */
+  private def embL(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
+
+  /** Train the M per-subspace codebooks → (sub, cid, cL): one
+    * quantized-Lloyd fit per subspace over the sliced vectors. The
+    * result is M·k rows — broadcast-sized at ANY corpus scale (the
+    * codebook is a model, not data). */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    (0 until PqM).map { sub =>
+      graft.ops.KMeans.fitCentroids(
+        emb.select(col("vec_id"),
+          slice(col("eL"), sub * PqSub + 1, PqSub).as("eL")),
+        PqK, PqIters)
+        .select(lit(sub).as("sub"), col("cid"), col("cL"))
+    }.reduce(_ unionAll _)
+
+  /** (vec_id, sub, sv): each vector split into its M subvectors —
+    * row-local `slice`, no shuffle. */
+  private def pqSubvecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(sub =>
+        slice(col("eL"), sub * PqSub + 1, PqSub)): _*)).as(Seq("sub", "sv")))
+
+  /** Encode: nearest codebook centroid per (vector, subspace) →
+    * (vec_id, sub, code, dq). Broadcast codebook against the subvector
+    * scan; argmin via lexicographic struct-min (distance, then cid) —
+    * map-side partial agg, no window. */
+  private def pqEncode(emb: DataFrame, cb: DataFrame): DataFrame =
+    pqSubvecs(emb).join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        graft.ops.KMeans.distq(col("sv"), col("cL")).as("dq"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dq"), col("cid"))).as("__b"))
+      .select(col("vec_id"), col("sub"),
+        col("__b.cid").as("code"), col("__b.dq").as("dq"))
+
+  /** Test seam (PqSpec): ADC distance of each query vector to its OWN
+    * code word, via the same codebook/encode/lookup path as t45. The
+    * asymmetric-distance identity says this EQUALS t44's qerr — each
+    * term is by definition the query's own subspace quantization
+    * error. */
+  private[queries] def pqSelfAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = embL(s, d)
+    val cb = pqCodebook(emb).localCheckpoint()
+    val q = emb.filter(col("vec_id") < PqNq)
+    val lut = pqSubvecs(q).withColumnRenamed("vec_id", "qid")
+      .join(broadcast(cb), "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        graft.ops.KMeans.distq(col("sv"), col("cL")).as("ldist"))
+    val enc = pqEncode(q, cb)
+    enc.join(broadcast(lut),
+        enc("vec_id") === lut("qid") && enc("sub") === lut("sub") &&
+          enc("code") === lut("cid"))
+      .groupBy(col("qid"))
+      .agg(sum("ldist").as("adist"))
+  }
+
+  /** Oracle CTE chain shared by t44/t45: long-form (vec_id, sub, dim,
+    * x) vectors, per-subspace first-k seeds, [[PqIters]] unrolled
+    * Lloyd rounds (dims partition the subspaces, so `v.dim = p.dim`
+    * already matches sub), and the final per-subspace assignment
+    * `enc`. Mirrors t25's CTEs with `sub` added to every key. */
+  private def pqCtesSql: String = {
+    def rndSql(d: String): String = graft.functions.ExactNum.rndSql(d)
+    def iterSql(i: Int): String = {
+      val p = s"c${i - 1}"
+      s"""d$i AS (SELECT v.vec_id, p.sub, p.cid,
+         |    SUM((v.x - p.c) * (v.x - p.c)) AS distq
+         |  FROM v JOIN $p p ON v.dim = p.dim GROUP BY 1, 2, 3),
+         |a$i AS (SELECT vec_id, sub, cid, distq, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id, sub ORDER BY distq, cid) AS rn FROM d$i),
+         |m$i AS (SELECT a.sub, a.cid, v.dim, SUM(v.x) AS sv, COUNT(*) AS n
+         |  FROM a$i a JOIN v ON a.vec_id = v.vec_id AND a.sub = v.sub
+         |    AND a.rn = 1
+         |  GROUP BY 1, 2, 3),
+         |c$i AS (SELECT p.sub, p.cid, p.dim,
+         |    COALESCE(${rndSql("(CAST(sv AS DOUBLE) / n)")}, p.c) AS c
+         |  FROM $p p LEFT JOIN m$i USING (sub, cid, dim))""".stripMargin
+    }
+    val f = PqIters + 1
+    s"""v AS (SELECT vec_id, i // $PqSub AS sub, i AS dim,
+       |    ${scaledSql("embedding[i+1]")} AS x
+       |  FROM embeddings, range(0, 64) t(i)),
+       |c0 AS (SELECT sub, vec_id AS cid, dim, x AS c FROM v
+       |  WHERE vec_id < $PqK),
+       |${(1 to PqIters).map(iterSql).mkString(",\n")},
+       |d$f AS (SELECT v.vec_id, p.sub, p.cid,
+       |    SUM((v.x - p.c) * (v.x - p.c)) AS distq
+       |  FROM v JOIN c$PqIters p ON v.dim = p.dim GROUP BY 1, 2, 3),
+       |a$f AS (SELECT vec_id, sub, cid, distq, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id, sub ORDER BY distq, cid) AS rn FROM d$f),
+       |enc AS (SELECT vec_id, sub, cid, distq FROM a$f WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  /** T44 — PQ ENCODE: per-vector code word (M centroid ids, ordered
+    * by subspace) plus the exact total quantization error on the long
+    * grid. The 64×-compression artifact every ADC scan reads. */
+  val t44PqEncode: QuerySpec = QuerySpec.sql(
+    "t44_pq_encode",
+    s"""WITH $pqCtesSql
+       |SELECT vec_id, list(cid ORDER BY sub) AS codes,
+       |  CAST(SUM(distq) AS BIGINT) AS qerr
+       |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = embL(s, d)
+    pqEncode(emb, pqCodebook(emb))
+      .groupBy("vec_id")
+      .agg(transform(
+          sort_array(collect_list(struct(col("sub"), col("code")))),
+          t => t.getField("code")).as("codes"),
+        sum("dq").as("qerr"))
+      .orderBy("vec_id")
+  }
+
+  /** T45 — PQ ADC top-3: for each query, one broadcast M·k lookup
+    * table of exact subvector-to-centroid distances; every candidate's
+    * approximate distance is then M table lookups + adds over its
+    * CODES — the corpus vectors themselves are never touched at query
+    * time. Self-matches excluded like t5; ties by (adist, nid). */
+  val t45PqAdcTopk: QuerySpec = QuerySpec.sql(
+    "t45_pq_adc_topk",
+    s"""WITH $pqCtesSql,
+       |lut AS (SELECT q.vec_id AS qid, c.sub, c.cid,
+       |    SUM((q.x - c.c) * (q.x - c.c)) AS ldist
+       |  FROM v q JOIN c$PqIters c ON q.dim = c.dim
+       |  WHERE q.vec_id < $PqNq GROUP BY 1, 2, 3),
+       |ad AS (SELECT l.qid, e.vec_id AS nid, CAST(SUM(l.ldist) AS BIGINT) AS adist
+       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.cid = l.cid
+       |  WHERE e.vec_id <> l.qid GROUP BY 1, 2),
+       |ranked AS (SELECT qid, nid, adist, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
+       |SELECT qid, rank, nid, adist FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val emb = embL(s, d)
+    val cb = pqCodebook(emb).localCheckpoint()
+    val lut = pqSubvecs(emb.filter(col("vec_id") < PqNq))
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(cb), "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        graft.ops.KMeans.distq(col("sv"), col("cL")).as("ldist"))
+    val enc = pqEncode(emb, cb)
+    val ad = enc
+      .join(broadcast(lut),
+        enc("sub") === lut("sub") && enc("code") === lut("cid"))
+      .filter(enc("vec_id") =!= lut("qid"))
+      .groupBy(lut("qid"), enc("vec_id"))
+      .agg(sum("ldist").as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    ad.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id").as("nid"), col("adist"))
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
-      t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign)
+      t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
+      t44PqEncode, t45PqAdcTopk)
 }

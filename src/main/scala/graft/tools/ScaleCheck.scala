@@ -136,9 +136,17 @@ object ScaleCheck {
         f(base).write.mode("overwrite").parquet(s"$dst/$t.parquet")
         println(s"[scale] wrote $t")
       }
+    // A ×N crossJoin keeps the SOURCE's partition count — sf0.1 tables
+    // are single-file, so a fanned write lands as ONE parquet file and
+    // every later scan gets ONE split: the whole corpus funnels through
+    // a single task while 31 cores idle (measured: t32's ×1000 scan
+    // sat >10 min in one straggler). Spread the write so scans get
+    // real parallelism — what any 100 TB table has by construction.
+    val outParts = math.max(32, math.min(512, copies))
     def fanned(t: String)(f: (DataFrame, Column) => DataFrame): Unit =
       // 10-row side broadcasts; each source partition fans out locally
-      write(t)(b => f(b.crossJoin(broadcast(cdf)), col("__c")).drop("__c"))
+      write(t)(b => f(b.crossJoin(broadcast(cdf)), col("__c")).drop("__c")
+        .repartition(outParts))
 
     fanned("documents") { (d, c) =>
       // copy 0 is the original; later copies append a short revision
