@@ -87,4 +87,59 @@ object KMeans {
       cent = step(e, cent, assign(e, cent)).localCheckpoint()
     cent
   }
+
+  // --- grouped variant: many independent codebooks in ONE job set ---
+  // The PQ trainer needs M independent k-means runs (one per
+  // subspace). Running [[fitCentroids]] M times serializes M×iters
+  // rounds of eager jobs; riding a `sub` group key through every
+  // stage instead trains ALL codebooks with the per-round job count
+  // of one — same arithmetic per (sub, cid), keys just widen (the
+  // oracle CTEs are written this way already).
+
+  /** E-step with a group key: `sv` is (vec_id, sub, eL), `cent` is
+    * (sub, cid, cL) → (vec_id, sub, cid, distq), nearest centroid
+    * WITHIN each sub. Centroid frames stay M·k rows — broadcast. */
+  def assignGrouped(sv: DataFrame, cent: DataFrame): DataFrame =
+    sv.join(broadcast(cent), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        distq(col("eL"), col("cL")).as("distq"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("distq"), col("cid"))).as("__best"))
+      .select(col("vec_id"), col("sub"), col("__best.cid").as("cid"),
+        col("__best.distq").as("distq"))
+
+  /** M-step with a group key; empty (sub, cid) cells keep their
+    * previous centroid, as in [[step]]. */
+  def stepGrouped(sv: DataFrame, cent: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    val sums = assigned.select("vec_id", "sub", "cid")
+      .join(sv, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("eL")).as(Seq("dim", "x")))
+      .groupBy("sub", "cid", "dim")
+      .agg(sum("x").as("sv"), count(lit(1)).as("n"))
+      .select(col("sub"), col("cid"), col("dim"),
+        rnd(col("sv").cast("double") / col("n")).cast("long").as("cnew"))
+    cent
+      .select(col("sub"), col("cid"), posexplode(col("cL")).as(Seq("dim", "cold")))
+      .join(sums, Seq("sub", "cid", "dim"), "left")
+      .select(col("sub"), col("cid"), col("dim"),
+        coalesce(col("cnew"), col("cold")).as("c"))
+      .groupBy("sub", "cid")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cL"))
+  }
+
+  /** Train one codebook PER GROUP: `sv` is (vec_id, sub, eL); seeds
+    * are the first-k vec_ids within each sub (every sub seeds from
+    * the same vectors — the per-sub [[fitCentroids]] equivalence).
+    * Returns (sub, cid, cL) after exactly `iters` rounds. */
+  def fitCentroidsGrouped(sv: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = sv.localCheckpoint()
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cid"), col("eL").as("cL"))
+      .localCheckpoint()
+    for (_ <- 1 to iters)
+      cent = stepGrouped(e, cent, assignGrouped(e, cent)).localCheckpoint()
+    cent
+  }
 }

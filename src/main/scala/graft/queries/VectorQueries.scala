@@ -567,18 +567,27 @@ object VectorQueries {
     Tables.embeddings(s, d)
       .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
 
-  /** Train the M per-subspace codebooks → (sub, cid, cL): one
-    * quantized-Lloyd fit per subspace over the sliced vectors. The
-    * result is M·k rows — broadcast-sized at ANY corpus scale (the
-    * codebook is a model, not data). */
-  private def pqCodebook(emb: DataFrame): DataFrame =
-    (0 until PqM).map { sub =>
-      graft.ops.KMeans.fitCentroids(
-        emb.select(col("vec_id"),
-          slice(col("eL"), sub * PqSub + 1, PqSub).as("eL")),
-        PqK, PqIters)
-        .select(lit(sub).as("sub"), col("cid"), col("cL"))
-    }.reduce(_ unionAll _)
+  /** Train the M per-subspace codebooks → (sub, cid, cL) in ONE
+    * grouped Lloyd run ([[graft.ops.KMeans.fitCentroidsGrouped]] —
+    * the `sub` key rides every stage, so M codebooks cost the
+    * per-round jobs of one). The result is M·k rows —
+    * broadcast-sized at ANY corpus scale (a codebook is a model, not
+    * data) — and MEMOIZED per corpus version like the cluster frames:
+    * production trains once per corpus, every encode/ADC consumer
+    * reuses; the fingerprint key invalidates on any rewrite of the
+    * backing parquet. */
+  private val pqCodebookMemo =
+    new Clustering.Memo[(SparkSession, String, String)]
+
+  private def pqCodebook(s: SparkSession, d: String,
+      emb: DataFrame): DataFrame =
+    pqCodebookMemo.reuse((s, d, Clustering.fingerprint(d, "embeddings"))) {
+      pqCodebookMemo.record(
+        (s, d, Clustering.fingerprint(d, "embeddings")),
+        graft.ops.KMeans.fitCentroidsGrouped(
+          pqSubvecs(emb).withColumnRenamed("sv", "eL"), PqK, PqIters)
+          .localCheckpoint())
+    }
 
   /** (vec_id, sub, sv): each vector split into its M subvectors —
     * row-local `slice`, no shuffle. */
@@ -607,7 +616,7 @@ object VectorQueries {
     * error. */
   private[queries] def pqSelfAdc(s: SparkSession, d: String): DataFrame = {
     val emb = embL(s, d)
-    val cb = pqCodebook(emb).localCheckpoint()
+    val cb = pqCodebook(s, d, emb)
     val q = emb.filter(col("vec_id") < PqNq)
     val lut = pqSubvecs(q).withColumnRenamed("vec_id", "qid")
       .join(broadcast(cb), "sub")
@@ -669,7 +678,7 @@ object VectorQueries {
        |  CAST(SUM(distq) AS BIGINT) AS qerr
        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
     val emb = embL(s, d)
-    pqEncode(emb, pqCodebook(emb))
+    pqEncode(emb, pqCodebook(s, d, emb))
       .groupBy("vec_id")
       .agg(transform(
           sort_array(collect_list(struct(col("sub"), col("code")))),
@@ -698,7 +707,7 @@ object VectorQueries {
        |SELECT qid, rank, nid, adist FROM ranked WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
     val emb = embL(s, d)
-    val cb = pqCodebook(emb).localCheckpoint()
+    val cb = pqCodebook(s, d, emb)
     val lut = pqSubvecs(emb.filter(col("vec_id") < PqNq))
       .withColumnRenamed("vec_id", "qid")
       .join(broadcast(cb), "sub")
