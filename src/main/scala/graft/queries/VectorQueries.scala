@@ -363,37 +363,43 @@ object VectorQueries {
     ivfRanked(emb, c).filter(col("crn") === 1)
       .groupBy("cid").agg(count(lit(1)).as("n"))
 
+  /** Shared coarse-IVF oracle CTE text (t18 + t46): centroid-cosine
+    * ranking, assignment (crn = 1), the nprobe query sets, and the
+    * probed candidate list. Expects a preceding `sq` norms CTE. */
+  private def ivfCoarseCtesSql(c: Int, p: Int): String =
+    s"""prods AS (
+       |  SELECT v.vec_id, c.vec_id AS cid,
+       |    ${prodLSql("v.embedding[i+1]", "c.embedding[i+1]")} AS pr
+       |  FROM embeddings v, embeddings c, range(0, 64) t(i)
+       |  WHERE c.vec_id < $c
+       |),
+       |cos_vc AS (
+       |  SELECT p.vec_id, p.cid,
+       |    (CAST(SUM(pr) AS DOUBLE) / 1e12) / (sqrt(a.ss) * sqrt(b.ss)) AS cos
+       |  FROM prods p JOIN sq a ON p.vec_id = a.vec_id
+       |    JOIN sq b ON p.cid = b.vec_id
+       |  GROUP BY p.vec_id, p.cid, a.ss, b.ss
+       |),
+       |ranked_vc AS (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, cid) AS crn
+       |  FROM cos_vc
+       |),
+       |assign AS (SELECT vec_id, cid FROM ranked_vc WHERE crn = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM ranked_vc
+       |  WHERE crn <= $p AND vec_id < 10),
+       |cand AS (
+       |  SELECT pr.qid, a.vec_id AS nid, a.cid
+       |  FROM probes pr JOIN assign a ON pr.cid = a.cid
+       |  WHERE a.vec_id <> pr.qid
+       |)""".stripMargin
+
   val t18AnnIvf: QuerySpec = {
     val c = IvfCentroids; val p = IvfProbes
     QuerySpec.sql(
       "t18_ann_ivf",
       s"""WITH sq AS ($NormsSql),
-         |prods AS (
-         |  SELECT v.vec_id, c.vec_id AS cid,
-         |    ${prodLSql("v.embedding[i+1]", "c.embedding[i+1]")} AS pr
-         |  FROM embeddings v, embeddings c, range(0, 64) t(i)
-         |  WHERE c.vec_id < $c
-         |),
-         |cos_vc AS (
-         |  SELECT p.vec_id, p.cid,
-         |    (CAST(SUM(pr) AS DOUBLE) / 1e12) / (sqrt(a.ss) * sqrt(b.ss)) AS cos
-         |  FROM prods p JOIN sq a ON p.vec_id = a.vec_id
-         |    JOIN sq b ON p.cid = b.vec_id
-         |  GROUP BY p.vec_id, p.cid, a.ss, b.ss
-         |),
-         |ranked_vc AS (
-         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |    ORDER BY cos DESC, cid) AS crn
-         |  FROM cos_vc
-         |),
-         |assign AS (SELECT vec_id, cid FROM ranked_vc WHERE crn = 1),
-         |probes AS (SELECT vec_id AS qid, cid FROM ranked_vc
-         |  WHERE crn <= $p AND vec_id < 10),
-         |cand AS (
-         |  SELECT pr.qid, a.vec_id AS nid, a.cid
-         |  FROM probes pr JOIN assign a ON pr.cid = a.cid
-         |  WHERE a.vec_id <> pr.qid
-         |),
+         |${ivfCoarseCtesSql(c, p)},
          |cprod AS (
          |  SELECT cand.qid, cand.nid, cand.cid,
          |    ${prodLSql("x.embedding[i+1]", "y.embedding[i+1]")} AS pr
@@ -727,8 +733,68 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
+  /** T46 — IVF-PQ: the two scale mechanisms COMPOSED, which is the
+    * shape a real 100 TB vector store runs (FAISS's IVFADC): the
+    * coarse quantizer prunes the corpus to `IvfProbes` inverted lists
+    * per query (sublinear candidate set, t18's machinery verbatim),
+    * and within the probed lists candidates are scored by ADC over
+    * their PQ codes (t45's broadcast lookup table) — the full-width
+    * vectors are touched by NEITHER stage at query time. Memory story:
+    * lists store 4-byte codes, not 256-byte vectors; compute story:
+    * per candidate, 4 lookups + adds after a per-query M·k table
+    * build. Ties by (adist, nid); `cid` rides along as the probed
+    * list, like t18. */
+  val t46IvfPq: QuerySpec = QuerySpec.sql(
+    "t46_ivf_pq",
+    s"""WITH sq AS ($NormsSql),
+       |${ivfCoarseCtesSql(IvfCentroids, IvfProbes)},
+       |$pqCtesSql,
+       |lut AS (SELECT q.vec_id AS qid, c.sub, c.cid,
+       |    SUM((q.x - c.c) * (q.x - c.c)) AS ldist
+       |  FROM v q JOIN c$PqIters c ON q.dim = c.dim
+       |  WHERE q.vec_id < $PqNq GROUP BY 1, 2, 3),
+       |ad AS (SELECT cand.qid, cand.nid, cand.cid,
+       |    CAST(SUM(l.ldist) AS BIGINT) AS adist
+       |  FROM cand JOIN enc e ON cand.nid = e.vec_id
+       |    JOIN lut l ON l.qid = cand.qid AND l.sub = e.sub AND l.cid = e.cid
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (SELECT qid, nid, cid, adist, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
+       |SELECT qid, rank, nid, cid, adist FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val emb = embScaled(s, d).localCheckpoint()
+    val rankedVc = ivfRanked(emb, IvfCentroids).localCheckpoint()
+    val assign = rankedVc.filter(col("crn") === 1).select("vec_id", "cid")
+    val probes = rankedVc
+      .filter(col("crn") <= IvfProbes && col("vec_id") < PqNq)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("cid"))
+    val eL = emb.select(col("vec_id"), col("eL"))
+    val cb = pqCodebook(s, d, eL)
+    val enc = pqEncode(eL, cb)
+    val lut = pqSubvecs(eL.filter(col("vec_id") < PqNq))
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(cb), "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        graft.ops.KMeans.distq(col("sv"), col("cL")).as("ldist"))
+    val ad = cand
+      .join(enc, cand("nid") === enc("vec_id"))
+      .join(broadcast(lut),
+        cand("qid") === lut("qid") && enc("sub") === lut("sub") &&
+          enc("code") === lut("cid"))
+      .groupBy(cand("qid"), cand("nid"), cand("cid"))
+      .agg(sum("ldist").as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    ad.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "nid", "cid", "adist")
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
-      t44PqEncode, t45PqAdcTopk)
+      t44PqEncode, t45PqAdcTopk, t46IvfPq)
 }

@@ -41,6 +41,25 @@ class PqSpec extends SparkSpec {
     assert(top.groupBy("qid").count().filter(col("count") =!= 3).count() === 0)
   }
 
+  test("every IVF-PQ result comes from a probed inverted list") {
+    // the coarse stage may only SHRINK the candidate set: each output
+    // neighbor's list id must be one of the query's nprobe lists, and
+    // the neighbor must actually be assigned to that list
+    val ranked = VectorQueries.ivfRanked(
+      graft.Tables.embeddings(spark, sf), VectorQueries.IvfCentroids)
+      .localCheckpoint()
+    val probes = ranked
+      .filter(col("crn") <= VectorQueries.IvfProbes && col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("nid"), col("cid"))
+    val out = VectorQueries.t46IvfPq.run(spark, sf)
+    val offList = out.join(probes, Seq("qid", "cid"), "left_anti")
+      .unionByName(out.join(assign, Seq("nid", "cid"), "left_anti"))
+    assert(offList.count() === 0, "t46 returned a neighbor outside the probed lists")
+    assert(out.groupBy("qid").count().filter(col("count") > 3).count() === 0)
+  }
+
   test("the ADC scan broadcasts the lookup table — no corpus-side shuffle join") {
     val plan = VectorQueries.t45PqAdcTopk.run(spark, sf)
       .queryExecution.executedPlan.toString
