@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis._
+
+/** Statistical-LM quality scoring over `documents` — the CCNet-family
+  * curation signal the engine was missing: a bigram language model
+  * trained ON the corpus scores every document's surprisal, and the
+  * Moore–Lewis contrast of an in-domain model against the general one
+  * ranks documents by domain fit (Moore & Lewis, "Intelligent
+  * Selection of Language Model Training Data", ACL 2010; CCNet uses
+  * the same shape with a pretrained KenLM).
+  *
+  * Float discipline (the house rule): a float `ln` sum is
+  * order-dependent AND libm-divergent across engines, so surprisal is
+  * quantized to WHOLE BITS with pure integer arithmetic —
+  * `floor(log2(x)) = length(bin(x)) - 1` exactly, for any positive
+  * BIGINT, in both Spark and DuckDB. Each add-one-smoothed bigram
+  * surprisal -log2((c2+1)/(c1+V)) becomes `bitlen(c1+V) -
+  * bitlen(c2+1)` (±1 bit of the float value, deterministic), integer
+  * sums are associative-exact, and the ONLY float op is one final
+  * correctly-rounded division per document. Production would swap
+  * whole-bit surprisal for float log against a broadcast pretrained
+  * model; every plan shape below is unchanged by that swap.
+  *
+  * Scale shape: bigram extraction is scan-local (`slice`+`zip_with`,
+  * no explode-to-64× blowup, one row per bigram instance only in the
+  * aggregation pipeline). The per-doc distinct-bigram reduction `nb`
+  * happens FIRST, so the model joins touch distinct (doc, gram) rows,
+  * not instances, and the unigram/bigram model tables are aggregates
+  * OF `nb` — one instance-table shuffle total. At 100 TB the model
+  * tables are Zipf-concentrated but can exceed broadcast size; the
+  * scoring joins hash on `gram`/`w1`, and AQE picks broadcast while
+  * the model fits (it does at every tested sf). A real deployment
+  * prunes the model to top-M grams + an OOV bucket, which bounds the
+  * broadcast permanently — the join key and plan are identical.
+  */
+object LmQueries {
+
+  /** Per-document bigram instances: (doc_id, gram = "w1 w2", w1).
+    * Row-local: two `slice` views zipped — docs with <2 tokens emit an
+    * empty array (slice length is clamped at 0: Spark's `sequence`
+    * descends on negative ranges, t43's lesson, so no sequence here at
+    * all). */
+  private def bigrams(docs: DataFrame): DataFrame = {
+    val n = size(col("toks"))
+    val pairs = zip_with(
+      slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("toks"), lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(concat_ws(" ", a, b).as("gram"), a.as("w1")))
+    docs.select(col("doc_id"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("b.gram"), col("b.w1"))
+  }
+
+  /** Tokenized corpus: (doc_id, lang, toks). */
+  private def toked(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+
+  /** Whole-bit add-one bigram surprisal of every document under a
+    * model trained on `trainPred` rows: (doc_id, n_bigrams, nll_bits).
+    * Scoring covers ALL documents; unseen grams/contexts hit the
+    * smoothing floor (c=0) via left joins — the OOV penalty is
+    * bitlen(V) bits, the model's maximum, exactly as add-one
+    * prescribes. */
+  private def bigramNll(s: SparkSession, d: String,
+      trainPred: Column): DataFrame = {
+    val t = toked(s, d).localCheckpoint() // one documents scan: train + score
+    val nb = bigrams(t)
+      .groupBy("doc_id", "gram", "w1").agg(count(lit(1)).as("k"))
+      .localCheckpoint() // one instance shuffle feeds model + scoring
+    val train = t.filter(trainPred)
+    val trainNb = nb.join(train.select("doc_id"), "doc_id")
+    val c2 = trainNb.groupBy("gram").agg(sum("k").as("n2"))
+    val c1 = trainNb.groupBy("w1").agg(sum("k").as("n1"))
+    val vocab = train.select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("V"))
+    val bits = length(bin(coalesce(col("n1"), lit(0L)) + col("V"))) -
+      length(bin(coalesce(col("n2"), lit(0L)) + lit(1L)))
+    val scored = nb
+      .join(c2, Seq("gram"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        sum(col("k") * bits.cast("long")).as("nll_bits"))
+    t.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_bits"), lit(0L)).as("nll_bits"))
+  }
+
+  /** SQL twin of [[bigramNll]] as a CTE chain ending in `sc_$tag`
+    * (doc_id, n_bigrams, nll_bits); `where` filters the TRAINING set
+    * (scoring is always the whole corpus). CTE names are tag-suffixed
+    * so two models compose in one query (t49). */
+  private def bigramNllSql(tag: String, where: String): String = {
+    import TextQueries.ToksSql
+    s"""t_$tag AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+       |bg_$tag AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram, toks[i] AS w1
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |        FROM t_$tag)
+       |),
+       |nb_$tag AS (SELECT doc_id, gram, w1, COUNT(*) AS k
+       |  FROM bg_$tag GROUP BY 1, 2, 3),
+       |tnb_$tag AS (SELECT nb.* FROM nb_$tag nb
+       |  JOIN (SELECT doc_id FROM t_$tag WHERE $where) tr USING (doc_id)),
+       |c2_$tag AS (SELECT gram, CAST(SUM(k) AS BIGINT) AS n2
+       |  FROM tnb_$tag GROUP BY 1),
+       |c1_$tag AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS n1
+       |  FROM tnb_$tag GROUP BY 1),
+       |v_$tag AS (SELECT COUNT(DISTINCT tok) AS V
+       |  FROM (SELECT unnest(toks) AS tok FROM t_$tag WHERE $where)),
+       |sc_$tag AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(SUM(nb.k), 0) AS BIGINT) AS n_bigrams,
+       |    CAST(COALESCE(SUM(nb.k * (
+       |      length(bin(COALESCE(c1.n1, 0) + v.V)) -
+       |      length(bin(COALESCE(c2.n2, 0) + 1)))), 0) AS BIGINT) AS nll_bits
+       |  FROM t_$tag d
+       |  LEFT JOIN (nb_$tag nb
+       |    LEFT JOIN c2_$tag c2 USING (gram)
+       |    LEFT JOIN c1_$tag c1 USING (w1)
+       |    CROSS JOIN v_$tag v) ON d.doc_id = nb.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+  }
+
+  /** T48 — BIGRAM-LM SURPRISAL SCORE: the corpus-trained quality
+    * signal. High mean bits = improbable token transitions (gibberish,
+    * OCR noise, wrong-language fragments); low = repetitive/boilerplate
+    * text. A curation pipeline thresholds or band-passes this column
+    * next to t7's heuristic score. */
+  val t48BigramLm: QuerySpec = QuerySpec.sql(
+    "t48_bigram_lm",
+    s"""WITH ${bigramNllSql("g", "TRUE")}
+       |SELECT doc_id, n_bigrams, nll_bits,
+       |  CASE WHEN n_bigrams > 0
+       |       THEN CAST(nll_bits AS DOUBLE) / n_bigrams END AS mean_bits
+       |FROM sc_g
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    bigramNll(s, d, lit(true))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_bits"),
+        when(col("n_bigrams") > 0,
+          col("nll_bits").cast("double") / col("n_bigrams")).as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** T49 — MOORE–LEWIS DATA SELECTION: score every document under an
+    * IN-DOMAIN model (trained on `lang = 'en'` rows — the stand-in for
+    * "looks like the target distribution") and an OUT-domain model
+    * (the complement, `lang <> 'en'`); the cross-entropy DIFFERENCE
+    * ranks domain fit, and `selected` keeps documents the in-domain
+    * model finds MORE probable. The paper contrasts in-domain vs
+    * general; with count-trained add-one models the complement is the
+    * right OUT side — a full-corpus model CONTAINS the in-domain
+    * counts, so its corpus-size advantage under smoothing swamps the
+    * domain term at small scale (measured: every doc scored
+    * "general" against t48's model), while disjoint subsets carry
+    * symmetric smoothing bias and the OOV penalty cuts both ways.
+    * The sign test is pure-integer (`nll_in < nll_out` — both sums
+    * count the same bigram instances, so the denominators cancel);
+    * `delta_bits` is the one correctly-rounded division, for
+    * ranking. */
+  val t49MooreLewis: QuerySpec = QuerySpec.sql(
+    "t49_moore_lewis",
+    s"""WITH ${bigramNllSql("in", "lang = 'en'")},
+       |${bigramNllSql("out", "lang <> 'en'")}
+       |SELECT i.doc_id, i.n_bigrams,
+       |  i.nll_bits AS nll_in, o.nll_bits AS nll_out,
+       |  CASE WHEN i.n_bigrams > 0
+       |       THEN CAST(i.nll_bits - o.nll_bits AS DOUBLE) / i.n_bigrams
+       |  END AS delta_bits,
+       |  CASE WHEN i.n_bigrams > 0 THEN i.nll_bits < o.nll_bits
+       |  END AS selected
+       |FROM sc_in i JOIN sc_out o USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val in = bigramNll(s, d, col("lang") === "en")
+      .withColumnRenamed("nll_bits", "nll_in")
+    val out = bigramNll(s, d, col("lang") =!= "en")
+      .select(col("doc_id"), col("nll_bits").as("nll_out"))
+    in.join(out, "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("nll_in"), col("nll_out"),
+        when(col("n_bigrams") > 0,
+          (col("nll_in") - col("nll_out")).cast("double") / col("n_bigrams"))
+          .as("delta_bits"),
+        when(col("n_bigrams") > 0, col("nll_in") < col("nll_out"))
+          .as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(t48BigramLm, t49MooreLewis)
+}

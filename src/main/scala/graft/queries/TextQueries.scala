@@ -21,9 +21,9 @@ object TextQueries {
 
   // Shared SQL snippets (DuckDB side) — keep in lockstep with
   // TextAnalysis.normText/tokens/shingles.
-  private val NormSql =
+  private[queries] val NormSql =
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-  private val ToksSql = s"string_split($NormSql, ' ')"
+  private[queries] val ToksSql = s"string_split($NormSql, ' ')"
   private val ShinglesOverToks =
     """CASE WHEN len(toks) >= 3
       |     THEN list_transform(range(1, len(toks) - 1),

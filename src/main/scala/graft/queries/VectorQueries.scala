@@ -744,9 +744,12 @@ object VectorQueries {
     * per candidate, 4 lookups + adds after a per-query M·k table
     * build. Ties by (adist, nid); `cid` rides along as the probed
     * list, like t18. */
-  val t46IvfPq: QuerySpec = QuerySpec.sql(
-    "t46_ivf_pq",
-    s"""WITH sq AS ($NormsSql),
+  /** Shared t46/t47 oracle CTE chain: norms, coarse IVF prune, PQ
+    * codes, the per-query ADC lookup table, candidate ADC distances,
+    * and their per-query ranking — everything up to "which candidates
+    * did IVF-PQ surface, in what ADC order". */
+  private def ivfPqCtesSql: String =
+    s"""sq AS ($NormsSql),
        |${ivfCoarseCtesSql(IvfCentroids, IvfProbes)},
        |$pqCtesSql,
        |lut AS (SELECT q.vec_id AS qid, c.sub, c.cid,
@@ -759,9 +762,13 @@ object VectorQueries {
        |    JOIN lut l ON l.qid = cand.qid AND l.sub = e.sub AND l.cid = e.cid
        |  GROUP BY 1, 2, 3),
        |ranked AS (SELECT qid, nid, cid, adist, ROW_NUMBER() OVER (
-       |    PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
-       |SELECT qid, rank, nid, cid, adist FROM ranked WHERE rank <= 3
-       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+       |    PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)"""
+      .stripMargin
+
+  /** Spark twin of [[ivfPqCtesSql]]'s `ranked`: every IVF-PQ candidate
+    * with its ADC distance and per-query ADC rank. Shared by t46
+    * (top-3 as-is) and t47 (top-[[RefineR]] re-scored exactly). */
+  private def ivfPqRanked(s: SparkSession, d: String): DataFrame = {
     val emb = embScaled(s, d).localCheckpoint()
     val rankedVc = ivfRanked(emb, IvfCentroids).localCheckpoint()
     val assign = rankedVc.filter(col("crn") === 1).select("vec_id", "cid")
@@ -788,13 +795,87 @@ object VectorQueries {
       .agg(sum("ldist").as("adist"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
     ad.withColumn("rank", row_number().over(w))
+  }
+
+  val t46IvfPq: QuerySpec = QuerySpec.sql(
+    "t46_ivf_pq",
+    s"""WITH $ivfPqCtesSql
+       |SELECT qid, rank, nid, cid, adist FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    ivfPqRanked(s, d)
       .filter(col("rank") <= 3)
       .select("qid", "rank", "nid", "cid", "adist")
+      .orderBy("qid", "rank")
+  }
+
+  /** Candidates the refine stage re-scores per query (FAISS
+    * `k_factor`): ADC keeps its top `RefineR`, exact distance re-ranks
+    * within them. */
+  private[queries] val RefineR = 10
+
+  /** T47 — IVF-PQ + EXACT REFINE (FAISS's `IndexRefineFlat`): ADC
+    * distances are biased by quantization, so real vector stores
+    * re-score a short ADC shortlist with EXACT distances before
+    * serving. The coarse+ADC stages never touch full vectors; the
+    * refine stage fetches exactly `RefineR` full vectors per query —
+    * a per-query CONSTANT, so at 100 TB the full-width reads stay
+    * O(queries), not O(corpus), while recall recovers toward
+    * brute-force truth (the bias shows up as rank churn between
+    * `rank_adc` and the final exact rank — visibly nonzero on this
+    * corpus, which is the point of the stage).
+    *
+    * Scale shape: the shortlist (queries × RefineR rows) joins the
+    * corpus by id — broadcast-sized by construction on the shortlist
+    * side; the exact math is the shared pre-scaled long cosine, so
+    * the refine verdict is bit-identical across engines. */
+  val t47IvfPqRefine: QuerySpec = QuerySpec.sql(
+    "t47_ivf_pq_refine",
+    s"""WITH $ivfPqCtesSql,
+       |keep AS (SELECT qid, nid, cid, adist, rank AS rank_adc FROM ranked
+       |  WHERE rank <= $RefineR),
+       |rprod AS (
+       |  SELECT k.qid, k.nid, k.cid, k.adist, k.rank_adc,
+       |    ${prodLSql("x.embedding[i+1]", "y.embedding[i+1]")} AS pr
+       |  FROM keep k JOIN embeddings x ON k.qid = x.vec_id
+       |    JOIN embeddings y ON k.nid = y.vec_id, range(0, 64) t(i)
+       |),
+       |rcos AS (
+       |  SELECT r.qid, r.nid, r.cid, r.adist, r.rank_adc,
+       |    (CAST(SUM(pr) AS DOUBLE) / 1e12) / (sqrt(a.ss) * sqrt(b.ss)) AS cosine
+       |  FROM rprod r JOIN sq a ON r.qid = a.vec_id
+       |    JOIN sq b ON r.nid = b.vec_id
+       |  GROUP BY r.qid, r.nid, r.cid, r.adist, r.rank_adc, a.ss, b.ss
+       |),
+       |rranked AS (SELECT qid, nid, cid, adist, rank_adc, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, nid) AS rank
+       |  FROM rcos)
+       |SELECT qid, rank, nid, cid, rank_adc, adist, cosine
+       |FROM rranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val emb = embScaled(s, d)
+    val keep = ivfPqRanked(s, d)
+      .filter(col("rank") <= RefineR)
+      .select(col("qid"), col("nid"), col("cid"), col("adist"),
+        col("rank").as("rank_adc"))
+    val cos = broadcast(keep)
+      .join(emb.select(col("vec_id").as("qid"), col("eL").as("qL"),
+        col("ss").as("ss_a")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("eL").as("nL"),
+        col("ss").as("ss_b")), "nid")
+      .select(col("qid"), col("nid"), col("cid"), col("adist"),
+        col("rank_adc"),
+        (dotL(col("qL"), col("nL")) / (sqrt(col("ss_a")) * sqrt(col("ss_b"))))
+          .as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    cos.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "nid", "cid", "rank_adc", "adist", "cosine")
       .orderBy("qid", "rank")
   }
 
   val all: Seq[QuerySpec] =
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
-      t44PqEncode, t45PqAdcTopk, t46IvfPq)
+      t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine)
 }
