@@ -26,33 +26,39 @@ import graft.functions.TextAnalysis._
   * whole-bit surprisal for float log against a broadcast pretrained
   * model; every plan shape below is unchanged by that swap.
   *
-  * Scale shape: bigram extraction is scan-local (`slice`+`zip_with`,
-  * no explode-to-64× blowup, one row per bigram instance only in the
-  * aggregation pipeline). The per-doc distinct-bigram reduction `nb`
-  * happens FIRST, so the model joins touch distinct (doc, gram) rows,
-  * not instances, and the unigram/bigram model tables are aggregates
-  * OF `nb` — one instance-table shuffle total. At 100 TB the model
-  * tables are Zipf-concentrated but can exceed broadcast size; the
-  * scoring joins hash on `gram`/`w1`, and AQE picks broadcast while
-  * the model fits (it does at every tested sf). A real deployment
-  * prunes the model to top-M grams + an OOV bucket, which bounds the
-  * broadcast permanently — the join key and plan are identical.
+  * Scale shape: bigram extraction is scan-local (`slice`+`zip_with`
+  * over one checkpointed tokenized scan — no explode-to-64× blowup).
+  * Model training filters the instance STREAM by the training
+  * predicate (`lang` rides the rows, so restricting the training set
+  * is a pushed filter, never a doc-id join — a doc-id list is itself
+  * corpus-sized at 100 TB) and aggregates with map-side partials; the
+  * scoring side reduces to per-doc DISTINCT bigrams first, so the
+  * model joins touch distinct (doc, gram) rows, not instances. At
+  * 100 TB the model tables are Zipf-concentrated but can exceed
+  * broadcast size; the scoring joins hash on `gram`/`w1`, and AQE
+  * picks broadcast while the model fits (it does at every tested
+  * sf). A real deployment prunes the model to top-M grams + an OOV
+  * bucket, which bounds the broadcast permanently — the join key and
+  * plan are identical.
   */
 object LmQueries {
 
-  /** Per-document bigram instances: (doc_id, gram = "w1 w2", w1).
-    * Row-local: two `slice` views zipped — docs with <2 tokens emit an
-    * empty array (slice length is clamped at 0: Spark's `sequence`
-    * descends on negative ranges, t43's lesson, so no sequence here at
-    * all). */
+  /** Per-document bigram instances: (doc_id, lang, gram = "w1 w2",
+    * w1). Row-local: two `slice` views zipped — docs with <2 tokens
+    * emit an empty array (slice length is clamped at 0: Spark's
+    * `sequence` descends on negative ranges, t43's lesson, so no
+    * sequence here at all). `lang` rides along so a training-set
+    * restriction is a scan FILTER on the instance stream — never a
+    * doc-id join (a doc-id list is corpus-sized at 100 TB; a language
+    * predicate is free). */
   private def bigrams(docs: DataFrame): DataFrame = {
     val n = size(col("toks"))
     val pairs = zip_with(
       slice(col("toks"), lit(1), greatest(n - 1, lit(0))),
       slice(col("toks"), lit(2), greatest(n - 1, lit(0))),
       (a, b) => struct(concat_ws(" ", a, b).as("gram"), a.as("w1")))
-    docs.select(col("doc_id"), explode(pairs).as("b"))
-      .select(col("doc_id"), col("b.gram"), col("b.w1"))
+    docs.select(col("doc_id"), col("lang"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.gram"), col("b.w1"))
   }
 
   /** Tokenized corpus: (doc_id, lang, toks). */
@@ -69,14 +75,13 @@ object LmQueries {
   private def bigramNll(s: SparkSession, d: String,
       trainPred: Column): DataFrame = {
     val t = toked(s, d).localCheckpoint() // one documents scan: train + score
-    val nb = bigrams(t)
+    val bg = bigrams(t) // narrow over the checkpointed scan, computed per consumer
+    val nb = bg
       .groupBy("doc_id", "gram", "w1").agg(count(lit(1)).as("k"))
-      .localCheckpoint() // one instance shuffle feeds model + scoring
-    val train = t.filter(trainPred)
-    val trainNb = nb.join(train.select("doc_id"), "doc_id")
-    val c2 = trainNb.groupBy("gram").agg(sum("k").as("n2"))
-    val c1 = trainNb.groupBy("w1").agg(sum("k").as("n1"))
-    val vocab = train.select(explode(col("toks")).as("tok"))
+    val trainBg = bg.filter(trainPred) // scan filter — no doc-id join
+    val c2 = trainBg.groupBy("gram").agg(count(lit(1)).as("n2"))
+    val c1 = trainBg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val vocab = t.filter(trainPred).select(explode(col("toks")).as("tok"))
       .agg(count_distinct(col("tok")).as("V"))
     val bits = length(bin(coalesce(col("n1"), lit(0L)) + col("V"))) -
       length(bin(coalesce(col("n2"), lit(0L)) + lit(1L)))
@@ -101,18 +106,17 @@ object LmQueries {
     import TextQueries.ToksSql
     s"""t_$tag AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
        |bg_$tag AS (
-       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram, toks[i] AS w1
-       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS gram,
+       |    toks[i] AS w1
+       |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
        |        FROM t_$tag)
        |),
        |nb_$tag AS (SELECT doc_id, gram, w1, COUNT(*) AS k
        |  FROM bg_$tag GROUP BY 1, 2, 3),
-       |tnb_$tag AS (SELECT nb.* FROM nb_$tag nb
-       |  JOIN (SELECT doc_id FROM t_$tag WHERE $where) tr USING (doc_id)),
-       |c2_$tag AS (SELECT gram, CAST(SUM(k) AS BIGINT) AS n2
-       |  FROM tnb_$tag GROUP BY 1),
-       |c1_$tag AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS n1
-       |  FROM tnb_$tag GROUP BY 1),
+       |c2_$tag AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n2
+       |  FROM bg_$tag WHERE $where GROUP BY 1),
+       |c1_$tag AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+       |  FROM bg_$tag WHERE $where GROUP BY 1),
        |v_$tag AS (SELECT COUNT(DISTINCT tok) AS V
        |  FROM (SELECT unnest(toks) AS tok FROM t_$tag WHERE $where)),
        |sc_$tag AS (
