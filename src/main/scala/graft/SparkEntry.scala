@@ -14,7 +14,8 @@ object SparkEntry {
     CoreQueries.all ++ FunctionQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ ExtraQueries.all ++ WarehouseQueries.all ++
       ScalarQueries2.all ++ ParserQueries.all ++ TicketQueries.all ++
-      PipelineE2EQueries.all ++ MultimodalQueries.all ++ LmQueries.all
+      PipelineE2EQueries.all ++ MultimodalQueries.all ++ LmQueries.all ++
+      BpeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis._
+
+/** BPE tokenizer induction over `documents` (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units") — the
+  * missing front door of a training-data pipeline: before a corpus is
+  * packed (t41) or token-counted (t8) someone has to TRAIN the
+  * tokenizer, on the corpus, at corpus scale.
+  *
+  * Architecture (the production split): Spark owns the corpus-scale
+  * part — one token-explode + word groupBy reduces 100 TB of text to
+  * a word-frequency table, capped at the top-[[BpeW]] words (exact
+  * distributed top-K: `TakeOrderedAndProject`, no global sort) — and
+  * the merge loop then iterates on that VOCAB-sized frame only:
+  * per round one pair-count aggregation (map-side partial) and one
+  * argmax row. Corpus size never appears in the loop.
+  *
+  * Exact cross-engine parity without a tokenizer library: a word's
+  * segmentation state is its symbols joined by TWO spaces (padded
+  * with one), so applying merge (w1,w2)→w1w2 is a plain substring
+  * `replace(' w1  w2 ', ' w1w2 ')`: each match consumes ONE space of
+  * each neighboring gap and the replacement restores it, so chained
+  * occurrences stay matchable and overlaps resolve left-to-right
+  * non-overlapping — byte-identical greedy semantics in Spark's
+  * UTF8String.replace and DuckDB's replace, no regex (tokens are
+  * [a-z0-9]+, so symbols never contain spaces). Pair counts are
+  * integer sums; ties break (count DESC, w1, w2) — total order, both
+  * engines. */
+object BpeQueries {
+
+  import TextQueries.ToksSql
+
+  /** Merge rounds. Real vocabs run tens of thousands; the loop shape
+    * is round-linear and each round is one vocab-sized aggregation, so
+    * the unrolled-oracle depth is the only reason to keep this small
+    * here. */
+  private[queries] val BpeM = 6
+
+  /** Word-frequency table cap (the standard corpus-side bound: the
+    * Zipf tail adds mass to no pair worth merging; the cap bounds the
+    * loop's frame at any corpus size). */
+  private[queries] val BpeW = 10000
+
+  /** Initial segmentation: characters double-space-joined. */
+  private def charSym(w: Column): Column =
+    trim(regexp_replace(w, "(.)", "$1  "))
+
+  /** One padded-replace merge application. */
+  private def applyMerge(sym: Column, w1: Column, w2: Column,
+      merged: Column): Column =
+    trim(replace(concat(lit(" "), sym, lit(" ")),
+      concat(lit(" "), w1, lit("  "), w2, lit(" ")),
+      concat(lit(" "), merged, lit(" "))))
+
+  /** Top-[[BpeW]] word frequencies — the corpus-scale reduction. */
+  private def wordCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("word")).limit(BpeW)
+
+  private val mergesMemo = new Clustering.Memo[(SparkSession, String, String)]
+
+  /** The trained merge table (round, w1, w2, merged, cnt) — the model
+    * artifact. Each round localCheckpoints the 1-row argmax and the
+    * rewritten vocab so round r+1's plan starts from materialized
+    * state (the CC-loop convention); memoized per corpus fingerprint
+    * so the apply side (t51) never retrains. */
+  private[queries] def trainMerges(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d, Clustering.fingerprint(d, "documents"))
+    mergesMemo.reuse(key) {
+      var syms = wordCounts(s, d)
+        .select(col("word"), col("wc"), charSym(col("word")).as("sym"))
+        .localCheckpoint()
+      val bests = (1 to BpeM).map { r =>
+        val arr = split(col("sym"), "  ")
+        val n = size(arr)
+        val prs = zip_with(
+          slice(arr, lit(1), greatest(n - 1, lit(0))),
+          slice(arr, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))
+        val best = syms.select(col("wc"), explode(prs).as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(sum("wc").as("cnt"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+          .select(lit(r).as("round"), col("w1"), col("w2"),
+            concat(col("w1"), col("w2")).as("merged"), col("cnt"))
+          .localCheckpoint()
+        syms = syms
+          .crossJoin(broadcast(best.select(
+            col("w1").as("__w1"), col("w2").as("__w2"),
+            col("merged").as("__m"))))
+          .select(col("word"), col("wc"),
+            applyMerge(col("sym"), col("__w1"), col("__w2"), col("__m"))
+              .as("sym"))
+          .localCheckpoint()
+        best
+      }
+      mergesMemo.record(key,
+        bests.reduce(_ union _).localCheckpoint())
+    }
+  }
+
+  /** Oracle CTE chain: w0 (capped word counts), s0 (char split), per
+    * round pr/b/s CTEs, and `merges` — mirrors [[trainMerges]] round
+    * for round. */
+  private def bpeCtesSql: String = {
+    val rounds = (1 to BpeM).map { r =>
+      val p = s"s${r - 1}"
+      s"""pr$r AS (SELECT arr[i] AS w1, arr[i+1] AS w2,
+         |    CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, arr, unnest(range(1, len(arr))) AS i
+         |        FROM (SELECT wc, string_split(sym, '  ') AS arr FROM $p))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT $r AS round, w1, w2, w1 || w2 AS merged, cnt
+         |  FROM pr$r ORDER BY cnt DESC, w1, w2 LIMIT 1),
+         |s$r AS (SELECT word, wc,
+         |    trim(replace(' ' || sym || ' ',
+         |      ' ' || b.w1 || '  ' || b.w2 || ' ',
+         |      ' ' || b.merged || ' ')) AS sym
+         |  FROM $p, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest($ToksSql) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1
+       |  ORDER BY wc DESC, word LIMIT $BpeW),
+       |s0 AS (SELECT word, wc,
+       |  trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym FROM w0),
+       |$rounds,
+       |merges AS (${(1 to BpeM).map(r => s"SELECT * FROM b$r")
+        .mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  /** T50 — BPE MERGE TRAINING: the ordered merge table. */
+  val t50BpeTrain: QuerySpec = QuerySpec.sql(
+    "t50_bpe_train",
+    s"""WITH $bpeCtesSql
+       |SELECT round, w1, w2, merged, cnt FROM merges
+       |ORDER BY round""".stripMargin) { (s, d) =>
+    trainMerges(s, d).orderBy("round")
+  }
+
+  /** T51 — BPE SEGMENTATION STATS: apply the trained merges to every
+    * document and report subword counts — the tokenizer-fit metric
+    * (units/token → 1 as merges cover the corpus' frequent words).
+    *
+    * Scale shape: merges are collected (M rows — a model artifact,
+    * the bounded-collect the codebook/centroid families already use)
+    * and applied as a literal replace chain to the DISTINCT word
+    * table, vocab-sized, once per word — never per instance; the
+    * instance stream then joins the segmented vocab by word (AQE
+    * broadcasts while the vocab fits; the join hashes on `word`
+    * either way). */
+  val t51BpeSegment: QuerySpec = QuerySpec.sql(
+    "t51_bpe_segment",
+    s"""WITH $bpeCtesSql,
+       |ti AS (SELECT doc_id, word FROM (SELECT doc_id,
+       |    unnest($ToksSql) AS word FROM documents) WHERE word <> ''),
+       |vw AS (SELECT DISTINCT word FROM ti),
+       |g0 AS (SELECT word,
+       |  trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym FROM vw),
+       |${(1 to BpeM).map(r =>
+        s"""g$r AS (SELECT word, trim(replace(' ' || sym || ' ',
+           |  ' ' || b.w1 || '  ' || b.w2 || ' ',
+           |  ' ' || b.merged || ' ')) AS sym FROM g${r - 1}, b$r b)"""
+          .stripMargin).mkString(",\n")},
+       |wl AS (SELECT word,
+       |  CAST(len(string_split(sym, '  ')) AS BIGINT) AS units FROM g$BpeM),
+       |sc AS (SELECT ti.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(wl.units) AS BIGINT) AS n_units
+       |  FROM ti JOIN wl USING (word) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+       |  COALESCE(sc.n_units, 0) AS n_units,
+       |  CASE WHEN sc.n_tokens > 0
+       |       THEN CAST(sc.n_units AS DOUBLE) / sc.n_tokens
+       |  END AS units_per_token
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val merges = trainMerges(s, d).orderBy("round").collect() // M rows
+    val docs = Tables.documents(s, d)
+    val ti = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val segSym = merges.foldLeft(charSym(col("word"))) { (acc, m) =>
+      applyMerge(acc, lit(m.getAs[String]("w1")), lit(m.getAs[String]("w2")),
+        lit(m.getAs[String]("merged")))
+    }
+    val wl = ti.select("word").distinct()
+      .select(col("word"),
+        size(split(segSym, "  ")).cast("long").as("units"))
+    val sc = ti.join(wl, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
+    docs.select("doc_id").join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        when(col("n_tokens") > 0,
+          col("n_units").cast("double") / col("n_tokens"))
+          .as("units_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(t50BpeTrain, t51BpeSegment)
+}

@@ -66,71 +66,98 @@ object LmQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
 
-  /** Whole-bit add-one bigram surprisal of every document under a
-    * model trained on `trainPred` rows: (doc_id, n_bigrams, nll_bits).
-    * Scoring covers ALL documents; unseen grams/contexts hit the
-    * smoothing floor (c=0) via left joins — the OOV penalty is
-    * bitlen(V) bits, the model's maximum, exactly as add-one
-    * prescribes. */
+  /** Whole-bit add-one bigram surprisal of every document under each
+    * model in `models` (tag → training predicate): (doc_id, n_bigrams,
+    * nll_<tag>...). Scoring covers ALL documents; unseen grams/
+    * contexts hit the smoothing floor (c=0) via left joins — the OOV
+    * penalty is bitlen(V) bits, the model's maximum, exactly as
+    * add-one prescribes.
+    *
+    * ONE pass scores every model: each model contributes three
+    * broadcast-sized joins (c2/c1/V) onto the same distinct-bigram
+    * frame and one extra SUM in the same per-doc aggregation — there
+    * is no corpus-sized score⋈score join anywhere (the first cut
+    * joined two scored frames on doc_id; ×100 planned it as a
+    * corpus-wide SMJ). Zero-bigram docs come from a row-local filter
+    * on the tokenized scan UNION'd in — not a corpus-wide left join
+    * whose only job was the empty tail. */
   private def bigramNll(s: SparkSession, d: String,
-      trainPred: Column): DataFrame = {
+      models: Seq[(String, Column)]): DataFrame = {
     val t = toked(s, d).localCheckpoint() // one documents scan: train + score
     val bg = bigrams(t) // narrow over the checkpointed scan, computed per consumer
     val nb = bg
       .groupBy("doc_id", "gram", "w1").agg(count(lit(1)).as("k"))
-    val trainBg = bg.filter(trainPred) // scan filter — no doc-id join
-    val c2 = trainBg.groupBy("gram").agg(count(lit(1)).as("n2"))
-    val c1 = trainBg.groupBy("w1").agg(count(lit(1)).as("n1"))
-    val vocab = t.filter(trainPred).select(explode(col("toks")).as("tok"))
-      .agg(count_distinct(col("tok")).as("V"))
-    val bits = length(bin(coalesce(col("n1"), lit(0L)) + col("V"))) -
-      length(bin(coalesce(col("n2"), lit(0L)) + lit(1L)))
-    val scored = nb
-      .join(c2, Seq("gram"), "left")
-      .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .groupBy("doc_id")
-      .agg(sum("k").as("n_bigrams"),
-        sum(col("k") * bits.cast("long")).as("nll_bits"))
-    t.select("doc_id").join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("nll_bits"), lit(0L)).as("nll_bits"))
+    var cur = nb
+    val nlls = models.map { case (tag, pred) =>
+      val trainBg = bg.filter(pred) // scan filter — no doc-id join
+      val c2 = trainBg.groupBy("gram").agg(count(lit(1)).as(s"n2_$tag"))
+      val c1 = trainBg.groupBy("w1").agg(count(lit(1)).as(s"n1_$tag"))
+      val vocab = t.filter(pred).select(explode(col("toks")).as("tok"))
+        .agg(count_distinct(col("tok")).as(s"V_$tag"))
+      cur = cur
+        .join(c2, Seq("gram"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+      val bits =
+        length(bin(coalesce(col(s"n1_$tag"), lit(0L)) + col(s"V_$tag"))) -
+          length(bin(coalesce(col(s"n2_$tag"), lit(0L)) + lit(1L)))
+      sum(col("k") * bits.cast("long")).as(s"nll_$tag")
+    }
+    val scored = cur.groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"), nlls: _*)
+    val outCols = Seq(col("doc_id"), col("n_bigrams")) ++
+      models.map { case (tag, _) => col(s"nll_$tag") }
+    val zeros = t.filter(size(col("toks")) < 2)
+      .select(Seq(col("doc_id"), lit(0L).as("n_bigrams")) ++
+        models.map { case (tag, _) => lit(0L).as(s"nll_$tag") }: _*)
+    scored.select(outCols: _*).union(zeros)
   }
 
-  /** SQL twin of [[bigramNll]] as a CTE chain ending in `sc_$tag`
-    * (doc_id, n_bigrams, nll_bits); `where` filters the TRAINING set
-    * (scoring is always the whole corpus). CTE names are tag-suffixed
-    * so two models compose in one query (t49). */
-  private def bigramNllSql(tag: String, where: String): String = {
+  /** SQL twin of [[bigramNll]] as a CTE chain ending in `out`
+    * (doc_id, n_bigrams, nll_<tag>...); each model's `where` filters
+    * its TRAINING set (scoring is always the whole corpus). */
+  private def bigramNllSql(models: Seq[(String, String)]): String = {
     import TextQueries.ToksSql
-    s"""t_$tag AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
-       |bg_$tag AS (
+    val modelCtes = models.map { case (tag, where) =>
+      s"""c2_$tag AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n2_$tag
+         |  FROM bg WHERE $where GROUP BY 1),
+         |c1_$tag AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1_$tag
+         |  FROM bg WHERE $where GROUP BY 1),
+         |v_$tag AS (SELECT COUNT(DISTINCT tok) AS V_$tag
+         |  FROM (SELECT unnest(toks) AS tok FROM t WHERE $where))"""
+        .stripMargin
+    }.mkString(",\n")
+    val modelJoins = models.map { case (tag, _) =>
+      s"""  LEFT JOIN c2_$tag USING (gram)
+         |  LEFT JOIN c1_$tag USING (w1)
+         |  CROSS JOIN v_$tag""".stripMargin
+    }.mkString("\n")
+    val nllSums = models.map { case (tag, _) =>
+      s"""    CAST(SUM(nb.k * (
+         |      length(bin(COALESCE(n1_$tag, 0) + V_$tag)) -
+         |      length(bin(COALESCE(n2_$tag, 0) + 1)))) AS BIGINT)
+         |      AS nll_$tag""".stripMargin
+    }.mkString(",\n")
+    val zeroNlls = models.map(_ => "0").mkString(", ")
+    s"""t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+       |bg AS (
        |  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS gram,
        |    toks[i] AS w1
        |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
-       |        FROM t_$tag)
+       |        FROM t)
        |),
-       |nb_$tag AS (SELECT doc_id, gram, w1, COUNT(*) AS k
-       |  FROM bg_$tag GROUP BY 1, 2, 3),
-       |c2_$tag AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n2
-       |  FROM bg_$tag WHERE $where GROUP BY 1),
-       |c1_$tag AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
-       |  FROM bg_$tag WHERE $where GROUP BY 1),
-       |v_$tag AS (SELECT COUNT(DISTINCT tok) AS V
-       |  FROM (SELECT unnest(toks) AS tok FROM t_$tag WHERE $where)),
-       |sc_$tag AS (
-       |  SELECT d.doc_id,
-       |    CAST(COALESCE(SUM(nb.k), 0) AS BIGINT) AS n_bigrams,
-       |    CAST(COALESCE(SUM(nb.k * (
-       |      length(bin(COALESCE(c1.n1, 0) + v.V)) -
-       |      length(bin(COALESCE(c2.n2, 0) + 1)))), 0) AS BIGINT) AS nll_bits
-       |  FROM t_$tag d
-       |  LEFT JOIN (nb_$tag nb
-       |    LEFT JOIN c2_$tag c2 USING (gram)
-       |    LEFT JOIN c1_$tag c1 USING (w1)
-       |    CROSS JOIN v_$tag v) ON d.doc_id = nb.doc_id
-       |  GROUP BY d.doc_id)""".stripMargin
+       |nb AS (SELECT doc_id, gram, w1, COUNT(*) AS k
+       |  FROM bg GROUP BY 1, 2, 3),
+       |$modelCtes,
+       |sc AS (
+       |  SELECT nb.doc_id, CAST(SUM(nb.k) AS BIGINT) AS n_bigrams,
+       |$nllSums
+       |  FROM nb
+       |$modelJoins
+       |  GROUP BY nb.doc_id),
+       |out AS (SELECT * FROM sc
+       |  UNION ALL SELECT doc_id, 0, $zeroNlls FROM t
+       |  WHERE len(toks) < 2)""".stripMargin
   }
 
   /** T48 — BIGRAM-LM SURPRISAL SCORE: the corpus-trained quality
@@ -140,16 +167,17 @@ object LmQueries {
     * next to t7's heuristic score. */
   val t48BigramLm: QuerySpec = QuerySpec.sql(
     "t48_bigram_lm",
-    s"""WITH ${bigramNllSql("g", "TRUE")}
-       |SELECT doc_id, n_bigrams, nll_bits,
+    s"""WITH ${bigramNllSql(Seq("g" -> "TRUE"))}
+       |SELECT doc_id, n_bigrams, nll_g AS nll_bits,
        |  CASE WHEN n_bigrams > 0
-       |       THEN CAST(nll_bits AS DOUBLE) / n_bigrams END AS mean_bits
-       |FROM sc_g
+       |       THEN CAST(nll_g AS DOUBLE) / n_bigrams END AS mean_bits
+       |FROM out
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    bigramNll(s, d, lit(true))
-      .select(col("doc_id"), col("n_bigrams"), col("nll_bits"),
+    bigramNll(s, d, Seq("g" -> lit(true)))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("nll_g").as("nll_bits"),
         when(col("n_bigrams") > 0,
-          col("nll_bits").cast("double") / col("n_bigrams")).as("mean_bits"))
+          col("nll_g").cast("double") / col("n_bigrams")).as("mean_bits"))
       .orderBy("doc_id")
   }
 
@@ -171,22 +199,18 @@ object LmQueries {
     * ranking. */
   val t49MooreLewis: QuerySpec = QuerySpec.sql(
     "t49_moore_lewis",
-    s"""WITH ${bigramNllSql("in", "lang = 'en'")},
-       |${bigramNllSql("out", "lang <> 'en'")}
-       |SELECT i.doc_id, i.n_bigrams,
-       |  i.nll_bits AS nll_in, o.nll_bits AS nll_out,
-       |  CASE WHEN i.n_bigrams > 0
-       |       THEN CAST(i.nll_bits - o.nll_bits AS DOUBLE) / i.n_bigrams
+    s"""WITH ${bigramNllSql(Seq("in" -> "lang = 'en'",
+        "out" -> "lang <> 'en'"))}
+       |SELECT doc_id, n_bigrams, nll_in, nll_out,
+       |  CASE WHEN n_bigrams > 0
+       |       THEN CAST(nll_in - nll_out AS DOUBLE) / n_bigrams
        |  END AS delta_bits,
-       |  CASE WHEN i.n_bigrams > 0 THEN i.nll_bits < o.nll_bits
+       |  CASE WHEN n_bigrams > 0 THEN nll_in < nll_out
        |  END AS selected
-       |FROM sc_in i JOIN sc_out o USING (doc_id)
+       |FROM out
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val in = bigramNll(s, d, col("lang") === "en")
-      .withColumnRenamed("nll_bits", "nll_in")
-    val out = bigramNll(s, d, col("lang") =!= "en")
-      .select(col("doc_id"), col("nll_bits").as("nll_out"))
-    in.join(out, "doc_id")
+    bigramNll(s, d,
+      Seq("in" -> (col("lang") === "en"), "out" -> (col("lang") =!= "en")))
       .select(col("doc_id"), col("n_bigrams"), col("nll_in"), col("nll_out"),
         when(col("n_bigrams") > 0,
           (col("nll_in") - col("nll_out")).cast("double") / col("n_bigrams"))

@@ -52,7 +52,8 @@ object ScaleCheck {
     "t40_mix_rebalance", "t41_sequence_pack", "t31b_simhash_scale",
     "t42_simhash_recall", "t43_dup_spans", "t44_pq_encode",
     "t45_pq_adc_topk", "t46_ivf_pq", "t47_ivf_pq_refine",
-    "t48_bigram_lm", "t49_moore_lewis")
+    "t48_bigram_lm", "t49_moore_lewis", "t50_bpe_train",
+    "t51_bpe_segment")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
