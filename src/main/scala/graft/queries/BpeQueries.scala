@@ -174,19 +174,26 @@ object BpeQueries {
        |  CAST(len(string_split(sym, '  ')) AS BIGINT) AS units FROM g$BpeM),
        |sc AS (SELECT ti.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |    CAST(SUM(wl.units) AS BIGINT) AS n_units
-       |  FROM ti JOIN wl USING (word) GROUP BY 1)
-       |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
-       |  COALESCE(sc.n_units, 0) AS n_units,
-       |  CASE WHEN sc.n_tokens > 0
-       |       THEN CAST(sc.n_units AS DOUBLE) / sc.n_tokens
+       |  FROM ti JOIN wl USING (word) GROUP BY 1),
+       |al AS (SELECT * FROM sc
+       |  UNION ALL
+       |  SELECT doc_id, 0, 0 FROM documents
+       |  WHERE len(list_filter($ToksSql, x -> x <> '')) = 0)
+       |SELECT doc_id, n_tokens, n_units,
+       |  CASE WHEN n_tokens > 0
+       |       THEN CAST(n_units AS DOUBLE) / n_tokens
        |  END AS units_per_token
-       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+       |FROM al
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val merges = trainMerges(s, d).orderBy("round").collect() // M rows
-    val docs = Tables.documents(s, d)
-    val ti = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .filter(col("word") =!= "")
+    // tokenize ONCE (the regex pass is the scan's real cost at scale)
+    // and checkpoint; the instance stream and the empty-doc tail both
+    // read the materialized arrays
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(tokens(col("text")), w => w =!= "").as("toks"))
+      .localCheckpoint()
+    val ti = t.select(col("doc_id"), explode(col("toks")).as("word"))
     val segSym = merges.foldLeft(charSym(col("word"))) { (acc, m) =>
       applyMerge(acc, lit(m.getAs[String]("w1")), lit(m.getAs[String]("w2")),
         lit(m.getAs[String]("merged")))
@@ -197,10 +204,12 @@ object BpeQueries {
     val sc = ti.join(wl, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
-    docs.select("doc_id").join(sc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_units"), lit(0L)).as("n_units"),
+    // empty-token docs via a row-local filter union — never a
+    // corpus-wide left join whose only job is the empty tail
+    val zeros = t.filter(size(col("toks")) === 0)
+      .select(col("doc_id"), lit(0L).as("n_tokens"), lit(0L).as("n_units"))
+    sc.union(zeros)
+      .select(col("doc_id"), col("n_tokens"), col("n_units"),
         when(col("n_tokens") > 0,
           col("n_units").cast("double") / col("n_tokens"))
           .as("units_per_token"))
