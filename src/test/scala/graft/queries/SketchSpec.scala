@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextAnalysis.tokens
+
+/** Count–min contracts beyond the t52 oracle row: per-row mass
+  * conservation, the bounded-state guarantee, and the one CMS theorem
+  * that matters — estimates NEVER undercount, for every token, not
+  * just the probed heavy hitters. */
+class SketchSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ti = graft.Tables.documents(spark, sf)
+    .select(explode(tokens(col("text"))).as("word"))
+    .filter(col("word") =!= "")
+    .select(col("word"), SketchQueries.baseHash(col("word")).as("h"))
+
+  private def sketch = ti.select(
+    posexplode(array((0 until SketchQueries.CmsD).map(j =>
+      SketchQueries.bucket(col("h"), j)): _*)).as(Seq("row_id", "bkt")))
+    .groupBy("row_id", "bkt").agg(count(lit(1)).as("c"))
+
+  test("every hash row conserves total mass and stays within d·w cells") {
+    val n = ti.count()
+    val rows = sketch.groupBy("row_id")
+      .agg(sum("c").as("mass"), count(lit(1)).as("cells")).collect()
+    assert(rows.length === SketchQueries.CmsD)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mass") === n,
+        s"row ${r.get(0)} lost mass: ${r.getAs[Long]("mass")} != $n")
+      assert(r.getAs[Long]("cells") <= SketchQueries.CmsW)
+    }
+  }
+
+  test("no estimate undercounts, for every distinct token") {
+    val exact = ti.groupBy("word", "h").agg(count(lit(1)).as("exact_n"))
+    val probes = exact.select(col("word"), col("exact_n"),
+      posexplode(array((0 until SketchQueries.CmsD).map(j =>
+        SketchQueries.bucket(col("h"), j)): _*)).as(Seq("row_id", "bkt")))
+    val est = probes.join(sketch, Seq("row_id", "bkt"))
+      .groupBy("word", "exact_n").agg(min("c").as("est_n"))
+    assert(est.filter(col("est_n") < col("exact_n")).count() === 0)
+    // and the gate row's probe set is exactly the top-K by exact count
+    val out = SketchQueries.t52CmsHeavyHitters.run(spark, sf)
+    assert(out.count() === SketchQueries.CmsTopK)
+    assert(out.filter(col("over_n") < 0).count() === 0)
+  }
+}
