@@ -35,6 +35,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketches merge: shard sketches cellwise-add to the full sketch") {
+    // THE property that makes CMS the distributed/streaming answer: a
+    // sketch per partition, day, or microbatch, merged by cell
+    // addition, equals the sketch of the union — exactly, not whp
+    val docs = graft.Tables.documents(spark, sf)
+    def sk(part: org.apache.spark.sql.DataFrame) = part
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .select(SketchQueries.baseHash(col("word")).as("h"))
+      .select(posexplode(array((0 until SketchQueries.CmsD).map(j =>
+        SketchQueries.bucket(col("h"), j)): _*)).as(Seq("row_id", "bkt")))
+      .groupBy("row_id", "bkt").agg(count(lit(1)).as("c"))
+    val full = sk(docs)
+    val merged = sk(docs.filter(col("doc_id") % 2 === 0))
+      .union(sk(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy("row_id", "bkt").agg(sum("c").as("c"))
+    assert(full.join(merged, Seq("row_id", "bkt"), "full")
+      .filter(full("c").isNull || merged("c").isNull ||
+        full("c") =!= merged("c"))
+      .count() === 0)
+  }
+
   test("no estimate undercounts, for every distinct token") {
     val exact = ti.groupBy("word", "h").agg(count(lit(1)).as("exact_n"))
     val probes = exact.select(col("word"), col("exact_n"),
