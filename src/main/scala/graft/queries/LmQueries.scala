@@ -220,5 +220,45 @@ object LmQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(t48BigramLm, t49MooreLewis)
+  /** CCNet-style perplexity band for [[t54ManifestLm]] — corpus-tuned
+    * constants, as in the original (CCNet picks per-corpus percentile
+    * cuts): the gate corpus' mean_bits spans [4.17, 4.9] with median
+    * 4.52, so this band drops both tails (boilerplate-repetitive low
+    * end, noisy high end) while keeping ~¾ of documents. */
+  private[queries] val LmBandLo = 4.3
+  private[queries] val LmBandHi = 4.7
+
+  /** T54 — the TRAINING-SET MANIFEST WITH THE LM GATE: t28b's
+    * star-cluster manifest (quality verdict ⋈ near-dup keeper ⋈
+    * deterministic split) extended with t48's bigram-LM band-pass —
+    * the full CCNet-shaped include decision (heuristics + dedup + LM
+    * perplexity) in one row per document.
+    *
+    * Scale shape: one more doc-keyed equi join riding the same
+    * doc_id key the manifest already joins on — co-partitioned with
+    * the existing composition, no new join key; the LM side is t48's
+    * one-pass scoring (broadcast model tables). */
+  val t54ManifestLm: QuerySpec = QuerySpec.sql(
+    "t54_manifest_lm",
+    s"""SELECT m.doc_id, m.split, m.selected, l.mean_bits,
+       |  (l.n_bigrams > 0 AND l.mean_bits >= $LmBandLo
+       |    AND l.mean_bits <= $LmBandHi) AS lm_keep,
+       |  (m.selected AND l.n_bigrams > 0 AND l.mean_bits >= $LmBandLo
+       |    AND l.mean_bits <= $LmBandHi) AS final_keep
+       |FROM (${TextQueries.t28bManifestStar.oracle.get}) m
+       |JOIN (${t48BigramLm.oracle.get}) l ON m.doc_id = l.doc_id
+       |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+    val lmKeep = col("n_bigrams") > 0 &&
+      col("mean_bits") >= LmBandLo && col("mean_bits") <= LmBandHi
+    TextQueries.t28bManifestStar.run(s, d)
+      .select(col("doc_id"), col("split"), col("selected"))
+      .join(t48BigramLm.run(s, d)
+        .select(col("doc_id"), col("n_bigrams"), col("mean_bits")), "doc_id")
+      .select(col("doc_id"), col("split"), col("selected"), col("mean_bits"),
+        lmKeep.as("lm_keep"),
+        (col("selected") && lmKeep).as("final_keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(t48BigramLm, t49MooreLewis, t54ManifestLm)
 }

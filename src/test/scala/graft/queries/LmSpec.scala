@@ -63,6 +63,22 @@ class LmSpec extends SparkSpec {
       (col("nll_in") < col("nll_out"))).count() === 0)
   }
 
+  test("t54: the LM gate composes the manifest without losing documents") {
+    val m = LmQueries.t54ManifestLm.run(spark, sf).localCheckpoint()
+    assert(m.count() === graft.Tables.documents(spark, sf).count())
+    // lm_keep is exactly band membership; final_keep the conjunction
+    val band = col("mean_bits") >= LmQueries.LmBandLo &&
+      col("mean_bits") <= LmQueries.LmBandHi
+    assert(m.filter(col("lm_keep") =!=
+      (col("mean_bits").isNotNull && band)).count() === 0)
+    assert(m.filter(col("final_keep") =!=
+      (col("selected") && col("lm_keep"))).count() === 0)
+    // the gate must actually gate: strictly fewer final keeps than
+    // manifest keeps would be corpus-dependent, so pin the weaker
+    // direction that is structural — final ⊆ selected
+    assert(m.filter(col("final_keep") && !col("selected")).count() === 0)
+  }
+
   test("t47: refine re-orders within the ADC shortlist, never outside") {
     val adcShort = VectorQueries.t46IvfPq.run(spark, sf)
       .select(col("qid"), col("nid")) // top-3 is a subset of top-R
