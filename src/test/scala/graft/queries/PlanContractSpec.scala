@@ -304,4 +304,58 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("t48 LM scoring: model joins finalize to broadcast, no SMJ at gate scale") {
+    // the count tables are Zipf-bounded models — at sf levels they
+    // broadcast; the only BNLJ is the 1-row vocab scalar
+    val df = LmQueries.t48BigramLm.run(spark, sf)
+    val p = finalizedPlan(df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("t50 BPE word cap is a distributed top-K, not a global sort") {
+    // wordCounts ends in orderBy+limit — the plan must take the
+    // TakeOrderedAndProject path (per-partition top-K + merge), never
+    // a full Exchange+Sort of the vocabulary
+    val df = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextAnalysis.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("word"))
+      .filter(org.apache.spark.sql.functions.col("word") =!= "")
+      .groupBy("word").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("wc"))
+      .orderBy(org.apache.spark.sql.functions.col("wc").desc,
+        org.apache.spark.sql.functions.col("word"))
+      .limit(BpeQueries.BpeW)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("t52 CMS: sketch aggregation is two-phase; probe join broadcasts") {
+    val df = SketchQueries.t52CmsHeavyHitters.run(spark, sf)
+    val p = finalizedPlan(df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // partial + final pair on the (row, bucket) cells — shuffling
+    // at most d·w states per partition, never raw instances
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("t53 BM25: probe terms broadcast into the postings scan; df rank is top-K") {
+    val df = SearchQueries.t53Bm25TopK.run(spark, sf)
+    val p = finalizedPlan(df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("t47 refine: the shortlist joins broadcast at gate scale") {
+    val df = VectorQueries.t47IvfPqRefine.run(spark, sf)
+    val p = finalizedPlan(df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
