@@ -104,5 +104,87 @@ object SketchQueries {
     }
   }
 
-  val all: Seq[QuerySpec] = Seq(t52CmsHeavyHitters)
+  // ---------------------------------------------------------------
+  // t55 — mergeable equi-width histogram + quantile estimation. The
+  // fourth sketch family (HLL cardinality, bloom membership, CMS
+  // frequency, histogram DISTRIBUTION): B fixed bins bound the state
+  // for any corpus size, shard histograms merge by cellwise addition
+  // (same theorem the CMS spec pins), and any quantile is answered
+  // from the B-row summary to within one bin width — the distributed
+  // answer to "what's the p99 document length" that never sorts the
+  // corpus. Spark ships approx_percentile (KLL-ish); this is the
+  // transparent fixed-grid variant whose every cell is exact and
+  // oracle-checkable, the shape production stats dashboards
+  // (length/tokens/score distributions per source) actually use.
+
+  private[queries] val HistW = 100 // bin width (chars)
+  private[queries] val HistB = 64 // bins; last bin catches the tail
+  private[queries] val HistQs = Seq(25, 50, 75, 90, 99) // percents
+
+  /** T55 — HISTOGRAM QUANTILES: equi-width histogram over
+    * `documents.n_chars` (one bounded-state groupBy), quantile targets
+    * at ceil(q·N/100) answered from the cumulative histogram, plus a
+    * gate-scale exact-truth probe per quantile (rank statistic via the
+    * distinct-value cumsum — the probe is the expensive side and
+    * exists to pin `in_bin`, the theorem that the exact value always
+    * lands inside the estimated bin; production reads the histogram
+    * alone). All-integer arithmetic: ranks are `(q·N + 99) div 100`,
+    * bins are `x div W` capped, so both engines agree bit-for-bit. */
+  val t55HistQuantiles: QuerySpec = QuerySpec.sql(
+    "t55_hist_quantiles",
+    s"""WITH v AS (SELECT n_chars AS x FROM documents),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+       |h AS (SELECT LEAST(x // $HistW, ${HistB - 1}) AS bin,
+       |        CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM v GROUP BY 1),
+       |ch AS (SELECT bin, c,
+       |        CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum
+       |      FROM h),
+       |t AS (SELECT q, (q * n + 99) // 100 AS target_rank
+       |      FROM (SELECT unnest([${HistQs.mkString(", ")}]) AS q)
+       |      CROSS JOIN n),
+       |eb AS (SELECT t.q, t.target_rank, MIN(ch.bin) AS est_bin
+       |       FROM t JOIN ch ON ch.cum >= t.target_rank GROUP BY 1, 2),
+       |dv AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1),
+       |cv AS (SELECT x, CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS cum
+       |       FROM dv),
+       |ex AS (SELECT t.q, MIN(cv.x) AS exact_v
+       |       FROM t JOIN cv ON cv.cum >= t.target_rank GROUP BY 1)
+       |SELECT eb.q, eb.target_rank, eb.est_bin,
+       |  eb.est_bin * $HistW AS est_lo, ch.c AS bin_n, ch.cum AS cum_n,
+       |  ex.exact_v,
+       |  (ex.exact_v >= eb.est_bin * $HistW AND (eb.est_bin = ${HistB - 1}
+       |    OR ex.exact_v < (eb.est_bin + 1) * $HistW)) AS in_bin
+       |FROM eb JOIN ch ON eb.est_bin = ch.bin JOIN ex ON eb.q = ex.q
+       |ORDER BY eb.q""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.documents(s, d).select(col("n_chars").as("x"))
+    val n = v.agg(count(lit(1)).as("n"))
+    val h = v.groupBy(least(expr(s"x div $HistW"), lit(HistB - 1L)).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    // windows below order B-row / distinct-value frames, never the corpus
+    val ch = h.withColumn("cum",
+      sum("c").over(Window.orderBy("bin"))).localCheckpoint()
+    import s.implicits._
+    val t = HistQs.toDF("q").crossJoin(broadcast(n))
+      .select(col("q"), expr("(q * n + 99) div 100").as("target_rank"))
+    val eb = broadcast(t).join(ch, ch("cum") >= col("target_rank"))
+      .groupBy("q", "target_rank").agg(min("bin").as("est_bin"))
+    val cv = v.groupBy("x").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("x")))
+    val ex = broadcast(t).join(cv, cv("cum") >= col("target_rank"))
+      .groupBy("q").agg(min("x").as("exact_v"))
+    eb.join(ch.select(col("bin"), col("c"), col("cum")),
+        col("est_bin") === col("bin"))
+      .join(ex, "q")
+      .select(col("q"), col("target_rank"), col("est_bin"),
+        (col("est_bin") * HistW).as("est_lo"),
+        col("c").as("bin_n"), col("cum").as("cum_n"), col("exact_v"),
+        (col("exact_v") >= col("est_bin") * HistW &&
+          (col("est_bin") === (HistB - 1) ||
+            col("exact_v") < (col("est_bin") + 1) * HistW)).as("in_bin"))
+      .orderBy("q")
+  }
+
+  val all: Seq[QuerySpec] = Seq(t52CmsHeavyHitters, t55HistQuantiles)
 }

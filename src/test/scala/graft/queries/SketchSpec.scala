@@ -57,6 +57,37 @@ class SketchSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("histogram sketch merges: shard histograms cellwise-add to the full one") {
+    // the same mergeability theorem as CMS, for the distribution sketch:
+    // per-shard equi-width histograms added cell-wise equal the
+    // histogram of the union — exactly (counts, not estimates)
+    val docs = graft.Tables.documents(spark, sf)
+    def hist(part: org.apache.spark.sql.DataFrame) = part
+      .groupBy(least(expr(s"n_chars div ${SketchQueries.HistW}"),
+        lit(SketchQueries.HistB - 1L)).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val full = hist(docs)
+    val merged = hist(docs.filter(col("doc_id") % 2 === 0))
+      .union(hist(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy("bin").agg(sum("c").as("c"))
+    assert(full.join(merged, Seq("bin"), "full")
+      .filter(full("c").isNull || merged("c").isNull ||
+        full("c") =!= merged("c"))
+      .count() === 0)
+    assert(full.count() <= SketchQueries.HistB)
+  }
+
+  test("every quantile's exact value lands inside its estimated bin") {
+    // the histogram-quantile theorem the t55 row carries as `in_bin`:
+    // the bin chosen by cum >= target holds ranks (cum_prev, cum], so
+    // the exact rank statistic cannot fall outside it
+    val out = SketchQueries.t55HistQuantiles.run(spark, sf)
+    assert(out.count() === SketchQueries.HistQs.size)
+    assert(out.filter(!col("in_bin")).count() === 0)
+    // targets are ceil(q·N/100): cum at the chosen bin covers them
+    assert(out.filter(col("cum_n") < col("target_rank")).count() === 0)
+  }
+
   test("no estimate undercounts, for every distinct token") {
     val exact = ti.groupBy("word", "h").agg(count(lit(1)).as("exact_n"))
     val probes = exact.select(col("word"), col("exact_n"),
