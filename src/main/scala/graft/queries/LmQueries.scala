@@ -260,5 +260,176 @@ object LmQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(t48BigramLm, t49MooreLewis, t54ManifestLm)
+  // ---------------------------------------------------------------
+  // t56 — multinomial Naive Bayes, trained AND applied in-engine: the
+  // count-based stand-in for CCNet/fastText's classifier stage
+  // (quality/domain/language classification is the third leg of a
+  // curation pipeline next to heuristics (t7) and LM perplexity
+  // (t48)). Training is pure aggregation — per-(label, word) counts,
+  // per-label token totals, label priors — so the "model" is a set of
+  // count tables the scoring join broadcasts, exactly the deployment
+  // shape of a linear text classifier at 100 TB (model tables are
+  // vocab-sized, never corpus-sized).
+
+  /** T56 — NB CLASSIFIER TRAIN+EVAL (heuristic distillation): train
+    * add-one multinomial Naive Bayes on the t15 train split
+    * (idHashByte < 205 — the engine's standing deterministic split),
+    * score EVERY document densely against every label, argmax, and
+    * report the held-out confusion matrix — a bounded L² output
+    * pinning the whole train→score→select path.
+    *
+    * The TARGET is t6's stopword-heuristic label (`en`/`und`), i.e.
+    * the classifier DISTILLS the heuristic — exactly how production
+    * quality classifiers are built (CCNet's fastText and GPT-3's
+    * quality filter train on heuristic/source-derived labels, then
+    * generalize). The `lang` column is NOT a usable target here:
+    * measured on the synthetic corpus, all five langs share one
+    * 31-word template vocabulary (zero text-derivable label signal),
+    * so any lang-trained classifier scores at chance. Held-out
+    * distillation fidelity against the learnable target is the honest
+    * accuracy statement.
+    *
+    * Sub-bit float discipline ([[graft.functions.FixedLog]]): t48's
+    * whole-bit surprisal cannot see per-word likelihood ratios under
+    * 2× (floor(log2) quantizes them to zero), which is precisely the
+    * NB signal regime — measured: whole-bit NB collapses to one
+    * class, 1/256-bit NB reaches ~86 % held-out fidelity. Each
+    * (label, word) cost `log2fp(T_l+V) − log2fp(c+1)` and the prior
+    * `log2fp(N) − log2fp(n_l)` are integers in 1/256-bit units,
+    * computed by repeated mantissa squaring on MODEL-sized tables
+    * only; integer sums, argmax by `min(struct(bits, label))` —
+    * bit-identical across engines.
+    *
+    * Scale shape: scoring reduces to per-doc DISTINCT word counts,
+    * cross-joins the label frame (|L| rows — dense scoring is the
+    * smoothing floor's requirement), and left-joins the broadcast
+    * (label, word) cost table; unseen words fall to the per-label OOV
+    * cost (`log2fp(T_l+V)`, the add-one maximum) via coalesce — no
+    * dense vocab×L materialization. The confusion agg collapses
+    * everything to ≤ L². */
+  val t56NbClassify: QuerySpec = {
+    import graft.functions.TextAnalysis.{idHashByte, idHashByteSql,
+      stopwordCount, EnStopwords}
+    import graft.functions.FixedLog
+    val stopList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val costChain = FixedLog.sqlCtes("costbase", "cl",
+      Seq("a" -> "la", "b" -> "lb"))
+    val labChain = FixedLog.sqlCtes("labbase", "pl",
+      Seq("a" -> "den", "b" -> "lnl", "g" -> "lnd"))
+    QuerySpec.sql(
+      "t56_nb_classify",
+      s"""WITH t AS (SELECT doc_id, toks,
+         |    (${idHashByteSql("doc_id")} < 205) AS is_train,
+         |    CASE WHEN CAST(len(list_filter(toks,
+         |        x -> list_contains($stopList, x))) AS DOUBLE)
+         |        / len(toks) >= 0.05
+         |      THEN 'en' ELSE 'und' END AS label
+         |  FROM (SELECT doc_id, ${TextQueries.ToksSql} AS toks
+         |        FROM documents)),
+         |ti AS (SELECT doc_id, label, is_train, word
+         |  FROM (SELECT doc_id, label, is_train, unnest(toks) AS word
+         |        FROM t)
+         |  WHERE word <> ''),
+         |cwl AS (SELECT label, word, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ti WHERE is_train GROUP BY 1, 2),
+         |lab AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS t_l
+         |  FROM ti WHERE is_train GROUP BY 1),
+         |pri AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_l
+         |  FROM t WHERE is_train GROUP BY 1),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM t WHERE is_train),
+         |voc AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+         |  FROM ti WHERE is_train),
+         |costbase AS (SELECT cwl.label, cwl.word, l.t_l + voc.v AS a,
+         |    cwl.c + 1 AS b
+         |  FROM cwl JOIN lab l USING (label) CROSS JOIN voc),
+         |$costChain,
+         |cost AS (SELECT label, word, la - lb AS cost FROM clz),
+         |labbase AS (SELECT l.label, l.t_l + voc.v AS a, p.n_l AS b,
+         |    nd.n_docs AS g
+         |  FROM lab l JOIN pri p USING (label)
+         |  CROSS JOIN nd CROSS JOIN voc),
+         |$labChain,
+         |labf AS (SELECT label, den, lnd - lnl AS pbits FROM plz),
+         |nb AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM ti GROUP BY 1, 2),
+         |sc AS (SELECT nb.doc_id, lf.label,
+         |    CAST(SUM(nb.k * COALESCE(c.cost, lf.den)) + lf.pbits
+         |      AS BIGINT) AS bits
+         |  FROM nb CROSS JOIN labf lf
+         |  LEFT JOIN cost c ON c.word = nb.word AND c.label = lf.label
+         |  GROUP BY nb.doc_id, lf.label, lf.pbits),
+         |sc0 AS (SELECT t.doc_id, lf.label, CAST(lf.pbits AS BIGINT) AS bits
+         |  FROM t CROSS JOIN labf lf
+         |  WHERE len(list_filter(toks, w -> w <> '')) = 0),
+         |ranked AS (SELECT doc_id, label, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY bits, label) AS rn
+         |  FROM (SELECT * FROM sc UNION ALL SELECT * FROM sc0)),
+         |pred AS (SELECT doc_id, label AS pred FROM ranked WHERE rn = 1)
+         |SELECT t.label, pred.pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN t.label = pred.pred THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct
+         |FROM pred JOIN t USING (doc_id)
+         |WHERE NOT t.is_train
+         |GROUP BY 1, 2
+         |ORDER BY label, pred""".stripMargin) { (s, d) =>
+      val toksC = col("toks")
+      val heur = when(stopwordCount(toksC).cast("double") /
+        size(toksC) >= 0.05, "en").otherwise("und")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("is_train", idHashByte(col("doc_id")) < 205)
+        .withColumn("label", heur)
+        .localCheckpoint() // one documents scan: train, score, eval
+      val ti = t.select(col("doc_id"), col("label"), col("is_train"),
+        explode(col("toks")).as("word"))
+        .filter(col("word") =!= "")
+      val train = ti.filter(col("is_train"))
+      val cwl = train.groupBy("label", "word").agg(count(lit(1)).as("c"))
+      val lab = train.groupBy("label").agg(count(lit(1)).as("t_l"))
+      val pri = t.filter(col("is_train"))
+        .groupBy("label").agg(count(lit(1)).as("n_l"))
+      val nd = t.filter(col("is_train")).agg(count(lit(1)).as("n_docs"))
+      val voc = train.agg(count_distinct(col("word")).as("v"))
+      val cost = FixedLog.withLog2(
+        cwl.join(lab, "label").crossJoin(broadcast(voc))
+          .select(col("label"), col("word"),
+            (col("t_l") + col("v")).as("a"), (col("c") + 1).as("b")),
+        "a" -> "la", "b" -> "lb")
+        .select(col("label"), col("word"), (col("la") - col("lb")).as("cost"))
+      val labf = broadcast(FixedLog.withLog2(
+        lab.join(pri, "label")
+          .crossJoin(broadcast(nd)).crossJoin(broadcast(voc))
+          .select(col("label"), (col("t_l") + col("v")).as("a"),
+            col("n_l").as("b"), col("n_docs").as("g")),
+        "a" -> "den", "b" -> "lnl", "g" -> "lnd")
+        .select(col("label"), col("den"),
+          (col("lnd") - col("lnl")).as("pbits")))
+      val nb = ti.groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
+      val sc = nb.crossJoin(labf)
+        .join(broadcast(cost), Seq("word", "label"), "left")
+        .groupBy(col("doc_id"), col("label"), col("pbits"))
+        .agg(sum(col("k") * coalesce(col("cost"), col("den"))).as("wbits"))
+        .select(col("doc_id"), col("label"),
+          (col("wbits") + col("pbits")).as("bits"))
+      // zero-token docs score on the prior alone — row-local filter +
+      // union over the checkpointed scan, never a corpus left join
+      val sc0 = t
+        .filter(size(filter(col("toks"), w => w =!= "")) === 0)
+        .select(col("doc_id")).crossJoin(labf)
+        .select(col("doc_id"), col("label"), col("pbits").as("bits"))
+      val pred = sc.union(sc0).groupBy("doc_id")
+        .agg(min(struct(col("bits"), col("label"))).as("best"))
+        .select(col("doc_id"), col("best.label").as("pred"))
+      pred.join(t.filter(!col("is_train")).select("doc_id", "label"), "doc_id")
+        .groupBy("label", "pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label") === col("pred"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .orderBy("label", "pred")
+    }
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(t48BigramLm, t49MooreLewis, t54ManifestLm, t56NbClassify)
 }

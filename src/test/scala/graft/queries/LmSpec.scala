@@ -103,4 +103,32 @@ class LmSpec extends SparkSpec {
     assert(hits(refined) >= hits(adcShort),
       "exact refine lowered recall vs raw ADC ordering")
   }
+
+  test("t56: NB distills the stopword heuristic — held-out fidelity well above chance") {
+    // the capability claim: the sub-bit (FixedLog) NB actually LEARNS
+    // the target, where whole-bit quantization measurably collapses to
+    // one class. 0.75 is a loose floor under the ~0.86 measured.
+    val cm = LmQueries.t56NbClassify.run(spark, sf).collect()
+    val total = cm.map(_.getAs[Long]("n_docs")).sum
+    val correct = cm.map(_.getAs[Long]("n_correct")).sum
+    assert(total > 0)
+    assert(correct.toDouble / total >= 0.75,
+      s"held-out fidelity ${correct.toDouble / total} < 0.75")
+    // confusion cells are internally consistent: n_correct counts only
+    // diagonal cells, and equals n_docs there
+    cm.foreach { r =>
+      val diag = r.getAs[String]("label") == r.getAs[String]("pred")
+      assert(r.getAs[Long]("n_correct") ===
+        (if (diag) r.getAs[Long]("n_docs") else 0L))
+    }
+  }
+
+  test("t56: every held-out document is scored and predicted exactly once") {
+    val cm = LmQueries.t56NbClassify.run(spark, sf).collect()
+    val total = cm.map(_.getAs[Long]("n_docs")).sum
+    import graft.functions.TextAnalysis.idHashByte
+    val heldOut = graft.Tables.documents(spark, sf)
+      .filter(!(idHashByte(col("doc_id")) < 205)).count()
+    assert(total === heldOut)
+  }
 }
