@@ -510,8 +510,15 @@ object VectorQueries {
     * float op is one correctly-rounded division per (cid, dim) per
     * iteration. The oracle unrolls the same two iterations as long-form
     * (cid, dim) CTEs. */
-  val t25KmeansAssign: QuerySpec = {
-    val k = 8
+  private[queries] val LloydK = 8
+  private val LloydIters = 2
+
+  /** DuckDB CTE chain for the t25 Lloyd run — `v` (vec_id, dim, x
+    * scaled longs), `c0` first-k seed, two unrolled iterations, and
+    * the final assignment `a3` (vec_id, cid, distq, rn; rn = 1 is the
+    * argmin). Shared verbatim by the t25 gate and t57's SemDeDup
+    * oracle so the two rows can never train different models. */
+  private lazy val LloydCtesSql: String = {
     def rndSql(d: String): String = graft.functions.ExactNum.rndSql(d)
     def iterSql(i: Int): String = {
       val p = s"c${i - 1}"
@@ -526,26 +533,100 @@ object VectorQueries {
          |    COALESCE(${rndSql("(CAST(sv AS DOUBLE) / n)")}, p.c) AS c
          |  FROM $p p LEFT JOIN m$i USING (cid, dim))""".stripMargin
     }
+    s"""v AS (SELECT vec_id, i AS dim, ${scaledSql("embedding[i+1]")} AS x
+       |  FROM embeddings, range(0, 64) t(i)),
+       |c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < $LloydK),
+       |${iterSql(1)},
+       |${iterSql(2)},
+       |d3 AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq
+       |  FROM v JOIN c2 p ON v.dim = p.dim GROUP BY 1, 2),
+       |a3 AS (SELECT vec_id, cid, distq, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY distq, cid) AS rn FROM d3)"""
+      .stripMargin
+  }
+
+  val t25KmeansAssign: QuerySpec =
     QuerySpec.sql(
       "t25_kmeans_assign",
-      s"""WITH v AS (SELECT vec_id, i AS dim, ${scaledSql("embedding[i+1]")} AS x
-         |  FROM embeddings, range(0, 64) t(i)),
-         |c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < $k),
-         |${iterSql(1)},
-         |${iterSql(2)},
-         |d3 AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq
-         |  FROM v JOIN c2 p ON v.dim = p.dim GROUP BY 1, 2),
-         |a3 AS (SELECT vec_id, cid, distq, ROW_NUMBER() OVER (
-         |    PARTITION BY vec_id ORDER BY distq, cid) AS rn FROM d3)
+      s"""WITH $LloydCtesSql
          |SELECT vec_id, cid AS cluster, CAST(distq AS BIGINT) AS distq
          |FROM a3 WHERE rn = 1
          |ORDER BY vec_id""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
-      graft.ops.KMeans.fit(emb, k, 2)
+      graft.ops.KMeans.fit(emb, LloydK, LloydIters)
         .select(col("vec_id"), col("cid").as("cluster"), col("distq"))
         .orderBy("vec_id")
     }
+
+  /** SemDeDup cosine threshold — the engine's standing semantic
+    * near-dup cut (t11/t26/t35 use the same 0.35 on these synthetic
+    * embeddings). */
+  private[queries] val SemDedupCos = 0.35
+
+  /** T57 — SEMDEDUP (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): k-means
+    * partitions the embedding space (riding the SAME quantized Lloyd
+    * run the t25 gate pins), cosine pairs are computed ONLY within a
+    * cluster, and of each within-cluster duplicate set one
+    * representative survives. Output: one row per vector with its
+    * cluster, the earlier vector that pruned it (if any), and `keep`.
+    *
+    * This is the scalable complement to t11/t26's sign-bit-LSH
+    * near-dup: the paper's point is that pairwise cost drops from N²
+    * to Σ(N/k)² and the cluster count k is the scale knob — at 100 TB
+    * k grows ∝ N so per-cluster membership (and hence the pairwise
+    * block) stays bounded, where a fixed 6-bit LSH bucket space
+    * saturates (t10's measured failure mode). Keeper rule here is
+    * deterministic lowest-vec_id (the a5 first-seen convention; the
+    * paper keeps a random/centroid-far member — any single-survivor
+    * rule gives the same dedup rate). Exactness: distances and dot
+    * products are 1e6-grid integer arithmetic end to end, so cluster
+    * assignment AND cosine agree bit-for-bit with the oracle. */
+  val t57SemDedup: QuerySpec = QuerySpec.sql(
+    "t57_semdedup",
+    s"""WITH $LloydCtesSql,
+       |asg AS (SELECT vec_id, cid FROM a3 WHERE rn = 1),
+       |ssq AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) / 1e12 AS ss
+       |        FROM v GROUP BY 1),
+       |pr AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+       |       FROM asg a JOIN asg b
+       |         ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |dots AS (SELECT p.d1, p.d2,
+       |          CAST(SUM(v1.x * v2.x) AS DOUBLE) / 1e12 AS dot
+       |         FROM pr p
+       |         JOIN v v1 ON v1.vec_id = p.d1
+       |         JOIN v v2 ON v2.vec_id = p.d2 AND v2.dim = v1.dim
+       |         GROUP BY 1, 2),
+       |dup AS (SELECT d.d2 AS vec_id, MIN(d.d1) AS pruned_by
+       |        FROM dots d
+       |        JOIN ssq a ON d.d1 = a.vec_id
+       |        JOIN ssq b ON d.d2 = b.vec_id
+       |        WHERE d.dot / (sqrt(a.ss) * sqrt(b.ss)) >= $SemDedupCos
+       |        GROUP BY 1)
+       |SELECT asg.vec_id, asg.cid AS cluster, dup.pruned_by,
+       |  (dup.pruned_by IS NULL) AS keep
+       |FROM asg LEFT JOIN dup USING (vec_id)
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
+    val b = graft.ops.KMeans.fit(emb, LloydK, LloydIters)
+      .select(col("vec_id"), col("cid"))
+      .join(emb, "vec_id")
+      .withColumn("ss", normSqL(col("eL")))
+      .localCheckpoint() // one Lloyd run feeds both pair sides + output
+    val dup = b.as("x")
+      .join(b.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .filter(dotL(col("x.eL"), col("y.eL")) /
+        (sqrt(col("x.ss")) * sqrt(col("y.ss"))) >= SemDedupCos)
+      .groupBy(col("y.vec_id").as("vec_id"))
+      .agg(min(col("x.vec_id")).as("pruned_by"))
+    b.select(col("vec_id"), col("cid").as("cluster"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("pruned_by"),
+        col("pruned_by").isNull.as("keep"))
+      .orderBy("vec_id")
   }
 
   // ---------------------------------------------------------------
@@ -877,5 +958,5 @@ object VectorQueries {
   val all: Seq[QuerySpec] =
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
-      t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine)
+      t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup)
 }

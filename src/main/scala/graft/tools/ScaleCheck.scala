@@ -54,7 +54,8 @@ object ScaleCheck {
     "t45_pq_adc_topk", "t46_ivf_pq", "t47_ivf_pq_refine",
     "t48_bigram_lm", "t49_moore_lewis", "t50_bpe_train",
     "t51_bpe_segment", "t52_cms_heavy_hitters", "t53_bm25_topk",
-    "t54_manifest_lm")
+    "t54_manifest_lm", "t55_hist_quantiles", "t56_nb_classify",
+    "t57_semdedup")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))

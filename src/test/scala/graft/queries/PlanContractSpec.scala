@@ -358,4 +358,34 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("t55 histogram: bounded-state agg is two-phase; everything joins broadcast") {
+    val df = SketchQueries.t55HistQuantiles.run(spark, sf)
+    val p = finalizedPlan(df)
+    // the histogram groupBy carries partial+final pairs — at most B
+    // bin states cross the exchange, never document rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("t56 NB: the cost-model join is broadcast; no corpus-sized SMJ") {
+    // the deployment contract of a linear text classifier: model
+    // tables (costs, label frame) broadcast onto the per-doc distinct
+    // word stream — the corpus never shuffles to meet the model
+    val df = LmQueries.t56NbClassify.run(spark, sf)
+    val p = finalizedPlan(df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("t57 SemDeDup: pair generation stays within clusters (cid-keyed join, cosine as condition)") {
+    val df = VectorQueries.t57SemDedup.run(spark, sf)
+    val p = finalizedPlan(df)
+    // the pair join is keyed on cid with the cosine threshold + id
+    // order as the join CONDITION — never a cartesian across clusters
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the prune agg (min earlier dup per vec) is two-phase
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
 }
