@@ -1888,6 +1888,73 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** T58 — CROSS-SOURCE OVERLAP MATRIX: shingle-level Jaccard between
+    * every source pair — the corpus contamination/provenance audit
+    * (which crawls re-scraped each other, which curated subsets leak
+    * into the general dump) run before mixing decisions like t40's.
+    * Dense S×S/2 output: every pair appears even at zero overlap.
+    *
+    * Scale shape: the per-source DISTINCT shingle reduction happens
+    * BEFORE the pair join (map-side-combining groupBy), so the
+    * inverted-index self-join carries one row per (source, shingle) —
+    * a shingle shared by m of the S sources emits C(m,2) ≤ C(S,2)
+    * pairs, bounded per shingle value by the SOURCE count, not the
+    * corpus. The shingle-keyed shuffle is the honest cost of a
+    * corpus-wide overlap audit; the pair aggregation collapses it to
+    * ≤ C(S,2) rows immediately. */
+  val t58SourceOverlap: QuerySpec = QuerySpec.sql(
+    "t58_source_overlap",
+    s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+       |sh AS (SELECT DISTINCT source, s
+       |  FROM (SELECT source, unnest($ShinglesOverToks) AS s FROM t)),
+       |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM sh GROUP BY 1),
+       |pair AS (SELECT a.source AS s1, b.source AS s2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source FROM t),
+       |dense AS (SELECT a.source AS s1, b.source AS s2
+       |  FROM srcs a JOIN srcs b ON a.source < b.source)
+       |SELECT d.s1, d.s2, COALESCE(p.n_shared, 0) AS n_shared,
+       |  ta.n AS n1, tb.n AS n2,
+       |  CAST(COALESCE(p.n_shared, 0) AS DOUBLE)
+       |    / (ta.n + tb.n - COALESCE(p.n_shared, 0)) AS jaccard
+       |FROM dense d
+       |LEFT JOIN pair p ON d.s1 = p.s1 AND d.s2 = p.s2
+       |JOIN tot ta ON ta.source = d.s1
+       |JOIN tot tb ON tb.source = d.s2
+       |ORDER BY d.s1, d.s2""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("source"),
+        explode(shingles(tokens(col("text")), 3)).as("s"))
+      .distinct()
+      .localCheckpoint() // one shingle scan: totals + both join sides
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pair = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    val srcs = sh.select("source").distinct()
+    val dense = broadcast(srcs.as("x"))
+      .join(broadcast(srcs.as("y")), col("x.source") < col("y.source"))
+      .select(col("x.source").as("s1"), col("y.source").as("s2"))
+    dense
+      .join(pair, Seq("s1", "s2"), "left")
+      .join(broadcast(tot.select(col("source").as("s1"), col("n").as("n1"))),
+        "s1")
+      .join(broadcast(tot.select(col("source").as("s2"), col("n").as("n2"))),
+        "s2")
+      .select(col("s1"), col("s2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n1"), col("n2"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n1") + col("n2") - coalesce(col("n_shared"), lit(0L))))
+          .as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
@@ -1897,5 +1964,6 @@ object TextQueries {
     t28CurationManifest, t28bManifestStar, t29CorpusProfile, t30LshRecall,
     t31SimhashNearDup, t31bSimhashScale, t42SimhashRecall, t32StarClusters, t33StarParity, t34RepDedup,
     t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
-    t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans)
+    t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans,
+    t58SourceOverlap)
 }

@@ -7,6 +7,22 @@ import graft.SparkSpec
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("t58 source overlap: dense C(S,2) matrix, bounded counts, valid Jaccard") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.t58SourceOverlap.run(spark, sf).localCheckpoint()
+    val s = graft.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(out.count() === s * (s - 1) / 2) // every pair, even zero-overlap
+    assert(out.filter(col("n_shared") > least(col("n1"), col("n2")))
+      .count() === 0)
+    assert(out.filter(col("jaccard") < 0 || col("jaccard") > 1)
+      .count() === 0)
+    // identical shingle sets <-> jaccard 1; the synthetic sources are
+    // templated from one vocabulary, so SOME overlap must exist
+    assert(out.agg(max("jaccard")).head.getDouble(0) > 0)
+  }
+
   test("decontaminate: copied benchmark text flags, fresh text does not") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
