@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** Exact squared L2 distance between two scaled-long arrays (shared
-    * with the PQ encode/ADC stages — one distance definition). */
+    * with the PQ encode/ADC stages — one distance definition),
+    * codegen'd via [[graft.plans.LongArrayDistSq]] (the E-step
+    * evaluates it corpus×k times; the interpreted `zip_with` lambda it
+    * replaced was the dominant per-row constant). */
   private[graft] def distq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), lit(0L),
-      (acc, t) => acc + t)
+    call_function("long_distsq", a, b)
 
   private def rnd(v: org.apache.spark.sql.Column) =
     graft.functions.ExactNum.rnd(v)

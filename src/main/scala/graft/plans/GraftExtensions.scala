@@ -58,6 +58,18 @@ object GraftExtensions {
         require(args.length == 2, "xml_first_local_text(xml, tagsCsv)")
         XmlFirstLocalText(args.head, foldedCsv(args(1)))
       }),
+    (FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "long_dot(array<bigint>, array<bigint>)")
+        LongArrayDot(args.head, args(1))
+      }),
+    (FunctionIdentifier("long_distsq"),
+      new ExpressionInfo(classOf[LongArrayDistSq].getName, "long_distsq"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "long_distsq(array<bigint>, array<bigint>)")
+        LongArrayDistSq(args.head, args(1))
+      }),
     // Spark ships distributed bloom-sketch expressions for its own
     // runtime row-level filtering but does not expose them as SQL
     // functions; surfacing them gives the engine a fixed-size set

@@ -252,8 +252,7 @@ object ExtraQueries {
       d: String): org.apache.spark.sql.DataFrame = {
     import VectorQueries.scaleL
     val sumSq = (eL: org.apache.spark.sql.Column) =>
-      aggregate(transform(eL, x => x * x), lit(0L), (acc, x) => acc + x)
-        .cast("double") / lit(1e12)
+      call_function("long_dot", eL, eL).cast("double") / lit(1e12)
     val bucket = concat((1 to 6).map(i =>
       when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
     Tables.embeddings(s, d)

@@ -37,15 +37,15 @@ object VectorQueries {
     transform(e,
       x => graft.functions.ExactNum.rnd(x.cast("double") * lit(1e6)).cast("long"))
 
-  private def sumL(arr: Column): Column =
-    aggregate(arr, lit(0L), (acc, x) => acc + x)
-
-  /** Exact long dot product of two pre-scaled vectors, at 1e-12. */
+  /** Exact long dot product of two pre-scaled vectors, at 1e-12 —
+    * codegen'd ([[graft.plans.LongArrayDot]]; the `aggregate(zip_with)`
+    * form it replaced walked the lambda interpreter per pair, the
+    * constant that dominated t57's ×100 brute blocks). */
   private[queries] def dotL(a: Column, b: Column): Column =
-    sumL(zip_with(a, b, (x, y) => x * y)).cast("double") / lit(1e12)
+    call_function("long_dot", a, b).cast("double") / lit(1e12)
 
   private def normSqL(eL: Column): Column =
-    sumL(transform(eL, x => x * x)).cast("double") / lit(1e12)
+    call_function("long_dot", eL, eL).cast("double") / lit(1e12)
 
   /** Embeddings with the scaled vector and squared norm per row. */
   private def embScaled(s: SparkSession, d: String): DataFrame =
@@ -564,6 +564,12 @@ object VectorQueries {
     * embeddings). */
   private[queries] val SemDedupCos = 0.35
 
+  /** Salt buckets for the t57 within-cluster pair join — spreads each
+    * cluster's pair block over this many extra partitions (join key
+    * (cid, salt) instead of cid alone, whose cardinality k otherwise
+    * CAPS parallelism at k tasks). */
+  private[queries] val SemDedupSalt = 32
+
   /** T57 — SEMDEDUP (Abbas et al. 2023, "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication"): k-means
     * partitions the embedding space (riding the SAME quantized Lloyd
@@ -615,9 +621,22 @@ object VectorQueries {
       .join(emb, "vec_id")
       .withColumn("ss", normSqL(col("eL")))
       .localCheckpoint() // one Lloyd run feeds both pair sides + output
-    val dup = b.as("x")
-      .join(b.as("y"),
-        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+    // The pair join's natural key is cid alone — k distinct values, so
+    // parallelism would be CAPPED AT k however many cores the cluster
+    // has (measured: the ×100 sweep flatlined at ~k busy cores). The
+    // SaltedJoin treatment fixes it: the probe side takes a
+    // deterministic vec_id-hash salt, the build side replicates
+    // ×[[SemDedupSalt]], and the join key becomes (cid, salt) — k·S
+    // partitions, same output by construction.
+    val xs = b.withColumn("_salt",
+      explode(sequence(lit(0), lit(SemDedupSalt - 1))))
+    val ys = b.withColumn("_salt",
+      pmod(hash(col("vec_id")), lit(SemDedupSalt)))
+    val dup = xs.as("x")
+      .join(ys.as("y"),
+        col("x.cid") === col("y.cid") &&
+          col("x._salt") === col("y._salt") &&
+          col("x.vec_id") < col("y.vec_id"))
       .filter(dotL(col("x.eL"), col("y.eL")) /
         (sqrt(col("x.ss")) * sqrt(col("y.ss"))) >= SemDedupCos)
       .groupBy(col("y.vec_id").as("vec_id"))

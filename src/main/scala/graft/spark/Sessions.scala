@@ -22,6 +22,11 @@ object Sessions {
     SparkSession
       .builder()
       .master(master)
+      // the engine's custom expressions (generators, long_dot, bloom)
+      // install at session build — the idiomatic cluster deployment of
+      // spark.sql.extensions, so every session (Verify/Bench/tests)
+      // sees the same SQL surface
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
