@@ -24,7 +24,12 @@ import graft.functions.TextAnalysis._
   * sums are associative-exact, and the ONLY float op is one final
   * correctly-rounded division per document. Production would swap
   * whole-bit surprisal for float log against a broadcast pretrained
-  * model; every plan shape below is unchanged by that swap.
+  * model; every plan shape below is unchanged by that swap. When
+  * sub-bit resolution matters (per-word likelihood ratios under 2× —
+  * the NB classifier's regime), [[graft.functions.FixedLog]] supplies
+  * the same integer-exact discipline at 1/256-bit quanta; t48/t49
+  * stay whole-bit because their measured signals (the LM band, the
+  * Moore–Lewis sign test) are super-bit already.
   *
   * Scale shape: bigram extraction is scan-local (`slice`+`zip_with`
   * over one checkpointed tokenized scan — no explode-to-64× blowup).

@@ -25,17 +25,17 @@ import graft.functions.TextAnalysis.tokens
   * every cell exactly. */
 object SketchQueries {
 
-  private[queries] val CmsD = 4 // hash rows
-  private[queries] val CmsW = 1024 // buckets per row
-  private[queries] val CmsTopK = 20 // probe set: exact top-K tokens
+  private[graft] val CmsD = 4 // hash rows
+  private[graft] val CmsW = 1024 // buckets per row
+  private[graft] val CmsTopK = 20 // probe set: exact top-K tokens
 
   private val P = TextAnalysis.MinhashP
 
   /** Portable scalar token hash (the minhashBase formula, un-arrayed). */
-  private[queries] def baseHash(tok: Column): Column =
+  private[graft] def baseHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % P
 
-  private[queries] def bucket(base: Column, j: Int): Column =
+  private[graft] def bucket(base: Column, j: Int): Column =
     (base * TextAnalysis.minhashA(j) + TextAnalysis.minhashB(j)) % P % CmsW
 
   private def baseHashSql(tok: String): String =
@@ -117,9 +117,9 @@ object SketchQueries {
   // oracle-checkable, the shape production stats dashboards
   // (length/tokens/score distributions per source) actually use.
 
-  private[queries] val HistW = 100 // bin width (chars)
-  private[queries] val HistB = 64 // bins; last bin catches the tail
-  private[queries] val HistQs = Seq(25, 50, 75, 90, 99) // percents
+  private[graft] val HistW = 100 // bin width (chars)
+  private[graft] val HistB = 64 // bins; last bin catches the tail
+  private[graft] val HistQs = Seq(25, 50, 75, 90, 99) // percents
 
   /** T55 — HISTOGRAM QUANTILES: equi-width histogram over
     * `documents.n_chars` (one bounded-state groupBy), quantile targets

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.queries.SketchQueries
+
+/** Streaming-sketch parity: after each micro-batch, the Complete-mode
+  * state equals the BATCH sketch of everything ingested so far —
+  * exact counter equality (both sides are the same pure aggregation),
+  * and the state never exceeds the sketch's cell bound. */
+class SketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming CMS state == batch sketch of the ingested prefix, at every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = SketchStream.cmsCells(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toSeq
+      val (a, b) = docs.splitAt(docs.size / 2)
+      def batchCells(prefix: Seq[(Long, String)]) =
+        SketchStream.cmsCells(prefix.toDF("doc_id", "text"))
+          .as[(Int, Long, Long)].collect().toSet
+      input.addData(a: _*); q.processAllAvailable()
+      val afterA = spark.table("cms_stream")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(afterA === batchCells(a)) // mid-stream prefix parity
+      input.addData(b: _*); q.processAllAvailable()
+      val afterB = spark.table("cms_stream")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(afterB === batchCells(docs)) // full-corpus parity
+      assert(afterB.size <= SketchQueries.CmsD * SketchQueries.CmsW)
+    } finally q.stop()
+  }
+
+  test("streaming histogram state == batch histogram; state bounded at B bins") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = SketchStream.histogram(
+      input.toDF().toDF("doc_id", "n_chars"))
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .collect().toSeq
+      val (a, b) = docs.splitAt(docs.size / 3)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("hist_stream")
+        .as[(Long, Long)].collect().toSet
+      val want = SketchStream.histogram(docs.toDF("doc_id", "n_chars"))
+        .as[(Long, Long)].collect().toSet
+      assert(got === want)
+      assert(got.size <= SketchQueries.HistB)
+    } finally q.stop()
+  }
+}
