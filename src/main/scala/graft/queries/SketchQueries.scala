@@ -186,5 +186,64 @@ object SketchQueries {
       .orderBy("q")
   }
 
-  val all: Seq[QuerySpec] = Seq(t52CmsHeavyHitters, t55HistQuantiles)
+  /** T59 — PER-SOURCE LENGTH PROFILE: the t55 histogram GROUPED BY
+    * source, answering per-source quantiles (p50/p90/p99) from ≤ S·B
+    * cells of state — the per-feed stats dashboard a 100 TB ingest
+    * operation watches (a crawl feed whose p99 length collapses is
+    * broken upstream). Same integer discipline as t55; the exact-rank
+    * probe is NOT repeated here (t55 pins the in-bin theorem once —
+    * this row is the grouped production form). The per-source
+    * cumulative window orders ≤ B bins WITHIN each source partition —
+    * a partitioned window over a model-sized frame, never the corpus. */
+  val t59SourceLengthProfile: QuerySpec = QuerySpec.sql(
+    "t59_source_length_profile",
+    s"""WITH v AS (SELECT source, n_chars AS x FROM documents),
+       |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM v GROUP BY 1),
+       |h AS (SELECT source, LEAST(x // $HistW, ${HistB - 1}) AS bin,
+       |        CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM v GROUP BY 1, 2),
+       |ch AS (SELECT source, bin, c,
+       |        CAST(SUM(c) OVER (PARTITION BY source ORDER BY bin)
+       |          AS BIGINT) AS cum
+       |      FROM h),
+       |t AS (SELECT source, q, (q * n + 99) // 100 AS target_rank
+       |      FROM (SELECT unnest([50, 90, 99]) AS q) CROSS JOIN n),
+       |eb AS (SELECT t.source, t.q, t.target_rank, MIN(ch.bin) AS est_bin
+       |       FROM t JOIN ch ON ch.source = t.source
+       |         AND ch.cum >= t.target_rank
+       |       GROUP BY 1, 2, 3)
+       |SELECT eb.source, eb.q, eb.target_rank, eb.est_bin,
+       |  eb.est_bin * $HistW AS est_lo, ch.c AS bin_n, ch.cum AS cum_n
+       |FROM eb JOIN ch ON ch.source = eb.source AND ch.bin = eb.est_bin
+       |ORDER BY eb.source, eb.q""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val v = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").as("x"))
+    val n = v.groupBy("source").agg(count(lit(1)).as("n"))
+    val h = v.groupBy(col("source"),
+      least(expr(s"x div $HistW"), lit(HistB - 1L)).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val ch = h.withColumn("cum",
+      sum("c").over(Window.partitionBy("source").orderBy("bin")))
+      .localCheckpoint()
+    val t = Seq(50, 90, 99).toDF("q").crossJoin(broadcast(n))
+      .select(col("source"), col("q"),
+        expr("(q * n + 99) div 100").as("target_rank"))
+    val eb = broadcast(t)
+      .join(ch.select(col("source"), col("bin"), col("cum")),
+        Seq("source"))
+      .filter(col("cum") >= col("target_rank"))
+      .groupBy("source", "q", "target_rank").agg(min("bin").as("est_bin"))
+    eb.join(ch.select(col("source"), col("bin"), col("c"), col("cum")),
+        eb("source") === ch("source") && col("est_bin") === col("bin"))
+      .select(eb("source"), col("q"), col("target_rank"), col("est_bin"),
+        (col("est_bin") * HistW).as("est_lo"),
+        col("c").as("bin_n"), col("cum").as("cum_n"))
+      .orderBy("source", "q")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(t52CmsHeavyHitters, t55HistQuantiles, t59SourceLengthProfile)
 }

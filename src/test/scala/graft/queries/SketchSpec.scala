@@ -88,6 +88,16 @@ class SketchSpec extends SparkSpec {
     assert(out.filter(col("cum_n") < col("target_rank")).count() === 0)
   }
 
+  test("t59 per-source profile: 3 quantiles per source, targets covered, state bounded") {
+    val out = SketchQueries.t59SourceLengthProfile.run(spark, sf)
+      .localCheckpoint()
+    val s = graft.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(out.count() === s * 3)
+    assert(out.filter(col("cum_n") < col("target_rank")).count() === 0)
+    assert(out.filter(col("est_bin") >= SketchQueries.HistB).count() === 0)
+  }
+
   test("no estimate undercounts, for every distinct token") {
     val exact = ti.groupBy("word", "h").agg(count(lit(1)).as("exact_n"))
     val probes = exact.select(col("word"), col("exact_n"),
