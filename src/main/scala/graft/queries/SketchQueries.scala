@@ -38,7 +38,7 @@ object SketchQueries {
   private[graft] def bucket(base: Column, j: Int): Column =
     (base * TextAnalysis.minhashA(j) + TextAnalysis.minhashB(j)) % P % CmsW
 
-  private def baseHashSql(tok: String): String =
+  private[graft] def baseHashSql(tok: String): String =
     s"CAST(concat('0x', substr(md5($tok), 1, 15)) AS BIGINT) % $P"
 
   private def bucketSql(base: String, j: Int): String =

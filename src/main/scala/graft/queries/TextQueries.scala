@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1955,6 +1956,79 @@ object TextQueries {
       .orderBy("s1", "s2")
   }
 
+  /** Winnowing window size (hashes per window). With shingle size 3,
+    * any shared run of ≥ [[WinnowW]]+3−1 = 6 tokens is GUARANTEED to
+    * share a selected fingerprint — the winnowing theorem. */
+  private[queries] val WinnowW = 4
+
+  /** T60 — WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): per document, hash every
+    * 3-shingle, slide a [[WinnowW]]-hash window, select each window's
+    * MINIMUM hash (rightmost position on ties), emit the distinct
+    * (position, hash) set. Unlike t9's whole-document min-hash (one
+    * value per doc — any edit changes it), winnowing is a LOCAL
+    * fingerprint: shared fingerprints localize WHICH region two
+    * documents share, with the density guarantee (≥1 selection per
+    * window) that makes partial-overlap detection sound. The standard
+    * front door for plagiarism/citation mining over a corpus; pairs
+    * come from a t58-style inverted-index join on `h` downstream.
+    *
+    * Scale shape: entirely ROW-LOCAL — the window scan is a
+    * `transform` over an in-row position sequence (no explode until
+    * the final distinct), so the operator is scan-shaped with one
+    * (doc_id, pos, h) dedup at the end. Short docs (fewer hashes than
+    * the window) degrade to one whole-array window, so every non-empty
+    * document fingerprints. Hashes are the portable md5 base
+    * ([[SketchQueries.baseHash]]) — oracle-exact. */
+  val t60Winnowing: QuerySpec = QuerySpec.sql(
+    "t60_winnowing",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_transform($ShinglesOverToks,
+       |      s -> ${SketchQueries.baseHashSql("s")}) AS hs
+       |  FROM t),
+       |w AS (SELECT doc_id, hs,
+       |    CASE WHEN len(hs) = 0 THEN 0
+       |         ELSE greatest(len(hs) - $WinnowW + 1, 1) END AS nw
+       |  FROM sh),
+       |f AS (SELECT doc_id, unnest(list_transform(range(1, nw + 1), i ->
+       |    struct_pack(
+       |      pos := i + len(hs[i : i + $WinnowW - 1])
+       |        - list_position(list_reverse(hs[i : i + $WinnowW - 1]),
+       |                        list_min(hs[i : i + $WinnowW - 1])),
+       |      h := list_min(hs[i : i + $WinnowW - 1])))) AS fp
+       |  FROM w WHERE nw > 0)
+       |SELECT DISTINCT doc_id, CAST(fp.pos AS BIGINT) AS pos,
+       |  CAST(fp.h AS BIGINT) AS h
+       |FROM f
+       |ORDER BY doc_id, pos, h""".stripMargin) { (s, d) =>
+    val hs = transform(shingles(tokens(col("text")), 3),
+      x => SketchQueries.baseHash(x))
+    val nw = when(size(col("hs")) === 0, 0)
+      .otherwise(greatest(size(col("hs")) - WinnowW + 1, lit(1)))
+    val win = (i: Column) => slice(col("hs"), i, lit(WinnowW))
+    val fp = (i: Column) => {
+      val sl = win(i)
+      val m = array_min(sl)
+      // rightmost-min tie rule: first occurrence in the REVERSED window
+      // is the last in the original; short docs get one sub-W window,
+      // so the span is size(sl), not W
+      struct(
+        (i + size(sl) - array_position(reverse(sl), m)).cast("long").as("pos"),
+        m.as("h"))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), hs.as("hs"))
+      .withColumn("nw", nw)
+      .filter(col("nw") > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("nw")), fp)).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+      .distinct()
+      .orderBy("doc_id", "pos", "h")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
@@ -1965,5 +2039,5 @@ object TextQueries {
     t31SimhashNearDup, t31bSimhashScale, t42SimhashRecall, t32StarClusters, t33StarParity, t34RepDedup,
     t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
     t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans,
-    t58SourceOverlap)
+    t58SourceOverlap, t60Winnowing)
 }

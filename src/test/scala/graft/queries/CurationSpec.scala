@@ -23,6 +23,35 @@ class CurationSpec extends SparkSpec {
     assert(out.agg(max("jaccard")).head.getDouble(0) > 0)
   }
 
+  test("t60 winnowing: density guarantee and global-min containment") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.t60Winnowing.run(spark, sf).localCheckpoint()
+    // the winnowing theorem: every W-window selects a fingerprint, so
+    // consecutive selected positions within a doc can differ by at
+    // most W (per-doc window over the small fingerprint set)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val gaps = out.withColumn("prev", lag("pos", 1).over(w))
+      .filter(col("prev").isNotNull &&
+        col("pos") - col("prev") > TextQueries.WinnowW)
+    assert(gaps.count() === 0)
+    // the per-doc global min hash wins every window it sits in, so it
+    // must appear among the selected fingerprints (t9's min-shingle
+    // fingerprint is a subset of the winnowing set, hash-wise)
+    val minH = out.groupBy("doc_id").agg(min("h").as("mh"))
+    val missing = minH.join(out, Seq("doc_id"))
+      .groupBy(col("doc_id"), col("mh"))
+      .agg(max(when(col("h") === col("mh"), 1).otherwise(0)).as("hit"))
+      .filter(col("hit") === 0)
+    assert(missing.count() === 0)
+    // every non-empty document fingerprints (short docs degrade to one
+    // whole-array window, they are not dropped)
+    val nDocs = graft.Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0).count()
+    assert(out.select("doc_id").distinct().count() === nDocs)
+  }
+
   test("decontaminate: copied benchmark text flags, fresh text does not") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
