@@ -2029,6 +2029,61 @@ object TextQueries {
       .orderBy("doc_id", "pos", "h")
   }
 
+  /** Winnowing-pair thresholds: hashes seen in more than [[WinnowDfCap]]
+    * documents are boilerplate (every doc would pair with every other
+    * through them — the t2 hot-bucket cap, fingerprint-flavored);
+    * pairs need ≥ [[WinnowMinShared]] surviving shared hashes. */
+  private[queries] val WinnowDfCap = 50
+  private[queries] val WinnowMinShared = 3
+
+  /** T61 — WINNOWING PAIR DETECTION (the MOSS match step): documents
+    * sharing ≥ [[WinnowMinShared]] distinct winnowed fingerprint
+    * hashes, after dropping hashes in more than [[WinnowDfCap]]
+    * documents. Composes t60's fingerprint extraction (the oracle
+    * embeds t60's SQL — the two rows cannot drift) with a t58-style
+    * inverted-index self-join; this is how plagiarism detection
+    * actually pairs documents — on the SELECTED hashes only, a
+    * per-doc set ~1/(W/2) the shingle count, with the df cap bounding
+    * any hash's pair emission at C(cap, 2).
+    *
+    * Saturation-by-design at scale factors (the t10 pattern): on the
+    * synthetic corpus every document draws from ONE 31-word template
+    * vocabulary, so at ×100 (500k docs) every fingerprint hash
+    * exceeds the fixed df cap and the pair set is measured EMPTY
+    * (×100: 0 rows, 37.6 s — the screen itself stays linear). That is
+    * the cap doing its job against boilerplate, surfaced by a corpus
+    * that is all boilerplate; a real deployment sets the cap from the
+    * expected duplication-cluster size (or a df percentile), which
+    * the gate-scale rows (30 pairs at sf0.001) pin the semantics
+    * for. */
+  val t61WinnowPairs: QuerySpec = QuerySpec.sql(
+    "t61_winnow_pairs",
+    s"""WITH fp AS (SELECT DISTINCT doc_id, h
+       |  FROM (${t60Winnowing.oracle.get.replace("ORDER BY doc_id, pos, h", "")})),
+       |dfc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nd FROM fp GROUP BY 1),
+       |rare AS (SELECT fp.doc_id, fp.h
+       |  FROM fp JOIN dfc USING (h) WHERE dfc.nd <= $WinnowDfCap),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, n_shared FROM p
+       |WHERE n_shared >= $WinnowMinShared
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val fp = t60Winnowing.run(s, d)
+      .select("doc_id", "h").distinct()
+      .localCheckpoint() // one winnowing pass: df screen + both sides
+    val dfc = fp.groupBy("h").agg(count(lit(1)).as("nd"))
+    val rare = fp.join(dfc.filter(col("nd") <= WinnowDfCap), "h")
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("d1", "d2")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
@@ -2039,5 +2094,5 @@ object TextQueries {
     t31SimhashNearDup, t31bSimhashScale, t42SimhashRecall, t32StarClusters, t33StarParity, t34RepDedup,
     t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
     t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans,
-    t58SourceOverlap, t60Winnowing)
+    t58SourceOverlap, t60Winnowing, t61WinnowPairs)
 }

@@ -52,6 +52,28 @@ class CurationSpec extends SparkSpec {
     assert(out.select("doc_id").distinct().count() === nDocs)
   }
 
+  test("t61 winnow pairs: ordered, threshold-respecting, and genuinely shared") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val pairs = TextQueries.t61WinnowPairs.run(spark, sf).localCheckpoint()
+    assert(pairs.count() > 0) // threshold bites but does not empty
+    assert(pairs.filter(col("d1") >= col("d2")).count() === 0)
+    assert(pairs.filter(col("n_shared") < TextQueries.WinnowMinShared)
+      .count() === 0)
+    // recompute one pair's shared-rare-hash count independently
+    val fp = TextQueries.t60Winnowing.run(spark, sf)
+      .select("doc_id", "h").distinct().localCheckpoint()
+    val dfc = fp.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= TextQueries.WinnowDfCap)
+    val first = pairs.orderBy("d1", "d2").head
+    val (d1, d2, n) = (first.getLong(0), first.getLong(1), first.getLong(2))
+    val shared = fp.filter(col("doc_id") === d1).join(dfc, "h")
+      .select("h").intersect(
+        fp.filter(col("doc_id") === d2).join(dfc, "h").select("h"))
+      .count()
+    assert(shared === n)
+  }
+
   test("decontaminate: copied benchmark text flags, fresh text does not") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
