@@ -518,7 +518,7 @@ object VectorQueries {
     * the final assignment `a3` (vec_id, cid, distq, rn; rn = 1 is the
     * argmin). Shared verbatim by the t25 gate and t57's SemDeDup
     * oracle so the two rows can never train different models. */
-  private lazy val LloydCtesSql: String = {
+  private def lloydCtesSqlAt(k: Int): String = {
     def rndSql(d: String): String = graft.functions.ExactNum.rndSql(d)
     def iterSql(i: Int): String = {
       val p = s"c${i - 1}"
@@ -535,7 +535,7 @@ object VectorQueries {
     }
     s"""v AS (SELECT vec_id, i AS dim, ${scaledSql("embedding[i+1]")} AS x
        |  FROM embeddings, range(0, 64) t(i)),
-       |c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < $LloydK),
+       |c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < $k),
        |${iterSql(1)},
        |${iterSql(2)},
        |d3 AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq
@@ -544,6 +544,8 @@ object VectorQueries {
        |    PARTITION BY vec_id ORDER BY distq, cid) AS rn FROM d3)"""
       .stripMargin
   }
+
+  private lazy val LloydCtesSql: String = lloydCtesSqlAt(LloydK)
 
   val t25KmeansAssign: QuerySpec =
     QuerySpec.sql(
@@ -589,9 +591,21 @@ object VectorQueries {
     * rule gives the same dedup rate). Exactness: distances and dot
     * products are 1e6-grid integer arithmetic end to end, so cluster
     * assignment AND cosine agree bit-for-bit with the oracle. */
-  val t57SemDedup: QuerySpec = QuerySpec.sql(
-    "t57_semdedup",
-    s"""WITH $LloydCtesSql,
+  val t57SemDedup: QuerySpec = semDedupAt("t57_semdedup", LloydK)
+
+  /** The k-knob at ×100: k=64 keeps the SAME semantics (the oracle is
+    * the same Lloyd chain seeded with the first 64 vectors) while
+    * cutting per-cluster membership — and hence the pairwise block —
+    * 8×. This row IS the paper's scale mechanism made measurable:
+    * compare its ×100 cost against t57's fixed-k point. */
+  private[queries] val SemDedupKScale = 64
+
+  val t57bSemDedupScale: QuerySpec =
+    semDedupAt("t57b_semdedup_scale", SemDedupKScale)
+
+  private def semDedupAt(name: String, k: Int): QuerySpec = QuerySpec.sql(
+    name,
+    s"""WITH ${lloydCtesSqlAt(k)},
        |asg AS (SELECT vec_id, cid FROM a3 WHERE rn = 1),
        |ssq AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) / 1e12 AS ss
        |        FROM v GROUP BY 1),
@@ -616,7 +630,7 @@ object VectorQueries {
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
-    val b = graft.ops.KMeans.fit(emb, LloydK, LloydIters)
+    val b = graft.ops.KMeans.fit(emb, k, LloydIters)
       .select(col("vec_id"), col("cid"))
       .join(emb, "vec_id")
       .withColumn("ss", normSqL(col("eL")))
@@ -977,5 +991,6 @@ object VectorQueries {
   val all: Seq[QuerySpec] =
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
-      t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup)
+      t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
+      t57bSemDedupScale)
 }
