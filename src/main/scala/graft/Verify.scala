@@ -7,6 +7,29 @@ import graft.spark.Sessions
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Gate-output convention: scalar columns only. The driver's checker
+    * sorts result rows with pandas sort_values, which dies on
+    * array/map/struct cells (r12: t41b/t44 red with "unhashable type:
+    * numpy.ndarray" in the HARNESS, masking two green operators).
+    * Serialize lists with concat_ws/array_join (the f15 convention).
+    * Throws at dump time so a violation fails ITS OWN gate row loudly
+    * instead of erring later inside the driver's pandas. */
+  def guardScalarOutput(name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = schema.fields.filter(_.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    })
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"gate query $name output has non-scalar column(s) " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}")
+          .mkString(", ") +
+        " — serialize with array_join/concat_ws (f15 convention); " +
+        "the driver's pandas sort cannot handle array cells")
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // dev seam: trailing args restrict the dump to the named queries
@@ -20,8 +43,11 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => only.contains(kv._1))
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        guardScalarOutput(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val msg = (e.getClass.getSimpleName + ": " +
           Option(e.getMessage).getOrElse("")).take(800)

@@ -34,15 +34,21 @@ object FixedLog {
   /** Append `dst = log2fp(src)` for each (src expression, dst name)
     * pair via 2+F chained projections (each round's mantissa is a real
     * column, computed once — no 3^F expression-tree blowup). `src`
-    * must be a positive integer expression. */
+    * must be a positive integer expression; src ≤ 0 (log undefined)
+    * or NULL yields NULL, not garbage — bin(0) has length 1, so an
+    * unguarded zero count would silently accumulate y = 2y + (1−61)
+    * into a large negative "log". The NULL exponent propagates through
+    * every round's arithmetic, so one guard covers the chain. */
   def withLog2(df: DataFrame, cols: (String, String)*): DataFrame = {
     var cur = df
     // integer exponent + normalized 30-bit mantissa
     for ((src, dst) <- cols) {
       cur = cur
-        .withColumn(s"__e_$dst", expr(s"length(bin($src)) - 1"))
+        .withColumn(s"__e_$dst", expr(
+          s"CASE WHEN ($src) > 0 THEN length(bin($src)) - 1 END"))
         .withColumn(s"__m_$dst", expr(
-          s"""CASE WHEN __e_$dst <= 30
+          s"""CASE WHEN __e_$dst IS NULL THEN CAST(NULL AS BIGINT)
+             |  WHEN __e_$dst <= 30
              |  THEN shiftleft(CAST(($src) AS BIGINT), 30 - __e_$dst)
              |  ELSE shiftright(CAST(($src) AS BIGINT), __e_$dst - 30)
              |END""".stripMargin))
@@ -69,8 +75,9 @@ object FixedLog {
     * carries the original columns plus each `dst`. */
   def sqlCtes(from: String, p: String, cols: Seq[(String, String)]): String = {
     val init = cols.map { case (src, dst) =>
-      s"""length(bin($src)) - 1 AS __e_$dst,
-         |    CASE WHEN length(bin($src)) - 1 <= 30
+      s"""CASE WHEN $src > 0 THEN length(bin($src)) - 1 END AS __e_$dst,
+         |    CASE WHEN $src <= 0 OR $src IS NULL THEN CAST(NULL AS BIGINT)
+         |      WHEN length(bin($src)) - 1 <= 30
          |      THEN CAST($src AS BIGINT) << (30 - (length(bin($src)) - 1))
          |      ELSE CAST($src AS BIGINT) >> ((length(bin($src)) - 1) - 30)
          |    END AS __m_$dst, CAST(0 AS BIGINT) AS __y_$dst""".stripMargin

@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Codegen'd dot product of two `array<bigint>` columns — the hot-loop
   * primitive under every exact-cosine operator (t5/t11/t26/t35/t57 and
@@ -26,9 +26,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * BinaryExpression null-intolerance); array ELEMENTS are assumed
   * non-null — every producer ([[graft.queries.VectorQueries]] scaleL)
   * emits dense arrays. Registered as SQL `long_dot` via
-  * [[GraftExtensions]]. */
+  * [[GraftExtensions]]. ImplicitCastInputTypes pins both inputs to
+  * `array<bigint>` at ANALYSIS time: `long_dot(array(1,2), …)` (int
+  * literals → array<int>) is coerced rather than hitting getLong's
+  * ClassCastException in interpreted eval — or, worse, silently wrong
+  * byte offsets under codegen over UnsafeArrayData. */
 case class LongArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // return type inferred: AbstractDataType is private[sql] in Spark 4
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def dataType: DataType = LongType
 
@@ -71,9 +78,13 @@ case class LongArrayDot(left: Expression, right: Expression)
   * ([[graft.ops.KMeans]]), same rationale and null semantics as
   * [[LongArrayDot]]. One fused loop instead of three dots (‖a‖² −
   * 2a·b + ‖b‖²) or an interpreted `zip_with` lambda. Registered as SQL
-  * `long_distsq`. */
+  * `long_distsq`. Inputs analysis-pinned to `array<bigint>` like
+  * [[LongArrayDot]]. */
 case class LongArrayDistSq(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // return type inferred: AbstractDataType is private[sql] in Spark 4
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def dataType: DataType = LongType
 

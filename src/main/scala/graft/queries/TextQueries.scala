@@ -882,7 +882,10 @@ object TextQueries {
     * same window as t41 — no global sort, no single-partition
     * bottleneck); the boundary list is per-row arithmetic on top.
     * Guard: Spark's `sequence(a, b)` descends when b < a, so the
-    * no-boundary case is screened to an empty array explicitly. */
+    * no-boundary case is screened to an empty array explicitly.
+    * Gate convention: the boundary list is serialized with
+    * array_join/array_to_string (the f15 flag-list convention) —
+    * the driver's pandas checker cannot sort array cells. */
   val t41bPackBoundaries: QuerySpec = QuerySpec.sql(
     "t41b_pack_boundaries",
     s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
@@ -900,8 +903,8 @@ object TextQueries {
        |      FROM c)
        |SELECT doc_id, shard, CAST(n_toks AS BIGINT) AS n_toks,
        |  CAST(strm_offset AS BIGINT) AS strm_offset,
-       |  list_transform(range(sc + 1, ec + 1),
-       |                 k -> CAST(k * 512 - strm_offset AS BIGINT))
+       |  COALESCE(array_to_string(list_transform(range(sc + 1, ec + 1),
+       |                 k -> CAST(k * 512 - strm_offset AS BIGINT)), ','), '')
        |    AS boundaries
        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
     val m = Tables.documents(s, d)
@@ -917,10 +920,12 @@ object TextQueries {
       .withColumn("sc", expr("(cum - n_toks) div 512"))
       .withColumn("ec", expr("(cum - 1) div 512"))
       .select(col("doc_id"), col("shard"), col("n_toks"), col("strm_offset"),
-        when(col("ec") > col("sc"),
-          transform(sequence(col("sc") + 1, col("ec")),
-            k => k * 512 - col("strm_offset")))
-          .otherwise(array().cast("array<bigint>")).as("boundaries"))
+        array_join(
+          when(col("ec") > col("sc"),
+            transform(sequence(col("sc") + 1, col("ec")),
+              k => k * 512 - col("strm_offset")))
+            .otherwise(array().cast("array<bigint>"))
+            .cast("array<string>"), ",").as("boundaries"))
       .orderBy("doc_id")
   }
 
@@ -1981,8 +1986,12 @@ object TextQueries {
     * the window) degrade to one whole-array window, so every non-empty
     * document fingerprints. Hashes are the portable md5 base
     * ([[SketchQueries.baseHash]]) — oracle-exact. */
-  val t60Winnowing: QuerySpec = QuerySpec.sql(
-    "t60_winnowing",
+  /** The winnowing fingerprint extraction as ORDER-BY-free SQL (CTE
+    * chain + final SELECT), shared verbatim by t60's oracle (which
+    * appends the presentation ORDER BY) and t61's (which wraps it as
+    * a subquery) — the lloydCtesSqlAt composition pattern, so the two
+    * oracles cannot drift and the subquery carries no wasted sort. */
+  private def winnowFpSql: String =
     s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
        |sh AS (SELECT doc_id,
        |    list_transform($ShinglesOverToks,
@@ -2001,7 +2010,11 @@ object TextQueries {
        |  FROM w WHERE nw > 0)
        |SELECT DISTINCT doc_id, CAST(fp.pos AS BIGINT) AS pos,
        |  CAST(fp.h AS BIGINT) AS h
-       |FROM f
+       |FROM f""".stripMargin
+
+  val t60Winnowing: QuerySpec = QuerySpec.sql(
+    "t60_winnowing",
+    s"""$winnowFpSql
        |ORDER BY doc_id, pos, h""".stripMargin) { (s, d) =>
     val hs = transform(shingles(tokens(col("text")), 3),
       x => SketchQueries.baseHash(x))
@@ -2039,8 +2052,8 @@ object TextQueries {
   /** T61 — WINNOWING PAIR DETECTION (the MOSS match step): documents
     * sharing ≥ [[WinnowMinShared]] distinct winnowed fingerprint
     * hashes, after dropping hashes in more than [[WinnowDfCap]]
-    * documents. Composes t60's fingerprint extraction (the oracle
-    * embeds t60's SQL — the two rows cannot drift) with a t58-style
+    * documents. Composes t60's fingerprint extraction (both oracles
+    * compose [[winnowFpSql]] — the two rows cannot drift) with a t58-style
     * inverted-index self-join; this is how plagiarism detection
     * actually pairs documents — on the SELECTED hashes only, a
     * per-doc set ~1/(W/2) the shingle count, with the df cap bounding
@@ -2059,7 +2072,7 @@ object TextQueries {
   val t61WinnowPairs: QuerySpec = QuerySpec.sql(
     "t61_winnow_pairs",
     s"""WITH fp AS (SELECT DISTINCT doc_id, h
-       |  FROM (${t60Winnowing.oracle.get.replace("ORDER BY doc_id, pos, h", "")})),
+       |  FROM ($winnowFpSql)),
        |dfc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nd FROM fp GROUP BY 1),
        |rare AS (SELECT fp.doc_id, fp.h
        |  FROM fp JOIN dfc USING (h) WHERE dfc.nd <= $WinnowDfCap),
@@ -2084,6 +2097,73 @@ object TextQueries {
       .orderBy("d1", "d2")
   }
 
+  /** t61b's boilerplate screen: keep hashes whose document frequency
+    * is at or below the [[WinnowDfPct]] percentile of the per-hash df
+    * distribution — i.e. drop only the hottest 0.5% of fingerprints,
+    * wherever that cut lands for THIS corpus. */
+  private[queries] val WinnowDfPct = 0.995
+
+  /** T61b — WINNOWING PAIRS, PRODUCTION CAP (the t10b pattern applied
+    * to t61): the fixed df cap is replaced by a PERCENTILE of the
+    * per-hash document-frequency distribution, so the boilerplate
+    * screen adapts to the corpus instead of saturating — on the
+    * all-boilerplate synthetic corpus at ×100 every hash blows past
+    * t61's fixed 50 and the pair set measures empty, while a
+    * percentile cut always keeps 99.5% of the fingerprint mass and
+    * keeps detecting pairs.
+    *
+    * The percentile is EXACT and cross-engine-deterministic without a
+    * global sort of the df frame: dfs are small integers, so the cut
+    * comes from a HISTOGRAM — group dfs by value (distinct-df-many
+    * rows, hundreds at any scale), cumulative-sum up the tiny frame,
+    * take the least df value covering ⌈pct·n⌉ hashes. The histogram
+    * count n is read driver-side (a model-sized stat, like AQE's
+    * runtime statistics); everything else stays declarative. */
+  val t61bWinnowPairsProd: QuerySpec = QuerySpec.sql(
+    "t61b_winnow_pairs_prod",
+    s"""WITH fp AS (SELECT DISTINCT doc_id, h
+       |  FROM ($winnowFpSql)),
+       |dfc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nd FROM fp GROUP BY 1),
+       |hist AS (SELECT nd, COUNT(*) AS c FROM dfc GROUP BY 1),
+       |cum AS (SELECT nd, SUM(c) OVER (ORDER BY nd) AS cc,
+       |        (SELECT COUNT(*) FROM dfc) AS n FROM hist),
+       |cap AS (SELECT MIN(nd) AS cap FROM cum
+       |        WHERE cc >= CEIL($WinnowDfPct * n)),
+       |rare AS (SELECT fp.doc_id, fp.h
+       |  FROM fp JOIN dfc USING (h), cap WHERE dfc.nd <= cap.cap),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, n_shared FROM p
+       |WHERE n_shared >= $WinnowMinShared
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val fp = t60Winnowing.run(s, d)
+      .select("doc_id", "h").distinct()
+      .localCheckpoint() // one winnowing pass: df screen + both sides
+    val dfc = fp.groupBy("h").agg(count(lit(1)).as("nd"))
+      .localCheckpoint() // cap derivation + the rare screen share it
+    val nHashes = dfc.count()
+    val cumW = org.apache.spark.sql.expressions.Window
+      .orderBy("nd")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // single-partition window is fine HERE: the frame is the df
+    // histogram (one row per distinct df value), not the hash set
+    val cap = dfc.groupBy("nd").agg(count(lit(1)).as("c"))
+      .withColumn("cc", sum("c").over(cumW))
+      .filter(col("cc") >= math.ceil(WinnowDfPct * nHashes))
+      .agg(min("nd")).collect()(0).getLong(0)
+    val rare = fp.join(dfc.filter(col("nd") <= cap), "h")
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("d1", "d2")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
@@ -2094,5 +2174,5 @@ object TextQueries {
     t31SimhashNearDup, t31bSimhashScale, t42SimhashRecall, t32StarClusters, t33StarParity, t34RepDedup,
     t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
     t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans,
-    t58SourceOverlap, t60Winnowing, t61WinnowPairs)
+    t58SourceOverlap, t60Winnowing, t61WinnowPairs, t61bWinnowPairsProd)
 }

@@ -518,7 +518,12 @@ object VectorQueries {
     * the final assignment `a3` (vec_id, cid, distq, rn; rn = 1 is the
     * argmin). Shared verbatim by the t25 gate and t57's SemDeDup
     * oracle so the two rows can never train different models. */
-  private def lloydCtesSqlAt(k: Int): String = {
+  private def lloydCtesSqlAt(k: Int): String = lloydCtesSqlAt(k.toString)
+
+  /** As above with the seed-count k as a SQL expression — t57c passes
+    * a scalar subquery so the oracle's k tracks corpus size exactly
+    * like the Spark side's computed k. */
+  private def lloydCtesSqlAt(kSql: String): String = {
     def rndSql(d: String): String = graft.functions.ExactNum.rndSql(d)
     def iterSql(i: Int): String = {
       val p = s"c${i - 1}"
@@ -535,7 +540,7 @@ object VectorQueries {
     }
     s"""v AS (SELECT vec_id, i AS dim, ${scaledSql("embedding[i+1]")} AS x
        |  FROM embeddings, range(0, 64) t(i)),
-       |c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < $k),
+       |c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < ($kSql)),
        |${iterSql(1)},
        |${iterSql(2)},
        |d3 AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq
@@ -603,9 +608,41 @@ object VectorQueries {
   val t57bSemDedupScale: QuerySpec =
     semDedupAt("t57b_semdedup_scale", SemDedupKScale)
 
-  private def semDedupAt(name: String, k: Int): QuerySpec = QuerySpec.sql(
+  /** Per-cluster membership target for the PRODUCTION k knob: k =
+    * max([[LloydK]], ⌈N / target⌉), so expected cluster size — and
+    * with it each cluster's pairwise block, the operator's only
+    * superlinear term — stays a CONSTANT as the corpus grows. This is
+    * the paper's k ∝ N operating point made executable instead of
+    * documented: t57 (fixed k=8) and t57b (fixed k=64) pin the
+    * semantics at two k values; t57c computes k from the corpus the
+    * way a deployment would. */
+  private[queries] val SemDedupTarget = 32
+
+  /** T57c — SEMDEDUP AT THE PRODUCTION OPERATING POINT: identical
+    * semantics to t57 (same Lloyd chain, same keeper rule, same
+    * cosine cut) with k derived from corpus size. The Spark side
+    * counts the corpus once (a model-sized stat, like AQE's runtime
+    * statistics); the oracle computes the SAME k as a scalar subquery,
+    * so the two engines always train the same model. Expected
+    * per-cluster pair count is bounded by ~C(target, 2) regardless of
+    * N — the ×100 record measures the realized bound. */
+  val t57cSemDedupProd: QuerySpec = semDedupSpec(
+    "t57c_semdedup_prod",
+    s"(SELECT GREATEST($LloydK, CAST(CEIL(COUNT(*) / $SemDedupTarget.0) AS BIGINT)) FROM embeddings)",
+    (s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      math.max(LloydK, math.ceil(n.toDouble / SemDedupTarget).toInt)
+    })
+
+  private def semDedupAt(name: String, k: Int): QuerySpec =
+    semDedupSpec(name, k.toString, (_, _) => k)
+
+  /** `kSql` must evaluate (as a DuckDB scalar) to the same k the
+    * Spark side's `kOf` computes — the two parameterize one model. */
+  private def semDedupSpec(name: String, kSql: String,
+      kOf: (SparkSession, String) => Int): QuerySpec = QuerySpec.sql(
     name,
-    s"""WITH ${lloydCtesSqlAt(k)},
+    s"""WITH ${lloydCtesSqlAt(kSql)},
        |asg AS (SELECT vec_id, cid FROM a3 WHERE rn = 1),
        |ssq AS (SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) / 1e12 AS ss
        |        FROM v GROUP BY 1),
@@ -628,6 +665,7 @@ object VectorQueries {
        |  (dup.pruned_by IS NULL) AS keep
        |FROM asg LEFT JOIN dup USING (vec_id)
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val k = kOf(s, d)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
     val b = graft.ops.KMeans.fit(emb, k, LloydIters)
@@ -790,19 +828,21 @@ object VectorQueries {
 
   /** T44 — PQ ENCODE: per-vector code word (M centroid ids, ordered
     * by subspace) plus the exact total quantization error on the long
-    * grid. The 64×-compression artifact every ADC scan reads. */
+    * grid. The 64×-compression artifact every ADC scan reads. The
+    * code word is serialized comma-joined (f15 convention) because
+    * the driver's pandas checker cannot sort array cells. */
   val t44PqEncode: QuerySpec = QuerySpec.sql(
     "t44_pq_encode",
     s"""WITH $pqCtesSql
-       |SELECT vec_id, list(cid ORDER BY sub) AS codes,
+       |SELECT vec_id, array_to_string(list(cid ORDER BY sub), ',') AS codes,
        |  CAST(SUM(distq) AS BIGINT) AS qerr
        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
     val emb = embL(s, d)
     pqEncode(emb, pqCodebook(s, d, emb))
       .groupBy("vec_id")
-      .agg(transform(
+      .agg(array_join(transform(
           sort_array(collect_list(struct(col("sub"), col("code")))),
-          t => t.getField("code")).as("codes"),
+          t => t.getField("code")).cast("array<string>"), ",").as("codes"),
         sum("dq").as("qerr"))
       .orderBy("vec_id")
   }
@@ -992,5 +1032,5 @@ object VectorQueries {
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
       t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
-      t57bSemDedupScale)
+      t57bSemDedupScale, t57cSemDedupProd)
 }

@@ -42,4 +42,21 @@ class FixedLogSpec extends SparkSpec {
       assert(r(a) <= r(b), s"not monotone at $a -> $b")
     }
   }
+
+  test("src <= 0 and NULL yield NULL, never a garbage value") {
+    import spark.implicits._
+    val df = Seq[java.lang.Long](0L, -1L, -12345L, null, 7L)
+      .toDF("x")
+    val rows = FixedLog.withLog2(df, "x" -> "lx")
+      .select(col("x"), col("lx")).collect()
+    rows.foreach { row =>
+      val x = Option(row.get(0)).map(_.asInstanceOf[Long])
+      if (x.exists(_ > 0)) assert(!row.isNullAt(1))
+      else assert(row.isNullAt(1),
+        s"log2fp(${x.orNull}) should be NULL, got ${row.get(1)}")
+    }
+    // DuckDB twin parity on the guard: same CTE chain, same contract
+    // (pinned by the t56 oracle; here we just pin the Spark side and
+    // the chain's null propagation through all F rounds).
+  }
 }

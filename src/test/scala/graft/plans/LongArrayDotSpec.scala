@@ -64,4 +64,22 @@ class LongArrayDotSpec extends SparkSpec {
     assert(out(1).getAs[Long]("dsq") === 25L + 64L)
     assert(out(2).isNullAt(0) && out(2).isNullAt(1))
   }
+
+  test("non-bigint arrays are coerced at analysis time, not misread at runtime") {
+    // SQL integer literals make array<int>; before ImplicitCastInputTypes
+    // this was a ClassCastException (interpreted) or byte-offset garbage
+    // (codegen over UnsafeArrayData). Now analysis inserts the cast.
+    val r = spark.sql(
+      "SELECT long_dot(array(1, 2), array(3, 4)) AS d, " +
+        "long_distsq(array(1.0, 2.0), array(3.0, 4.0)) AS q").collect()(0)
+    assert(r.getAs[Long]("d") === 11L)
+    assert(r.getAs[Long]("q") === 8L)
+    // an uncastable input type is an ANALYSIS error, not a runtime one
+    // (scalars don't implicitly cast to array<bigint>)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT long_dot(1, 2)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("long_dot") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
 }

@@ -53,6 +53,19 @@ def compare(got, want):
         # Verify's explicit fail row for a query that erred Spark-side
         err = got.column("__error").to_pylist()
         return False, f"spark error: {err[0] if err else '?'}"
+    # The DRIVER's checker sorts with pandas sort_values, which dies on
+    # array/map/struct cells (r12: t41b/t44). Reject non-scalar columns
+    # outright so this dev mirror agrees with the driver by construction
+    # instead of silently passing what the driver would err on.
+    import pyarrow.types as pt
+    for tbl, side in ((got, "spark"), (want, "oracle")):
+        for field in tbl.schema:
+            t = field.type
+            if (pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t)
+                    or pt.is_map(t) or pt.is_struct(t)):
+                return False, (f"non-scalar column {side}.{field.name}: {t} — "
+                               "serialize with array_join/concat_ws "
+                               "(f15 convention)")
     if gcols != wcols:
         return False, f"columns differ: spark={gcols} oracle={wcols}"
     if got.num_rows != want.num_rows:
