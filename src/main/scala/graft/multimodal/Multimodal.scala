@@ -341,10 +341,15 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction: binary → fixed-dim float embedding. STUB: a
-    * real model forward pass; the fake projects byte histograms to
-    * `dim` floats deterministically. Batch shape matches a model
-    * server: one buffer per partition, vectorized inner loop. */
+  /** Feature extraction over RAW bytes: binary → fixed-dim float
+    * embedding via a documented deterministic projection (strided
+    * byte sums — no RNG, no model), so the m-family pipeline runs end
+    * to end on any media kind. A real model forward pass swaps in at
+    * exactly this seam (same signature, same batch shape); for media
+    * whose DECODE is real, prefer [[featuresPcm]], which projects the
+    * decoded samples instead of the container bytes. Batch shape
+    * matches a model server: one buffer per partition, vectorized
+    * inner loop. */
   def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[Features] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -359,6 +364,60 @@ object Multimodal {
           acc
         }
         Features(m.mediaId, emb)
+      }
+    }
+  }
+
+  /** One long-form feature cell from [[featuresPcm]]: dimension `d`'s
+    * exact integer projection value for one clip. */
+  final case class PcmFeature(mediaId: Long, d: Int, v: Long)
+
+  /** Feature extraction over REAL DECODED AUDIO SAMPLES: each clip's
+    * content is decoded by `javax.sound` (genuine WAV/AIFF/AU parse +
+    * PCM read — the m4 decode path), the 16-bit mono little-endian
+    * samples are projected to `dim` values with a SEEDED DETERMINISTIC
+    * projection matrix R(d, j) = ((d+1)·(j+7)) mod 101 − 50 — a fixed
+    * pseudo-random ±50 pattern, the standard random-projection shape
+    * with the randomness replaced by an explicit integer formula so
+    * both engines (and any rerun) compute the SAME embedding exactly:
+    * emb[d] = Σⱼ sample_j · R(d, j), all long arithmetic, no floats.
+    * This retires the model-forward stub for the audio path — the
+    * pipeline is runnable end to end on real decoded samples; a real
+    * encoder model swaps in at this seam with the same long-form
+    * output shape. Clips that fail the decode (or aren't 16-bit mono
+    * LE PCM) yield no rows, the [[frameSampleAvi]] convention.
+    * Partition-parallel, no shuffle; the m6 driver gate recomputes the
+    * projection algebraically from the fixture's sample generator. */
+  def featuresPcm(media: Dataset[MediaRow], dim: Int = 4): Dataset[PcmFeature] = {
+    import media.sparkSession.implicits._
+    require(dim > 0, s"dim must be positive: $dim")
+    media.mapPartitions { it =>
+      it.filter(_.kind == "audio").flatMap { m =>
+        val samples: Array[Int] =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.content))
+            try {
+              val f = ais.getFormat
+              if (f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+                  !f.isBigEndian) {
+                val bytes = ais.readAllBytes()
+                Array.tabulate(bytes.length / 2) { j =>
+                  (bytes(2 * j) & 0xff) | (bytes(2 * j + 1).toInt << 8)
+                }
+              } else Array.empty[Int]
+            } finally ais.close()
+          } catch { case _: Exception => Array.empty[Int] }
+        if (samples.isEmpty) Seq.empty
+        else (0 until dim).map { d =>
+          var acc = 0L
+          var j = 0
+          while (j < samples.length) {
+            acc += samples(j).toLong * (((d + 1L) * (j + 7L)) % 101L - 50L)
+            j += 1
+          }
+          PcmFeature(m.mediaId, d, acc)
+        }
       }
     }
   }

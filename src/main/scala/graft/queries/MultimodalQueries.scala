@@ -179,7 +179,51 @@ object MultimodalQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** M6 — audio FEATURE EXTRACTION over real decoded samples under the
+    * driver gate: per-row genuine WAV bytes (the m4 fixture — PCM byte
+    * i is (i·13) mod 251), decoded by javax.sound on executors and
+    * projected by [[Multimodal.featuresPcm]]'s seeded deterministic
+    * matrix. The oracle never touches a codec: it reconstructs each
+    * 16-bit LE sample algebraically from the byte generator
+    * (lo = (2j·13) mod 251; hi sign-extends past 127) and recomputes
+    * the exact integer projection — so a green row pins decode + sample
+    * assembly + projection end to end. Long-form (media_id, d, v)
+    * output keeps the gate scalar-typed per the f15 convention. */
+  val m6AudioFeatures: QuerySpec = QuerySpec.sql(
+    "m6_audio_features",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    800 + (CAST(c_custkey AS BIGINT) % 100) * 8 AS frames
+      |  FROM customer WHERE c_custkey < 200
+      |),
+      |s AS (
+      |  SELECT k, j,
+      |    ((2*j)*13 % 251)
+      |      + 256 * (CASE WHEN ((2*j+1)*13 % 251) >= 128
+      |               THEN ((2*j+1)*13 % 251) - 256
+      |               ELSE ((2*j+1)*13 % 251) END) AS v
+      |  FROM m, range(0, 1592) t(j) WHERE j < frames
+      |)
+      |SELECT k AS media_id, CAST(d AS INT) AS d,
+      |  CAST(SUM(v * ((d+1)*(j+7) % 101 - 50)) AS BIGINT) AS v
+      |FROM s, range(0, 4) u(d)
+      |GROUP BY 1, 2
+      |ORDER BY media_id, d""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 200).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "audio",
+          Multimodal.wavFixture((800 + (k % 100) * 8).toInt),
+          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+      }
+    Multimodal.featuresPcm(rows, dim = 4)
+      .select(col("mediaId").as("media_id"), col("d"), col("v"))
+      .orderBy("media_id", "d")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
-      m5AviFrames)
+      m5AviFrames, m6AudioFeatures)
 }

@@ -56,7 +56,8 @@ object ScaleCheck {
     "t51_bpe_segment", "t52_cms_heavy_hitters", "t53_bm25_topk",
     "t54_manifest_lm", "t55_hist_quantiles", "t56_nb_classify",
     "t57_semdedup", "t58_source_overlap", "t59_source_length_profile",
-    "t60_winnowing", "t61_winnow_pairs", "t57b_semdedup_scale")
+    "t60_winnowing", "t61_winnow_pairs", "t57b_semdedup_scale",
+    "t57c_semdedup_prod", "t61b_winnow_pairs_prod")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))

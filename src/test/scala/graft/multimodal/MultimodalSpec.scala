@@ -211,4 +211,35 @@ class MultimodalSpec extends SparkSpec {
       assert(ts.sameElements(ts.sorted))
     }
   }
+
+  test("featuresPcm: exact projection of real decoded samples; bad/non-audio yield no rows") {
+    import spark.implicits._
+    val frames = 100
+    val wav = Multimodal.wavFixture(frames)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav,
+        Multimodal.MediaMeta("wav", 0, 0, 8000, 0)),
+      // undecodable bytes: no rows (the frameSampleAvi convention)
+      Multimodal.MediaRow(2L, "audio", Array[Byte](1, 2, 3, 4),
+        Multimodal.MediaMeta("wav", 0, 0, 0, 0)),
+      // non-audio kind: filtered before any decode attempt
+      Multimodal.MediaRow(3L, "image", wav,
+        Multimodal.MediaMeta("png", 0, 0, 0, 0)))
+    val got = Multimodal.featuresPcm(rows.toDS(), dim = 3).collect()
+      .map(f => (f.mediaId, f.d) -> f.v).toMap
+    assert(got.keySet === (0 until 3).map((1L, _)).toSet)
+    // recompute from the fixture's sample generator: pcm byte i is
+    // (i*13 % 251) signed; sample j = lo | (hi << 8) sign-extended
+    def sample(j: Int): Int = {
+      val lo = (2 * j * 13) % 251
+      val hi0 = ((2 * j + 1) * 13) % 251
+      val hi = if (hi0 >= 128) hi0 - 256 else hi0
+      lo + 256 * hi
+    }
+    (0 until 3).foreach { d =>
+      val want = (0 until frames).map(j =>
+        sample(j).toLong * (((d + 1L) * (j + 7L)) % 101L - 50L)).sum
+      assert(got((1L, d)) === want, s"dim $d")
+    }
+  }
 }
