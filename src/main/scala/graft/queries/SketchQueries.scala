@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -244,6 +244,138 @@ object SketchQueries {
       .orderBy("source", "q")
   }
 
+  // ---------------------------------------------------------------
+  // t62 — PORTABLE HyperLogLog. CardinalitySketchSpec demonstrates
+  // Spark's built-in approx_count_distinct (engine-specific sketch, no
+  // oracle possible); this is the ORACLE-ABLE form: registers from the
+  // portable md5 base hash, the register sum kept as an EXACT scaled
+  // integer (Σ 2^-M_j × 2^HllScale — every term is a dyadic rational,
+  // so the sum is a bigint, no float accumulation order), and exactly
+  // ONE double op chain (alpha·m²·2^scale / S, same literals, same
+  // parenthesization) for the estimate — the FixedLog discipline
+  // applied to cardinality estimation.
+
+  private[graft] val HllP = 8 // register index bits
+  private[graft] val HllM = 1 << HllP // 256 registers
+  /** Scale exponent for the exact register sum: rho ≤ 24 (the base
+    * hash carries 31 bits − 8 index bits = 23 payload bits, so the
+    * lowest-set-bit position caps at 23 ⇒ rho ≤ 24 ≤ scale). */
+  private[graft] val HllScale = 30
+  /** HLL bias constant alpha_m for m = 256, inlined as ONE double
+    * literal into both engines (Scala Double → shortest-round-trip
+    * string → DuckDB double: bit-identical). */
+  private[graft] val HllAlpha: Double = 0.7213 / (1 + 1.079 / HllM)
+
+  /** HLL register build from a raw (group, value-string `s`) instance
+    * stream — NO distinct needed (registers are duplicate-insensitive):
+    * one two-phase max-aggregation, ≤ [[HllM]] state rows per group.
+    * rho is the lowest-set-bit position of the hash payload
+    * (`length(bin(x & -x))` — bin strips leading zeros in BOTH
+    * engines, the FixedLog-pinned contract), 24 for a zero payload
+    * (23 payload bits ⇒ positions cap at 23). Shard register frames
+    * merge by per-idx MAX — the mergeability theorem `HllSpec` pins
+    * against arbitrary doc shards. */
+  private[graft] def hllRegisters(si: DataFrame, gcol: String): DataFrame = {
+    val hx = si.select(col(gcol), baseHash(col("s")).as("h"))
+    hx.select(col(gcol), (col("h") % HllM).as("idx"),
+      when(expr("h div 256") === 0, 24)
+        .otherwise(expr("length(bin((h div 256) & -(h div 256)))"))
+        .as("rho"))
+      .groupBy(gcol, "idx").agg(max("rho").as("m"))
+  }
+
+  /** Raw HLL estimate from a register frame (one row per idx): the
+    * exact scaled register sum, then the single deterministic double
+    * op chain. Spec-side helper mirroring the t62 gate arithmetic. */
+  private[graft] def hllEstimate(regs: DataFrame): Double = {
+    val s = regs
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllScale - m)")) +
+        (lit(HllM) - count(lit(1))) * lit(1L << HllScale)).cast("long"))
+      .collect()(0).getLong(0)
+    HllAlpha * (HllM * HllM).toDouble * (1L << HllScale).toDouble / s.toDouble
+  }
+
+  /** T62 — HLL CARDINALITY per source (+ the '__all' union row via
+    * register max-merge): distinct trigram-shingle count estimated
+    * from m = [[HllM]] registers. The scale story is the reason this
+    * operator exists: exact COUNT(DISTINCT) re-keys the corpus-sized
+    * shingle space through an exchange, while the register build is a
+    * two-phase max-aggregation over the RAW instance stream — HLL is
+    * duplicate-insensitive, so no distinct, no per-key shuffle, and
+    * per-source state is m rows regardless of corpus size. The
+    * mergeability theorem rides in the gate itself: the union row is
+    * computed by max-merging the per-source registers (never re-reading
+    * data), exactly how shard sketches combine at 100 TB. The exact_n
+    * probe column is gate-scale truth for error measurement —
+    * production reads the sketch alone ([[t55HistQuantiles]]'s probe
+    * convention). Estimator: raw HLL (no small-range correction — the
+    * correction needs ln(), which is libm and breaks cross-engine
+    * cell parity; callers below the linear-counting threshold read
+    * n_zero and apply it themselves). */
+  val t62HllCardinality: QuerySpec = QuerySpec.sql(
+    "t62_hll_cardinality", {
+      val rest = "(h // 256)"
+      s"""WITH t AS (SELECT doc_id, source, ${TextQueries.ToksSql} AS toks
+         |           FROM documents),
+         |si AS (SELECT source, unnest(${TextQueries.ShinglesOverToks}) AS s
+         |       FROM t),
+         |hx AS (SELECT source, ${baseHashSql("s")} AS h FROM si),
+         |r AS (SELECT source, h % $HllM AS idx,
+         |        CASE WHEN $rest = 0 THEN 24
+         |             ELSE length(bin($rest & -$rest)) END AS rho
+         |      FROM hx),
+         |regs AS (SELECT source, idx, MAX(rho) AS m FROM r GROUP BY 1, 2),
+         |uregs AS (SELECT '__all' AS source, idx, MAX(m) AS m
+         |          FROM regs GROUP BY 2),
+         |allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM uregs),
+         |agg AS (SELECT source,
+         |        CAST($HllM - COUNT(*) AS BIGINT) AS n_zero,
+         |        CAST(SUM(CAST(1 AS BIGINT) << ($HllScale - m))
+         |          + ($HllM - COUNT(*)) * (CAST(1 AS BIGINT) << $HllScale)
+         |          AS BIGINT) AS s_scaled
+         |        FROM allregs GROUP BY 1),
+         |dsh AS (SELECT DISTINCT source, s FROM si),
+         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_n
+         |       FROM dsh GROUP BY 1
+         |       UNION ALL
+         |       SELECT '__all', CAST(COUNT(DISTINCT s) AS BIGINT) FROM si)
+         |SELECT a.source, a.n_zero, a.s_scaled,
+         |  CAST($HllAlpha AS DOUBLE) * CAST(${HllM * HllM} AS DOUBLE)
+         |    * CAST(${1L << HllScale} AS DOUBLE)
+         |    / CAST(a.s_scaled AS DOUBLE) AS est,
+         |  ex.exact_n
+         |FROM agg a JOIN ex USING (source)
+         |ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.TextAnalysis.{shingles, tokens}
+    val si = Tables.documents(s, d)
+      .select(col("source"),
+        explode(shingles(tokens(col("text")), 3)).as("s"))
+    val regs = hllRegisters(si, "source")
+      .localCheckpoint() // per-source rows + the max-merge read it
+    val uregs = regs.groupBy("idx").agg(max("m").as("m"))
+      .select(lit("__all").as("source"), col("idx"), col("m"))
+    val agg = regs.unionByName(uregs)
+      .groupBy("source")
+      .agg((lit(HllM) - count(lit(1))).cast("long").as("n_zero"),
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllScale - m)")) +
+          (lit(HllM) - count(lit(1))) * lit(1L << HllScale))
+          .cast("long").as("s_scaled"))
+    val dsh = si.distinct()
+    val ex = dsh.groupBy("source").agg(count(lit(1)).as("exact_n"))
+      .unionByName(si.select("s").distinct()
+        .agg(count(lit(1)).as("exact_n"))
+        .select(lit("__all").as("source"), col("exact_n")))
+    agg.join(ex, "source")
+      .select(col("source"), col("n_zero"), col("s_scaled"),
+        (lit(HllAlpha) * lit((HllM * HllM).toDouble) *
+          lit((1L << HllScale).toDouble) / col("s_scaled").cast("double"))
+          .as("est"),
+        col("exact_n"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(t52CmsHeavyHitters, t55HistQuantiles, t59SourceLengthProfile)
+    Seq(t52CmsHeavyHitters, t55HistQuantiles, t59SourceLengthProfile,
+      t62HllCardinality)
 }

@@ -25,7 +25,7 @@ object TextQueries {
   private[queries] val NormSql =
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private[queries] val ToksSql = s"string_split($NormSql, ' ')"
-  private val ShinglesOverToks =
+  private[queries] val ShinglesOverToks =
     """CASE WHEN len(toks) >= 3
       |     THEN list_transform(range(1, len(toks) - 1),
       |            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))

@@ -10,10 +10,13 @@ import graft.functions.TextAnalysis.tokens
   * token/shingle key space IS the corpus), while HyperLogLog++
   * (`approx_count_distinct`) ships one fixed-size sketch per partition
   * and merges — constant shuffle bytes at any scale, bounded relative
-  * error. The engine keeps exact counts wherever the driver gate needs
-  * cell parity (sketch estimates are engine-specific, so no oracle row
-  * is possible — this spec is the honest verification form: measured
-  * error against the exact answer on real corpus keys).
+  * error. Spark's BUILT-IN sketch is engine-specific (its hash and
+  * register layout admit no DuckDB oracle), so this spec verifies it
+  * by measured error against the exact answer on real corpus keys;
+  * the engine's own PORTABLE HLL (t62_hll_cardinality, md5-based
+  * registers + exact integer register sums) IS oracle-gated
+  * cell-for-cell — see [[SketchQueries.t62HllCardinality]] and
+  * `HllSpec`.
   */
 class CardinalitySketchSpec extends SparkSpec {
 
