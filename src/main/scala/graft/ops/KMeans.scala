@@ -34,17 +34,57 @@ object KMeans {
 
   /** E-step: nearest centroid per vector, ties by centroid id.
     * `emb`: (vec_id, eL), `cent`: (cid, cL) → (vec_id, cid, distq).
-    * The argmin is `min(struct(distq, cid))` — lexicographic struct
-    * min IS the (distance, then centroid-id) tie rule — so the k rows
-    * per vector partially aggregate map-side instead of shuffling and
-    * sorting N·k rows through a window. */
-  def assign(emb: DataFrame, cent: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), distq(col("eL"), col("cL")).as("distq"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("distq"), col("cid"))).as("__best"))
-      .select(col("vec_id"), col("__best.cid").as("cid"),
-        col("__best.distq").as("distq"))
+    *
+    * Implemented as a BROADCAST-MODEL mapPartitions argmin, the
+    * charter's last-resort form, earned by measurement: the
+    * declarative `crossJoin(broadcast(cent)) → project → groupBy
+    * min(struct)` materializes one JOINED ROW PER (vector, centroid)
+    * pair, each carrying BOTH 64-long arrays (~1 KB), before the
+    * projection reduces it to a scalar — at t57c's ×100 point (200k
+    * vectors × 5000 centroids × 5 stages) that is ~5 TB of UnsafeRow
+    * copying for ~6×10¹⁰ useful multiply-adds, and the sweep ran 45+
+    * minutes without finishing one Lloyd run. Here the k centroid
+    * arrays ship ONCE per executor as a plain broadcast (a codebook is
+    * a model, not data — the pqCodebook contract), each partition
+    * streams its vectors through a primitive-array argmin loop, and no
+    * intermediate row ever exists. Same argmin, same (distq, then cid)
+    * tie rule (centroids scanned in ascending-cid order, strict <
+    * keeps the first), bit-identical output — t25/t44/t57's oracle
+    * rows re-verify it. */
+  def assign(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Long])] = cent
+      .select(col("cid"), col("cL"))
+      .as[(Long, Array[Long])]
+      .collect()
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"), col("eL")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (v, x) =>
+          var bestD = Long.MaxValue
+          var bestC = Long.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val c = cs(i)._2
+            val n = math.min(x.length, c.length)
+            var s = 0L
+            var j = 0
+            while (j < n) {
+              val d = x(j) - c(j)
+              s += d * d
+              j += 1
+            }
+            if (s < bestD) { bestD = s; bestC = cs(i)._1 }
+            i += 1
+          }
+          (v, bestC, bestD)
+        }
+      }
+      .toDF("vec_id", "cid", "distq")
+  }
 
   /** M-step: per-cluster re-quantized mean; clusters with no members
     * keep their previous centroid. */

@@ -2097,27 +2097,41 @@ object TextQueries {
       .orderBy("d1", "d2")
   }
 
-  /** t61b's boilerplate screen: keep hashes whose document frequency
-    * is at or below the [[WinnowDfPct]] percentile of the per-hash df
-    * distribution — i.e. drop only the hottest 0.5% of fingerprints,
-    * wherever that cut lands for THIS corpus. */
-  private[queries] val WinnowDfPct = 0.995
+  /** t61b's boilerplate screen: the largest df cap whose TOTAL PAIR
+    * EMISSION (Σ over kept hashes of C(df, 2)) stays within
+    * [[WinnowPairBudget]] pairs per corpus document. Sizing: the
+    * budget must cover fingerprints-per-duplicated-document × the
+    * expected duplication depth, or true duplicate families fall
+    * outside the cap — at the ×100 point (100-deep copy families,
+    * ~2900 family fingerprints at df=100 carrying ~29 pairs/doc),
+    * 20/doc lands the cap at df 84 and reports nothing, 30/doc lands
+    * it at df 134 and reports the families. */
+  private[queries] val WinnowPairBudget = 30
 
   /** T61b — WINNOWING PAIRS, PRODUCTION CAP (the t10b pattern applied
-    * to t61): the fixed df cap is replaced by a PERCENTILE of the
-    * per-hash document-frequency distribution, so the boilerplate
-    * screen adapts to the corpus instead of saturating — on the
-    * all-boilerplate synthetic corpus at ×100 every hash blows past
-    * t61's fixed 50 and the pair set measures empty, while a
-    * percentile cut always keeps 99.5% of the fingerprint mass and
-    * keeps detecting pairs.
+    * to t61): the fixed df cap is replaced by a PAIR-BUDGET cap — the
+    * largest df such that the inverted-index join's total emission
+    * Σ c(df)·C(df,2) over kept hashes stays ≤ [[WinnowPairBudget]]·N
+    * pairs. This bounds the quantity that actually breaks at scale —
+    * the join's OUTPUT mass — by construction, linear in corpus size,
+    * whatever the df distribution looks like. Both fixed alternatives
+    * fail on the all-boilerplate synthetic corpus at ×100: t61's fixed
+    * df ≤ 50 saturates to an EMPTY pair set (every hash is hotter),
+    * while a keep-99.5%-of-hashes percentile cap (this query's first
+    * formulation) admits hashes hot enough that the pair join emitted
+    * billions of rows and died after 34 minutes at 16 GB. The budget
+    * cap adapts in BOTH directions: a clean corpus keeps essentially
+    * every fingerprint; a boilerplate-heavy one clamps down to the
+    * discriminative low-df tail — which is exactly the MOSS logic
+    * (shared RARE fingerprints indicate copying; shared ubiquitous
+    * ones indicate the template).
     *
-    * The percentile is EXACT and cross-engine-deterministic without a
-    * global sort of the df frame: dfs are small integers, so the cut
-    * comes from a HISTOGRAM — group dfs by value (distinct-df-many
-    * rows, hundreds at any scale), cumulative-sum up the tiny frame,
-    * take the least df value covering ⌈pct·n⌉ hashes. The histogram
-    * count n is read driver-side (a model-sized stat, like AQE's
+    * The cap is EXACT and cross-engine-deterministic without a global
+    * sort of the df frame: dfs are small integers, so the cut comes
+    * from a HISTOGRAM — group dfs by value (distinct-df-many rows,
+    * hundreds at any scale), cumulative-sum the per-df pair mass up
+    * the tiny frame, take the largest df within budget. The corpus
+    * count is read driver-side (a model-sized stat, like AQE's
     * runtime statistics); everything else stays declarative. */
   val t61bWinnowPairsProd: QuerySpec = QuerySpec.sql(
     "t61b_winnow_pairs_prod",
@@ -2125,10 +2139,12 @@ object TextQueries {
        |  FROM ($winnowFpSql)),
        |dfc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nd FROM fp GROUP BY 1),
        |hist AS (SELECT nd, COUNT(*) AS c FROM dfc GROUP BY 1),
-       |cum AS (SELECT nd, SUM(c) OVER (ORDER BY nd) AS cc,
-       |        (SELECT COUNT(*) FROM dfc) AS n FROM hist),
-       |cap AS (SELECT MIN(nd) AS cap FROM cum
-       |        WHERE cc >= CEIL($WinnowDfPct * n)),
+       |cum AS (SELECT nd,
+       |        SUM(c * nd * (nd - 1) // 2) OVER (ORDER BY nd) AS cp,
+       |        (SELECT $WinnowPairBudget * COUNT(*) FROM documents) AS budget
+       |        FROM hist),
+       |cap AS (SELECT COALESCE(MAX(nd), 1) AS cap FROM cum
+       |        WHERE cp <= budget),
        |rare AS (SELECT fp.doc_id, fp.h
        |  FROM fp JOIN dfc USING (h), cap WHERE dfc.nd <= cap.cap),
        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -2143,7 +2159,7 @@ object TextQueries {
       .localCheckpoint() // one winnowing pass: df screen + both sides
     val dfc = fp.groupBy("h").agg(count(lit(1)).as("nd"))
       .localCheckpoint() // cap derivation + the rare screen share it
-    val nHashes = dfc.count()
+    val budget = WinnowPairBudget * Tables.documents(s, d).count()
     val cumW = org.apache.spark.sql.expressions.Window
       .orderBy("nd")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -2151,9 +2167,10 @@ object TextQueries {
     // single-partition window is fine HERE: the frame is the df
     // histogram (one row per distinct df value), not the hash set
     val cap = dfc.groupBy("nd").agg(count(lit(1)).as("c"))
-      .withColumn("cc", sum("c").over(cumW))
-      .filter(col("cc") >= math.ceil(WinnowDfPct * nHashes))
-      .agg(min("nd")).collect()(0).getLong(0)
+      .withColumn("cp",
+        sum(expr("c * nd * (nd - 1) div 2")).over(cumW))
+      .filter(col("cp") <= budget)
+      .agg(coalesce(max("nd"), lit(1L))).collect()(0).getLong(0)
     val rare = fp.join(dfc.filter(col("nd") <= cap), "h")
     rare.as("a")
       .join(rare.as("b"),

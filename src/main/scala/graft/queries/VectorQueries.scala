@@ -32,8 +32,9 @@ import graft.Tables
 object VectorQueries {
 
   /** Per-vector scaling: float coords → longs at 1e6 (rounding is the
-    * shared [[graft.functions.ExactNum]] convention). */
-  private[queries] def scaleL(e: Column): Column =
+    * shared [[graft.functions.ExactNum]] convention). `private[graft]`
+    * so measurement tools (SemDedupStats) can build the same frame. */
+  private[graft] def scaleL(e: Column): Column =
     transform(e,
       x => graft.functions.ExactNum.rnd(x.cast("double") * lit(1e6)).cast("long"))
 

@@ -20,8 +20,21 @@ object SemDedupStats {
     val dir = args.headOption.getOrElse("/tmp/graft_sf10")
     val name = if (args.length > 1) args(1) else "t57c_semdedup_prod"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    val out = SparkEntry.queries(name)(spark, dir)
-      .select("vec_id", "cluster").localCheckpoint()
+    // --assign-only: measure the CLUSTERING distribution without paying
+    // the pair stage (the k ∝ N question is about sizes, and at skewed
+    // operating points the pair stage is exactly what we're sizing)
+    val out =
+      if (args.contains("--assign-only")) {
+        import org.apache.spark.sql.functions.{ceil => _, _}
+        val emb = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            graft.queries.VectorQueries.scaleL(col("embedding")).as("eL"))
+        val n = emb.count()
+        val k = math.max(8, math.ceil(n.toDouble / 32).toInt)
+        graft.ops.KMeans.fit(emb, k, 2)
+          .select(col("vec_id"), col("cid").as("cluster"))
+      } else SparkEntry.queries(name)(spark, dir)
+        .select("vec_id", "cluster")
     val sizes = out.groupBy("cluster").agg(count(lit(1)).as("m"))
       .localCheckpoint()
     val row = sizes.agg(

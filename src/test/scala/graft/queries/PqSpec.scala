@@ -15,10 +15,13 @@ class PqSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("every code word has M entries drawn from the k-seed id space") {
+    // codes arrive concat_ws-serialized (the gate's scalar-output
+    // convention) — split back to the array for the bounds check
     val enc = VectorQueries.t44PqEncode.run(spark, sf)
+      .withColumn("__c", split(col("codes"), ",").cast("array<bigint>"))
     val bad = enc.filter(
-      size(col("codes")) =!= 4 ||
-        exists(col("codes"), c => c < 0 || c >= 8) ||
+      size(col("__c")) =!= 4 ||
+        exists(col("__c"), c => c.isNull || c < 0 || c >= 8) ||
         col("qerr") < 0)
     assert(bad.count() === 0)
     assert(enc.count() === 500)
