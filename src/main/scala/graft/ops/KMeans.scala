@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * no float accumulation order, no libm — the only float op is one
   * correctly-rounded IEEE division per (centroid, dim) per iteration.
   *
-  * Scale shape: the E-step broadcasts k centroid rows against the
-  * corpus (one narrow cross join, argmin via a per-vector window);
-  * the M-step is the t24 centroid pattern — posexplode + (cid, dim)
-  * groupBy with map-side partial agg. State between iterations is the
+  * Scale shape: the E-step ships the k centroids once per executor
+  * as a broadcast model and streams each partition through a
+  * primitive argmin loop (see [[assign]] for why the declarative
+  * cross-join form was abandoned); the M-step is the t24 centroid
+  * pattern — posexplode + (cid, dim) groupBy with map-side partial
+  * agg. State between iterations is the
   * k-row centroid frame, localCheckpoint'd so plan depth stays O(1).
   * Empty clusters keep their previous centroid (deterministic, and
   * mirrors the oracle's per-dim COALESCE).

@@ -39,6 +39,32 @@ class KMeansSpec extends SparkSpec {
     assert(cent1 == Seq(5L, 5L))
   }
 
+  test("mapPartitions argmin matches the declarative form it replaced") {
+    // assign() is a broadcast-model mapPartitions loop (the
+    // crossJoin(broadcast)+min(struct) form copied ~1 KB of joined
+    // UnsafeRow per (vector, centroid) pair — measured unusable at
+    // t57c's ×100 point). This row pins the swap: both forms must
+    // produce identical (vec_id, cid, distq) rows, INCLUDING the
+    // (distq, then cid) tie rule, on a frame with exact ties.
+    val e = emb(
+      0L -> Seq(0L, 0L), 1L -> Seq(4L, 0L), 2L -> Seq(2L, 0L), // tie 0/1
+      3L -> Seq(2L, 7L), 4L -> Seq(-3L, 1L), 5L -> Seq(9L, 9L))
+    val cent = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cid"), col("eL").as("cL"))
+    val declarative = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        call_function("long_distsq", col("eL"), col("cL")).as("distq"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("distq"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid"), col("b.distq"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = KMeans.assign(e, cent)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == declarative)
+    // the tie itself: vec 2 is equidistant (4) from seeds 0 and 1
+    assert(got.contains((2L, 0L, 4L)))
+  }
+
   test("distances are exact integers and ties break by centroid id") {
     val e = emb(0L -> Seq(0L), 1L -> Seq(10L), 7L -> Seq(5L)) // equidistant
     val a = KMeans.assign(e,
