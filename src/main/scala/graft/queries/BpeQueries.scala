@@ -216,5 +216,68 @@ object BpeQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(t50BpeTrain, t51BpeSegment)
+  /** T63 — PER-SOURCE TOKENIZER FERTILITY: t51's segmentation rolled
+    * up by source — tokens, subword units, fully-merged (single-unit)
+    * tokens, and fertility (units per token) per source. This is the
+    * mixing-decision view of tokenizer fit: a source whose fertility
+    * stays high after training is one the tokenizer serves poorly
+    * (its words fragment), which inflates its effective token cost in
+    * the mix (t40's rebalance consumes exactly this kind of
+    * per-source stat).
+    *
+    * Scale shape: identical to t51 up to the word join (merges are an
+    * M-row model, segmentation runs once per DISTINCT word, the
+    * instance stream joins vocab by word) — then the per-doc groupBy
+    * is REPLACED by a per-source one: `source` rides the explode, so
+    * no doc→source join exists, and the aggregate has one row per
+    * source. At 100 TB this is a scan + one vocab-sized broadcast
+    * join + a 20-group partial agg. */
+  val t63SourceFertility: QuerySpec = QuerySpec.sql(
+    "t63_source_fertility",
+    s"""WITH $bpeCtesSql,
+       |ti AS (SELECT source, word FROM (SELECT source,
+       |    unnest($ToksSql) AS word FROM documents) WHERE word <> ''),
+       |vw AS (SELECT DISTINCT word FROM ti),
+       |g0 AS (SELECT word,
+       |  trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym FROM vw),
+       |${(1 to BpeM).map(r =>
+        s"""g$r AS (SELECT word, trim(replace(' ' || sym || ' ',
+           |  ' ' || b.w1 || '  ' || b.w2 || ' ',
+           |  ' ' || b.merged || ' ')) AS sym FROM g${r - 1}, b$r b)"""
+          .stripMargin).mkString(",\n")},
+       |wl AS (SELECT word,
+       |  CAST(len(string_split(sym, '  ')) AS BIGINT) AS units FROM g$BpeM)
+       |SELECT ti.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(wl.units) AS BIGINT) AS n_units,
+       |  CAST(SUM(CASE WHEN wl.units = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_whole,
+       |  CAST(SUM(wl.units) AS DOUBLE) / COUNT(*) AS fertility
+       |FROM ti JOIN wl USING (word)
+       |GROUP BY 1
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val merges = trainMerges(s, d).orderBy("round").collect() // M rows
+    val ti = Tables.documents(s, d)
+      .select(col("source"), explode(filter(tokens(col("text")),
+        w => w =!= "")).as("word"))
+    val segSym = merges.foldLeft(charSym(col("word"))) { (acc, m) =>
+      applyMerge(acc, lit(m.getAs[String]("w1")), lit(m.getAs[String]("w2")),
+        lit(m.getAs[String]("merged")))
+    }
+    val wl = ti.select("word").distinct()
+      .select(col("word"),
+        size(split(segSym, "  ")).cast("long").as("units"))
+    ti.join(wl, "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("units").as("n_units"),
+        sum(when(col("units") === 1, 1L).otherwise(0L)).as("n_whole"))
+      .select(col("source"), col("n_tokens"), col("n_units"),
+        col("n_whole"),
+        (col("n_units").cast("double") / col("n_tokens")).as("fertility"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QuerySpec] = Seq(t50BpeTrain, t51BpeSegment,
+    t63SourceFertility)
 }
