@@ -770,6 +770,112 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-(band, bkey, side) retention cap for t38b's standing index —
+    * sized like t10b's probe cap: candidates per probe row are at most
+    * 2·cap (one side each), so candidate mass is linear in batch size
+    * whatever the corpus's duplication depth. */
+  private[queries] val DeltaIndexCap = 8
+
+  /** T38b — DELTA NEAR-DUP AGAINST A BOUNDED STANDING INDEX (the
+    * t10b cap pattern applied to ingest): t38 probes the FULL band
+    * index, so a bucket holding an m-deep duplicate family contributes
+    * ~m candidates per probing batch doc — measured killing the ×1000
+    * point (family depth 1000 → ~2×10⁹ candidate rows; the band join's
+    * spill exhausted ~90 GB of local scratch and died ENOSPC). Here
+    * the standing index retains only the [[DeltaIndexCap]] LOWEST
+    * doc_ids per (band, bkey, side): per-bucket fan-in is a constant,
+    * candidate mass ≤ 2·cap·(batch band rows) — linear in the batch,
+    * independent of duplication depth.
+    *
+    * Contract shift, stated honestly: hit counts become counts WITHIN
+    * the retained index (lower bounds of t38's), and a batch doc dups
+    * against the index only if a retained member matches. Lowest-id
+    * retention keeps each family's EARLIEST members — the ones the
+    * `py < px` earlier-batch rule and the a5 first-seen keeper
+    * convention already privilege — so the verdict flips only when a
+    * bucket holds > cap DISTINCT near-dup families and the probe's
+    * family was evicted wholesale (at which point the bucket is
+    * boilerplate-saturated and t37/t61b are the right screens). The
+    * oracle implements the SAME capped index (ROW_NUMBER per bucket
+    * side), so the gate is cell-exact, not approximate.
+    *
+    * Plan hygiene vs t38: band rows carry ids only — signatures join
+    * back AFTER candidate dedup (two narrow hash joins), instead of
+    * riding every band row through the bucket join. */
+  val t38bDeltaNearDupProd: QuerySpec = QuerySpec.sql(
+    "t38b_delta_neardup_prod",
+    s"""WITH ${nearDupBaseCtes("documents")},
+       |hb AS (SELECT doc_id,
+       |    (${idHashByteSql("doc_id")} < $DeltaBatchThreshold) AS is_batch
+       |  FROM documents),
+       |bi AS (SELECT b.doc_id, b.band, b.bkey, hb.is_batch,
+       |    ROW_NUMBER() OVER (PARTITION BY b.band, b.bkey, hb.is_batch
+       |                       ORDER BY b.doc_id) AS rn
+       |  FROM bands b JOIN hb ON b.doc_id = hb.doc_id),
+       |idx AS (SELECT doc_id, band, bkey, is_batch FROM bi
+       |  WHERE rn <= $DeltaIndexCap),
+       |bcand AS (SELECT DISTINCT a.doc_id AS d1, i.doc_id AS d2,
+       |    i.is_batch AS y_batch
+       |  FROM bands a
+       |  JOIN hb ha ON a.doc_id = ha.doc_id AND ha.is_batch
+       |  JOIN idx i ON a.band = i.band AND a.bkey = i.bkey
+       |    AND a.doc_id <> i.doc_id),
+       |bhits AS (SELECT d1 AS px, d2 AS py, y_batch
+       |  FROM bcand
+       |  JOIN sigs x ON bcand.d1 = x.doc_id
+       |  JOIN sigs y ON bcand.d2 = y.doc_id
+       |  WHERE ($SigMatchSql) >= ${K / 2}),
+       |agg AS (SELECT px,
+       |    COUNT(CASE WHEN NOT y_batch THEN 1 END) AS n_corpus_hits,
+       |    COUNT(CASE WHEN y_batch AND py < px THEN 1 END)
+       |      AS n_earlier_batch_hits
+       |  FROM bhits GROUP BY 1)
+       |SELECT h.doc_id,
+       |  COALESCE(n_corpus_hits, 0) AS n_corpus_hits,
+       |  COALESCE(n_earlier_batch_hits, 0) AS n_earlier_batch_hits,
+       |  CASE WHEN COALESCE(n_corpus_hits, 0) > 0 THEN 'dup_corpus'
+       |       WHEN COALESCE(n_earlier_batch_hits, 0) > 0 THEN 'dup_batch'
+       |       ELSE 'keep' END AS verdict
+       |FROM hb h LEFT JOIN agg ON h.doc_id = agg.px
+       |WHERE h.is_batch
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sigs = nearDupSigs(docs.select("doc_id", "text"))
+    val bands = nearDupBands(sigs)
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .withColumn("is_batch", idHashByte(col("doc_id")) < DeltaBatchThreshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bkey", "is_batch").orderBy("doc_id")
+    val idx = bands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= DeltaIndexCap).drop("rn")
+    val cand = bands.filter(col("is_batch")).as("a")
+      .join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        col("b.is_batch").as("y_batch"))
+      .dropDuplicates("x", "y") // y_batch is a function of y
+    val hits = cand
+      .join(sigs.select(col("doc_id").as("x"), col("sig").as("sx")), "x")
+      .join(sigs.select(col("doc_id").as("y"), col("sig").as("sy")), "y")
+      .filter(sigMatches >= K / 2)
+    val agg = hits.groupBy("x").agg(
+      count(when(!col("y_batch"), 1)).as("n_corpus_hits"),
+      count(when(col("y_batch") && col("y") < col("x"), 1))
+        .as("n_earlier_batch_hits"))
+    docs.select(col("doc_id"))
+      .filter(idHashByte(col("doc_id")) < DeltaBatchThreshold)
+      .join(agg, col("doc_id") === col("x"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_hits"), lit(0)).as("n_corpus_hits"),
+        coalesce(col("n_earlier_batch_hits"), lit(0))
+          .as("n_earlier_batch_hits"),
+        when(coalesce(col("n_corpus_hits"), lit(0)) > 0, "dup_corpus")
+          .when(coalesce(col("n_earlier_batch_hits"), lit(0)) > 0, "dup_batch")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** T40 — SOURCE-MIX REBALANCING (the Dolma/Pile data-mixing step):
     * given a target share per source (here proportional to the
     * source's numeric suffix — a deterministic stand-in for the config
@@ -2189,7 +2295,8 @@ object TextQueries {
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,
     t28CurationManifest, t28bManifestStar, t29CorpusProfile, t30LshRecall,
     t31SimhashNearDup, t31bSimhashScale, t42SimhashRecall, t32StarClusters, t33StarParity, t34RepDedup,
-    t37BlockBoilerplate, t38DeltaNearDup, t39BloomDecontaminate,
+    t37BlockBoilerplate, t38DeltaNearDup, t38bDeltaNearDupProd,
+    t39BloomDecontaminate,
     t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans,
     t58SourceOverlap, t60Winnowing, t61WinnowPairs, t61bWinnowPairsProd)
 }

@@ -57,7 +57,9 @@ object ScaleCheck {
     "t54_manifest_lm", "t55_hist_quantiles", "t56_nb_classify",
     "t57_semdedup", "t58_source_overlap", "t59_source_length_profile",
     "t60_winnowing", "t61_winnow_pairs", "t57b_semdedup_scale",
-    "t57c_semdedup_prod", "t61b_winnow_pairs_prod")
+    "t57c_semdedup_prod", "t61b_winnow_pairs_prod",
+    "t38b_delta_neardup_prod", "t62_hll_cardinality",
+    "t63_source_fertility")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
