@@ -388,4 +388,15 @@ class PlanContractSpec extends SparkSpec {
     // the prune agg (min earlier dup per vec) is two-phase
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("t38b: the standing index is capped PER BUCKET SIDE, never a global window") {
+    val p = plan(TextQueries.t38bDeltaNearDupProd)
+    // the row_number cap rides a (band, bkey, …)-partitioned window —
+    // the bounded-index contract; a bare windowspecdefinition() here
+    // would be the single-partition antipattern AND an unbounded index
+    assert(p.contains("row_number"))
+    assert(p.contains("windowspecdefinition(band"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
