@@ -2092,6 +2092,54 @@ object TextQueries {
     * the window) degrade to one whole-array window, so every non-empty
     * document fingerprints. Hashes are the portable md5 base
     * ([[SketchQueries.baseHash]]) — oracle-exact. */
+  /** T64 — N-GRAM NOVELTY (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" novelty view, made a
+    * per-document score): for each document, the fraction of its
+    * DISTINCT 3-gram shingles that no earlier document (smaller
+    * doc_id — the corpus's arrival order) already contains. A crawl
+    * pipeline orders and prices ingest by exactly this number: a doc
+    * whose grams are all first-seen is new content; one whose grams
+    * all appeared before is a remix even when no single near-dup pair
+    * fires (t2/t3 catch COPIES; this catches recombination).
+    *
+    * Scale shape: one shingle explode + per-doc DISTINCT (shuffle on
+    * (doc_id, gram)), a first-seen MIN per gram (map-side partial,
+    * shuffle on gram — the a5 first-seen rule applied to the gram
+    * table), a 1:1 join back on gram, and a per-doc count pair. All
+    * linear in total shingle mass; no pair join exists anywhere, so
+    * duplication depth never squares. Novelty is one integer
+    * subtraction and one division (exact cross-engine parity). */
+  val t64NgramNovelty: QuerySpec = QuerySpec.sql(
+    "t64_ngram_novelty",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $ShinglesOverToks AS s FROM t),
+       |ds AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+       |fs AS (SELECT g, MIN(doc_id) AS first_doc FROM ds GROUP BY 1),
+       |ag AS (SELECT ds.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(CASE WHEN fs.first_doc < ds.doc_id THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_seen
+       |  FROM ds JOIN fs USING (g) GROUP BY 1)
+       |SELECT doc_id, n_grams, n_seen,
+       |  CAST(n_grams - n_seen AS DOUBLE) / n_grams AS novelty
+       |FROM ag
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ds = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 3)).as("g"))
+      .distinct()
+    val fs = ds.groupBy("g").agg(min("doc_id").as("first_doc"))
+    ds.join(fs, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        ((col("n_grams") - col("n_seen")).cast("double") / col("n_grams"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** The winnowing fingerprint extraction as ORDER-BY-free SQL (CTE
     * chain + final SELECT), shared verbatim by t60's oracle (which
     * appends the presentation ORDER BY) and t61's (which wraps it as
@@ -2298,5 +2346,6 @@ object TextQueries {
     t37BlockBoilerplate, t38DeltaNearDup, t38bDeltaNearDupProd,
     t39BloomDecontaminate,
     t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans,
-    t58SourceOverlap, t60Winnowing, t61WinnowPairs, t61bWinnowPairsProd)
+    t58SourceOverlap, t60Winnowing, t61WinnowPairs, t61bWinnowPairsProd,
+    t64NgramNovelty)
 }
