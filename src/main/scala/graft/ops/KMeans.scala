@@ -66,26 +66,74 @@ object KMeans {
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (v, x) =>
-          var bestD = Long.MaxValue
-          var bestC = Long.MaxValue
-          var i = 0
-          while (i < cs.length) {
-            val c = cs(i)._2
-            val n = math.min(x.length, c.length)
-            var s = 0L
-            var j = 0
-            while (j < n) {
-              val d = x(j) - c(j)
-              s += d * d
-              j += 1
-            }
-            if (s < bestD) { bestD = s; bestC = cs(i)._1 }
-            i += 1
-          }
-          (v, bestC, bestD)
+          val (c, d) = argminL(x, cs)
+          (v, c, d)
         }
       }
       .toDF("vec_id", "cid", "distq")
+  }
+
+  /** Nearest centroid of `x` among `cents` (ascending-cid order,
+    * strict < keeps the first — the shared (distq, cid) tie rule). */
+  private def argminL(x: Array[Long],
+      cents: Array[(Long, Array[Long])]): (Long, Long) = {
+    var bestD = Long.MaxValue
+    var bestC = Long.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)._2
+      val n = math.min(x.length, c.length)
+      var s = 0L
+      var j = 0
+      while (j < n) { val d = x(j) - c(j); s += d * d; j += 1 }
+      if (s < bestD) { bestD = s; bestC = cents(i)._1 }
+      i += 1
+    }
+    (bestC, bestD)
+  }
+
+  /** TWO-LEVEL (coarse-quantizer) E-step — the k ∝ N serving path
+    * t57c's scale note promises: a flat argmin over k = N/target
+    * centroids costs O(k) per vector, which at decade scale is the
+    * assignment's own quadratic term (×1000 → 62.5k centroids,
+    * ~10¹³ long ops). Here each vector resolves its COARSE cell
+    * (kc centroids), then argmins only over the fine centroids whose
+    * own nearest coarse centroid is that cell — IVF's coarse/fine
+    * split applied to the E-step, per-vector cost kc + |cell| instead
+    * of kf. A vector whose cell holds no fine centroid falls back to
+    * the global fine argmin (`in_cell` = false reports it), so the
+    * rule is total and deterministic: rank by (cell match, distq,
+    * cid) — the t65 oracle's ROW_NUMBER order. Both centroid frames
+    * are models (broadcast once); the fine→cell map is computed
+    * driver-side from them. Trades exactness for boundedness exactly
+    * like IVF probes do: a vector near a cell border may assign to a
+    * neighboring cell's best — t65's gate pins the rule, not
+    * flat-argmin equality. */
+  def assignTwoLevel(emb: DataFrame, coarse: DataFrame,
+      fine: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def cents(df: DataFrame): Array[(Long, Array[Long])] = df
+      .select(col("cid"), col("cL")).as[(Long, Array[Long])]
+      .collect().sortBy(_._1)
+    val cs = cents(coarse)
+    val fs = cents(fine)
+    val cells: Map[Long, Array[(Long, Array[Long])]] =
+      fs.groupBy(f => argminL(f._2, cs)._1)
+        .map { case (cc, fsOfCell) => cc -> fsOfCell.sortBy(_._1) }
+    val bc = spark.sparkContext.broadcast((cs, fs, cells))
+    emb.select(col("vec_id"), col("eL")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val (c2, f2, cell2) = bc.value
+        it.map { case (v, x) =>
+          val ccid = argminL(x, c2)._1
+          val cell = cell2.getOrElse(ccid, Array.empty[(Long, Array[Long])])
+          val inCell = cell.nonEmpty
+          val (fcid, dq) = if (inCell) argminL(x, cell) else argminL(x, f2)
+          (v, ccid, fcid, dq, inCell)
+        }
+      }
+      .toDF("vec_id", "ccid", "cid", "distq", "in_cell")
   }
 
   /** M-step: per-cluster re-quantized mean; clusters with no members

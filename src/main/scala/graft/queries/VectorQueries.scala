@@ -521,35 +521,45 @@ object VectorQueries {
     * oracle so the two rows can never train different models. */
   private def lloydCtesSqlAt(k: Int): String = lloydCtesSqlAt(k.toString)
 
+  /** The scaled per-dim vector table every Lloyd oracle shares. */
+  private val LloydVSql: String =
+    s"""v AS (SELECT vec_id, i AS dim, ${scaledSql("embedding[i+1]")} AS x
+       |  FROM embeddings, range(0, 64) t(i))""".stripMargin
+
+  /** One Lloyd chain (first-k seed, two unrolled iterations, final
+    * assignment ranking) over the shared `v`, every CTE name carrying
+    * `pre` so two chains can coexist in one oracle — t65 composes a
+    * coarse ("" → `a3`/`c2`) and a fine ("f" → `fa3`/`fc2`) chain. */
+  private def lloydChainSql(kSql: String, pre: String): String = {
+    def rndSql(d: String): String = graft.functions.ExactNum.rndSql(d)
+    def iterSql(i: Int): String = {
+      val p = s"${pre}c${i - 1}"
+      s"""${pre}d$i AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq
+         |  FROM v JOIN $p p ON v.dim = p.dim GROUP BY 1, 2),
+         |${pre}a$i AS (SELECT vec_id, cid, distq, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY distq, cid) AS rn FROM ${pre}d$i),
+         |${pre}m$i AS (SELECT a.cid, v.dim, SUM(v.x) AS sv, COUNT(*) AS n
+         |  FROM ${pre}a$i a JOIN v ON a.vec_id = v.vec_id AND a.rn = 1
+         |  GROUP BY 1, 2),
+         |${pre}c$i AS (SELECT p.cid, p.dim,
+         |    COALESCE(${rndSql("(CAST(sv AS DOUBLE) / n)")}, p.c) AS c
+         |  FROM $p p LEFT JOIN ${pre}m$i USING (cid, dim))""".stripMargin
+    }
+    s"""${pre}c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < ($kSql)),
+       |${iterSql(1)},
+       |${iterSql(2)},
+       |${pre}d3 AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq
+       |  FROM v JOIN ${pre}c2 p ON v.dim = p.dim GROUP BY 1, 2),
+       |${pre}a3 AS (SELECT vec_id, cid, distq, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY distq, cid) AS rn FROM ${pre}d3)"""
+      .stripMargin
+  }
+
   /** As above with the seed-count k as a SQL expression — t57c passes
     * a scalar subquery so the oracle's k tracks corpus size exactly
     * like the Spark side's computed k. */
-  private def lloydCtesSqlAt(kSql: String): String = {
-    def rndSql(d: String): String = graft.functions.ExactNum.rndSql(d)
-    def iterSql(i: Int): String = {
-      val p = s"c${i - 1}"
-      s"""d$i AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq
-         |  FROM v JOIN $p p ON v.dim = p.dim GROUP BY 1, 2),
-         |a$i AS (SELECT vec_id, cid, distq, ROW_NUMBER() OVER (
-         |    PARTITION BY vec_id ORDER BY distq, cid) AS rn FROM d$i),
-         |m$i AS (SELECT a.cid, v.dim, SUM(v.x) AS sv, COUNT(*) AS n
-         |  FROM a$i a JOIN v ON a.vec_id = v.vec_id AND a.rn = 1
-         |  GROUP BY 1, 2),
-         |c$i AS (SELECT p.cid, p.dim,
-         |    COALESCE(${rndSql("(CAST(sv AS DOUBLE) / n)")}, p.c) AS c
-         |  FROM $p p LEFT JOIN m$i USING (cid, dim))""".stripMargin
-    }
-    s"""v AS (SELECT vec_id, i AS dim, ${scaledSql("embedding[i+1]")} AS x
-       |  FROM embeddings, range(0, 64) t(i)),
-       |c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < ($kSql)),
-       |${iterSql(1)},
-       |${iterSql(2)},
-       |d3 AS (SELECT v.vec_id, p.cid, SUM((v.x - p.c) * (v.x - p.c)) AS distq
-       |  FROM v JOIN c2 p ON v.dim = p.dim GROUP BY 1, 2),
-       |a3 AS (SELECT vec_id, cid, distq, ROW_NUMBER() OVER (
-       |    PARTITION BY vec_id ORDER BY distq, cid) AS rn FROM d3)"""
-      .stripMargin
-  }
+  private def lloydCtesSqlAt(kSql: String): String =
+    s"$LloydVSql,\n${lloydChainSql(kSql, "")}"
 
   private lazy val LloydCtesSql: String = lloydCtesSqlAt(LloydK)
 
@@ -634,6 +644,65 @@ object VectorQueries {
       val n = Tables.embeddings(s, d).count()
       math.max(LloydK, math.ceil(n.toDouble / SemDedupTarget).toInt)
     })
+
+  /** Fine-centroid count for t65's two-level assignment — t57b's
+    * k=64 point, so the fine model is one the gates already train. */
+  private[queries] val IvfFineK = 64
+
+  /** T65 — TWO-LEVEL (COARSE-QUANTIZER) K-MEANS ASSIGNMENT: the
+    * executable form of the scale note on t57c's ×1000 boundary. A
+    * flat E-step over k ∝ N centroids is itself O(N·k) — at 62.5k
+    * centroids the argmin is the new quadratic term. IVF's answer,
+    * applied here to assignment: train a small COARSE model (k=8, the
+    * t25 chain) and a large FINE model (k=64, the t57b chain), map
+    * each fine centroid to its nearest coarse cell, and serve each
+    * vector by coarse argmin (8) + fine argmin within the cell
+    * (~kf/kc) instead of kf flat. The rule is total and deterministic
+    * — rank fine centroids by (cell match, distq, cid); a vector
+    * whose cell is empty of fine centroids falls back to the global
+    * argmin with `in_cell` = false. The oracle composes TWO of the
+    * shared Lloyd chains (prefixes ""/"f") plus the same ranking, so
+    * both engines train both models and apply the identical rule —
+    * the gate pins two-level semantics, NOT flat-argmin equality
+    * (cell-border vectors may legitimately differ from t57b's flat
+    * assignment; that approximation is the price of boundedness,
+    * exactly as in IVF probing). */
+  val t65IvfAssign: QuerySpec = QuerySpec.sql(
+    "t65_ivf_assign",
+    s"""WITH $LloydVSql,
+       |${lloydChainSql(LloydK.toString, "")},
+       |${lloydChainSql(IvfFineK.toString, "f")},
+       |vc AS (SELECT vec_id, cid AS ccid FROM a3 WHERE rn = 1),
+       |fd AS (SELECT f.cid AS fcid, p.cid AS ccid,
+       |    SUM((f.c - p.c) * (f.c - p.c)) AS dq
+       |  FROM fc2 f JOIN c2 p ON f.dim = p.dim GROUP BY 1, 2),
+       |fmap AS (SELECT fcid, ccid FROM (
+       |    SELECT fcid, ccid, ROW_NUMBER() OVER (PARTITION BY fcid
+       |      ORDER BY dq, ccid) AS rn FROM fd) WHERE rn = 1),
+       |vf AS (SELECT v.vec_id, f.cid AS fcid,
+       |    SUM((v.x - f.c) * (v.x - f.c)) AS distq
+       |  FROM v JOIN fc2 f ON v.dim = f.dim GROUP BY 1, 2),
+       |r AS (SELECT vf.vec_id, vc.ccid, vf.fcid, vf.distq,
+       |    (fmap.ccid = vc.ccid) AS in_cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vf.vec_id
+       |      ORDER BY CASE WHEN fmap.ccid = vc.ccid THEN 0 ELSE 1 END,
+       |               vf.distq, vf.fcid) AS rn
+       |  FROM vf JOIN fmap USING (fcid)
+       |  JOIN vc ON vf.vec_id = vc.vec_id)
+       |SELECT vec_id, ccid AS cell, fcid AS cluster,
+       |  CAST(distq AS BIGINT) AS distq, in_cell
+       |FROM r WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
+      .localCheckpoint() // feeds both fits + the serve pass
+    val coarse = graft.ops.KMeans.fitCentroids(emb, LloydK, LloydIters)
+    val fine = graft.ops.KMeans.fitCentroids(emb, IvfFineK, LloydIters)
+    graft.ops.KMeans.assignTwoLevel(emb, coarse, fine)
+      .select(col("vec_id"), col("ccid").as("cell"),
+        col("cid").as("cluster"), col("distq"), col("in_cell"))
+      .orderBy("vec_id")
+  }
 
   private def semDedupAt(name: String, k: Int): QuerySpec =
     semDedupSpec(name, k.toString, (_, _) => k)
@@ -1033,5 +1102,5 @@ object VectorQueries {
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
       t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
-      t57bSemDedupScale, t57cSemDedupProd)
+      t57bSemDedupScale, t57cSemDedupProd, t65IvfAssign)
 }

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.spark.Sessions
+
+/** Measurement tool for t65's claim: at the k ∝ N operating point the
+  * flat E-step is O(N·k) and the two-level (coarse-quantizer) serve
+  * path is O(N·(kc + kf/kc)). Runs BOTH assignment forms over the same
+  * (scaled) embeddings with kf = ⌈N/32⌉ fine and kc = ⌈√kf⌉ coarse
+  * SEED centroids (first-k vectors — assignment cost is independent of
+  * centroid quality, and seeding skips a Lloyd run the measurement
+  * doesn't need), times each, and reports the in_cell fraction plus
+  * the agreement rate between the two (border vectors may differ — the
+  * documented IVF trade). COVERAGE records the ×100 row.
+  *
+  * Usage: runMain graft.tools.AssignBench [dir] [--skip-flat]
+  */
+object AssignBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf10")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.queries.VectorQueries.scaleL(col("embedding")).as("eL"))
+      .localCheckpoint()
+    val n = emb.count()
+    val kf = math.max(8, math.ceil(n.toDouble / 32).toInt)
+    val kc = math.max(2, math.ceil(math.sqrt(kf.toDouble)).toInt)
+    def seeds(k: Int) = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("eL").as("cL"))
+    val fine = seeds(kf).localCheckpoint()
+    val coarse = seeds(kc).localCheckpoint()
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (two, tTwo) = timed {
+      graft.ops.KMeans.assignTwoLevel(emb, coarse, fine).localCheckpoint()
+    }
+    val inCell = two.filter(col("in_cell")).count()
+    println(f"[assign-bench] n=$n kf=$kf kc=$kc two_level=$tTwo%.2fs " +
+      s"in_cell=$inCell/$n")
+    if (!args.contains("--skip-flat")) {
+      val (flat, tFlat) = timed {
+        graft.ops.KMeans.assign(emb, fine).localCheckpoint()
+      }
+      val agree = two.select(col("vec_id"), col("cid").as("c2"))
+        .join(flat.select(col("vec_id"), col("cid").as("c1")), "vec_id")
+        .filter(col("c1") === col("c2")).count()
+      println(f"[assign-bench] flat=$tFlat%.2fs agree=$agree/$n " +
+        f"speedup=${tFlat / tTwo}%.1fx")
+    }
+    spark.stop()
+  }
+}

@@ -65,6 +65,48 @@ class KMeansSpec extends SparkSpec {
     assert(got.contains((2L, 0L, 4L)))
   }
 
+  test("two-level assign: cell restriction, empty-cell fallback, flat divergence") {
+    val e = emb(
+      100L -> Seq(0L, 0L),   // cell 0, fine 20 nearest in-cell
+      101L -> Seq(99L, 99L), // cell 1, which holds NO fine centroid
+      102L -> Seq(7L, 0L))   // cell 1 by coarse, but flat-ties to 20
+    val coarse = Seq((0L, Seq(0L, 0L)), (1L, Seq(10L, 0L)))
+      .toDF("cid", "cL")
+    // fine 20 → coarse 0 (tie 25/25 → lower cid); fine 21 → coarse 1
+    val fine = Seq((20L, Seq(5L, 0L)), (21L, Seq(9L, 0L)))
+      .toDF("cid", "cL")
+    val got = KMeans.assignTwoLevel(e, coarse, fine)
+      .select("vec_id", "ccid", "cid", "distq", "in_cell")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // in-cell argmin
+    assert(got(100L) == ((100L, 0L, 20L, 25L, true)))
+    // coarse cell 1 of vec 101 is... (99,99): d(coarse0)=19602 >
+    // d(coarse1)=17722 → cell 1 holds fine 21 → in-cell
+    assert(got(101L)._2 == 1L && got(101L)._5)
+    // vec 102 (7,0): coarse d0=49 > d1=9 → cell 1 → fine 21 (d=4),
+    // while FLAT argmin ties 20/21 at d=4 and keeps cid 20 — the
+    // cell restriction legitimately diverges from flat here
+    assert(got(102L) == ((102L, 1L, 21L, 4L, true)))
+    val flat = KMeans.assign(e, fine)
+      .filter(col("vec_id") === 102L)
+      .select("cid").as[Long].head()
+    assert(flat == 20L)
+  }
+
+  test("two-level assign falls back globally when a cell is empty") {
+    val e = emb(200L -> Seq(99L, 99L))
+    val coarse = Seq((0L, Seq(0L, 0L)), (1L, Seq(100L, 100L)))
+      .toDF("cid", "cL")
+    // both fine centroids map to coarse 0; vec 200's cell 1 is empty
+    val fine = Seq((10L, Seq(1L, 1L)), (11L, Seq(2L, 2L)))
+      .toDF("cid", "cL")
+    val got = KMeans.assignTwoLevel(e, coarse, fine)
+      .select("vec_id", "ccid", "cid", "in_cell")
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(got == ((200L, 1L, 11L, false)))
+  }
+
   test("distances are exact integers and ties break by centroid id") {
     val e = emb(0L -> Seq(0L), 1L -> Seq(10L), 7L -> Seq(5L)) // equidistant
     val a = KMeans.assign(e,
