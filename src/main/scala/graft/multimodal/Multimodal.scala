@@ -399,7 +399,9 @@ object Multimodal {
               new java.io.ByteArrayInputStream(m.content))
             try {
               val f = ais.getFormat
-              if (f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+              if (f.getEncoding ==
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
                   !f.isBigEndian) {
                 val bytes = ais.readAllBytes()
                 Array.tabulate(bytes.length / 2) { j =>

@@ -61,6 +61,12 @@ object KMeans {
       .as[(Long, Array[Long])]
       .collect()
       .sortBy(_._1)
+    // empty model → empty assignment (the crossJoin form's behavior);
+    // without this guard argminL would fabricate (MaxValue, MaxValue)
+    // rows that downstream M-steps consume as real cluster ids
+    if (cents.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("vec_id", "cid", "distq")
     val bc = spark.sparkContext.broadcast(cents)
     emb.select(col("vec_id"), col("eL")).as[(Long, Array[Long])]
       .mapPartitions { it =>
@@ -118,6 +124,8 @@ object KMeans {
       .collect().sortBy(_._1)
     val cs = cents(coarse)
     val fs = cents(fine)
+    require(cs.nonEmpty && fs.nonEmpty,
+      "assignTwoLevel needs non-empty coarse and fine models")
     val cells: Map[Long, Array[(Long, Array[Long])]] =
       fs.groupBy(f => argminL(f._2, cs)._1)
         .map { case (cc, fsOfCell) => cc -> fsOfCell.sortBy(_._1) }

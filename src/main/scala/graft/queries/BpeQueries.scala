@@ -257,9 +257,13 @@ object BpeQueries {
        |GROUP BY 1
        |ORDER BY source""".stripMargin) { (s, d) =>
     val merges = trainMerges(s, d).orderBy("round").collect() // M rows
+    // tokenize ONCE (the t51 discipline): ti feeds both the distinct
+    // vocab and the instance join — without the checkpoint the regex
+    // pass, the scan's real cost at scale, would run twice
     val ti = Tables.documents(s, d)
       .select(col("source"), explode(filter(tokens(col("text")),
         w => w =!= "")).as("word"))
+      .localCheckpoint()
     val segSym = merges.foldLeft(charSym(col("word"))) { (acc, m) =>
       applyMerge(acc, lit(m.getAs[String]("w1")), lit(m.getAs[String]("w2")),
         lit(m.getAs[String]("merged")))

@@ -196,13 +196,14 @@ object MultimodalQueries {
       |    800 + (CAST(c_custkey AS BIGINT) % 100) * 8 AS frames
       |  FROM customer WHERE c_custkey < 200
       |),
+      |s0 AS (SELECT k, unnest(range(0, frames)) AS j FROM m),
       |s AS (
       |  SELECT k, j,
       |    ((2*j)*13 % 251)
       |      + 256 * (CASE WHEN ((2*j+1)*13 % 251) >= 128
       |               THEN ((2*j+1)*13 % 251) - 256
       |               ELSE ((2*j+1)*13 % 251) END) AS v
-      |  FROM m, range(0, 1592) t(j) WHERE j < frames
+      |  FROM s0
       |)
       |SELECT k AS media_id, CAST(d AS INT) AS d,
       |  CAST(SUM(v * ((d+1)*(j+7) % 101 - 50)) AS BIGINT) AS v

@@ -348,9 +348,13 @@ object SketchQueries {
          |ORDER BY source""".stripMargin
     }) { (s, d) =>
     import graft.functions.TextAnalysis.{shingles, tokens}
+    // shingle ONCE: si feeds the register build, the per-source exact
+    // probe, and the '__all' distinct — unchecked, the tokenize+
+    // shingle scan (the dominant cost) would run three times
     val si = Tables.documents(s, d)
       .select(col("source"),
         explode(shingles(tokens(col("text")), 3)).as("s"))
+      .localCheckpoint()
     val regs = hllRegisters(si, "source")
       .localCheckpoint() // per-source rows + the max-merge read it
     val uregs = regs.groupBy("idx").agg(max("m").as("m"))
@@ -361,9 +365,9 @@ object SketchQueries {
         (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllScale - m)")) +
           (lit(HllM) - count(lit(1))) * lit(1L << HllScale))
           .cast("long").as("s_scaled"))
-    val dsh = si.distinct()
+    val dsh = si.distinct().localCheckpoint()
     val ex = dsh.groupBy("source").agg(count(lit(1)).as("exact_n"))
-      .unionByName(si.select("s").distinct()
+      .unionByName(dsh.select("s").distinct()
         .agg(count(lit(1)).as("exact_n"))
         .select(lit("__all").as("source"), col("exact_n")))
     agg.join(ex, "source")

@@ -511,8 +511,8 @@ object VectorQueries {
     * float op is one correctly-rounded division per (cid, dim) per
     * iteration. The oracle unrolls the same two iterations as long-form
     * (cid, dim) CTEs. */
-  private[queries] val LloydK = 8
-  private val LloydIters = 2
+  private[graft] val LloydK = 8
+  private[graft] val LloydIters = 2
 
   /** DuckDB CTE chain for the t25 Lloyd run — `v` (vec_id, dim, x
     * scaled longs), `c0` first-k seed, two unrolled iterations, and
@@ -627,7 +627,7 @@ object VectorQueries {
     * documented: t57 (fixed k=8) and t57b (fixed k=64) pin the
     * semantics at two k values; t57c computes k from the corpus the
     * way a deployment would. */
-  private[queries] val SemDedupTarget = 32
+  private[graft] val SemDedupTarget = 32
 
   /** T57c — SEMDEDUP AT THE PRODUCTION OPERATING POINT: identical
     * semantics to t57 (same Lloyd chain, same keeper rule, same

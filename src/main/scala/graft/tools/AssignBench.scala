@@ -25,7 +25,9 @@ object AssignBench {
         graft.queries.VectorQueries.scaleL(col("embedding")).as("eL"))
       .localCheckpoint()
     val n = emb.count()
-    val kf = math.max(8, math.ceil(n.toDouble / 32).toInt)
+    // t57c's k ∝ N operating point, read from the shipped constants
+    import graft.queries.VectorQueries.{LloydK, SemDedupTarget}
+    val kf = math.max(LloydK, math.ceil(n.toDouble / SemDedupTarget).toInt)
     val kc = math.max(2, math.ceil(math.sqrt(kf.toDouble)).toInt)
     def seeds(k: Int) = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("eL").as("cL"))

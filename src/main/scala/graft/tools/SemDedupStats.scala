@@ -26,12 +26,16 @@ object SemDedupStats {
     val out =
       if (args.contains("--assign-only")) {
         import org.apache.spark.sql.functions.{ceil => _, _}
+        import graft.queries.VectorQueries.{LloydIters, LloydK, SemDedupTarget}
         val emb = graft.Tables.embeddings(spark, dir)
           .select(col("vec_id"),
             graft.queries.VectorQueries.scaleL(col("embedding")).as("eL"))
         val n = emb.count()
-        val k = math.max(8, math.ceil(n.toDouble / 32).toInt)
-        graft.ops.KMeans.fit(emb, k, 2)
+        // t57c's own operating point — read from the shipped constants
+        // so this tool can never measure a different model
+        val k = math.max(LloydK,
+          math.ceil(n.toDouble / SemDedupTarget).toInt)
+        graft.ops.KMeans.fit(emb, k, LloydIters)
           .select(col("vec_id"), col("cid").as("cluster"))
       } else SparkEntry.queries(name)(spark, dir)
         .select("vec_id", "cluster")
@@ -43,8 +47,8 @@ object SemDedupStats {
       max("m").as("max_m"),
       expr("percentile(m, 0.99)").as("p99_m"),
       avg("m").as("mean_m"),
-      sum(col("m") * (col("m") - 1) / 2).as("total_pairs"),
-      max(col("m") * (col("m") - 1) / 2).as("max_cluster_pairs"))
+      sum(expr("m * (m - 1) div 2")).as("total_pairs"),
+      max(expr("m * (m - 1) div 2")).as("max_cluster_pairs"))
       .collect()(0)
     println(s"[semdedup-stats] $name @ $dir: " +
       s"n_vecs=${row.get(1)} k_realized=${row.get(0)} " +
