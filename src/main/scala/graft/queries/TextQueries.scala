@@ -1977,6 +1977,63 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T66 — PER-SOURCE CURATION REPORT: the rollup a curation run ends
+    * with — for each source, how many documents it contributed, how
+    * many survived selection, and WHERE the rest went (quality gate vs
+    * dedup collapse), plus the train-split yield. This is the number a
+    * data lead reads to decide which sources to renegotiate, re-crawl,
+    * or drop; computed by rolling the t28b manifest (star-clustered,
+    * the production composition) up by source. Composition reuses the
+    * memoized component frames exactly as t28b does, so the report and
+    * the manifest can never disagree; the oracle embeds t28b's oracle
+    * as a subquery (the established x8 pattern). Scale: the manifest
+    * is one row per doc; the rollup adds one broadcast-joinable
+    * (doc_id → source) projection and a 20-group partial agg. */
+  val t66SourceCuration: QuerySpec = QuerySpec.sql(
+    "t66_source_curation",
+    s"""SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN m.selected THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_selected,
+       |  CAST(SUM(CASE WHEN NOT m.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_quality_drop,
+       |  CAST(SUM(CASE WHEN m.keep AND NOT m.is_keeper THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_drop,
+       |  CAST(SUM(CASE WHEN m.selected AND m.split = 'train'
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_train_sel,
+       |  CAST(SUM(CASE WHEN m.selected THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS sel_rate
+       |FROM (SELECT q.doc_id, q.keep, c.is_keeper, s.split,
+       |        (q.keep AND c.is_keeper) AS selected
+       |      FROM (${t19CurationVerdict.oracle.get}) q
+       |      JOIN (${t32StarClusters.oracle.get}) c ON q.doc_id = c.doc_id
+       |      JOIN (${t15HashSplit.oracle.get}) s ON q.doc_id = s.doc_id) m
+       |JOIN documents d ON m.doc_id = d.doc_id
+       |GROUP BY 1
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val m = t19CurationVerdict.run(s, d)
+      .select(col("doc_id"), col("keep"))
+      .join(starClustersReused(s, d)
+        .select(col("doc_id"), col("is_keeper")), "doc_id")
+      .join(t15HashSplit.run(s, d).select(col("doc_id"), col("split")),
+        "doc_id")
+      .withColumn("selected", col("keep") && col("is_keeper"))
+    m.join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_quality_drop"),
+        sum(when(col("keep") && !col("is_keeper"), 1L).otherwise(0L))
+          .as("n_dup_drop"),
+        sum(when(col("selected") && col("split") === "train", 1L)
+          .otherwise(0L)).as("n_train_sel"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        col("n_quality_drop"), col("n_dup_drop"), col("n_train_sel"),
+        (col("n_selected").cast("double") / col("n_docs")).as("sel_rate"))
+      .orderBy("source")
+  }
+
   /** T29 — per-source corpus profile (the health dashboard a curation
     * run publishes): doc counts, exact distinct languages, char
     * totals/mean, id range. One two-phase groupBy; the mean is the
@@ -2347,5 +2404,5 @@ object TextQueries {
     t39BloomDecontaminate,
     t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans,
     t58SourceOverlap, t60Winnowing, t61WinnowPairs, t61bWinnowPairsProd,
-    t64NgramNovelty)
+    t64NgramNovelty, t66SourceCuration)
 }

@@ -59,7 +59,8 @@ object ScaleCheck {
     "t60_winnowing", "t61_winnow_pairs", "t57b_semdedup_scale",
     "t57c_semdedup_prod", "t61b_winnow_pairs_prod",
     "t38b_delta_neardup_prod", "t62_hll_cardinality",
-    "t63_source_fertility", "t64_ngram_novelty", "t65_ivf_assign")
+    "t63_source_fertility", "t64_ngram_novelty", "t65_ivf_assign",
+    "t66_source_curation")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
