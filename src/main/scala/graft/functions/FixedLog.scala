@@ -75,11 +75,11 @@ object FixedLog {
     * carries the original columns plus each `dst`. */
   def sqlCtes(from: String, p: String, cols: Seq[(String, String)]): String = {
     val init = cols.map { case (src, dst) =>
-      s"""CASE WHEN $src > 0 THEN length(bin($src)) - 1 END AS __e_$dst,
-         |    CASE WHEN $src <= 0 OR $src IS NULL THEN CAST(NULL AS BIGINT)
+      s"""CASE WHEN ($src) > 0 THEN length(bin($src)) - 1 END AS __e_$dst,
+         |    CASE WHEN ($src) <= 0 OR ($src) IS NULL THEN CAST(NULL AS BIGINT)
          |      WHEN length(bin($src)) - 1 <= 30
-         |      THEN CAST($src AS BIGINT) << (30 - (length(bin($src)) - 1))
-         |      ELSE CAST($src AS BIGINT) >> ((length(bin($src)) - 1) - 30)
+         |      THEN CAST(($src) AS BIGINT) << (30 - (length(bin($src)) - 1))
+         |      ELSE CAST(($src) AS BIGINT) >> ((length(bin($src)) - 1) - 30)
          |    END AS __m_$dst, CAST(0 AS BIGINT) AS __y_$dst""".stripMargin
     }.mkString(",\n    ")
     val steps = (1 to F).map { i =>

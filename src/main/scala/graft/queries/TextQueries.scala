@@ -2185,6 +2185,7 @@ object TextQueries {
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), 3)).as("g"))
       .distinct()
+      .localCheckpoint() // one shingle scan: first-seen MIN + join side
     val fs = ds.groupBy("g").agg(min("doc_id").as("first_doc"))
     ds.join(fs, "g")
       .groupBy("doc_id")
@@ -2223,10 +2224,23 @@ object TextQueries {
        |  CAST(fp.h AS BIGINT) AS h
        |FROM f""".stripMargin
 
-  val t60Winnowing: QuerySpec = QuerySpec.sql(
-    "t60_winnowing",
-    s"""$winnowFpSql
-       |ORDER BY doc_id, pos, h""".stripMargin) { (s, d) =>
+  // the winnow family's shared-scan memos (the buildDupClusters
+  // discipline): a direct t60 run always rebuilds + records the
+  // fingerprint frame (bench/scale numbers stay honest); the pair
+  // queries (t61/t61b) compose on the recorded checkpoint, so across
+  // the family the tokenize+shingle+hash scan is paid ONCE per
+  // process, not once per query. Keys carry the documents.parquet
+  // content fingerprint, so an in-process rewrite invalidates.
+  private val winnowFpMemo =
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String)]
+  private val winnowDocHashMemo =
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String)]
+
+  /** Fresh winnowed-fingerprint build (the t60 body, ORDER-BY-free),
+    * recorded for reuse and checkpointed — the frame is ~1/(W/2) of
+    * the shingle mass, far smaller than the scan that produces it. */
+  private def buildWinnowFp(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val hs = transform(shingles(tokens(col("text")), 3),
       x => SketchQueries.baseHash(x))
     val nw = when(size(col("hs")) === 0, 0)
@@ -2242,15 +2256,40 @@ object TextQueries {
         (i + size(sl) - array_position(reverse(sl), m)).cast("long").as("pos"),
         m.as("h"))
     }
-    Tables.documents(s, d)
-      .select(col("doc_id"), hs.as("hs"))
-      .withColumn("nw", nw)
-      .filter(col("nw") > 0)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), col("nw")), fp)).as("fp"))
-      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
-      .distinct()
-      .orderBy("doc_id", "pos", "h")
+    winnowFpMemo.record(docsKey(s, d),
+      Tables.documents(s, d)
+        .select(col("doc_id"), hs.as("hs"))
+        .withColumn("nw", nw)
+        .filter(col("nw") > 0)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), col("nw")), fp)).as("fp"))
+        .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+        .distinct()
+        .localCheckpoint()) // one winnowing scan serves t60/t61/t61b
+  }
+
+  private def winnowFpReused(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    winnowFpMemo.reuse(docsKey(s, d))(buildWinnowFp(s, d))
+
+  /** The (doc_id, h)-distinct projection both pair queries self-join
+    * on, checkpointed once (first caller builds, the other reuses —
+    * the pqCodebookMemo pattern; the build reads the checkpointed
+    * pos-level frame, not the corpus). */
+  private def winnowDocHash(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    winnowDocHashMemo.reuse(docsKey(s, d)) {
+      winnowDocHashMemo.record(docsKey(s, d),
+        winnowFpReused(s, d)
+          .select("doc_id", "h").distinct()
+          .localCheckpoint()) // one winnowing pass: df screen + both sides
+    }
+
+  val t60Winnowing: QuerySpec = QuerySpec.sql(
+    "t60_winnowing",
+    s"""$winnowFpSql
+       |ORDER BY doc_id, pos, h""".stripMargin) { (s, d) =>
+    buildWinnowFp(s, d).orderBy("doc_id", "pos", "h")
   }
 
   /** Winnowing-pair thresholds: hashes seen in more than [[WinnowDfCap]]
@@ -2294,9 +2333,7 @@ object TextQueries {
        |SELECT d1, d2, n_shared FROM p
        |WHERE n_shared >= $WinnowMinShared
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    val fp = t60Winnowing.run(s, d)
-      .select("doc_id", "h").distinct()
-      .localCheckpoint() // one winnowing pass: df screen + both sides
+    val fp = winnowDocHash(s, d)
     val dfc = fp.groupBy("h").agg(count(lit(1)).as("nd"))
     val rare = fp.join(dfc.filter(col("nd") <= WinnowDfCap), "h")
     rare.as("a")
@@ -2365,9 +2402,7 @@ object TextQueries {
        |SELECT d1, d2, n_shared FROM p
        |WHERE n_shared >= $WinnowMinShared
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    val fp = t60Winnowing.run(s, d)
-      .select("doc_id", "h").distinct()
-      .localCheckpoint() // one winnowing pass: df screen + both sides
+    val fp = winnowDocHash(s, d)
     val dfc = fp.groupBy("h").agg(count(lit(1)).as("nd"))
       .localCheckpoint() // cap derivation + the rare screen share it
     val budget = WinnowPairBudget * Tables.documents(s, d).count()

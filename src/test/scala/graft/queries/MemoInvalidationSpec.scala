@@ -25,6 +25,26 @@ class MemoInvalidationSpec extends SparkSpec {
     assert(f2 == Clustering.fingerprint(dir, "documents"))
   }
 
+  test("winnow fingerprint memo invalidates on corpus rewrite") {
+    // t61 composes on the memoized winnowing frame; after an in-process
+    // rewrite of documents.parquet the pair set must track the NEW
+    // corpus, not the stale checkpoint
+    val dir = Files.createTempDirectory("graft-winnow-memo").toString
+    val textA =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq((1L, textA), (2L, textA)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r1 = TextQueries.t61WinnowPairs.run(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSeq
+    assert(r1 == Seq((1L, 2L)), "identical docs must pair")
+    Seq((1L, textA),
+        (3L, "one two three four five six seven eight nine ten els twl"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r2 = TextQueries.t61WinnowPairs.run(spark, dir).collect()
+    assert(r2.isEmpty, "rewritten corpus has no pairs — stale memo served?")
+  }
+
   test("memo reuses only under the recorded key; a new key rebuilds") {
     val m = new Clustering.Memo[String]
     val recorded = spark.range(1).toDF("a")

@@ -27,10 +27,26 @@ import graft.queries.TextQueries
   * alone under star edges; at sf0.01 t33 measures 500/500 agreement),
   * so the streamed manifest meets t28b exactly when star parity is
   * total and meets t28 ALWAYS — the honest contract is the latter. */
-class StreamingCurationE2ESpec extends SparkSpec {
+class StreamingCurationE2ESpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
+
+  private val tmpDirs = scala.collection.mutable.Buffer.empty[String]
+
+  override def afterAll(): Unit = {
+    // the corpus copy is test-run scratch — remove it, deepest-first
+    tmpDirs.foreach { dir =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    super.afterAll()
+  }
 
   test("AvailableNow streaming tier finalizes to the batch t28 manifest") {
     // the prefix: the whole sf0.001 corpus with synthetic event times
@@ -39,6 +55,7 @@ class StreamingCurationE2ESpec extends SparkSpec {
         timestamp_seconds(lit(1700000000L) + col("doc_id") % 100))
       .localCheckpoint()
     val srcDir = java.nio.file.Files.createTempDirectory("e2e_src").toString
+    tmpDirs += srcDir
     batch.write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(batch.schema).parquet(srcDir)
 
