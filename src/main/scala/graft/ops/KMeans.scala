@@ -72,15 +72,30 @@ object KMeans {
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (v, x) =>
-          val (c, d) = argminL(x, cs)
+          val (c, d) = argminL(requireVec(v, x), cs)
           (v, c, d)
         }
       }
       .toDF("vec_id", "cid", "distq")
   }
 
-  /** Nearest centroid of `x` among `cents` (ascending-cid order,
-    * strict < keeps the first — the shared (distq, cid) tie rule). */
+  /** Fail-fast null guard for the E-step hot loops: a nullable
+    * embedding source would otherwise NPE deep inside [[argminL]] with
+    * no indication of WHICH row — every call site today is non-null by
+    * construction (the parquet embeddings table), so this is armor for
+    * the first nullable source someone wires in. */
+  private def requireVec(v: Long, x: Array[Long]): Array[Long] = {
+    if (x == null) throw new IllegalArgumentException(
+      s"null embedding for vec_id=$v: KMeans requires non-null vectors " +
+        "(filter or impute nulls upstream)")
+    x
+  }
+
+  /** Nearest centroid of `x` among `cents` — the shared (distq, cid)
+    * tie rule, enforced EXPLICITLY (equal distance keeps the lower
+    * cid) so callers may pass centroid arrays in any order (the
+    * nprobe path concatenates per-cell lists, which are not globally
+    * cid-sorted). */
   private def argminL(x: Array[Long],
       cents: Array[(Long, Array[Long])]): (Long, Long) = {
     var bestD = Long.MaxValue
@@ -92,10 +107,33 @@ object KMeans {
       var s = 0L
       var j = 0
       while (j < n) { val d = x(j) - c(j); s += d * d; j += 1 }
-      if (s < bestD) { bestD = s; bestC = cents(i)._1 }
+      if (s < bestD || (s == bestD && cents(i)._1 < bestC)) {
+        bestD = s; bestC = cents(i)._1
+      }
       i += 1
     }
     (bestC, bestD)
+  }
+
+  /** The `p` nearest centroid ids of `x` among `cents`, ordered by
+    * (distq, cid) — the nprobe cell election. `cents` is model-sized
+    * (kc entries), so the per-vector sort is O(kc log kc) on a tiny
+    * array. */
+  private def nearestP(x: Array[Long],
+      cents: Array[(Long, Array[Long])], p: Int): Array[Long] = {
+    val ds = new Array[(Long, Long)](cents.length) // (distq, cid)
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)._2
+      val n = math.min(x.length, c.length)
+      var s = 0L
+      var j = 0
+      while (j < n) { val d = x(j) - c(j); s += d * d; j += 1 }
+      ds(i) = (s, cents(i)._1)
+      i += 1
+    }
+    ds.sortInPlace()
+    ds.iterator.take(p).map(_._2).toArray
   }
 
   /** TWO-LEVEL (coarse-quantizer) E-step — the k ∝ N serving path
@@ -114,11 +152,22 @@ object KMeans {
     * driver-side from them. Trades exactness for boundedness exactly
     * like IVF probes do: a vector near a cell border may assign to a
     * neighboring cell's best — t65's gate pins the rule, not
-    * flat-argmin equality. */
+    * flat-argmin equality.
+    *
+    * `nprobe` is the standard IVF border-fidelity knob: probe the p
+    * nearest coarse cells (by the shared (distq, cid) rule) and argmin
+    * over the UNION of their fine centroids. p = 1 is the plain
+    * two-level rule above; raising p recovers border vectors whose
+    * true nearest fine centroid lives in the adjacent cell, at
+    * per-vector cost kc + p·(kf/kc). The reported `ccid` stays the
+    * PRIMARY (nearest) cell; `in_cell` is true when some probed cell
+    * held a fine centroid (the chosen one came from the probed union),
+    * false only on the global fallback. */
   def assignTwoLevel(emb: DataFrame, coarse: DataFrame,
-      fine: DataFrame): DataFrame = {
+      fine: DataFrame, nprobe: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     def cents(df: DataFrame): Array[(Long, Array[Long])] = df
       .select(col("cid"), col("cL")).as[(Long, Array[Long])]
       .collect().sortBy(_._1)
@@ -129,16 +178,21 @@ object KMeans {
     val cells: Map[Long, Array[(Long, Array[Long])]] =
       fs.groupBy(f => argminL(f._2, cs)._1)
         .map { case (cc, fsOfCell) => cc -> fsOfCell.sortBy(_._1) }
+    val p = nprobe
     val bc = spark.sparkContext.broadcast((cs, fs, cells))
     emb.select(col("vec_id"), col("eL")).as[(Long, Array[Long])]
       .mapPartitions { it =>
         val (c2, f2, cell2) = bc.value
-        it.map { case (v, x) =>
-          val ccid = argminL(x, c2)._1
-          val cell = cell2.getOrElse(ccid, Array.empty[(Long, Array[Long])])
-          val inCell = cell.nonEmpty
-          val (fcid, dq) = if (inCell) argminL(x, cell) else argminL(x, f2)
-          (v, ccid, fcid, dq, inCell)
+        val empty = Array.empty[(Long, Array[Long])]
+        it.map { case (v, x0) =>
+          val x = requireVec(v, x0)
+          val probed = nearestP(x, c2, p)
+          val cand =
+            if (p == 1) cell2.getOrElse(probed(0), empty)
+            else probed.flatMap(cc => cell2.getOrElse(cc, empty))
+          val inCell = cand.nonEmpty
+          val (fcid, dq) = if (inCell) argminL(x, cand) else argminL(x, f2)
+          (v, probed(0), fcid, dq, inCell)
         }
       }
       .toDF("vec_id", "ccid", "cid", "distq", "in_cell")

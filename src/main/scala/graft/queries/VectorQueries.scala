@@ -33,10 +33,16 @@ object VectorQueries {
 
   /** Per-vector scaling: float coords → longs at 1e6 (rounding is the
     * shared [[graft.functions.ExactNum]] convention). `private[graft]`
-    * so measurement tools (SemDedupStats) can build the same frame. */
+    * so measurement tools (SemDedupStats) can build the same frame.
+    * NULL vectors fail fast here — the single entry every vector path
+    * scales through — instead of flowing a NULL eL into a codegen'd
+    * dot or a mapPartitions argmin and NPEing without row context. */
   private[graft] def scaleL(e: Column): Column =
-    transform(e,
-      x => graft.functions.ExactNum.rnd(x.cast("double") * lit(1e6)).cast("long"))
+    when(e.isNotNull, transform(e,
+      x => graft.functions.ExactNum.rnd(x.cast("double") * lit(1e6)).cast("long")))
+      .otherwise(raise_error(lit(
+        "null embedding: vector operators require non-null vectors " +
+          "(filter or impute nulls upstream)")))
 
   /** Exact long dot product of two pre-scaled vectors, at 1e-12 —
     * codegen'd ([[graft.plans.LongArrayDot]]; the `aggregate(zip_with)`
@@ -667,12 +673,19 @@ object VectorQueries {
     * (cell-border vectors may legitimately differ from t57b's flat
     * assignment; that approximation is the price of boundedness,
     * exactly as in IVF probing). */
-  val t65IvfAssign: QuerySpec = QuerySpec.sql(
-    "t65_ivf_assign",
+  /** One two-level-assignment gate at probe width `p` — the shared
+    * oracle composes two Lloyd chains, maps fine→coarse cells, takes
+    * each vector's `p` nearest coarse cells from the SAME ranked
+    * frame the assignment reads (a3, rn ≤ p) and ranks fine centroids
+    * by (cell ∈ probed set, distq, fcid) — exactly
+    * [[graft.ops.KMeans.assignTwoLevel]]'s rule at that nprobe. */
+  private def ivfAssignSpec(name: String, p: Int): QuerySpec = QuerySpec.sql(
+    name,
     s"""WITH $LloydVSql,
        |${lloydChainSql(LloydK.toString, "")},
        |${lloydChainSql(IvfFineK.toString, "f")},
        |vc AS (SELECT vec_id, cid AS ccid FROM a3 WHERE rn = 1),
+       |probed AS (SELECT vec_id, cid AS ccid FROM a3 WHERE rn <= $p),
        |fd AS (SELECT f.cid AS fcid, p.cid AS ccid,
        |    SUM((f.c - p.c) * (f.c - p.c)) AS dq
        |  FROM fc2 f JOIN c2 p ON f.dim = p.dim GROUP BY 1, 2),
@@ -682,27 +695,42 @@ object VectorQueries {
        |vf AS (SELECT v.vec_id, f.cid AS fcid,
        |    SUM((v.x - f.c) * (v.x - f.c)) AS distq
        |  FROM v JOIN fc2 f ON v.dim = f.dim GROUP BY 1, 2),
-       |r AS (SELECT vf.vec_id, vc.ccid, vf.fcid, vf.distq,
-       |    (fmap.ccid = vc.ccid) AS in_cell,
+       |r AS (SELECT vf.vec_id, vf.fcid, vf.distq,
+       |    (pr.ccid IS NOT NULL) AS in_cell,
        |    ROW_NUMBER() OVER (PARTITION BY vf.vec_id
-       |      ORDER BY CASE WHEN fmap.ccid = vc.ccid THEN 0 ELSE 1 END,
+       |      ORDER BY CASE WHEN pr.ccid IS NOT NULL THEN 0 ELSE 1 END,
        |               vf.distq, vf.fcid) AS rn
        |  FROM vf JOIN fmap USING (fcid)
-       |  JOIN vc ON vf.vec_id = vc.vec_id)
-       |SELECT vec_id, ccid AS cell, fcid AS cluster,
-       |  CAST(distq AS BIGINT) AS distq, in_cell
-       |FROM r WHERE rn = 1
-       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+       |  LEFT JOIN probed pr
+       |    ON pr.vec_id = vf.vec_id AND pr.ccid = fmap.ccid)
+       |SELECT r.vec_id, vc.ccid AS cell, r.fcid AS cluster,
+       |  CAST(r.distq AS BIGINT) AS distq, r.in_cell
+       |FROM r JOIN vc ON r.vec_id = vc.vec_id
+       |WHERE rn = 1
+       |ORDER BY r.vec_id""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
       .localCheckpoint() // feeds both fits + the serve pass
     val coarse = graft.ops.KMeans.fitCentroids(emb, LloydK, LloydIters)
     val fine = graft.ops.KMeans.fitCentroids(emb, IvfFineK, LloydIters)
-    graft.ops.KMeans.assignTwoLevel(emb, coarse, fine)
+    graft.ops.KMeans.assignTwoLevel(emb, coarse, fine, p)
       .select(col("vec_id"), col("ccid").as("cell"),
         col("cid").as("cluster"), col("distq"), col("in_cell"))
       .orderBy("vec_id")
   }
+
+  val t65IvfAssign: QuerySpec = ivfAssignSpec("t65_ivf_assign", 1)
+
+  /** T65b — THE NPROBE KNOB (t65 at p = 2): probing the two nearest
+    * coarse cells recovers border vectors whose true nearest fine
+    * centroid sits in the adjacent cell — the documented
+    * border-fidelity fix, gated with the same ROW_NUMBER oracle rule
+    * so both engines apply the identical probed-set ranking. Cost
+    * moves from kc + kf/kc to kc + 2·kf/kc per vector — still ~kf/p
+    * cheaper than flat; AssignBench's --nprobe sweep records the
+    * (p, agreement-vs-flat, serve-seconds) curve at the decade
+    * points. */
+  val t65bIvfProbe2: QuerySpec = ivfAssignSpec("t65b_ivf_probe2", 2)
 
   private def semDedupAt(name: String, k: Int): QuerySpec =
     semDedupSpec(name, k.toString, (_, _) => k)
@@ -1102,5 +1130,5 @@ object VectorQueries {
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
       t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
-      t57bSemDedupScale, t57cSemDedupProd, t65IvfAssign)
+      t57bSemDedupScale, t57cSemDedupProd, t65IvfAssign, t65bIvfProbe2)
 }

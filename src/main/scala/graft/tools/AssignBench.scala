@@ -37,21 +37,33 @@ object AssignBench {
       val t0 = System.nanoTime(); val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    val (two, tTwo) = timed {
-      graft.ops.KMeans.assignTwoLevel(emb, coarse, fine).localCheckpoint()
-    }
-    val inCell = two.filter(col("in_cell")).count()
-    println(f"[assign-bench] n=$n kf=$kf kc=$kc two_level=$tTwo%.2fs " +
-      s"in_cell=$inCell/$n")
-    if (!args.contains("--skip-flat")) {
-      val (flat, tFlat) = timed {
-        graft.ops.KMeans.assign(emb, fine).localCheckpoint()
+    // --nprobe p1,p2,... sweeps the probe widths (default just p=1)
+    val probes = args.sliding(2).collectFirst {
+      case Array("--nprobe", ps) => ps.split(",").map(_.trim.toInt).toSeq
+    }.getOrElse(Seq(1))
+    val flatOpt =
+      if (args.contains("--skip-flat")) None
+      else {
+        val (flat, tFlat) = timed {
+          graft.ops.KMeans.assign(emb, fine).localCheckpoint()
+        }
+        println(f"[assign-bench] flat=$tFlat%.2fs")
+        Some((flat, tFlat))
       }
-      val agree = two.select(col("vec_id"), col("cid").as("c2"))
-        .join(flat.select(col("vec_id"), col("cid").as("c1")), "vec_id")
-        .filter(col("c1") === col("c2")).count()
-      println(f"[assign-bench] flat=$tFlat%.2fs agree=$agree/$n " +
-        f"speedup=${tFlat / tTwo}%.1fx")
+    for (p <- probes) {
+      val (two, tTwo) = timed {
+        graft.ops.KMeans.assignTwoLevel(emb, coarse, fine, p)
+          .localCheckpoint()
+      }
+      val inCell = two.filter(col("in_cell")).count()
+      val agreeStr = flatOpt.map { case (flat, tFlat) =>
+        val agree = two.select(col("vec_id"), col("cid").as("c2"))
+          .join(flat.select(col("vec_id"), col("cid").as("c1")), "vec_id")
+          .filter(col("c1") === col("c2")).count()
+        f" agree=$agree/$n speedup=${tFlat / tTwo}%.1fx"
+      }.getOrElse("")
+      println(f"[assign-bench] n=$n kf=$kf kc=$kc nprobe=$p " +
+        f"two_level=$tTwo%.2fs in_cell=$inCell/$n$agreeStr")
     }
     spark.stop()
   }

@@ -107,6 +107,39 @@ class KMeansSpec extends SparkSpec {
     assert(got == ((200L, 1L, 11L, false)))
   }
 
+  test("nprobe=2 recovers a border vector from the adjacent cell") {
+    // coarse cells at 0 and 100; fine 20 (45) lives in cell 0, fine 21
+    // (90) in cell 1. Vector 51 is a border case: primary cell 1, but
+    // its true nearest fine centroid is 20 in the ADJACENT cell —
+    // p=1 misses it (the documented IVF trade), p=2 recovers it
+    val e = emb(300L -> Seq(51L))
+    val coarse = Seq((0L, Seq(0L)), (1L, Seq(100L))).toDF("cid", "cL")
+    val fine = Seq((20L, Seq(45L)), (21L, Seq(90L))).toDF("cid", "cL")
+    def got(p: Int) = KMeans.assignTwoLevel(e, coarse, fine, p)
+      .select("vec_id", "ccid", "cid", "distq", "in_cell")
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(got(1) == ((300L, 1L, 21L, 1521L, true)))
+    assert(got(2) == ((300L, 1L, 20L, 36L, true)))
+  }
+
+  test("a null embedding row is rejected with the row's vec_id, not an NPE") {
+    val e = Seq((0L, Seq(1L, 2L)), (7L, null.asInstanceOf[Seq[Long]]))
+      .toDF("vec_id", "eL")
+    val cent = Seq((0L, Seq(0L, 0L))).toDF("cid", "cL")
+    val ex = intercept[Exception] {
+      KMeans.assign(e, cent).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m =>
+      m.contains("null embedding") && m.contains("vec_id=7")))
+    val ex2 = intercept[Exception] {
+      KMeans.assignTwoLevel(e, cent, cent).collect()
+    }
+    assert(msgs(ex2).exists(m =>
+      m.contains("null embedding") && m.contains("vec_id=7")))
+  }
+
   test("distances are exact integers and ties break by centroid id") {
     val e = emb(0L -> Seq(0L), 1L -> Seq(10L), 7L -> Seq(5L)) // equidistant
     val a = KMeans.assign(e,

@@ -12,6 +12,19 @@ class SemDedupSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("scaleL fails fast on a null embedding (no silent null eL)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((0L, Seq(0.5f, 1.0f)), (1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      df.select(VectorQueries.scaleL(col("embedding"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("null embedding")))
+  }
+
   test("pruned ⊎ kept partitions the corpus; pruned_by is an earlier keeper-or-dup in the same cluster") {
     for (q <- Seq(VectorQueries.t57SemDedup, VectorQueries.t57bSemDedupScale)) {
       val out = q.run(spark, sf).localCheckpoint()
