@@ -32,9 +32,13 @@ import graft.functions.TextAnalysis
   * member, so state tracks ingest-rate × window, not corpus history.
   * And a `bucketCap` stops member ACCUMULATION in degenerate hot
   * buckets (near-duplicate pile-ups), bounding per-record compare
-  * cost at cap·B — the streaming analogue of the batch cap screen
-  * (which drops over-cap buckets wholesale; the streaming form keeps
-  * the first `cap` members so early arrivals still match). */
+  * cost at cap·B — the streaming twin of t38b's bounded standing
+  * index: retention keeps the `cap` LOWEST doc_ids seen (a full
+  * bucket evicts its largest id for a smaller arrival), the same
+  * rule as the batch index's ROW_NUMBER-by-doc_id cap, so for an
+  * id-ordered stream the retained set equals the batch capped index
+  * over the same prefix and the emitted pair set matches the batch
+  * contract exactly (StreamingNearDupSpec pins the parity). */
 object StreamingNearDup {
 
   final case class NearDupCandidate(d1: Long, d2: Long, sigMatches: Int,
@@ -92,9 +96,21 @@ object StreamingNearDup {
             }
           }
           // re-crawls of an already-held id add nothing; the cap stops
-          // accumulation (not matching) in degenerate hot buckets
-          if (members.size < bucketCap && !members.exists(_._1 == id))
-            members = (id, sig) :: members
+          // accumulation (not matching) in degenerate hot buckets.
+          // Retention rule = the LOWEST doc_ids seen (t38b's
+          // DeltaIndexCap standing-index contract): a full bucket
+          // evicts its largest id for a smaller arrival, so the
+          // retained set is arrival-order independent and — for an
+          // id-ordered stream — equals the batch operator's capped
+          // index over the same prefix (StreamingNearDupSpec pins it).
+          if (!members.exists(_._1 == id)) {
+            if (members.size < bucketCap) members = (id, sig) :: members
+            else {
+              val evict = members.maxBy(_._1)
+              if (id < evict._1)
+                members = (id, sig) :: members.filterNot(_._1 == evict._1)
+            }
+          }
           maxMs = math.max(maxMs, ts.getTime)
         }
       state.update(BucketState(members, maxMs))
