@@ -424,6 +424,136 @@ object Multimodal {
     }
   }
 
+  /** One long-form pixel-feature cell from [[featuresPixels]] /
+    * [[featuresFrames]]: dimension `d`'s exact integer projection for
+    * one image (frameIdx = −1) or one sampled video frame. */
+  final case class PixelFeature(mediaId: Long, frameIdx: Int, d: Int,
+      v: Long)
+
+  /** The m6 seeded projection coefficient — R(d, j) = ((d+1)(j+7))
+    * mod 101 − 50, a fixed pseudo-random ±50 pattern shared by the
+    * audio, image and frame projections so every modality's feature
+    * seam is the same documented formula. */
+  @inline private def projCoef(d: Int, j: Long): Long =
+    ((d + 1L) * (j + 7L)) % 101L - 50L
+
+  /** The raster projection both pixel-feature operators share:
+    * emb[d] = Σ_p pixVal(p) · R(d, p) over row-major pixel index
+    * p = y·w + x, with pixVal = r + g + b of the DECODED raster —
+    * all long arithmetic, no floats. */
+  private def projectRaster(img: java.awt.image.BufferedImage,
+      dim: Int): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val pv = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val p = y.toLong * w + x
+        var d = 0
+        while (d < dim) { out(d) += pv * projCoef(d, p); d += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Feature extraction over REAL DECODED PIXELS — the m6
+    * ([[featuresPcm]]) pattern applied to images: each image's content
+    * is decoded by ImageIO (genuine PNG/JPEG/GIF/BMP codec — the m1
+    * decode path) and the raster is projected to `dim` exact integer
+    * values by the shared seeded matrix. This retires the
+    * model-forward stub for the image path; a real vision encoder
+    * swaps in at this seam with the same long-form output shape.
+    * Images that fail the decode yield no rows (the [[featuresPcm]]
+    * convention). Partition-parallel, no shuffle. */
+  def featuresPixels(media: Dataset[MediaRow],
+      dim: Int = 4): Dataset[PixelFeature] = {
+    import media.sparkSession.implicits._
+    require(dim > 0, s"dim must be positive: $dim")
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.filter(_.kind == "image").flatMap { m =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          catch { case _: Exception => null }
+        if (img == null) Seq.empty
+        else {
+          val emb = projectRaster(img, dim)
+          (0 until dim).map(d => PixelFeature(m.mediaId, -1, d, emb(d)))
+        }
+      }
+    }
+  }
+
+  /** Feature extraction over SAMPLED VIDEO FRAMES (MJPEG-in-AVI): the
+    * [[frameSampleAvi]] sampling rule (k evenly spaced `00dc` chunks,
+    * per-frame ImageIO JPEG decode on the executor) feeding the same
+    * raster projection as [[featuresPixels]] — one long-form row per
+    * (clip, sampled frame, dimension). JPEG is lossy, so no SQL oracle
+    * can recompute the raster; `MultimodalSpec` pins the output
+    * against a direct local decode of the same fixture instead (the
+    * m5 checksum convention). Frames that fail the JPEG decode yield
+    * no rows. */
+  def featuresFrames(media: Dataset[MediaRow], k: Int,
+      dim: Int = 4): Dataset[PixelFeature] = {
+    import media.sparkSession.implicits._
+    require(k > 0 && dim > 0, s"bad featuresFrames request: k=$k dim=$dim")
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.filter(_.kind == "video").flatMap { m =>
+        val chunks = aviFrameChunks(m.content)
+        val n = chunks.length
+        if (n == 0) Seq.empty
+        else (0 until k).flatMap { i =>
+          val (cs, ce) = chunks(i * n / k)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.content, cs, ce - cs))
+            catch { case _: Exception => null }
+          if (img == null) Seq.empty
+          else {
+            val emb = projectRaster(img, dim)
+            (0 until dim).map(d => PixelFeature(m.mediaId, i, d, emb(d)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Minimal GENUINE PNG bytes with a DETERMINISTIC per-id gradient
+    * raster — r = (k·53 + x·3) mod 256, g = (k·29 + y·5) mod 256,
+    * b = (k·17 + x + y) mod 256 (the AVI fixture's gradient, keyed by
+    * media id instead of frame) — encoded by ImageIO's PNG writer.
+    * PNG is lossless and TYPE_INT_RGB round-trips exactly, so the m7
+    * oracle recomputes every pixel algebraically. */
+  def pngFixture(k: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad PNG fixture: ${width}x$height")
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y,
+          (((k * 53 + x * 3) % 256).toInt << 16) |
+            (((k * 29 + y * 5) % 256).toInt << 8) |
+            ((k * 17 + x + y) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
   /** Image resize request: pure metadata transform (the byte transform
     * is the decode stub's job); keeps aspect ratio like a real
     * thumbnailer. No shuffle. */

@@ -224,7 +224,55 @@ object MultimodalQueries {
       .orderBy("media_id", "d")
   }
 
+  /** M7 — image FEATURE EXTRACTION over real decoded pixels under the
+    * driver gate: per-row genuine PNG bytes (the deterministic
+    * gradient fixture — PNG is lossless, so unlike m5's JPEG frames
+    * the raster IS algebraically known), decoded by ImageIO on
+    * executors and projected by [[Multimodal.featuresPixels]]'s seeded
+    * matrix over row-major pixel index p = y·w + x with
+    * pixVal = r + g + b. The oracle never touches a codec: it
+    * recomputes each channel from the gradient formula and the exact
+    * integer projection — a green row pins PNG decode + raster walk +
+    * projection end to end, retiring the image path's model-forward
+    * stub the way m6 retired audio's. Long-form (media_id, d, v), the
+    * m6 convention; frame_idx is dropped (constant −1 for stills). */
+  val m7ImageFeatures: QuerySpec = QuerySpec.sql(
+    "m7_image_features",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    16 + CAST(c_custkey AS BIGINT) % 5 AS w,
+      |    12 + CAST(c_custkey AS BIGINT) % 3 AS h
+      |  FROM customer WHERE c_custkey < 200
+      |),
+      |px AS (SELECT k, w, unnest(range(0, w * h)) AS p FROM m),
+      |v AS (
+      |  SELECT k, p,
+      |    ((k*53 + (p % w)*3) % 256) + ((k*29 + (p // w)*5) % 256)
+      |      + ((k*17 + (p % w) + (p // w)) % 256) AS pv
+      |  FROM px
+      |)
+      |SELECT k AS media_id, CAST(d AS INT) AS d,
+      |  CAST(SUM(pv * ((d+1)*(p+7) % 101 - 50)) AS BIGINT) AS v
+      |FROM v, range(0, 4) u(d)
+      |GROUP BY 1, 2
+      |ORDER BY media_id, d""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 200).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "image",
+          Multimodal.pngFixture(k,
+            width = (16 + k % 5).toInt, height = (12 + k % 3).toInt),
+          Multimodal.MediaMeta("png", (16 + k % 5).toInt,
+            (12 + k % 3).toInt, 0, 0))
+      }
+    Multimodal.featuresPixels(rows, dim = 4)
+      .select(col("mediaId").as("media_id"), col("d"), col("v"))
+      .orderBy("media_id", "d")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
-      m5AviFrames, m6AudioFeatures)
+      m5AviFrames, m6AudioFeatures, m7ImageFeatures)
 }

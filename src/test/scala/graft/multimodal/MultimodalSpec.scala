@@ -175,6 +175,62 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.frameNo).toSeq == Seq(0, 0, 0, 1, 1)) // i*2/5
   }
 
+  test("featuresPixels: exact projection of a lossless raster; bad/non-image yield no rows") {
+    import spark.implicits._
+    val (k, w, h) = (9L, 17, 13)
+    val rows = Seq(
+      Multimodal.MediaRow(k, "image", Multimodal.pngFixture(k, w, h),
+        Multimodal.MediaMeta("png", w, h, 0, 0)),
+      // non-image kind and undecodable image bytes: no rows
+      Multimodal.MediaRow(2L, "video", Multimodal.pngFixture(2L, 4, 4),
+        Multimodal.MediaMeta("png", 4, 4, 0, 0)),
+      Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta("png", 0, 0, 0, 0)))
+    val got = Multimodal.featuresPixels(rows.toDS(), dim = 3).collect()
+    assert(got.forall(f => f.mediaId == k && f.frameIdx == -1))
+    assert(got.length == 3)
+    // algebraic reference straight from the gradient formulas
+    val want = (0 until 3).map { d =>
+      var acc = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val pv = (k * 53 + x * 3) % 256 + (k * 29 + y * 5) % 256 +
+          (k * 17 + x + y) % 256
+        val p = y.toLong * w + x
+        acc += pv * (((d + 1L) * (p + 7L)) % 101L - 50L)
+      }
+      d -> acc
+    }.toMap
+    got.foreach(f => assert(f.v == want(f.d), s"dim ${f.d} drift"))
+  }
+
+  test("featuresFrames: sampled AVI frames project their DECODED rasters exactly") {
+    import spark.implicits._
+    val avi = Multimodal.aviMjpegFixture(frames = 6, width = 24, height = 16)
+    val rows = Seq(Multimodal.MediaRow(5L, "video", avi,
+      Multimodal.MediaMeta("avi", 0, 0, 0, 600)))
+    val got = Multimodal.featuresFrames(rows.toDS(), k = 3, dim = 2).collect()
+    assert(got.length == 6) // 3 frames × 2 dims
+    assert(got.map(_.frameIdx).toSet == Set(0, 1, 2))
+    // reference: direct ImageIO decode of the same chunks (JPEG is
+    // lossy — the decoded raster is the only honest pixel truth)
+    val chunks = Multimodal.aviFrameChunks(avi)
+    got.foreach { f =>
+      val (cs, ce) = chunks(f.frameIdx * chunks.length / 3)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(avi, cs, ce - cs))
+      var acc = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val pv = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val p = y.toLong * img.getWidth + x
+        acc += pv * (((f.d + 1L) * (p + 7L)) % 101L - 50L)
+      }
+      assert(f.v == acc, s"frame ${f.frameIdx} dim ${f.d} drift")
+    }
+    // moving gradient → per-frame features differ
+    assert(got.filter(_.d == 0).map(_.v).distinct.length == 3)
+  }
+
   test("features: fixed-dim embeddings, deterministic") {
     val f = Multimodal.features(media, dim = 16).collect()
     assert(f.length == 30)
