@@ -15,7 +15,8 @@ object SparkEntry {
       VectorQueries.all ++ ExtraQueries.all ++ WarehouseQueries.all ++
       ScalarQueries2.all ++ ParserQueries.all ++ TicketQueries.all ++
       PipelineE2EQueries.all ++ MultimodalQueries.all ++ LmQueries.all ++
-      BpeQueries.all ++ SketchQueries.all ++ SearchQueries.all
+      BpeQueries.all ++ SketchQueries.all ++ SearchQueries.all ++
+      ScorecardQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -7,6 +7,49 @@ import graft.SparkSpec
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("t66 == rolling up the t28b manifest by source (report and manifest cannot disagree)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val m = TextQueries.t28bManifestStar.run(spark, sf)
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source")
+    val want = m.join(docs, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_quality_drop"),
+        sum(when(col("keep") && !col("is_keeper"), 1L).otherwise(0L))
+          .as("n_dup_drop"),
+        sum(when(col("selected") && col("split") === "train", 1L)
+          .otherwise(0L)).as("n_train_sel"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        col("n_quality_drop"), col("n_dup_drop"), col("n_train_sel"),
+        (col("n_selected").cast("double") / col("n_docs")).as("sel_rate"))
+      .orderBy("source")
+      .collect().map(_.toSeq).toSeq
+    val got = TextQueries.t66SourceCuration.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("t67 scorecard rows == the three component gates' rows, source-aligned") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = ScorecardQueries.t67SourceScorecard.run(spark, sf)
+      .localCheckpoint()
+    val c = TextQueries.t66SourceCuration.run(spark, sf)
+      .select("source", "n_docs", "n_selected").localCheckpoint()
+    assert(got.count() === c.count()) // every source scored, no '__all'
+    assert(got.filter(col("source") === "__all").count() === 0)
+    val joined = got.as("g").join(c.as("c"), "source")
+      .filter(col("g.n_docs") =!= col("c.n_docs") ||
+        col("g.n_selected") =!= col("c.n_selected"))
+    assert(joined.count() === 0)
+    val f = BpeQueries.t63SourceFertility.run(spark, sf)
+      .select(col("source"), col("fertility").as("f2"))
+    assert(got.join(f, "source")
+      .filter(col("fertility") =!= col("f2")).count() === 0)
+  }
+
   test("t58 source overlap: dense C(S,2) matrix, bounded counts, valid Jaccard") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
