@@ -399,4 +399,100 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  private val AnyJoin =
+    "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct".r
+
+  test("t57c prod SemDeDup: cluster-keyed pair join only, two-phase prune agg") {
+    // the k ∝ N operating point must keep t57's shape — the crossJoin
+    // E-step this family abandoned must never resurface in the plan
+    val p = finalizedPlan(VectorQueries.t57cSemDedupProd.run(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("t61b: pair join rides the fingerprint equi-key off checkpoint scans") {
+    // the cap is derived from the df HISTOGRAM (driver-side, one row
+    // per distinct df value) — the final plan must show only the
+    // checkpointed fingerprint frame self-joining on h, never a
+    // cartesian or a fresh corpus scan
+    val df = TextQueries.t61bWinnowPairsProd.run(spark, sf)
+    val p = finalizedPlan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(AnyJoin.findAllIn(p).nonEmpty, p)
+    assert(p.contains("ExistingRDD"), p) // the memoized winnow checkpoint
+    assert(!p.contains("Scan parquet"), p) // no second corpus scan
+  }
+
+  test("t62 register build: two-phase max-agg off the raw instance stream, no distinct") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.TextAnalysis.{shingles, tokens}
+    // HLL registers are duplicate-insensitive — a distinct before the
+    // max-agg would re-key the corpus-sized shingle space through an
+    // extra exchange for nothing. Contract: ONE exchange (the
+    // (source, idx) agg), partial+final pair around it.
+    val si = graft.Tables.documents(spark, sf)
+      .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("s"))
+    val regs = SketchQueries.hllRegisters(si, "source")
+    val p = regs.queryExecution.executedPlan.toString
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("t63 fertility: vocab joins broadcast; source rides the explode (no doc join)") {
+    val p = finalizedPlan(BpeQueries.t63SourceFertility.run(spark, sf))
+    // the per-word unit table is vocab-sized — AQE must broadcast it
+    // onto the checkpointed instance stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // source came through the explode itself: the final plan reads the
+    // checkpointed (source, word) frame only — no second corpus scan
+    // just to recover doc→source
+    assert(!p.contains("Scan parquet"), p)
+  }
+
+  test("t64 novelty: inverted-index shape — equi-join + two-phase aggs, no pair join") {
+    val p = finalizedPlan(TextQueries.t64NgramNovelty.run(spark, sf))
+    // the first-seen MIN and the per-doc rollup are both partial+final
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    // the only join is gram-keyed 1:1 back — never a doc×doc pair join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ExistingRDD"), p) // the shingle scan paid once
+  }
+
+  test("t65/t65b serve path is join-free: broadcast models + mapPartitions argmin") {
+    for (q <- Seq(VectorQueries.t65IvfAssign, VectorQueries.t65bIvfProbe2)) {
+      val p = plan(q)
+      assert(AnyJoin.findAllIn(p).isEmpty, s"${q.name}: $p")
+      assert(p.contains("MapPartitions"), s"${q.name}: $p")
+    }
+  }
+
+  test("t66 report: rolls checkpointed manifest frames, no cartesian anywhere") {
+    val p = finalizedPlan(TextQueries.t66SourceCuration.run(spark, sf))
+    // the cluster side arrives as the memoized star-frame checkpoint
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("t67 scorecard: three source-grained frames join broadcast") {
+    val p = finalizedPlan(ScorecardQueries.t67SourceScorecard.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("m6/m7 feature extraction: partition-local decode+project, no join") {
+    for (q <- Seq(MultimodalQueries.m6AudioFeatures,
+        MultimodalQueries.m7ImageFeatures)) {
+      val p = plan(q)
+      assert(p.contains("MapPartitions"), s"${q.name}: $p")
+      assert(AnyJoin.findAllIn(p).isEmpty, s"${q.name}: $p")
+    }
+  }
 }
