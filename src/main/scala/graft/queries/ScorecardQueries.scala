@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   * Scale shape: each component is already source-grained — the join is
   * three ~20-row frames (broadcast by AQE), costing nothing beyond the
   * component scans themselves (t66 rides the memoized manifest frames;
-  * t63's merges table is memoized; t62 is one scan). t62's corpus-wide
-  * `exact_n` probe rides along at gate scale only — a production
-  * scorecard reads the sketch columns alone (the probe-column
-  * convention documented on t62/t55). The inner join drops t62's
-  * '__all' union row by construction (no '__all' source exists in the
-  * other views). */
+  * t63's merges table is memoized; the HLL side is one scan). The
+  * sketch column comes via [[SketchQueries.hllSourceEst]] — the SAME
+  * register build + estimate arithmetic as the t62 gate (one factored
+  * helper, no drift possible) WITHOUT t62's corpus-wide `exact_n`
+  * probe or '__all' union row, per the probe-column convention
+  * documented on t62/t55: the probe is gate-scale truth, production
+  * consumers read the sketch alone. The ORACLE still embeds t62's full
+  * SQL (its probe costs nothing in DuckDB and keeps the subquery
+  * verbatim-identical to the gate's); only `est` is selected, so the
+  * compared cells are the shared arithmetic. */
 object ScorecardQueries {
 
   val t67SourceScorecard: QuerySpec = QuerySpec.sql(
@@ -39,7 +43,7 @@ object ScorecardQueries {
         "n_dup_drop", "sel_rate")
     val f = BpeQueries.t63SourceFertility.run(s, d)
       .select("source", "n_tokens", "fertility")
-    val h = SketchQueries.t62HllCardinality.run(s, d)
+    val h = SketchQueries.hllSourceEst(s, d)
       .select(col("source"), col("est").as("distinct_3gram_est"))
     c.join(f, "source").join(h, "source").orderBy("source")
   }

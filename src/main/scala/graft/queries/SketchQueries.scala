@@ -284,6 +284,37 @@ object SketchQueries {
       .groupBy(gcol, "idx").agg(max("rho").as("m"))
   }
 
+  /** (group, n_zero, s_scaled, est) from a register frame — THE
+    * estimate arithmetic, factored so the t62 gate and composing
+    * consumers (t67's scorecard) can never drift: the exact scaled
+    * register sum (every term a dyadic rational → bigint), then the
+    * single deterministic double op chain. */
+  private[queries] def hllEstimateFrame(regs: DataFrame,
+      gcol: String): DataFrame =
+    regs.groupBy(gcol)
+      .agg((lit(HllM) - count(lit(1))).cast("long").as("n_zero"),
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllScale - m)")) +
+          (lit(HllM) - count(lit(1))) * lit(1L << HllScale))
+          .cast("long").as("s_scaled"))
+      .withColumn("est",
+        lit(HllAlpha) * lit((HllM * HllM).toDouble) *
+          lit((1L << HllScale).toDouble) / col("s_scaled").cast("double"))
+
+  /** Per-source distinct-3-gram HLL estimate WITHOUT the t62 gate's
+    * corpus-wide exact probe and '__all' union row — the PRODUCTION
+    * composition shape (the probe is gate-scale truth only; t62's
+    * scaladoc says any production consumer drops it). One scan, one
+    * two-phase max-agg, one 20-row estimate frame. */
+  private[queries] def hllSourceEst(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import graft.functions.TextAnalysis.{shingles, tokens}
+    val si = graft.Tables.documents(s, d)
+      .select(col("source"),
+        explode(shingles(tokens(col("text")), 3)).as("s"))
+    hllEstimateFrame(hllRegisters(si, "source"), "source")
+      .select(col("source"), col("est"))
+  }
+
   /** Raw HLL estimate from a register frame (one row per idx): the
     * exact scaled register sum, then the single deterministic double
     * op chain. Spec-side helper mirroring the t62 gate arithmetic. */
@@ -359,22 +390,14 @@ object SketchQueries {
       .localCheckpoint() // per-source rows + the max-merge read it
     val uregs = regs.groupBy("idx").agg(max("m").as("m"))
       .select(lit("__all").as("source"), col("idx"), col("m"))
-    val agg = regs.unionByName(uregs)
-      .groupBy("source")
-      .agg((lit(HllM) - count(lit(1))).cast("long").as("n_zero"),
-        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllScale - m)")) +
-          (lit(HllM) - count(lit(1))) * lit(1L << HllScale))
-          .cast("long").as("s_scaled"))
+    val agg = hllEstimateFrame(regs.unionByName(uregs), "source")
     val dsh = si.distinct().localCheckpoint()
     val ex = dsh.groupBy("source").agg(count(lit(1)).as("exact_n"))
       .unionByName(dsh.select("s").distinct()
         .agg(count(lit(1)).as("exact_n"))
         .select(lit("__all").as("source"), col("exact_n")))
     agg.join(ex, "source")
-      .select(col("source"), col("n_zero"), col("s_scaled"),
-        (lit(HllAlpha) * lit((HllM * HllM).toDouble) *
-          lit((1L << HllScale).toDouble) / col("s_scaled").cast("double"))
-          .as("est"),
+      .select(col("source"), col("n_zero"), col("s_scaled"), col("est"),
         col("exact_n"))
       .orderBy("source")
   }
