@@ -122,4 +122,49 @@ object TextAnalysis {
 
   /** The t38 ingest-batch rule: ids whose hash byte < 26 (~10%). */
   val DeltaBatchThreshold = 26
+
+  // --- curation verdict rules (t19's signals and t15's split), ONE
+  // definition each so the batch gates and the streaming projection
+  // (CurationStream.verdictSplit) cannot drift ---
+
+  /** t15's deterministic ~80/10/10 split from [[idHashByte]]
+    * (byte < 205 → train, < 230 → val, else test). */
+  def splitOf(id: Column): Column = {
+    val b = idHashByte(id)
+    when(b < 205, "train").when(b < 230, "val").otherwise("test")
+  }
+
+  /** t6's n-gram-heuristic language call: English stopword density
+    * ≥ 5 % of tokens. */
+  def predictedLang(text: Column): Column = {
+    val toks = tokens(text)
+    when(stopwordCount(toks).cast("double") / size(toks) >= 0.05, "en")
+      .otherwise("und")
+  }
+
+  /** t7's quality score: length term × stopword-band term ×
+    * punctuation-density term. */
+  def qualityOf(text: Column): Column = {
+    val toks = tokens(text)
+    val stopRatio = stopwordCount(toks).cast("double") / size(toks)
+    val punctRatio =
+      length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") /
+        length(text)
+    least(lit(1.0), size(toks).cast("double") / 100) *
+      when(stopRatio >= 0.01 && stopRatio <= 0.3, 1.0).otherwise(0.5) *
+      when(punctRatio <= 0.2, 1.0).otherwise(0.5)
+  }
+
+  /** t19's keep rule over the three signals. */
+  def curationKeep(predicted: Column, quality: Column,
+      dupFrac: Column): Column =
+    predicted === "en" && quality >= 0.5 && dupFrac < 0.3
+
+  /** t19's drop reason: the FIRST failing rule
+    * (lang → quality → repetition); NULL when kept. */
+  def curationDropReason(predicted: Column, quality: Column,
+      dupFrac: Column): Column =
+    when(predicted =!= "en", "lang")
+      .when(quality < 0.5, "quality")
+      .when(dupFrac >= 0.3, "repetition")
 }

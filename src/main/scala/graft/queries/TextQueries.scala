@@ -1634,11 +1634,9 @@ object TextQueries {
       |  CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val b = idHashByte(col("doc_id"))
     Tables.documents(s, d)
-      .select(col("doc_id"), b.as("b"),
-        when(b < 205, "train").when(b < 230, "val").otherwise("test")
-          .as("split"))
+      .select(col("doc_id"), idHashByte(col("doc_id")).as("b"),
+        graft.functions.TextAnalysis.splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
   }
 
@@ -1733,26 +1731,19 @@ object TextQueries {
          |       WHEN dup_frac >= 0.3 THEN 'repetition' END AS drop_reason
          |FROM q JOIN rep ON q.doc_id = rep.doc_id
          |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
-      val toks = tokens(col("text"))
-      val stopRatio = stopwordCount(toks).cast("double") / size(toks)
-      val punctRatio =
-        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double") /
-        length(col("text"))
+      import graft.functions.TextAnalysis.{curationDropReason, curationKeep, predictedLang, qualityOf}
       val q = Tables.documents(s, d).select(col("doc_id"),
-        when(stopRatio >= 0.05, "en").otherwise("und").as("predicted"),
-        (least(lit(1.0), size(toks).cast("double") / 100) *
-          when(stopRatio >= 0.01 && stopRatio <= 0.3, 1.0).otherwise(0.5) *
-          when(punctRatio <= 0.2, 1.0).otherwise(0.5)).as("quality"))
+        predictedLang(col("text")).as("predicted"),
+        qualityOf(col("text")).as("quality"))
       val rep = repetitionScore(
         Tables.documents(s, d).select("doc_id", "text"), 3, 0.3)
         .select("doc_id", "dup_frac")
       q.join(rep, "doc_id")
         .select(col("doc_id"), col("predicted"), col("quality"), col("dup_frac"),
-          (col("predicted") === "en" && col("quality") >= 0.5 &&
-            col("dup_frac") < 0.3).as("keep"),
-          when(col("predicted") =!= "en", "lang")
-            .when(col("quality") < 0.5, "quality")
-            .when(col("dup_frac") >= 0.3, "repetition").as("drop_reason"))
+          curationKeep(col("predicted"), col("quality"), col("dup_frac"))
+            .as("keep"),
+          curationDropReason(col("predicted"), col("quality"), col("dup_frac"))
+            .as("drop_reason"))
         .orderBy("doc_id")
     }
   }

@@ -44,29 +44,24 @@ object CurationStream {
     * operators and the finalized manifest against `t28b`. */
   def verdictSplit(docs: DataFrame): DataFrame = {
     import graft.functions.TextAnalysis._
-    val toks = tokens(col("text"))
-    val stopRatio = stopwordCount(toks).cast("double") / size(toks)
-    val punctRatio =
-      length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double") /
-        length(col("text"))
-    val predicted = when(stopRatio >= 0.05, "en").otherwise("und")
-    val quality = least(lit(1.0), size(toks).cast("double") / 100) *
-      when(stopRatio >= 0.01 && stopRatio <= 0.3, 1.0).otherwise(0.5) *
-      when(punctRatio <= 0.2, 1.0).otherwise(0.5)
-    val b = idHashByte(col("doc_id"))
+    // every rule column comes from the SHARED TextAnalysis definitions
+    // (predictedLang/qualityOf/curationKeep/curationDropReason/splitOf)
+    // — the batch t19/t15 gates compile the same expressions, so the
+    // streaming leg cannot drift from them (the r13 ADVICE deferral,
+    // now closed structurally rather than pinned only by the e2e spec)
     docs
-      .withColumn("__sh", shingles(toks, 3))
+      .withColumn("__sh", shingles(tokens(col("text")), 3))
       .filter(size(col("__sh")) > 0)
       .withColumn("dup_frac", lit(1.0) -
         size(array_distinct(col("__sh"))).cast("double") / size(col("__sh")))
+      .withColumn("predicted", predictedLang(col("text")))
+      .withColumn("quality", qualityOf(col("text")))
       .select(col("doc_id"),
-        predicted.as("predicted"), quality.as("quality"), col("dup_frac"),
-        (predicted === "en" && quality >= 0.5 && col("dup_frac") < 0.3)
+        col("predicted"), col("quality"), col("dup_frac"),
+        curationKeep(col("predicted"), col("quality"), col("dup_frac"))
           .as("keep"),
-        when(predicted =!= "en", "lang")
-          .when(quality < 0.5, "quality")
-          .when(col("dup_frac") >= 0.3, "repetition").as("drop_reason"),
-        when(b < 205, "train").when(b < 230, "val").otherwise("test")
-          .as("split"))
+        curationDropReason(col("predicted"), col("quality"), col("dup_frac"))
+          .as("drop_reason"),
+        splitOf(col("doc_id")).as("split"))
   }
 }
