@@ -50,4 +50,23 @@ object SketchStream {
       .groupBy(least(expr(s"n_chars div ${SketchQueries.HistW}"),
         lit(SketchQueries.HistB - 1L)).as("bin"))
       .agg(count(lit(1)).as("c"))
+
+  /** Running per-source HLL registers over a streaming `documents`
+    * frame (`source`, `text`): (source, idx, m) — the t62 cardinality
+    * sketch maintained AT INGEST. The running state is a max-agg over
+    * the same register expressions the t62 gate pins cell-for-cell,
+    * so state is ≤ sources × [[SketchQueries.HllM]] rows regardless of
+    * stream length, and after any prefix the Complete-mode output
+    * EQUALS the batch register build of the documents seen so far
+    * (max, like count, needs no retraction under append-only input).
+    * Publishing an estimate (or the '__all' union row) from a
+    * register snapshot is the same downstream arithmetic t62 gates —
+    * exactly how shard sketches finalize at 100 TB. */
+  def hllRegisters(docs: DataFrame): DataFrame = {
+    import graft.functions.TextAnalysis.{shingles, tokens}
+    SketchQueries.hllRegisters(
+      docs.select(col("source"),
+        explode(shingles(tokens(col("text")), 3)).as("s")),
+      "source")
+  }
 }

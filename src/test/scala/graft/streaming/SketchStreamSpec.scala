@@ -42,6 +42,44 @@ class SketchStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers == batch registers at every prefix; estimate finalizes identically") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = SketchStream.hllRegisters(
+      input.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("source"), col("text")).as[(String, String)]
+        .collect().toSeq
+      val (a, b) = docs.splitAt(docs.size / 2)
+      def regsSet(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("source"), col("idx").cast("long"), col("m").cast("long"))
+        .as[(String, Long, Long)].collect().toSet
+      def batchRegs(prefix: Seq[(String, String)]) =
+        regsSet(SketchStream.hllRegisters(prefix.toDF("source", "text")))
+      input.addData(a: _*); q.processAllAvailable()
+      val afterA = regsSet(spark.table("hll_stream"))
+      assert(afterA === batchRegs(a)) // mid-stream prefix parity
+      input.addData(b: _*); q.processAllAvailable()
+      val afterB = regsSet(spark.table("hll_stream"))
+      assert(afterB === batchRegs(docs)) // full-corpus parity
+      // state bound: ≤ sources × m register rows
+      val nSources = docs.map(_._1).distinct.size
+      assert(afterB.size <= nSources * SketchQueries.HllM)
+      // finalize: the snapshot's estimate arithmetic is the gate's own
+      val est = SketchQueries.hllEstimate(
+        spark.table("hll_stream").groupBy("idx").agg(max("m").as("m")))
+      val exact = spark.read.parquet(s"$sf/documents.parquet")
+        .select(explode(graft.functions.TextAnalysis.shingles(
+          graft.functions.TextAnalysis.tokens(col("text")), 3)).as("s"))
+        .distinct().count()
+      assert(est > 0.5 * exact && est < 1.5 * exact,
+        s"HLL estimate $est implausible vs exact $exact")
+    } finally q.stop()
+  }
+
   test("streaming histogram state == batch histogram; state bounded at B bins") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
