@@ -526,15 +526,12 @@ object Multimodal {
     }
   }
 
-  /** Minimal GENUINE PNG bytes with a DETERMINISTIC per-id gradient
-    * raster — r = (k·53 + x·3) mod 256, g = (k·29 + y·5) mod 256,
+  /** The deterministic per-id gradient raster the image fixtures
+    * share — r = (k·53 + x·3) mod 256, g = (k·29 + y·5) mod 256,
     * b = (k·17 + x + y) mod 256 (the AVI fixture's gradient, keyed by
-    * media id instead of frame) — encoded by ImageIO's PNG writer.
-    * PNG is lossless and TYPE_INT_RGB round-trips exactly, so the m7
-    * oracle recomputes every pixel algebraically. */
-  def pngFixture(k: Long, width: Int, height: Int): Array[Byte] = {
-    require(width > 0 && height > 0, s"bad PNG fixture: ${width}x$height")
-    javax.imageio.ImageIO.setUseCache(false)
+    * media id instead of frame). */
+  private def gradientImage(k: Long, width: Int,
+      height: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -549,9 +546,219 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  private def encodeImage(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
     val buf = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", buf)
+    javax.imageio.ImageIO.write(img, format, buf)
     buf.toByteArray
+  }
+
+  /** Minimal GENUINE image bytes with the deterministic gradient
+    * raster, encoded by ImageIO's writer for `format` ("png" or
+    * "bmp" — both lossless for TYPE_INT_RGB, so the raster
+    * round-trips exactly and the m7/m8 oracles recompute every pixel
+    * algebraically). */
+  def imageFixture(k: Long, width: Int, height: Int,
+      format: String = "png"): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad image fixture: ${width}x$height")
+    encodeImage(gradientImage(k, width, height), format)
+  }
+
+  /** [[imageFixture]]'s PNG form (the m7 gate's fixture). */
+  def pngFixture(k: Long, width: Int, height: Int): Array[Byte] =
+    imageFixture(k, width, height, "png")
+
+  /** Seeded pseudo-noise raster for the PERCEPTUAL-hash fixtures. A
+    * smooth gradient is useless here: its adjacent-block differences
+    * are seed-INDEPENDENT (constant slope), so dHash collapses all
+    * seeds to a handful of values (measured: 17 gradient seeds → 5
+    * hashes). This raster gives every seed its own mod-256 slope —
+    * base v = A_seed·(19x + 257y + 1) mod 256 with A_seed an odd
+    * seed-dependent multiplier (odd ⇒ invertible ⇒ 17 seeds give 17
+    * distinct slopes), channels g/b nonlinear remixes of v — so block
+    * means differ per seed and dHash separates the families. */
+  private def noiseImage(k: Long, width: Int,
+      height: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val a = (((k + 1) * 2654435761L) & 0xffffffffL) | 1L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = ((a * (19L * x + 257L * y + 1L)) % 256L).toInt
+        val g = (v * 7 + 31) % 256
+        val b = (v * 13 + 101) % 256
+        img.setRGB(x, y, (v << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** The m9 base fixture: [[noiseImage]] encoded as PNG (lossless). */
+  def noiseFixture(k: Long, width: Int, height: Int): Array[Byte] =
+    encodeImage(noiseImage(k, width, height), "png")
+
+  /** The noise raster with a SUM-PRESERVING single-pixel perturbation:
+    * inside dHash's block (0,0) (pixels x,y < 2 for an 18×16 fixture),
+    * pick the first pixel whose green/blue channels admit a
+    * counter-shift (g+delta, b−delta — or the opposite signs — both
+    * staying in [0,255]) and apply it. The pixel's grayscale r+g+b is
+    * UNCHANGED, so every dHash block sum — and hence [[dHash64]] — is
+    * PROVABLY identical to the unperturbed raster's, while the raster
+    * bytes differ: the m9 fixture's near-duplicate images, which no
+    * byte- or raster-exact hash can group. */
+  def perturbedImageFixture(seed: Long, delta: Int, width: Int,
+      height: Int): Array[Byte] = {
+    require(delta >= 1 && delta <= 4, s"delta out of safe range: $delta")
+    require(width >= 18 && height >= 16,
+      s"fixture too small for the block-(0,0) perturbation: ${width}x$height")
+    val img = noiseImage(seed, width, height)
+    val pick = Seq((0, 0), (0, 1), (1, 0), (1, 1)).iterator.map {
+      case (x, y) =>
+        val rgb = img.getRGB(x, y)
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        if (g <= 255 - delta && b >= delta) Some((x, y, g + delta, b - delta))
+        else if (g >= delta && b <= 255 - delta)
+          Some((x, y, g - delta, b + delta))
+        else None
+    }.collectFirst { case Some(p) => p }
+    val (x, y, g2, b2) = pick.getOrElse(throw new IllegalStateException(
+      s"no perturbable pixel in block (0,0) for seed $seed delta $delta"))
+    img.setRGB(x, y, (img.getRGB(x, y) & 0xff0000) | (g2 << 8) | b2)
+    encodeImage(img, "png")
+  }
+
+  /** One decoded-raster content signature: md5 over (width, height,
+    * row-major RGB bytes) — content identity AFTER decode, so the
+    * same pixels encoded as PNG vs BMP (or recompressed) hash EQUAL
+    * where any byte-level checksum differs. The image analogue of
+    * t1's normalized-text content hash. */
+  final case class RasterSig(mediaId: Long, width: Int, height: Int,
+      sig: String)
+
+  /** Partition-parallel raster signatures — decode via ImageIO, hash
+    * the canonical raster. Images that fail the decode yield no rows
+    * (the [[featuresPixels]] convention). */
+  def rasterSignature(media: Dataset[MediaRow]): Dataset[RasterSig] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.filter(_.kind == "image").flatMap { m =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          catch { case _: Exception => null }
+        if (img == null) Seq.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val w = img.getWidth
+          val h = img.getHeight
+          md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h)
+            .array())
+          val row = new Array[Byte](3 * w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              row(3 * x) = ((rgb >> 16) & 0xff).toByte
+              row(3 * x + 1) = ((rgb >> 8) & 0xff).toByte
+              row(3 * x + 2) = (rgb & 0xff).toByte
+              x += 1
+            }
+            md.update(row)
+            y += 1
+          }
+          Seq(RasterSig(m.mediaId, w, h,
+            md.digest().map("%02x".format(_)).mkString))
+        }
+      }
+    }
+  }
+
+  /** 64-bit DIFFERENCE HASH (dHash) of a decoded raster — the
+    * standard perceptual near-dup hash: box-downsample the grayscale
+    * (r+g+b) plane to a 9×8 grid with EXACT integer block sums
+    * (bounds x0 = c·w/9 etc., no float resampling), then bit
+    * (r, c) = 1 iff mean(block r,c) > mean(block r,c+1), compared by
+    * integer cross-multiplication so unequal block sizes never need a
+    * division. Deterministic, codec-independent (any lossless decode
+    * of the same raster hashes equal), and stable under small
+    * pixel-level perturbations — what byte/raster-exact hashes cannot
+    * give. Returns None for images smaller than the grid. */
+  def dHash64(img: java.awt.image.BufferedImage): Option[Long] = {
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < gw || h < gh) None
+    else {
+      val sums = Array.ofDim[Long](gh, gw)
+      val ns = Array.ofDim[Long](gh, gw)
+      var r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < gw) {
+          val x0 = c * w / gw; val x1 = (c + 1) * w / gw
+          val y0 = r * h / gh; val y1 = (r + 1) * h / gh
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          sums(r)(c) = s
+          ns(r)(c) = (x1 - x0).toLong * (y1 - y0)
+          c += 1
+        }
+        r += 1
+      }
+      var bits = 0L
+      r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < gw - 1) {
+          // mean(c) > mean(c+1) via cross-multiplication (exact)
+          if (sums(r)(c) * ns(r)(c + 1) > sums(r)(c + 1) * ns(r)(c))
+            bits |= 1L << (r * (gw - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      Some(bits)
+    }
+  }
+
+  final case class ImageHash(mediaId: Long, dhash: Long)
+
+  /** Partition-parallel dHash over an image stream — decode + hash,
+    * no shuffle; grouping equal hashes downstream is exact-dedup
+    * machinery (t1's shape) applied to a PERCEPTUAL key. */
+  def dHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.filter(_.kind == "image").flatMap { m =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          catch { case _: Exception => null }
+        if (img == null) Seq.empty
+        else dHash64(img).map(ImageHash(m.mediaId, _)).toSeq
+      }
+    }
   }
 
   /** Image resize request: pure metadata transform (the byte transform

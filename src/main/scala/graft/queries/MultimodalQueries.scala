@@ -272,7 +272,85 @@ object MultimodalQueries {
       .orderBy("media_id", "d")
   }
 
+  /** M8 — DECODED-RASTER EXACT DEDUP under the driver gate: 200
+    * images carrying only 17 distinct rasters (gradient seed k % 17),
+    * HALF ENCODED AS PNG AND HALF AS BMP (both lossless), grouped by
+    * [[Multimodal.rasterSignature]] — content identity AFTER decode.
+    * The point the fixture forces: a byte-level checksum (the
+    * m-family `decode` checksum, or t1's hash applied to the binary
+    * column) sees 200 distinct values because the CONTAINERS differ;
+    * the raster signature sees the 17 groups a dedup pipeline
+    * actually wants. Keeper rule is lowest-media-id (the a5
+    * convention); the oracle knows the grouping algebraically
+    * (same seed ⟺ same raster ⇒ same signature; distinct seeds are
+    * distinct rasters by the gradient's k-term). One narrow shuffle
+    * on the signature — t1's exact-dedup shape on a decoded key. */
+  val m8RasterDedup: QuerySpec = QuerySpec.sql(
+    "m8_raster_dedup",
+    """SELECT CAST(c_custkey AS BIGINT) AS media_id,
+      |  CAST(c_custkey AS BIGINT) % 17 AS dup_group,
+      |  (CAST(c_custkey AS BIGINT) < 17) AS is_keeper
+      |FROM customer WHERE c_custkey < 200
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 200).as[Long]
+      .map { k =>
+        val fmt = if (k % 2 == 0) "png" else "bmp"
+        Multimodal.MediaRow(k, "image",
+          Multimodal.imageFixture(k % 17, 18, 16, fmt),
+          Multimodal.MediaMeta(fmt, 18, 16, 0, 0))
+      }
+    val sig = Multimodal.rasterSignature(rows).toDF()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    sig.select(col("mediaId").as("media_id"), col("sig"))
+      .withColumn("dup_group", min("media_id").over(w))
+      .select(col("media_id"), col("dup_group"),
+        (col("media_id") === col("dup_group")).as("is_keeper"))
+      .orderBy("media_id")
+  }
+
+  /** M9 — PERCEPTUAL NEAR-DUP via dHash under the driver gate: 200
+    * images in 17 gradient families, where every image carries its
+    * own SUM-PRESERVING two-pixel perturbation (magnitude varies with
+    * k), so no two rasters in a family are byte-identical — m8's
+    * raster signature sees 200 singletons — yet every family shares
+    * one dHash BY CONSTRUCTION (block sums unchanged; see
+    * [[Multimodal.perturbedImageFixture]]), so the perceptual grouping
+    * recovers the 17 families. Cross-family distinctness is the
+    * gradient's k-term moving every block mean (deterministic —
+    * MultimodalSpec also pins it directly). This is the image
+    * analogue of t3's SimHash near-dup: a locality hash grouped by
+    * exact equality, one narrow shuffle on the 64-bit key. */
+  val m9DhashNearDup: QuerySpec = QuerySpec.sql(
+    "m9_dhash_neardup",
+    """SELECT CAST(c_custkey AS BIGINT) AS media_id,
+      |  CAST(c_custkey AS BIGINT) % 17 AS dup_group,
+      |  (CAST(c_custkey AS BIGINT) < 17) AS is_keeper
+      |FROM customer WHERE c_custkey < 200
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 200).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "image",
+          Multimodal.perturbedImageFixture(k % 17,
+            delta = 1 + ((k / 17) % 4).toInt, 18, 16),
+          Multimodal.MediaMeta("png", 18, 16, 0, 0))
+      }
+    val hashed = Multimodal.dHash(rows).toDF()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dhash")
+    hashed.select(col("mediaId").as("media_id"), col("dhash"))
+      .withColumn("dup_group", min("media_id").over(w))
+      .select(col("media_id"), col("dup_group"),
+        (col("media_id") === col("dup_group")).as("is_keeper"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
-      m5AviFrames, m6AudioFeatures, m7ImageFeatures)
+      m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
+      m9DhashNearDup)
 }

@@ -231,6 +231,48 @@ class MultimodalSpec extends SparkSpec {
     assert(got.filter(_.d == 0).map(_.v).distinct.length == 3)
   }
 
+  test("rasterSignature: PNG and BMP of one raster hash equal; bytes differ; seeds differ") {
+    import spark.implicits._
+    val png = Multimodal.imageFixture(3L, 18, 16, "png")
+    val bmp = Multimodal.imageFixture(3L, 18, 16, "bmp")
+    assert(!java.util.Arrays.equals(png, bmp)) // containers differ...
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, Multimodal.MediaMeta("png", 18, 16, 0, 0)),
+      Multimodal.MediaRow(2L, "image", bmp, Multimodal.MediaMeta("bmp", 18, 16, 0, 0)),
+      Multimodal.MediaRow(3L, "image", Multimodal.imageFixture(4L, 18, 16),
+        Multimodal.MediaMeta("png", 18, 16, 0, 0)),
+      Multimodal.MediaRow(4L, "audio", png, Multimodal.MediaMeta("png", 0, 0, 0, 0)),
+      Multimodal.MediaRow(5L, "image", Array[Byte](9, 9), Multimodal.MediaMeta("png", 0, 0, 0, 0)))
+    val got = Multimodal.rasterSignature(rows.toDS()).collect()
+      .map(r => r.mediaId -> r.sig).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // non-image/garbage: no rows
+    assert(got(1L) == got(2L)) // ...but the DECODED raster is one content
+    assert(got(1L) != got(3L)) // different gradient seed → different sig
+  }
+
+  test("dHash64: provably stable under the sum-preserving perturbation; families distinct") {
+    def decode(b: Array[Byte]) = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b))
+    val hashes = (0 until 17).map { s =>
+      val base = Multimodal.dHash64(decode(
+        Multimodal.noiseFixture(s.toLong, 18, 16))).get
+      for (d <- 1 to 4) {
+        val pert = Multimodal.dHash64(decode(
+          Multimodal.perturbedImageFixture(s.toLong, d, 18, 16))).get
+        assert(pert == base, s"seed $s delta $d flipped a dHash bit")
+        // the perturbed raster genuinely differs from the base
+        assert(!java.util.Arrays.equals(
+          Multimodal.noiseFixture(s.toLong, 18, 16),
+          Multimodal.perturbedImageFixture(s.toLong, d, 18, 16)))
+      }
+      base
+    }
+    assert(hashes.distinct.size == 17, "noise families must not collide")
+    // below the 9x8 grid: no hash
+    assert(Multimodal.dHash64(decode(
+      Multimodal.imageFixture(0L, 8, 8))).isEmpty)
+  }
+
   test("features: fixed-dim embeddings, deterministic") {
     val f = Multimodal.features(media, dim = 16).collect()
     assert(f.length == 30)

@@ -495,4 +495,18 @@ class PlanContractSpec extends SparkSpec {
       assert(AnyJoin.findAllIn(p).isEmpty, s"${q.name}: $p")
     }
   }
+
+  test("m8/m9 image dedup: hash-partitioned grouping window, no join, never single-partition") {
+    for ((q, key) <- Seq(MultimodalQueries.m8RasterDedup -> "sig",
+        MultimodalQueries.m9DhashNearDup -> "dhash")) {
+      val p = plan(q)
+      // decode is partition-local; the only exchange is the grouping
+      // key's — a join or a global window here would be the 100 TB
+      // antipattern (all rasters through one task)
+      assert(p.contains("MapPartitions"), s"${q.name}: $p")
+      assert(p.contains(s"windowspecdefinition($key"), s"${q.name}: $p")
+      assert(!p.contains("SinglePartition"), s"${q.name}: $p")
+      assert(AnyJoin.findAllIn(p).isEmpty, s"${q.name}: $p")
+    }
+  }
 }
