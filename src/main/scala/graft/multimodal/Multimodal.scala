@@ -615,7 +615,7 @@ object Multimodal {
     * bytes differ: the m9 fixture's near-duplicate images, which no
     * byte- or raster-exact hash can group. */
   def perturbedImageFixture(seed: Long, delta: Int, width: Int,
-      height: Int): Array[Byte] = {
+      height: Int, format: String = "png"): Array[Byte] = {
     require(delta >= 1 && delta <= 4, s"delta out of safe range: $delta")
     require(width >= 18 && height >= 16,
       s"fixture too small for the block-(0,0) perturbation: ${width}x$height")
@@ -633,7 +633,7 @@ object Multimodal {
     val (x, y, g2, b2) = pick.getOrElse(throw new IllegalStateException(
       s"no perturbable pixel in block (0,0) for seed $seed delta $delta"))
     img.setRGB(x, y, (img.getRGB(x, y) & 0xff0000) | (g2 << 8) | b2)
-    encodeImage(img, "png")
+    encodeImage(img, format)
   }
 
   /** One decoded-raster content signature: md5 over (width, height,

@@ -349,8 +349,61 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** M10 — the MEDIA CURATION MANIFEST end to end (the x8 idea for
+    * the image tier): one fixture set carrying BOTH duplication
+    * structures at once — 272 images in 17 perceptual families
+    * (noise seed k % 17), each with a sum-preserving perturbation
+    * whose magnitude cycles with k/17, encoded half PNG / half BMP.
+    * Two images share a RASTER iff they share (seed, magnitude) ⟺
+    * k ≡ k' (mod 68); they share a FAMILY iff k ≡ k' (mod 17). The
+    * composed pipeline — decode once conceptually, exact-dedup on
+    * [[Multimodal.rasterSignature]], perceptual-group on
+    * [[Multimodal.dHash]] — must recover exactly those two nested
+    * partitions and the two-tier keeper decision (exact keeper =
+    * lowest id per raster; selected = the family representative,
+    * which is by construction also an exact keeper). The oracle knows
+    * every group algebraically from k. Scale shape: two narrow
+    * hash-partitioned grouping windows + one id-keyed join of the two
+    * per-media frames — nothing wider than the hash keys ever
+    * shuffles. */
+  val m10MediaManifest: QuerySpec = QuerySpec.sql(
+    "m10_media_manifest",
+    """SELECT CAST(c_custkey AS BIGINT) AS media_id,
+      |  CAST(c_custkey AS BIGINT) % 68 AS exact_group,
+      |  CAST(c_custkey AS BIGINT) % 17 AS perceptual_group,
+      |  (CAST(c_custkey AS BIGINT) < 68) AS is_exact_keeper,
+      |  (CAST(c_custkey AS BIGINT) < 17) AS selected
+      |FROM customer WHERE c_custkey < 272
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 272).as[Long]
+      .map { k =>
+        val fmt = if (k % 2 == 0) "png" else "bmp"
+        Multimodal.MediaRow(k, "image",
+          Multimodal.perturbedImageFixture(k % 17,
+            delta = 1 + ((k / 17) % 4).toInt, 18, 16, fmt),
+          Multimodal.MediaMeta(fmt, 18, 16, 0, 0))
+      }
+      .localCheckpoint() // one fixture synthesis feeds both hash legs
+    val sig = Multimodal.rasterSignature(rows).toDF()
+      .select(col("mediaId").as("media_id"), col("sig"))
+    val ph = Multimodal.dHash(rows).toDF()
+      .select(col("mediaId").as("media_id"), col("dhash"))
+    val wSig = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    val wPh = org.apache.spark.sql.expressions.Window.partitionBy("dhash")
+    sig.join(ph, "media_id")
+      .withColumn("exact_group", min("media_id").over(wSig))
+      .withColumn("perceptual_group", min("media_id").over(wPh))
+      .select(col("media_id"), col("exact_group"), col("perceptual_group"),
+        (col("media_id") === col("exact_group")).as("is_exact_keeper"),
+        (col("media_id") === col("perceptual_group")).as("selected"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
-      m9DhashNearDup)
+      m9DhashNearDup, m10MediaManifest)
 }

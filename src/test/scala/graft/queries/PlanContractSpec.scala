@@ -509,4 +509,14 @@ class PlanContractSpec extends SparkSpec {
       assert(AnyJoin.findAllIn(p).isEmpty, s"${q.name}: $p")
     }
   }
+
+  test("m10 media manifest: both grouping windows keyed, one id-equi join, no cartesian") {
+    val p = plan(MultimodalQueries.m10MediaManifest)
+    assert(p.contains("windowspecdefinition(sig"), p)
+    assert(p.contains("windowspecdefinition(dhash"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // the sig⋈dhash merge rides media_id — equi strategies only
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
