@@ -761,6 +761,106 @@ object Multimodal {
     }
   }
 
+  /** 64-bit block-mean hash (aHash) of a decoded PCM sample stream —
+    * the audio analogue of [[dHash64]]: split the samples into 64
+    * equal blocks (exact integer bounds i·n/64), bit b = 1 iff block
+    * b's mean exceeds the GLOBAL mean, compared by integer
+    * cross-multiplication (sum_b · n > total · n_b) so nothing is
+    * ever divided. Deterministic, codec-independent for lossless
+    * audio, stable under per-block sum-preserving perturbations.
+    * None for clips shorter than 64 samples. */
+  def aHash64Pcm(samples: Array[Int]): Option[Long] = {
+    val n = samples.length
+    if (n < 64) None
+    else {
+      var total = 0L
+      var j = 0
+      while (j < n) { total += samples(j); j += 1 }
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        val j0 = b * n / 64
+        val j1 = (b + 1) * n / 64
+        var s = 0L
+        var i = j0
+        while (i < j1) { s += samples(i); i += 1 }
+        if (s * n > total * (j1 - j0)) bits |= 1L << b
+        b += 1
+      }
+      Some(bits)
+    }
+  }
+
+  final case class AudioHash(mediaId: Long, ahash: Long)
+
+  /** Partition-parallel audio perceptual hash: decode 16-bit mono LE
+    * PCM (the [[featuresPcm]] contract) and [[aHash64Pcm]] it. Clips
+    * that fail the decode or are shorter than 64 samples yield no
+    * rows. Grouping equal hashes downstream is t1's exact-dedup
+    * machinery on a perceptual audio key — the m9 story, audio
+    * edition. */
+  def audioHash(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.kind == "audio").flatMap { m =>
+        val samples: Array[Int] =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.content))
+            try {
+              val f = ais.getFormat
+              if (f.getEncoding ==
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+                  !f.isBigEndian) {
+                val bytes = ais.readAllBytes()
+                Array.tabulate(bytes.length / 2) { j =>
+                  (bytes(2 * j) & 0xff) | (bytes(2 * j + 1).toInt << 8)
+                }
+              } else Array.empty[Int]
+            } finally ais.close()
+          } catch { case _: Exception => Array.empty[Int] }
+        aHash64Pcm(samples).map(AudioHash(m.mediaId, _)).toSeq
+      }
+    }
+  }
+
+  /** Seeded pseudo-noise PCM for the audio-hash fixtures (the
+    * [[noiseImage]] idea in one dimension): sample j =
+    * A_seed·(19j + 1) mod 4096 − 2048 with A_seed an odd
+    * seed-dependent multiplier — every seed gets its own mod-4096
+    * slope, so block means vary per seed and [[aHash64Pcm]] separates
+    * the families. `delta` applies a SUM-PRESERVING perturbation
+    * (+delta at sample 0, −delta at sample 1 — the same block for any
+    * n ≥ 128, values bounded ±2052 ≪ 16-bit range): every block sum
+    * AND the global sum are unchanged, so the hash is PROVABLY that of
+    * the unperturbed clip while the PCM differs. Encoded as genuine
+    * 16-bit mono LE WAV by the same javax.sound writer the decoder
+    * reads back. */
+  def wavNoiseFixture(seed: Long, frames: Int, delta: Int = 0,
+      rate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(frames >= 128, s"fixture too short for the perturbation: $frames")
+    require(delta >= 0 && delta <= 4, s"delta out of safe range: $delta")
+    val a = (((seed + 1) * 2654435761L) & 0xffffffffL) | 1L
+    val pcm = new Array[Byte](frames * 2)
+    var j = 0
+    while (j < frames) {
+      var s = ((a * (19L * j + 1L)) % 4096L).toInt - 2048
+      if (j == 0) s += delta
+      if (j == 1) s -= delta
+      pcm(2 * j) = (s & 0xff).toByte
+      pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
   /** Image resize request: pure metadata transform (the byte transform
     * is the decode stub's job); keeps aspect ratio like a real
     * thumbnailer. No shuffle. */

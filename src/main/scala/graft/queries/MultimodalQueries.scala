@@ -402,8 +402,44 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** M11 — AUDIO PERCEPTUAL NEAR-DUP via the PCM block-mean hash: the
+    * m9 story, audio edition. 200 clips in 17 noise-PCM families,
+    * every clip carrying its own sum-preserving two-sample
+    * perturbation (magnitude cycles with k/17, so no two clips in a
+    * family are byte-identical), decoded by javax.sound on executors
+    * and hashed by [[Multimodal.aHash64Pcm]] — block sums unchanged
+    * by construction, so each family shares one hash PROVABLY while
+    * exact PCM hashing sees 200 singletons; the grouping recovers the
+    * 17 families the oracle knows algebraically. One narrow shuffle
+    * on the 64-bit key. */
+  val m11AudioNearDup: QuerySpec = QuerySpec.sql(
+    "m11_audio_neardup",
+    """SELECT CAST(c_custkey AS BIGINT) AS media_id,
+      |  CAST(c_custkey AS BIGINT) % 17 AS dup_group,
+      |  (CAST(c_custkey AS BIGINT) < 17) AS is_keeper
+      |FROM customer WHERE c_custkey < 200
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 200).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "audio",
+          Multimodal.wavNoiseFixture(k % 17, frames = 1280,
+            delta = 1 + ((k / 17) % 4).toInt),
+          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+      }
+    val hashed = Multimodal.audioHash(rows).toDF()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    hashed.select(col("mediaId").as("media_id"), col("ahash"))
+      .withColumn("dup_group", min("media_id").over(w))
+      .select(col("media_id"), col("dup_group"),
+        (col("media_id") === col("dup_group")).as("is_keeper"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
-      m9DhashNearDup, m10MediaManifest)
+      m9DhashNearDup, m10MediaManifest, m11AudioNearDup)
 }

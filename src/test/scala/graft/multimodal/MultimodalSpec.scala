@@ -273,6 +273,27 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.imageFixture(0L, 8, 8))).isEmpty)
   }
 
+  test("aHash64Pcm: stable under the sum-preserving perturbation; families distinct; short clips none") {
+    import spark.implicits._
+    def decodeHash(b: Array[Byte]): Long = {
+      val rows = Seq(Multimodal.MediaRow(0L, "audio", b,
+        Multimodal.MediaMeta("wav", 0, 0, 8000, 0)))
+      Multimodal.audioHash(rows.toDS()).collect().head.ahash
+    }
+    val hashes = (0 until 17).map { s =>
+      val base = decodeHash(Multimodal.wavNoiseFixture(s.toLong, 1280))
+      for (d <- 1 to 4) {
+        val pert = Multimodal.wavNoiseFixture(s.toLong, 1280, delta = d)
+        assert(decodeHash(pert) == base, s"seed $s delta $d flipped a bit")
+        assert(!java.util.Arrays.equals(pert,
+          Multimodal.wavNoiseFixture(s.toLong, 1280)))
+      }
+      base
+    }
+    assert(hashes.distinct.size == 17, "PCM noise families must not collide")
+    assert(Multimodal.aHash64Pcm(Array.fill(63)(5)).isEmpty)
+  }
+
   test("features: fixed-dim embeddings, deterministic") {
     val f = Multimodal.features(media, dim = 16).collect()
     assert(f.length == 30)

@@ -498,7 +498,8 @@ class PlanContractSpec extends SparkSpec {
 
   test("m8/m9 image dedup: hash-partitioned grouping window, no join, never single-partition") {
     for ((q, key) <- Seq(MultimodalQueries.m8RasterDedup -> "sig",
-        MultimodalQueries.m9DhashNearDup -> "dhash")) {
+        MultimodalQueries.m9DhashNearDup -> "dhash",
+        MultimodalQueries.m11AudioNearDup -> "ahash")) {
       val p = plan(q)
       // decode is partition-local; the only exchange is the grouping
       // key's — a join or a global window here would be the 100 TB
