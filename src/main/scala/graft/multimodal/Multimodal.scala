@@ -200,7 +200,7 @@ object Multimodal {
     * per-frame gradient fill). Built for the m5 driver gate and the
     * frame-decode specs; any MJPEG-capable player structure-wise. */
   def aviMjpegFixture(frames: Int, width: Int, height: Int,
-      fps: Int = 10): Array[Byte] = {
+      fps: Int = 10, seed: Long = 0L): Array[Byte] = {
     require(frames >= 0 && width > 0 && height > 0 && fps > 0,
       s"bad AVI fixture request: frames=$frames ${width}x$height @$fps")
     def le32(v: Long): Array[Byte] =
@@ -221,8 +221,9 @@ object Multimodal {
         var x = 0
         while (x < width) {
           img.setRGB(x, y,
-            ((f * 53 + x * 3) % 256 << 16) | ((f * 29 + y * 5) % 256 << 8) |
-              ((f * 17 + x + y) % 256))
+            (((f * 53 + seed * 101 + x * 3) % 256).toInt << 16) |
+              (((f * 29 + seed * 59 + y * 5) % 256).toInt << 8) |
+              ((f * 17 + seed * 23 + x + y) % 256).toInt)
           x += 1
         }
         y += 1

@@ -438,8 +438,69 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** M12 — VIDEO CLIP NEAR-DUP via shared sampled-frame rasters: the
+    * t58 inverted-index pattern applied across a modality. Each clip's
+    * 4 sampled frames are decoded ([[Multimodal.frameSampleAvi]] —
+    * real RIFF walk + JPEG decode on executors) and keyed by their
+    * raster checksum; clips sharing ≥ 2 frame rasters pair, with the
+    * shared count. The fixture: 100 MJPEG-AVI clips in 10 families
+    * (seeded frame gradients), with per-clip LENGTH cycling 6/7/8
+    * frames — same-family clips of different length sample
+    * overlapping-but-different frame sets, so the pair rule exercises
+    * genuine partial overlap (6∩7 = 3 frames, 6∩8 = 2, 7∩8 = 1 —
+    * only the first two pair). The oracle recomputes the sampled
+    * frame-number sets algebraically (i·n/4) and intersects; frame
+    * rasters are distinct across (family, frame) by the seeded
+    * gradient, which MultimodalSpec pins. Scale shape: decode
+    * partition-local, one (checksum)-keyed inverted-index self-join,
+    * pair counts aggregated — the exact t58/t61 machinery on media
+    * keys. */
+  val m12ClipNearDup: QuerySpec = QuerySpec.sql(
+    "m12_clip_neardup",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(c_custkey AS BIGINT) % 10 AS fam,
+      |    6 + (CAST(c_custkey AS BIGINT) // 10) % 3 AS n
+      |  FROM customer WHERE c_custkey < 100
+      |),
+      |sf AS (
+      |  SELECT DISTINCT k, fam, i * n // 4 AS frame
+      |  FROM m, range(0, 4) t(i)
+      |)
+      |SELECT a.k AS d1, b.k AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM sf a JOIN sf b ON a.fam = b.fam AND a.frame = b.frame
+      |  AND a.k < b.k
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 2
+      |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 100).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "video",
+          Multimodal.aviMjpegFixture(
+            frames = (6 + (k / 10) % 3).toInt, width = 24, height = 16,
+            fps = 10, seed = k % 10),
+          Multimodal.MediaMeta("avi", 24, 16, 0, 0))
+      }
+    val frames = Multimodal.frameSampleAvi(rows, k = 4).toDF()
+      .filter(col("width") > 0) // decode failures never fabricate a key
+      .select(col("mediaId").as("media_id"), col("pixChecksum").as("fsig"))
+      .distinct()
+      .localCheckpoint() // one decode pass feeds both join sides
+    frames.as("a")
+      .join(frames.as("b"),
+        col("a.fsig") === col("b.fsig") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("d1", "d2")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
-      m9DhashNearDup, m10MediaManifest, m11AudioNearDup)
+      m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup)
 }

@@ -294,6 +294,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHash64Pcm(Array.fill(63)(5)).isEmpty)
   }
 
+  test("seeded AVI frames: rasters distinct across (family, frame); identical within") {
+    // m12's inverted-index soundness: a frame raster identifies
+    // (seed, frame number) uniquely, and the same (seed, frame) is
+    // byte-identical across clips of different length
+    def checksums(seed: Long, frames: Int): Vector[Long] = {
+      val avi = Multimodal.aviMjpegFixture(frames, 24, 16, 10, seed)
+      Multimodal.aviFrameChunks(avi).map { case (cs, ce) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(avi, cs, ce - cs))
+        var acc = 1125899906842597L
+        (0 until img.getHeight).foreach(y =>
+          (0 until img.getWidth).foreach(x =>
+            acc = 31 * acc + (img.getRGB(x, y) & 0xffffff)))
+        acc
+      }
+    }
+    val all = for (s <- 0L until 10L; f <- checksums(s, 8)) yield f
+    assert(all.distinct.size == 80, "every (family, frame) raster unique")
+    // same (seed, frame) in a SHORTER clip decodes to the same raster
+    assert(checksums(3L, 6) == checksums(3L, 8).take(6))
+  }
+
   test("features: fixed-dim embeddings, deterministic") {
     val f = Multimodal.features(media, dim = 16).collect()
     assert(f.length == 30)

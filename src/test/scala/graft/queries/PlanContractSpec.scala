@@ -511,6 +511,16 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("m12 clip near-dup: frame-key inverted-index equi-join off one decode pass") {
+    val p = finalizedPlan(MultimodalQueries.m12ClipNearDup.run(spark, sf))
+    // pair generation must ride the checksum equi-key (the t58 shape)
+    assert(AnyJoin.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ExistingRDD"), p) // decode paid once, both sides
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("m10 media manifest: both grouping windows keyed, one id-equi join, no cartesian") {
     val p = plan(MultimodalQueries.m10MediaManifest)
     assert(p.contains("windowspecdefinition(sig"), p)
