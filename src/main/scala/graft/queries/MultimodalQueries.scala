@@ -499,8 +499,96 @@ object MultimodalQueries {
       .orderBy("d1", "d2")
   }
 
+  /** M13 — IMAGE SIMILARITY SEARCH over the decoded-pixel features:
+    * the media tier wired into the ANN family end to end. Each image's
+    * 4-dim exact-integer projection ([[Multimodal.featuresPixels]], the
+    * m7 gate's vectors) is assembled into an embedding; the first 10
+    * images are queries and brute-force cosine top-3 neighbors come
+    * back with rank and cosine — t5's brute-force contract on
+    * embeddings the engine itself EXTRACTED from media bytes, not a
+    * pre-supplied table. Exactness: dot products and norms are pure
+    * long arithmetic (projections ≤ ~1.1e7, 4-dim dots ≤ ~5e14 ≪ 2^63);
+    * the only doubles are one sqrt+divide chain written identically in
+    * both engines (the t5 discipline). Ties break by neighbor id.
+    * Scale shape: query side broadcasts against the corpus features —
+    * no shuffle before the per-query top-k. */
+  val m13ImageAnn: QuerySpec = QuerySpec.sql(
+    "m13_image_ann",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    16 + CAST(c_custkey AS BIGINT) % 5 AS w,
+      |    12 + CAST(c_custkey AS BIGINT) % 3 AS h
+      |  FROM customer WHERE c_custkey < 120
+      |),
+      |px AS (SELECT k, w, unnest(range(0, w * h)) AS p FROM m),
+      |pv AS (
+      |  SELECT k, p,
+      |    ((k*53 + (p % w)*3) % 256) + ((k*29 + (p // w)*5) % 256)
+      |      + ((k*17 + (p % w) + (p // w)) % 256) AS pv
+      |  FROM px
+      |),
+      |f AS (
+      |  SELECT k, d, CAST(SUM(pv * ((d+1)*(p+7) % 101 - 50)) AS BIGINT) AS v
+      |  FROM pv, range(0, 4) u(d)
+      |  GROUP BY 1, 2
+      |),
+      |ss AS (SELECT k, CAST(SUM(v * v) AS BIGINT) AS ss FROM f GROUP BY 1),
+      |dots AS (
+      |  SELECT a.k AS qid, b.k AS nid, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM f a JOIN f b ON a.d = b.d AND a.k < 10 AND b.k <> a.k
+      |  GROUP BY 1, 2
+      |),
+      |r AS (
+      |  SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+      |  FROM (
+      |    SELECT qid, nid,
+      |      CAST(dot AS DOUBLE)
+      |        / sqrt(CAST(sa.ss AS DOUBLE) * CAST(sb.ss AS DOUBLE)) AS cos
+      |    FROM dots
+      |    JOIN ss sa ON sa.k = dots.qid
+      |    JOIN ss sb ON sb.k = dots.nid
+      |  )
+      |)
+      |SELECT qid, nid, CAST(rn AS BIGINT) AS rank, cos
+      |FROM r WHERE rn <= 3
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 120).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "image",
+          Multimodal.pngFixture(k,
+            width = (16 + k % 5).toInt, height = (12 + k % 3).toInt),
+          Multimodal.MediaMeta("png", (16 + k % 5).toInt,
+            (12 + k % 3).toInt, 0, 0))
+      }
+    // assemble (media_id, eL, ss) from the long-form projection — the
+    // KMeans.step sort_array(collect_list) vector-assembly pattern
+    val vecs = Multimodal.featuresPixels(rows, dim = 4).toDF()
+      .groupBy(col("mediaId").as("media_id"))
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("v")))),
+        x => x.getField("v")).as("eL"))
+      .withColumn("ss", call_function("long_dot", col("eL"), col("eL")))
+      .localCheckpoint() // one decode+project pass feeds both sides
+    val q = vecs.select(col("media_id").as("qid"), col("eL").as("qL"),
+      col("ss").as("qss")).filter(col("qid") < 10)
+    val cos = call_function("long_dot", col("qL"), col("eL")).cast("double") /
+      sqrt(col("qss").cast("double") * col("ss").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    vecs.join(broadcast(q), col("media_id") =!= col("qid"))
+      .select(col("qid"), col("media_id").as("nid"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
-      m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup)
+      m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup,
+      m13ImageAnn)
 }

@@ -521,6 +521,17 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("m13 image ANN: query features broadcast against the corpus, keyed top-k window") {
+    val p = plan(MultimodalQueries.m13ImageAnn)
+    // the t5 contract on self-extracted features: the 10-query side
+    // broadcasts (BNLJ on the non-equi self-pair condition), the top-k
+    // window stays qid-partitioned
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("windowspecdefinition(qid"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("m10 media manifest: both grouping windows keyed, one id-equi join, no cartesian") {
     val p = plan(MultimodalQueries.m10MediaManifest)
     assert(p.contains("windowspecdefinition(sig"), p)
