@@ -645,6 +645,37 @@ object Multimodal {
   final case class RasterSig(mediaId: Long, width: Int, height: Int,
       sig: String)
 
+  /** Decode `bytes` and hash the canonical raster — the one signature
+    * computation [[rasterSignature]] (batch) and the streaming media
+    * dedup share. None when no installed codec can decode the bytes. */
+  def rasterSigOf(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val w = img.getWidth
+      val h = img.getHeight
+      md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+      val row = new Array[Byte](3 * w)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          row(3 * x) = ((rgb >> 16) & 0xff).toByte
+          row(3 * x + 1) = ((rgb >> 8) & 0xff).toByte
+          row(3 * x + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        md.update(row)
+        y += 1
+      }
+      Some((w, h, md.digest().map("%02x".format(_)).mkString))
+    }
+  }
+
   /** Partition-parallel raster signatures — decode via ImageIO, hash
     * the canonical raster. Images that fail the decode yield no rows
     * (the [[featuresPixels]] convention). */
@@ -653,34 +684,9 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.filter(_.kind == "image").flatMap { m =>
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(m.content))
-          catch { case _: Exception => null }
-        if (img == null) Seq.empty
-        else {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val w = img.getWidth
-          val h = img.getHeight
-          md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h)
-            .array())
-          val row = new Array[Byte](3 * w)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              row(3 * x) = ((rgb >> 16) & 0xff).toByte
-              row(3 * x + 1) = ((rgb >> 8) & 0xff).toByte
-              row(3 * x + 2) = (rgb & 0xff).toByte
-              x += 1
-            }
-            md.update(row)
-            y += 1
-          }
-          Seq(RasterSig(m.mediaId, w, h,
-            md.digest().map("%02x".format(_)).mkString))
-        }
+        rasterSigOf(m.content).map { case (w, h, sig) =>
+          RasterSig(m.mediaId, w, h, sig)
+        }.toSeq
       }
     }
   }

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Streaming-ingest dedup for MEDIA: [[CurationStream.dedupe]]'s
+  * watermark-bounded exact-dedup contract with t1's normalized-text
+  * hash replaced by the m8 DECODED-raster signature — the same pixels
+  * arriving as PNG today and BMP tomorrow (or recompressed by a
+  * mirror) are one piece of content at the door, which no byte-level
+  * content hash can see. State discipline is identical:
+  * `dropDuplicatesWithinWatermark` holds a signature only until the
+  * watermark passes it, so state tracks ingest-rate × window; a
+  * re-encode arriving after the window falls through to the periodic
+  * batch m8 sweep — the standard two-tier contract.
+  */
+object MediaStream {
+
+  /** Watermark-bounded streaming raster dedup. `media` carries
+    * (`media_id`, `content` binary, `tsCol`); first arrival of each
+    * decoded raster inside the window wins. Bytes no installed codec
+    * can decode have NO raster identity and are dropped here — a real
+    * pipeline routes them to a quarantine sink, and nothing
+    * downstream can safely dedup what it cannot decode. */
+  def dedupeRaster(media: DataFrame, tsCol: String,
+      delay: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("content"), col(tsCol).as("__ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes, ts) =>
+          (id, ts, Multimodal.rasterSigOf(bytes).map(_._3).getOrElse(""))
+        }
+      }
+      .toDF("media_id", tsCol, "raster_sig")
+      .filter(col("raster_sig") =!= "")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("raster_sig")
+  }
+}
