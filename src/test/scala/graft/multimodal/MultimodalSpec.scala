@@ -316,6 +316,28 @@ class MultimodalSpec extends SparkSpec {
     assert(checksums(3L, 6) == checksums(3L, 8).take(6))
   }
 
+  test("pcmSamples: RIFF fast path == AudioSystem decode byte for byte; contract still enforced") {
+    val wav = Multimodal.wavNoiseFixture(5L, 1280, delta = 2)
+    val viaFast = Multimodal.pcmSamples(wav)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bytes = try ais.readAllBytes() finally ais.close()
+    val viaSys = Array.tabulate(bytes.length / 2)(j =>
+      (bytes(2 * j) & 0xff) | (bytes(2 * j + 1).toInt << 8))
+    assert(viaFast.length == 1280)
+    assert(viaFast.toSeq == viaSys.toSeq)
+    // a stereo WAV fails the mono contract on the fast path too
+    val stereoFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val stereoAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](400)), stereoFmt, 100L)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stereoAis,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    assert(Multimodal.pcmSamples(buf.toByteArray).isEmpty)
+    // garbage bytes: empty, no exception
+    assert(Multimodal.pcmSamples(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("features: fixed-dim embeddings, deterministic") {
     val f = Multimodal.features(media, dim = 16).collect()
     assert(f.length == 30)
