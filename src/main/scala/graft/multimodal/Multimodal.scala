@@ -826,6 +826,10 @@ object Multimodal {
       var total = 0L
       var j = 0
       while (j < n) { total += samples(j); j += 1 }
+      // |s| ≤ 2^15·(n/64+1), so |s·n| ≲ 2^10·n² — the long
+      // cross-multiply is exact only below n ≈ 2^26.5; longer clips
+      // (hours of audio) take the BigInt comparison, same rule
+      val exactLong = n <= (1 << 26)
       var bits = 0L
       var b = 0
       while (b < 64) {
@@ -834,7 +838,10 @@ object Multimodal {
         var s = 0L
         var i = j0
         while (i < j1) { s += samples(i); i += 1 }
-        if (s * n > total * (j1 - j0)) bits |= 1L << b
+        val gt =
+          if (exactLong) s * n > total * (j1 - j0)
+          else BigInt(s) * n > BigInt(total) * (j1 - j0)
+        if (gt) bits |= 1L << b
         b += 1
       }
       Some(bits)

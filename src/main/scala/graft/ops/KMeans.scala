@@ -186,13 +186,20 @@ object KMeans {
         val empty = Array.empty[(Long, Array[Long])]
         it.map { case (v, x0) =>
           val x = requireVec(v, x0)
-          val probed = nearestP(x, c2, p)
-          val cand =
-            if (p == 1) cell2.getOrElse(probed(0), empty)
-            else probed.flatMap(cc => cell2.getOrElse(cc, empty))
+          // p = 1 keeps the allocation-free argmin loop on the serve
+          // hot path (nearestP boxes + sorts a kc-tuple array per
+          // vector — fine for p ≥ 2, waste for the common default)
+          val (primary, cand) =
+            if (p == 1) {
+              val cc = argminL(x, c2)._1
+              (cc, cell2.getOrElse(cc, empty))
+            } else {
+              val probed = nearestP(x, c2, p)
+              (probed(0), probed.flatMap(cc => cell2.getOrElse(cc, empty)))
+            }
           val inCell = cand.nonEmpty
           val (fcid, dq) = if (inCell) argminL(x, cand) else argminL(x, f2)
-          (v, probed(0), fcid, dq, inCell)
+          (v, primary, fcid, dq, inCell)
         }
       }
       .toDF("vec_id", "ccid", "cid", "distq", "in_cell")

@@ -312,13 +312,13 @@ object MultimodalQueries {
   }
 
   /** M9 — PERCEPTUAL NEAR-DUP via dHash under the driver gate: 200
-    * images in 17 gradient families, where every image carries its
-    * own SUM-PRESERVING two-pixel perturbation (magnitude varies with
-    * k), so no two rasters in a family are byte-identical — m8's
-    * raster signature sees 200 singletons — yet every family shares
-    * one dHash BY CONSTRUCTION (block sums unchanged; see
-    * [[Multimodal.perturbedImageFixture]]), so the perceptual grouping
-    * recovers the 17 families. Cross-family distinctness is the
+    * images in 17 noise families, where each image carries a
+    * SUM-PRESERVING single-pixel perturbation whose magnitude cycles
+    * with k/17 — so raster-exact hashing fragments every family into
+    * its (seed, magnitude) classes (the mod-68 classes m10 builds on)
+    * while every family shares one dHash BY CONSTRUCTION (block sums
+    * unchanged; see [[Multimodal.perturbedImageFixture]]), and the
+    * perceptual grouping recovers the 17 families whole. Cross-family distinctness is the
     * gradient's k-term moving every block mean (deterministic —
     * MultimodalSpec also pins it directly). This is the image
     * analogue of t3's SimHash near-dup: a locality hash grouped by

@@ -15,6 +15,8 @@ import graft.spark.Sessions
   * documented IVF trade). COVERAGE records the ×100 row.
   *
   * Usage: runMain graft.tools.AssignBench [dir] [--skip-flat]
+  *          [--nprobe p1,p2,...]
+  * (`dir` must come first: positional parsing takes the head arg.)
   */
 object AssignBench {
   def main(args: Array[String]): Unit = {

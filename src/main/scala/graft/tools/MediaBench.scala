@@ -33,13 +33,16 @@ object MediaBench {
       a
     }
 
-    val images = spark.range(nImg).repartition(256).map { id =>
-      Multimodal.MediaRow(id, "image",
-        Multimodal.perturbedImageFixture(id % 4096,
-          delta = 1 + (id % 4).toInt, 18, 16),
-        Multimodal.MediaMeta("png", 18, 16, 0, 0))
-    }.localCheckpoint() // synthesis timed once, operators measured pure
-    timed("png_synthesis", nImg)(images.count())
+    // localCheckpoint is EAGER — it must sit INSIDE the timed block or
+    // the synthesis job runs untimed and the count scans cached blocks
+    val images = timed("png_synthesis", nImg) {
+      spark.range(nImg).repartition(256).map { id =>
+        Multimodal.MediaRow(id, "image",
+          Multimodal.perturbedImageFixture(id % 4096,
+            delta = 1 + (id % 4).toInt, 18, 16),
+          Multimodal.MediaMeta("png", 18, 16, 0, 0))
+      }.localCheckpoint() // operators below are then measured pure
+    }
 
     timed("raster_signature", nImg) {
       Multimodal.rasterSignature(images)
@@ -53,13 +56,14 @@ object MediaBench {
         .agg(sum("v")).collect()
     }
 
-    val audio = spark.range(nAud).repartition(128).map { id =>
-      Multimodal.MediaRow(id, "audio",
-        Multimodal.wavNoiseFixture(id % 4096, frames = 1280,
-          delta = 1 + (id % 4).toInt),
-        Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
-    }.localCheckpoint()
-    timed("wav_synthesis", nAud)(audio.count())
+    val audio = timed("wav_synthesis", nAud) {
+      spark.range(nAud).repartition(128).map { id =>
+        Multimodal.MediaRow(id, "audio",
+          Multimodal.wavNoiseFixture(id % 4096, frames = 1280,
+            delta = 1 + (id % 4).toInt),
+          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+      }.localCheckpoint()
+    }
 
     timed("audio_hash_groups", nAud) {
       Multimodal.audioHash(audio).groupBy("ahash").count().count()

@@ -35,8 +35,16 @@ class MediaStreamSpec extends SparkSpec {
       q.processAllAvailable()
       val kept = spark.table("media_dedup")
         .select("media_id").as[Long].collect().toSet
-      // first arrival per raster group wins: ids 0..9 exactly
-      assert(kept == (0L until 10L).toSet)
+      // ONE survivor per raster group, drawn from that group — the
+      // within-micro-batch winner is whichever row the state-store
+      // task sees first (no ordering contract), so the spec pins the
+      // dedup invariant, not an arrival-order accident
+      assert(kept.size == 10)
+      assert((0L until 10L).forall(g =>
+        kept.count(id => id % 10 == g) == 1))
+      // cross-batch dups were caught from state: batch two (ids 20-39)
+      // contributed nothing new
+      assert(kept.forall(_ < 20L))
     } finally q.stop()
   }
 }

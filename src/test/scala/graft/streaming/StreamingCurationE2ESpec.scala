@@ -40,10 +40,13 @@ class StreamingCurationE2ESpec extends SparkSpec
     tmpDirs.foreach { dir =>
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
     }
     super.afterAll()
   }
