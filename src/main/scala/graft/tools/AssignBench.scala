@@ -15,7 +15,7 @@ import graft.spark.Sessions
   * documented IVF trade). COVERAGE records the ×100 row.
   *
   * Usage: runMain graft.tools.AssignBench [dir] [--skip-flat]
-  *          [--nprobe p1,p2,...]
+  *          [--nprobe p1,p2,...] [--train]
   * (`dir` must come first: positional parsing takes the head arg.)
   */
 object AssignBench {
@@ -33,12 +33,24 @@ object AssignBench {
     val kc = math.max(2, math.ceil(math.sqrt(kf.toDouble)).toInt)
     def seeds(k: Int) = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("eL").as("cL"))
-    val fine = seeds(kf).localCheckpoint()
-    val coarse = seeds(kc).localCheckpoint()
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
+    // --train: 2 Lloyd iterations per model instead of raw first-k
+    // seeds — answers whether the agreement-vs-flat level is a
+    // seeding artifact (seed cells are ill-separated) at the cost of
+    // the flat-E-step training the serve path then avoids forever
+    val train = args.contains("--train")
+    val (fine, coarse) =
+      if (train) {
+        val (f, tF) = timed(graft.ops.KMeans
+          .fitCentroids(emb, kf, 2).localCheckpoint())
+        val (c, tC) = timed(graft.ops.KMeans
+          .fitCentroids(emb, kc, 2).localCheckpoint())
+        println(f"[assign-bench] trained fine=$tF%.2fs coarse=$tC%.2fs")
+        (f, c)
+      } else (seeds(kf).localCheckpoint(), seeds(kc).localCheckpoint())
     // --nprobe p1,p2,... sweeps the probe widths (default just p=1)
     val probes = args.sliding(2).collectFirst {
       case Array("--nprobe", ps) => ps.split(",").map(_.trim.toInt).toSeq
