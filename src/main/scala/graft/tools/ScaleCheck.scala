@@ -60,7 +60,7 @@ object ScaleCheck {
     "t57c_semdedup_prod", "t61b_winnow_pairs_prod",
     "t38b_delta_neardup_prod", "t62_hll_cardinality",
     "t63_source_fertility", "t64_ngram_novelty", "t65_ivf_assign",
-    "t66_source_curation")
+    "t66_source_curation", "t65b_ivf_probe2", "t67_source_scorecard")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
