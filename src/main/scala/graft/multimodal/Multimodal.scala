@@ -404,10 +404,14 @@ object Multimodal {
         val chunks = riffWalk(bytes, 12, bytes.length)
         chunks.collectFirst {
           case ("fmt ", s, e) if e - s >= 16 &&
-              (u16le(s), u16le(s + 2), u16le(s + 14)) == ((1, 1, 16)) =>
-            chunks.collectFirst { case ("data", ds, de) =>
-              toSamples(ds, de)
-            }.getOrElse(Array.empty[Int])
+              (u16le(s), u16le(s + 2), u16le(s + 14)) == ((1, 1, 16)) => s
+        }.flatMap { _ =>
+          // fmt matched but NO well-formed data chunk (streaming-written
+          // WAVs with placeholder/oversized size fields that riffWalk
+          // rejects): fall THROUGH to the general path — AudioSystem may
+          // still decode the available frames, and the two paths must
+          // stay contract-identical on the same bytes (ADVICE r14)
+          chunks.collectFirst { case ("data", ds, de) => toSamples(ds, de) }
         }
         // other fmt tags (extensible, float, multi-channel) fall to the
         // general path, which applies the same final contract

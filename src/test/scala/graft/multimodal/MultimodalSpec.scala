@@ -338,6 +338,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pcmSamples(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("pcmSamples: fmt-matched WAV with oversized data size field falls to the general path (ADVICE r14)") {
+    // streaming-written WAVs carry placeholder/oversized data sizes;
+    // riffWalk rejects such a chunk, but AudioSystem still decodes the
+    // available frames — the fast path must fall THROUGH, not return
+    // an empty decode the general path would not have produced
+    val wav = Multimodal.wavFixture(256)
+    val idx = (0 until wav.length - 4)
+      .find(i => new String(wav, i, 4, "ISO-8859-1") == "data").get
+    val bad = wav.clone()
+    val orig = (bad(idx + 4) & 0xff) | ((bad(idx + 5) & 0xff) << 8) |
+      ((bad(idx + 6) & 0xff) << 16) | ((bad(idx + 7) & 0xff) << 24)
+    val ns = orig + 100 // overflows the file → riffWalk drops the chunk
+    bad(idx + 4) = (ns & 0xff).toByte
+    bad(idx + 5) = ((ns >> 8) & 0xff).toByte
+    bad(idx + 6) = ((ns >> 16) & 0xff).toByte
+    bad(idx + 7) = ((ns >> 24) & 0xff).toByte
+    val got = Multimodal.pcmSamples(bad)
+    // the general path decodes every AVAILABLE frame — identical to the
+    // well-formed fixture's samples (only the size FIELD was corrupted)
+    assert(got.nonEmpty)
+    assert(got.toSeq == Multimodal.pcmSamples(wav).toSeq)
+  }
+
   test("features: fixed-dim embeddings, deterministic") {
     val f = Multimodal.features(media, dim = 16).collect()
     assert(f.length == 30)
