@@ -65,7 +65,7 @@ object BpeQueries {
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .orderBy(col("wc").desc, col("word")).limit(BpeW)
 
-  private val mergesMemo = new Clustering.Memo[(SparkSession, String, String)]
+  private val mergesMemo = new Clustering.Memo[(SparkSession, String)]
 
   /** The trained merge table (round, w1, w2, merged, cnt) — the model
     * artifact. Each round localCheckpoints the 1-row argmax and the
@@ -73,8 +73,9 @@ object BpeQueries {
     * state (the CC-loop convention); memoized per corpus fingerprint
     * so the apply side (t51) never retrains. */
   private[queries] def trainMerges(s: SparkSession, d: String): DataFrame = {
-    val key = (s, d, Clustering.fingerprint(d, "documents"))
-    mergesMemo.reuse(key) {
+    val key = (s, d)
+    val stamp = Clustering.fingerprint(d, "documents")
+    mergesMemo.reuse(key, stamp) {
       var syms = wordCounts(s, d)
         .select(col("word"), col("wc"), charSym(col("word")).as("sym"))
         .localCheckpoint()
@@ -102,7 +103,7 @@ object BpeQueries {
           .localCheckpoint()
         best
       }
-      mergesMemo.record(key,
+      mergesMemo.record(key, stamp,
         bests.reduce(_ union _).localCheckpoint())
     }
   }

@@ -24,15 +24,43 @@ private[queries] object Clustering {
     * frame; composing consumers (t28, the parity gates) `reuse` it so
     * a composition never pays the iterative CC loop twice.
     *
-    * Callers key entries with [[fingerprint]] over the backing table(s)
-    * so an input dir rewritten in-process changes the key and the stale
-    * checkpointed frame is never served (it rebuilds instead). */
-  final class Memo[K] {
-    private val m = new ConcurrentHashMap[K, DataFrame]
-    def record(k: K, df: DataFrame): DataFrame = { m.put(k, df); df }
-    def reuse(k: K)(build: => DataFrame): DataFrame =
-      Option(m.get(k)).getOrElse(build)
+    * Entries are keyed by a stable PREFIX (session, dir, variant) with
+    * a [[fingerprint]] of the backing table(s) as a VALIDITY STAMP:
+    * `reuse` serves the recorded frame only while the stamp matches
+    * (an input dir rewritten in-process rebuilds instead of serving a
+    * stale checkpoint), and `record` RELEASES the previous entry's
+    * localCheckpoint blocks when it replaces one — whether from a
+    * corpus rewrite or a direct gate rerun — so a long-lived ingest
+    * process never accumulates dead checkpoint storage (ADVICE r14;
+    * the old fingerprint-in-key design kept every superseded frame
+    * pinned in the map forever). */
+  final class Memo[P] {
+    private val m = new ConcurrentHashMap[P, (String, DataFrame)]
+    def record(prefix: P, stamp: String, df: DataFrame): DataFrame = {
+      val old = m.put(prefix, (stamp, df))
+      if (old != null && !(old._2 eq df)) release(old._2)
+      df
+    }
+    def reuse(prefix: P, stamp: String)(build: => DataFrame): DataFrame =
+      Option(m.get(prefix)) match {
+        case Some((s, df)) if s == stamp => df
+        case _ => build
+      }
   }
+
+  /** Release the persisted blocks behind a localCheckpoint'ed frame:
+    * the checkpointed Dataset's plan is a `LogicalRDD` over the
+    * persisted internal RDD — unpersist that RDD. No-op (never a
+    * failure) for any other plan shape: callers may record frames that
+    * were never checkpointed, and releasing is an optimization, not a
+    * correctness requirement. Deliberately non-blocking — the evicted
+    * blocks just become reclaimable. */
+  private def release(df: DataFrame): Unit =
+    try df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   /** Content fingerprint of the parquet inputs behind a memoized frame:
     * sorted (path, length, mtime) of every file under each table path.

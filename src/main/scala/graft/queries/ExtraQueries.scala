@@ -337,10 +337,11 @@ object ExtraQueries {
     buildSemanticClusters(s, d, star = false).orderBy("vec_id")
   }
 
-  // keyed by (session, dir, input fingerprint, star) — the fingerprint
-  // invalidates the memo when embeddings.parquet is rewritten in-process
+  // keyed by (session, dir, star) with the embeddings.parquet
+  // fingerprint as the validity stamp — an in-process rewrite rebuilds,
+  // and each re-record releases the superseded checkpoint (ADVICE r14)
   private val semanticMemo =
-    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String, Boolean)]
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, Boolean)]
 
   /** Fresh semantic-cluster build (full or star edge feed), recorded
     * for reuse — the TextQueries memo pattern: direct t26/t35 runs
@@ -352,13 +353,13 @@ object ExtraQueries {
                  else cosNearDupPairs(s, d)).select(col("d1"), col("d2"))
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
-    semanticMemo.record((s, d, Clustering.fingerprint(d, "embeddings"), star),
+    semanticMemo.record((s, d, star), Clustering.fingerprint(d, "embeddings"),
       Clustering.frame(cc, "vec_id").localCheckpoint())
   }
 
   private def semanticClustersReused(s: org.apache.spark.sql.SparkSession,
       d: String, star: Boolean): org.apache.spark.sql.DataFrame =
-    semanticMemo.reuse((s, d, Clustering.fingerprint(d, "embeddings"), star))(
+    semanticMemo.reuse((s, d, star), Clustering.fingerprint(d, "embeddings"))(
       buildSemanticClusters(s, d, star))
 
   /** T35 — semantic clusters over the STAR edge feed: t32's

@@ -262,21 +262,23 @@ object TextQueries {
     * checkpoint makes reuse a block read instead. On a cluster the
     * same contract is "materialize the cluster table once, join
     * downstream consumers against it", not a per-query rebuild. */
-  // keys carry a Clustering.fingerprint of documents.parquet so an
-  // in-process rewrite of the dir invalidates rather than serving a
-  // stale checkpointed frame
+  // entries are keyed by (session, dir) with a Clustering.fingerprint
+  // of documents.parquet as the validity stamp — an in-process rewrite
+  // of the dir rebuilds (never serves stale), and each re-record
+  // releases the superseded checkpoint's blocks (ADVICE r14)
   private val dupClustersMemo =
-    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String)]
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String)]
 
-  private def docsKey(s: org.apache.spark.sql.SparkSession, d: String) =
-    (s, d, Clustering.fingerprint(d, "documents"))
+  private def docsPrefix(s: org.apache.spark.sql.SparkSession, d: String) =
+    (s, d)
+  private def docsStamp(d: String) = Clustering.fingerprint(d, "documents")
 
   private def buildDupClusters(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val edges = nearDupPairs(s, d).select(col("d1"), col("d2"))
     val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
-    dupClustersMemo.record(docsKey(s, d),
+    dupClustersMemo.record(docsPrefix(s, d), docsStamp(d),
       Clustering.frame(cc, "doc_id").localCheckpoint())
   }
 
@@ -285,10 +287,10 @@ object TextQueries {
     * fresh build. */
   private def dupClustersReused(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    dupClustersMemo.reuse(docsKey(s, d))(buildDupClusters(s, d))
+    dupClustersMemo.reuse(docsPrefix(s, d), docsStamp(d))(buildDupClusters(s, d))
 
   private val starClustersMemo =
-    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String)]
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String)]
 
   /** Fresh star-edge cluster build, recorded for reuse — mirrors
     * [[buildDupClusters]]: direct t32 runs always rebuild (bench/scale
@@ -299,13 +301,13 @@ object TextQueries {
     val edges = nearDupStarEdgesOf(Tables.documents(s, d))
     val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
     val cc = graft.ops.ConnectedComponents.labels(edges, "d1", "d2", nodes, "id")
-    starClustersMemo.record(docsKey(s, d),
+    starClustersMemo.record(docsPrefix(s, d), docsStamp(d),
       Clustering.frame(cc, "doc_id").localCheckpoint())
   }
 
   private def starClustersReused(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    starClustersMemo.reuse(docsKey(s, d))(buildStarClusters(s, d))
+    starClustersMemo.reuse(docsPrefix(s, d), docsStamp(d))(buildStarClusters(s, d))
 
   /** T32 — near-dup clusters over the STAR edge feed: the
     * linear-in-duplication-depth variant of t21. The ×100 scale run
@@ -437,7 +439,7 @@ object TextQueries {
   }
 
   private val repDedupMemo =
-    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String)]
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String)]
 
   /** Fresh t34 rep-collapsed cluster build, recorded for reuse — the
     * [[buildDupClusters]] pattern: direct t34 runs always rebuild,
@@ -459,7 +461,7 @@ object TextQueries {
       cc.select(col("id").as("keeper"), col("label").as("cluster_id")),
       "keeper")
     val sized = fin.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    repDedupMemo.record(docsKey(s, d),
+    repDedupMemo.record(docsPrefix(s, d), docsStamp(d),
       fin.join(sized, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_keeper"))
@@ -468,7 +470,7 @@ object TextQueries {
 
   private def repDedupReused(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    repDedupMemo.reuse(docsKey(s, d))(buildRepDedup(s, d))
+    repDedupMemo.reuse(docsPrefix(s, d), docsStamp(d))(buildRepDedup(s, d))
 
   /** T31b — the SimHash near-dup SCALE operating point (the t10b
     * lesson applied to the third near-dup family): t31's 32-bit
@@ -2223,9 +2225,9 @@ object TextQueries {
   // process, not once per query. Keys carry the documents.parquet
   // content fingerprint, so an in-process rewrite invalidates.
   private val winnowFpMemo =
-    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String)]
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String)]
   private val winnowDocHashMemo =
-    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String, String)]
+    new Clustering.Memo[(org.apache.spark.sql.SparkSession, String)]
 
   /** Fresh winnowed-fingerprint build (the t60 body, ORDER-BY-free),
     * recorded for reuse and checkpointed — the frame is ~1/(W/2) of
@@ -2247,7 +2249,7 @@ object TextQueries {
         (i + size(sl) - array_position(reverse(sl), m)).cast("long").as("pos"),
         m.as("h"))
     }
-    winnowFpMemo.record(docsKey(s, d),
+    winnowFpMemo.record(docsPrefix(s, d), docsStamp(d),
       Tables.documents(s, d)
         .select(col("doc_id"), hs.as("hs"))
         .withColumn("nw", nw)
@@ -2261,7 +2263,7 @@ object TextQueries {
 
   private def winnowFpReused(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    winnowFpMemo.reuse(docsKey(s, d))(buildWinnowFp(s, d))
+    winnowFpMemo.reuse(docsPrefix(s, d), docsStamp(d))(buildWinnowFp(s, d))
 
   /** The (doc_id, h)-distinct projection both pair queries self-join
     * on, checkpointed once (first caller builds, the other reuses —
@@ -2269,8 +2271,8 @@ object TextQueries {
     * pos-level frame, not the corpus). */
   private def winnowDocHash(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    winnowDocHashMemo.reuse(docsKey(s, d)) {
-      winnowDocHashMemo.record(docsKey(s, d),
+    winnowDocHashMemo.reuse(docsPrefix(s, d), docsStamp(d)) {
+      winnowDocHashMemo.record(docsPrefix(s, d), docsStamp(d),
         winnowFpReused(s, d)
           .select("doc_id", "h").distinct()
           .localCheckpoint()) // one winnowing pass: df screen + both sides

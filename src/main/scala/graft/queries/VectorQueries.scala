@@ -833,13 +833,13 @@ object VectorQueries {
     * reuses; the fingerprint key invalidates on any rewrite of the
     * backing parquet. */
   private val pqCodebookMemo =
-    new Clustering.Memo[(SparkSession, String, String)]
+    new Clustering.Memo[(SparkSession, String)]
 
   private def pqCodebook(s: SparkSession, d: String,
       emb: DataFrame): DataFrame =
-    pqCodebookMemo.reuse((s, d, Clustering.fingerprint(d, "embeddings"))) {
+    pqCodebookMemo.reuse((s, d), Clustering.fingerprint(d, "embeddings")) {
       pqCodebookMemo.record(
-        (s, d, Clustering.fingerprint(d, "embeddings")),
+        (s, d), Clustering.fingerprint(d, "embeddings"),
         graft.ops.KMeans.fitCentroidsGrouped(
           pqSubvecs(emb).withColumnRenamed("sv", "eL"), PqK, PqIters)
           .localCheckpoint())

@@ -45,15 +45,50 @@ class MemoInvalidationSpec extends SparkSpec {
     assert(r2.isEmpty, "rewritten corpus has no pairs — stale memo served?")
   }
 
-  test("memo reuses only under the recorded key; a new key rebuilds") {
+  test("memo reuses only under a matching stamp; a new stamp rebuilds") {
     val m = new Clustering.Memo[String]
     val recorded = spark.range(1).toDF("a")
-    m.record("k-old", recorded)
-    assert(m.reuse("k-old")(sys.error("must not rebuild")) eq recorded)
+    m.record("prefix", "fp-old", recorded)
+    assert(m.reuse("prefix", "fp-old")(sys.error("must not rebuild"))
+      eq recorded)
     var built = false
     val fresh = spark.range(2).toDF("a")
-    val got = m.reuse("k-new") { built = true; fresh }
-    assert(built, "a changed key (e.g. new fingerprint) must rebuild")
+    val got = m.reuse("prefix", "fp-new") { built = true; fresh }
+    assert(built, "a changed stamp (rewritten input) must rebuild")
     assert(got eq fresh)
+    // an unknown prefix rebuilds too
+    var built2 = false
+    m.reuse("other-prefix", "fp-old") { built2 = true; fresh }
+    assert(built2)
+  }
+
+  test("re-recording a prefix releases the superseded checkpoint's blocks (ADVICE r14)") {
+    def checkpointRdd(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+      }
+    val m = new Clustering.Memo[String]
+    val old = spark.range(10).toDF("a").localCheckpoint()
+    val oldRdd = checkpointRdd(old)
+    assert(oldRdd.getStorageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "localCheckpoint must have persisted its RDD")
+    m.record("prefix", "fp-1", old)
+    // same frame re-recorded: NOT released (record must be idempotent)
+    m.record("prefix", "fp-1", old)
+    assert(oldRdd.getStorageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    // a replacing record (rewrite OR direct-run re-record) releases it
+    val fresh = spark.range(20).toDF("a").localCheckpoint()
+    m.record("prefix", "fp-2", fresh)
+    assert(oldRdd.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "superseded checkpoint must be unpersisted, not orphaned")
+    // the replacement still serves
+    assert(m.reuse("prefix", "fp-2")(sys.error("must not rebuild"))
+      eq fresh)
+    assert(checkpointRdd(fresh).getStorageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
   }
 }
