@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * JDK's `javax.sound.sampled` parses WAV/AIFF/AU headers to sample
   * rate and frame count (→ duration). The VIDEO path parses BOTH
   * containers for real — a pure-JDK `ftyp`/`moov`/`mvhd` box walk for
-  * ISO-BMFF/MP4 and a RIFF `hdrl`/`movi` walk for AVI — and for
-  * MJPEG-in-AVI even the PIXELS are real: [[frameSampleAvi]] decodes
-  * the sampled `00dc` chunks with ImageIO's JPEG codec. Only non-JPEG
-  * video codecs (H.26x in MP4) remain STUBBED (the JDK ships no such
-  * codec and this build has no media libraries): that one site is
-  * marked `STUB:` so the codec swap is mechanical.
+  * ISO-BMFF/MP4 and a RIFF `hdrl`/`movi` walk for AVI — and AVI
+  * PIXELS are real on two codec coverage points: MJPEG `00dc` chunks
+  * decode with ImageIO's JPEG codec and uncompressed BI_RGB `00db`
+  * chunks decode CODEC-FREE (raw bottom-up BGR rows —
+  * [[decodeDibFrame]]), both behind one frame-decode seam
+  * ([[decodeAviFrame]]). Only COMPRESSED non-JPEG video codecs
+  * (H.26x in MP4/AVI) remain STUBBED (the JDK ships no such codec and
+  * this build has no media libraries): that one site is marked
+  * `STUB:` so the codec swap is mechanical.
   *
   * Scale notes: content rides in the row (parquet binary) — at lake
   * scale the column is typically a reference (uri, offset, nbytes) into
@@ -177,6 +180,97 @@ object Multimodal {
       })
   }
 
+  /** Uncompressed-DIB stream format from an AVI's `strf`
+    * (BITMAPINFOHEADER): dims, and whether rows are stored top-down
+    * (negative biHeight) instead of DIB's default bottom-up. */
+  final case class AviDibInfo(width: Int, height: Int, topDown: Boolean)
+
+  /** The video stream's BITMAPINFOHEADER when — and only when — it
+    * declares CODEC-FREE uncompressed 24-bit RGB frames
+    * (biCompression = 0 = BI_RGB, biBitCount = 24): walk
+    * `hdrl` → the `vids` `strl` → its `strf`. Such frames need no
+    * codec at all — just row-stride and bottom-up handling — so they
+    * decode on any JVM; compressed streams (MJPG/H.26x handlers)
+    * return None and take the per-frame ImageIO path instead. */
+  def aviDibInfo(bytes: Array[Byte]): Option[AviDibInfo] = {
+    def u32le(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def u16le(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      None
+    else riffWalk(bytes, 12, bytes.length)
+      .collectFirst { case ("LIST", s, e) if e - s >= 4 && fourcc(s) == "hdrl" =>
+        riffWalk(bytes, s + 4, e).collect {
+          case ("LIST", ls, le) if le - ls >= 4 && fourcc(ls) == "strl" =>
+            riffWalk(bytes, ls + 4, le)
+        }
+      }
+      .flatMap(_.collectFirst(Function.unlift { strl =>
+        // the stream whose strh declares a video handler
+        strl.collectFirst {
+          case ("strh", hs, he) if he - hs >= 4 && fourcc(hs) == "vids" =>
+            strl.collectFirst {
+              case ("strf", fs, fe) if fe - fs >= 40 &&
+                  u32le(fs + 16) == 0 && u16le(fs + 14) == 24 =>
+                val rawH = u32le(fs + 8).toInt // signed: <0 = top-down
+                AviDibInfo(u32le(fs + 4).toInt, math.abs(rawH), rawH < 0)
+            }
+        }.flatten
+      }))
+  }
+
+  /** Decode one raw 24-bit BI_RGB frame chunk: rows are
+    * 4-byte-aligned (stride = ⌈3w/4⌉·4), stored bottom-up unless
+    * `topDown`, pixels little-endian B,G,R. None when the chunk
+    * doesn't hold exactly the declared raster (a truncated frame must
+    * not fabricate pixels). */
+  private def decodeDibFrame(bytes: Array[Byte], cs: Int, ce: Int,
+      d: AviDibInfo): Option[java.awt.image.BufferedImage] = {
+    val stride = ((d.width * 3 + 3) / 4) * 4
+    if (d.width <= 0 || d.height <= 0 || ce - cs != stride * d.height) None
+    else {
+      val img = new java.awt.image.BufferedImage(
+        d.width, d.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < d.height) {
+        val fileRow = if (d.topDown) y else d.height - 1 - y
+        val off = cs + fileRow * stride
+        var x = 0
+        while (x < d.width) {
+          val b = bytes(off + 3 * x) & 0xff
+          val g = bytes(off + 3 * x + 1) & 0xff
+          val r = bytes(off + 3 * x + 2) & 0xff
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      Some(img)
+    }
+  }
+
+  /** THE shared video-frame decode seam ([[frameSampleAvi]] /
+    * [[featuresFrames]] / the heavy-sweep media entries all route
+    * through it): a stream declaring BI_RGB decodes codec-free via
+    * [[decodeDibFrame]]; anything else goes to ImageIO (which ships a
+    * JPEG codec, covering MJPEG). Null when neither can decode —
+    * callers keep their existing no-fabricated-identity conventions.
+    * Dispatch is on the strf declaration, never on chunk-size
+    * heuristics: a BI_RGB stream's chunks ARE rasters, an MJPG
+    * stream's never are. */
+  private def decodeAviFrame(bytes: Array[Byte], cs: Int, ce: Int,
+      dib: Option[AviDibInfo]): java.awt.image.BufferedImage =
+    dib match {
+      case Some(d) => decodeDibFrame(bytes, cs, ce, d).orNull
+      case None =>
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, cs, ce - cs))
+        catch { case _: Exception => null }
+    }
+
   /** Payload ranges of the `movi` frame chunks (`##dc` compressed /
     * `##db` uncompressed), in container order — for MJPEG each range
     * is one complete JPEG stream. */
@@ -249,6 +343,61 @@ object Multimodal {
     "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
   }
 
+  /** Minimal GENUINE uncompressed-RGB AVI bytes: the
+    * [[aviMjpegFixture]] container layout with the codec REMOVED —
+    * strh handler `DIB `, strf biCompression = 0 (BI_RGB) /
+    * biBitCount = 24, and `00db` chunks holding raw bottom-up
+    * 4-byte-aligned BGR rows of the SAME deterministic per-frame
+    * gradient the MJPEG fixture paints. Raw frames are LOSSLESS, so —
+    * unlike the JPEG fixture — every decoded pixel is algebraically
+    * known and the m15 oracle recomputes the raster end to end. */
+  def aviDibFixture(frames: Int, width: Int, height: Int,
+      fps: Int = 10, seed: Long = 0L): Array[Byte] = {
+    require(frames >= 0 && width > 0 && height > 0 && fps > 0,
+      s"bad AVI fixture request: frames=$frames ${width}x$height @$fps")
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] =
+      cc.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++
+        (if ((payload.length & 1) == 1) Array(0.toByte)
+         else Array.emptyByteArray)
+    def list(tp: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", tp.getBytes("ISO-8859-1") ++ children)
+    val stride = ((width * 3 + 3) / 4) * 4
+    val rasters = (0 until frames).map { f =>
+      val buf = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        val off = (height - 1 - y) * stride // bottom-up row order
+        var x = 0
+        while (x < width) {
+          buf(off + 3 * x) = ((f * 17 + seed * 23 + x + y) % 256).toByte
+          buf(off + 3 * x + 1) = ((f * 29 + seed * 59 + y * 5) % 256).toByte
+          buf(off + 3 * x + 2) = ((f * 53 + seed * 101 + x * 3) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      buf
+    }
+    val avih = le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("ISO-8859-1") ++ "DIB ".getBytes("ISO-8859-1") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(frames) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      Array.fill(8)(0.toByte)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array[Byte](1, 0, 24, 0) ++ le32(0) /* BI_RGB */ ++
+      le32(stride.toLong * height) ++ Array.fill(16)(0.toByte)
+    val body = "AVI ".getBytes("ISO-8859-1") ++
+      list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
+      list("movi", rasters.toArray.flatMap(chunk("00db", _)))
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
   /** Minimal GENUINE RIFF/WAVE bytes (8 kHz mono 16-bit PCM with
     * `frames` frames of deterministic samples), encoded by the same
     * javax.sound writer the decoder's provider probe reads back; used
@@ -300,7 +449,9 @@ object Multimodal {
       // per-partition codec init: prime ImageIO's plugin registry once
       // (and disable the on-disk cache — executor temp dirs may not
       // exist); AudioSystem's provider registry primes on first use;
-      // STUB: a video codec would open here too
+      // STUB: a COMPRESSED-video codec (H.26x) would open here too —
+      // MJPEG and raw BI_RGB AVI frames already decode for real via
+      // decodeAviFrame
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val sum = m.content.foldLeft(0L)((a, b) => a + (b & 0xff))
@@ -330,8 +481,10 @@ object Multimodal {
             } catch { case _: Exception => (0, 0L) }
           } else if (m.kind == "video")
             // container-level parse is real (ftyp/moov/mvhd box walk);
-            // STUB: pixel decode would need a video codec the JDK lacks —
-            // a real frame reader would open at the per-partition init
+            // STUB: MP4 pixel decode would need a COMPRESSED-video codec
+            // (H.26x) the JDK lacks — a real frame reader would open at
+            // the per-partition init. AVI pixels are NOT stubbed: MJPEG
+            // and raw BI_RGB frames decode for real (decodeAviFrame)
             (0, parseMp4(m.content).map(_.durationMs).getOrElse(0L))
           else (0, 0L)
         Decoded(m.mediaId, m.kind, m.content.length,
@@ -556,14 +709,12 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.filter(_.kind == "video").flatMap { m =>
         val chunks = aviFrameChunks(m.content)
+        val dib = aviDibInfo(m.content) // once per clip, not per frame
         val n = chunks.length
         if (n == 0) Seq.empty
         else (0 until k).flatMap { i =>
           val (cs, ce) = chunks(i * n / k)
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(m.content, cs, ce - cs))
-            catch { case _: Exception => null }
+          val img = decodeAviFrame(m.content, cs, ce, dib)
           if (img == null) Seq.empty
           else {
             val emb = projectRaster(img, dim)
@@ -917,13 +1068,15 @@ object Multimodal {
       .withColumn("target_height", ceil(h * scale).cast("int"))
   }
 
-  /** Video frame sampling WITH REAL PIXELS for MJPEG-in-AVI: the RIFF
-    * walk lists the `00dc` JPEG chunks, k evenly spaced ones
-    * (`frameNo = i·n/k`) are decoded by ImageIO on the executor, and
-    * each sampled frame comes back with its decoded dimensions and a
-    * pixel-raster checksum. This retires the video pixel stub for the
-    * one codec the JDK ships (JPEG); MP4/H.26x pixel decode remains
-    * the honest stub in [[decode]]. Timestamps come from avih's
+  /** Video frame sampling WITH REAL PIXELS for AVI: the RIFF walk
+    * lists the `00dc`/`00db` frame chunks, k evenly spaced ones
+    * (`frameNo = i·n/k`) are decoded on the executor through the
+    * shared [[decodeAviFrame]] seam — ImageIO's JPEG codec for MJPEG,
+    * codec-free raw-BGR for BI_RGB streams — and each sampled frame
+    * comes back with its decoded dimensions and a pixel-raster
+    * checksum. This retires the video pixel stub for both codec-free
+    * coverage points; MP4/H.26x pixel decode remains the honest stub
+    * in [[decode]]. Timestamps come from avih's
     * µs/frame. Partition-parallel, no shuffle; clips that fail the
     * container walk or have no frames yield no rows, a frame that
     * fails JPEG decode keeps its row with zero dims (same convention
@@ -936,15 +1089,13 @@ object Multimodal {
       it.filter(_.kind == "video").flatMap { m =>
         parseAvi(m.content).toSeq.flatMap { meta =>
           val chunks = aviFrameChunks(m.content)
+          val dib = aviDibInfo(m.content) // once per clip, not per frame
           val n = chunks.length
           if (n == 0) Seq.empty
           else (0 until k).map { i =>
             val fno = i * n / k
             val (cs, ce) = chunks(fno)
-            val img =
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(m.content, cs, ce - cs))
-              catch { case _: Exception => null }
+            val img = decodeAviFrame(m.content, cs, ce, dib)
             val (w, h, sum) =
               if (img == null) (0, 0, 0L)
               else {

@@ -586,9 +586,119 @@ object MultimodalQueries {
       .orderBy("qid", "rank")
   }
 
+  /** M14 — RAW-VIDEO CLIP NEAR-DUP: the m12 shape with the JPEG codec
+    * REMOVED — clips are uncompressed BI_RGB AVIs
+    * ([[Multimodal.aviDibFixture]]) whose `00db` frames decode
+    * codec-free through the same [[Multimodal.decodeAviFrame]] seam
+    * (raw bottom-up BGR rows, stride-aligned), proving the video
+    * pixel path needs no codec at all for the raw-frame coverage
+    * point that retires the r14 stub. Same fixture algebra as m12:
+    * 100 clips in 10 families with per-clip length cycling 6/7/8, so
+    * the sampled frame sets overlap partially (6∩7 = 3, 6∩8 = 2,
+    * 7∩8 = 1 — only the first two pair at the ≥ 2 threshold); the
+    * oracle intersects the i·n/4 sample sets algebraically. Raster
+    * distinctness across (family, frame) is spec-pinned
+    * (MultimodalSpec) exactly as for m12. Same scale shape too:
+    * decode partition-local, one checksum-keyed inverted-index
+    * self-join. */
+  val m14RawClipNearDup: QuerySpec = QuerySpec.sql(
+    "m14_raw_clip_neardup",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(c_custkey AS BIGINT) % 10 AS fam,
+      |    6 + (CAST(c_custkey AS BIGINT) // 10) % 3 AS n
+      |  FROM customer WHERE c_custkey < 100
+      |),
+      |sf AS (
+      |  SELECT DISTINCT k, fam, i * n // 4 AS frame
+      |  FROM m, range(0, 4) t(i)
+      |)
+      |SELECT a.k AS d1, b.k AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM sf a JOIN sf b ON a.fam = b.fam AND a.frame = b.frame
+      |  AND a.k < b.k
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 2
+      |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 100).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "video",
+          Multimodal.aviDibFixture(
+            frames = (6 + (k / 10) % 3).toInt, width = 24, height = 16,
+            fps = 10, seed = k % 10),
+          Multimodal.MediaMeta("avi", 24, 16, 0, 0))
+      }
+    val frames = Multimodal.frameSampleAvi(rows, k = 4).toDF()
+      .filter(col("width") > 0) // decode failures never fabricate a key
+      .select(col("mediaId").as("media_id"), col("pixChecksum").as("fsig"))
+      .distinct()
+      .localCheckpoint() // one decode pass feeds both join sides
+    frames.as("a")
+      .join(frames.as("b"),
+        col("a.fsig") === col("b.fsig") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("d1", "d2")
+  }
+
+  /** M15 — RAW-FRAME PIXEL FEATURES with a FULLY ALGEBRAIC oracle: the
+    * m7 projection applied to SAMPLED VIDEO FRAMES. m5/m12 had to
+    * spec-pin their pixel values because JPEG is lossy; raw BI_RGB
+    * frames are lossless, so here — for the first time on the video
+    * path — DuckDB recomputes every decoded pixel from the fixture's
+    * gradient formula and the exact integer projection over row-major
+    * p = y·w + x. A green row therefore pins the whole chain: RIFF
+    * walk → strf BI_RGB dispatch → raw-BGR row/stride/bottom-up
+    * decode → raster projection, end to end, cell-exact. 150 clips,
+    * 18×16 frames, length cycling 4/5/6, 3 sampled frames
+    * (f = i·n/3), dim 4. Partition-parallel, no shuffle before the
+    * final aggregation-free projection. */
+  val m15RawFrameFeatures: QuerySpec = QuerySpec.sql(
+    "m15_raw_frame_features",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    4 + CAST(c_custkey AS BIGINT) % 3 AS n
+      |  FROM customer WHERE c_custkey < 150
+      |),
+      |sf AS (SELECT k, i, i * n // 3 AS f FROM m, range(0, 3) t(i)),
+      |px AS (SELECT k, i, f, unnest(range(0, 288)) AS p FROM sf),
+      |v AS (
+      |  SELECT k, i, p,
+      |    ((f*53 + k*101 + (p % 18)*3) % 256)
+      |      + ((f*29 + k*59 + (p // 18)*5) % 256)
+      |      + ((f*17 + k*23 + (p % 18) + (p // 18)) % 256) AS pv
+      |  FROM px
+      |)
+      |SELECT k AS media_id, CAST(i AS INT) AS frame_idx,
+      |  CAST(d AS INT) AS d,
+      |  CAST(SUM(pv * ((d+1)*(p+7) % 101 - 50)) AS BIGINT) AS v
+      |FROM v, range(0, 4) u(d)
+      |GROUP BY 1, 2, 3
+      |ORDER BY media_id, frame_idx, d""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 150).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "video",
+          Multimodal.aviDibFixture(
+            frames = (4 + k % 3).toInt, width = 18, height = 16,
+            fps = 10, seed = k),
+          Multimodal.MediaMeta("avi", 18, 16, 0, 0))
+      }
+    Multimodal.featuresFrames(rows, k = 3, dim = 4)
+      .select(col("mediaId").as("media_id"), col("frameIdx").as("frame_idx"),
+        col("d"), col("v"))
+      .orderBy("media_id", "frame_idx", "d")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
       m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup,
-      m13ImageAnn)
+      m13ImageAnn, m14RawClipNearDup, m15RawFrameFeatures)
 }

@@ -316,6 +316,139 @@ class MultimodalSpec extends SparkSpec {
     assert(checksums(3L, 6) == checksums(3L, 8).take(6))
   }
 
+  // the deterministic gradient both AVI fixtures paint — the algebraic
+  // pixel truth the raw-frame tests pin against (no second decode path)
+  private def gradientRgb(f: Long, seed: Long, x: Int, y: Int): Int =
+    ((((f * 53 + seed * 101 + x * 3) % 256).toInt << 16) |
+      (((f * 29 + seed * 59 + y * 5) % 256).toInt << 8) |
+      ((f * 17 + seed * 23 + x + y) % 256).toInt)
+
+  test("aviDibInfo: BI_RGB stream detected; MJPEG and garbage are not") {
+    val dib = Multimodal.aviDibFixture(frames = 3, width = 23, height = 7)
+    assert(Multimodal.aviDibInfo(dib)
+      == Some(Multimodal.AviDibInfo(23, 7, topDown = false)))
+    // an MJPEG stream must NOT take the raw path (its chunks are JPEG)
+    val mjpg = Multimodal.aviMjpegFixture(frames = 2, width = 24, height = 16)
+    assert(Multimodal.aviDibInfo(mjpg).isEmpty)
+    assert(Multimodal.aviDibInfo(Array[Byte](1, 2, 3)).isEmpty)
+    // the raw fixture is still a well-formed AVI to the container walk
+    assert(Multimodal.parseAvi(dib).exists(_.totalFrames == 3))
+    assert(Multimodal.aviFrameChunks(dib).length == 3)
+  }
+
+  test("frameSampleAvi: raw BI_RGB frames decode codec-free to the exact gradient") {
+    import spark.implicits._
+    // width 23 → 69 raster bytes/row, stride 72: exercises the 4-byte
+    // row alignment; bottom-up storage must come back upright
+    val avi = Multimodal.aviDibFixture(frames = 5, width = 23, height = 7,
+      fps = 10, seed = 4L)
+    val rows = Seq(Multimodal.MediaRow(9L, "video", avi,
+      Multimodal.MediaMeta("avi", 23, 7, 0, 0)))
+    val got = Multimodal.frameSampleAvi(rows.toDS(), k = 5).collect()
+      .sortBy(_.frameIdx)
+    assert(got.length == 5)
+    assert(got.forall(f => f.width == 23 && f.height == 7))
+    got.foreach { fr =>
+      var acc = 1125899906842597L
+      for (y <- 0 until 7; x <- 0 until 23)
+        acc = 31 * acc + (gradientRgb(fr.frameNo, 4L, x, y) & 0xffffff)
+      assert(fr.pixChecksum == acc,
+        s"frame ${fr.frameNo}: decoded raster != gradient formula")
+      assert(fr.frameTsMs == fr.frameNo * 100L)
+    }
+  }
+
+  test("decodeDibFrame via featuresFrames: exact algebraic projection; truncated frame yields no rows") {
+    import spark.implicits._
+    val avi = Multimodal.aviDibFixture(frames = 4, width = 18, height = 16,
+      fps = 10, seed = 11L)
+    val rows = Seq(Multimodal.MediaRow(1L, "video", avi,
+      Multimodal.MediaMeta("avi", 18, 16, 0, 0)))
+    val got = Multimodal.featuresFrames(rows.toDS(), k = 2, dim = 3).collect()
+    assert(got.length == 6) // 2 frames × 3 dims
+    got.foreach { f =>
+      val fno = f.frameIdx * 4 / 2
+      var acc = 0L
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val rgb = gradientRgb(fno, 11L, x, y)
+        val pv = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val p = y.toLong * 18 + x
+        acc += pv * (((f.d + 1L) * (p + 7L)) % 101L - 50L)
+      }
+      assert(f.v == acc, s"frame ${f.frameIdx} dim ${f.d} drift")
+    }
+    // a truncated raster chunk must not fabricate pixels: shrink the
+    // LAST frame chunk's size field by one row — that chunk decodes to
+    // nothing, the clip's other sampled frame survives
+    val chunks = Multimodal.aviFrameChunks(avi)
+    val (lastStart, _) = chunks.last
+    val bad = avi.clone()
+    val sizeOff = lastStart - 4
+    val stride = ((18 * 3 + 3) / 4) * 4
+    val newSize = stride * 16 - stride
+    bad(sizeOff) = (newSize & 0xff).toByte
+    bad(sizeOff + 1) = ((newSize >> 8) & 0xff).toByte
+    bad(sizeOff + 2) = ((newSize >> 16) & 0xff).toByte
+    bad(sizeOff + 3) = ((newSize >> 24) & 0xff).toByte
+    val rows2 = Seq(Multimodal.MediaRow(2L, "video", bad,
+      Multimodal.MediaMeta("avi", 18, 16, 0, 0)))
+    val got2 = Multimodal.featuresFrames(rows2.toDS(), k = 4, dim = 1).collect()
+    assert(got2.nonEmpty && got2.forall(_.frameIdx < 3),
+      "truncated frame must yield no rows, earlier frames must survive")
+  }
+
+  test("decodeDibFrame: negative biHeight (top-down rows) flips the raster") {
+    import spark.implicits._
+    val h = 7
+    val avi = Multimodal.aviDibFixture(frames = 1, width = 23, height = h,
+      fps = 10, seed = 2L)
+    // negate strf's biHeight in place: same chunks, now declared
+    // top-down — the decoded image must be the vertical mirror
+    val strfAt = (0 until avi.length - 4)
+      .find(i => new String(avi, i, 4, "ISO-8859-1") == "strf").get
+    val hOff = strfAt + 8 + 8 // past fourcc+size, biSize, biWidth
+    val neg = -h
+    val bad = avi.clone()
+    bad(hOff) = (neg & 0xff).toByte
+    bad(hOff + 1) = ((neg >> 8) & 0xff).toByte
+    bad(hOff + 2) = ((neg >> 16) & 0xff).toByte
+    bad(hOff + 3) = ((neg >> 24) & 0xff).toByte
+    assert(Multimodal.aviDibInfo(bad)
+      == Some(Multimodal.AviDibInfo(23, h, topDown = true)))
+    val got = Multimodal.frameSampleAvi(
+      Seq(Multimodal.MediaRow(3L, "video", bad,
+        Multimodal.MediaMeta("avi", 23, h, 0, 0))).toDS(), k = 1).collect()
+    var acc = 1125899906842597L
+    for (y <- 0 until h; x <- 0 until 23)
+      acc = 31 * acc + (gradientRgb(0, 2L, x, h - 1 - y) & 0xffffff)
+    assert(got.head.pixChecksum == acc, "top-down rows must mirror")
+  }
+
+  test("raw AVI frames: rasters distinct across (family, frame); identical within (m14's pin)") {
+    // m14's inverted-index soundness — the m12 pin, codec-free: a raw
+    // frame raster identifies (seed, frame) uniquely, and the same
+    // (seed, frame) is identical across clips of different length
+    def checksums(seed: Long, frames: Int): Vector[Long] = {
+      val avi = Multimodal.aviDibFixture(frames, 24, 16, 10, seed)
+      val info = Multimodal.aviDibInfo(avi).get
+      Multimodal.aviFrameChunks(avi).map { case (cs, ce) =>
+        // expected == stored: recompute from the gradient (lossless)
+        var acc = 1125899906842597L
+        for (y <- 0 until info.height; x <- 0 until info.width) {
+          val stride = ((info.width * 3 + 3) / 4) * 4
+          val off = cs + (info.height - 1 - y) * stride + 3 * x
+          val rgb = ((avi(off + 2) & 0xff) << 16) |
+            ((avi(off + 1) & 0xff) << 8) | (avi(off) & 0xff)
+          acc = 31 * acc + rgb
+        }
+        acc
+      }
+    }
+    val all = for (s <- 0L until 10L; f <- checksums(s, 8)) yield f
+    assert(all.distinct.size == 80, "every (family, frame) raster unique")
+    assert(checksums(3L, 6) == checksums(3L, 8).take(6))
+  }
+
   test("pcmSamples: RIFF fast path == AudioSystem decode byte for byte; contract still enforced") {
     val wav = Multimodal.wavNoiseFixture(5L, 1280, delta = 2)
     val viaFast = Multimodal.pcmSamples(wav)

@@ -521,6 +521,21 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("m14 raw clip near-dup: the m12 contract holds codec-free") {
+    val p = finalizedPlan(MultimodalQueries.m14RawClipNearDup.run(spark, sf))
+    assert(AnyJoin.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ExistingRDD"), p) // decode paid once, both sides
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("m15 raw frame features: partition-local decode+project, no join") {
+    val p = plan(MultimodalQueries.m15RawFrameFeatures)
+    assert(p.contains("MapPartitions"), p)
+    assert(AnyJoin.findAllIn(p).isEmpty, p)
+  }
+
   test("m13 image ANN: query features broadcast against the corpus, keyed top-k window") {
     val p = plan(MultimodalQueries.m13ImageAnn)
     // the t5 contract on self-extracted features: the 10-query side
