@@ -44,4 +44,42 @@ object MediaStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("raster_sig")
   }
+
+  /** Watermark-bounded streaming PERCEPTUAL dedup — [[dedupeRaster]]
+    * with the m8 exact-raster signature replaced by the m9 dHash key,
+    * completing the batch/streaming symmetry the text tier has
+    * (t1 ↔ dedupe, t38b ↔ StreamingNearDup): a re-encode with a small
+    * pixel-level perturbation now dedups AT THE DOOR instead of
+    * waiting for the periodic batch m9 sweep. The key is the same
+    * [[Multimodal.dHash64]] the batch gate groups on (one hash
+    * definition, no drift possible), so over an id-ordered prefix the
+    * streamed survivor set equals the batch keeper set
+    * (`MediaStreamSpec` pins it). Same quarantine rule: bytes no
+    * codec can decode — or images smaller than the dHash grid, which
+    * HAVE no perceptual identity — are dropped here and fall to the
+    * batch sweep's conventions. State is one 64-bit key per distinct
+    * hash inside the window: ingest-rate × delay bounded, and 8 bytes
+    * where the raster signature holds an md5 string. */
+  def dedupePerceptual(media: DataFrame, tsCol: String,
+      delay: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("content"), col(tsCol).as("__ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes, ts) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else Multimodal.dHash64(img).map(h => (id, ts, h))
+        }
+      }
+      .toDF("media_id", tsCol, "dhash")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("dhash")
+  }
 }

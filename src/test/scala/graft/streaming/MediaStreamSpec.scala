@@ -47,4 +47,57 @@ class MediaStreamSpec extends SparkSpec {
       assert(kept.forall(_ < 20L))
     } finally q.stop()
   }
+
+  test("streaming perceptual dedup: survivor set == batch m9 keeper set over the same prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = MediaStream.dedupePerceptual(
+      input.toDF().toDF("media_id", "content", "ts"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("media_pdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the m9 fixture family: 60 arrivals over 12 dHash families,
+      // every row byte-distinct (sum-preserving perturbation whose
+      // magnitude cycles), half PNG half BMP — raster-exact identity
+      // sees 60 singletons, the perceptual key must see 12 groups.
+      // Cross-batch dups must be caught from STATE; an undecodable
+      // blob and a too-small image (no perceptual identity) vanish.
+      def row(k: Long) = {
+        val fmt = if (k % 2 == 0) "png" else "bmp"
+        (k, Multimodal.perturbedImageFixture(k % 12,
+          delta = 1 + ((k / 12) % 4).toInt, 18, 16, fmt), t(k))
+      }
+      val (a, b) = (0L until 60L).map(row).splitAt(30)
+      input.addData(a ++ Seq(
+        (98L, Array[Byte](9, 9, 9), t(70)),
+        (99L, Multimodal.imageFixture(1L, 4, 4), t(71))): _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      val kept = spark.table("media_pdedup")
+        .select("media_id").as[Long].collect().toSet
+      assert(kept.size == 12)
+      assert((0L until 12L).forall(g => kept.count(_ % 12 == g) == 1))
+      assert(!kept.contains(98L) && !kept.contains(99L))
+      assert(kept.forall(_ < 30L), "batch two must contribute nothing new")
+      // BATCH PARITY: the streamed survivors group exactly like the
+      // batch m9 machinery (same dHash64 definition) over the same
+      // prefix — one survivor per batch dup_group, keys equal
+      import org.apache.spark.sql.functions.col
+      val batchRows = (0L until 60L).map { k =>
+        val (id, bytes, _) = row(k)
+        graft.multimodal.Multimodal.MediaRow(id, "image", bytes,
+          graft.multimodal.Multimodal.MediaMeta("png", 18, 16, 0, 0))
+      }
+      val batchHash = Multimodal.dHash(spark.createDataset(batchRows))
+        .collect().map(h => h.mediaId -> h.dhash).toMap
+      assert(batchHash.values.toSet.size == 12)
+      val streamedHash = spark.table("media_pdedup")
+        .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+      // every survivor carries the hash the batch side computes for it,
+      // and survivors cover every batch group exactly once
+      assert(streamedHash.forall { case (id, h) => batchHash(id) == h })
+      assert(streamedHash.values.toSet == batchHash.values.toSet)
+    } finally q.stop()
+  }
 }
