@@ -57,6 +57,22 @@ object BpeQueries {
       concat(lit(" "), w1, lit("  "), w2, lit(" ")),
       concat(lit(" "), merged, lit(" "))))
 
+  /** Subword-unit count of `word` under a TRAINED merge list — the
+    * t51/t63 segmentation fold, factored to ONE definition: the
+    * collected M-row model rides into the plan as literals (the
+    * build/serve split — training is the batch tier's job), so batch
+    * consumers and the streaming fertility leg
+    * ([[graft.streaming.TokenizerStream]]) compute identical units
+    * and cannot drift. */
+  private[graft] def unitsOf(word: Column,
+      merges: Array[org.apache.spark.sql.Row]): Column = {
+    val segSym = merges.foldLeft(charSym(word)) { (acc, m) =>
+      applyMerge(acc, lit(m.getAs[String]("w1")), lit(m.getAs[String]("w2")),
+        lit(m.getAs[String]("merged")))
+    }
+    size(split(segSym, "  ")).cast("long")
+  }
+
   /** Top-[[BpeW]] word frequencies — the corpus-scale reduction. */
   private def wordCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -72,7 +88,7 @@ object BpeQueries {
     * rewritten vocab so round r+1's plan starts from materialized
     * state (the CC-loop convention); memoized per corpus fingerprint
     * so the apply side (t51) never retrains. */
-  private[queries] def trainMerges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def trainMerges(s: SparkSession, d: String): DataFrame = {
     val key = (s, d)
     val stamp = Clustering.fingerprint(d, "documents")
     mergesMemo.reuse(key, stamp) {
@@ -195,13 +211,8 @@ object BpeQueries {
         filter(tokens(col("text")), w => w =!= "").as("toks"))
       .localCheckpoint()
     val ti = t.select(col("doc_id"), explode(col("toks")).as("word"))
-    val segSym = merges.foldLeft(charSym(col("word"))) { (acc, m) =>
-      applyMerge(acc, lit(m.getAs[String]("w1")), lit(m.getAs[String]("w2")),
-        lit(m.getAs[String]("merged")))
-    }
     val wl = ti.select("word").distinct()
-      .select(col("word"),
-        size(split(segSym, "  ")).cast("long").as("units"))
+      .select(col("word"), unitsOf(col("word"), merges).as("units"))
     val sc = ti.join(wl, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
@@ -265,13 +276,8 @@ object BpeQueries {
       .select(col("source"), explode(filter(tokens(col("text")),
         w => w =!= "")).as("word"))
       .localCheckpoint()
-    val segSym = merges.foldLeft(charSym(col("word"))) { (acc, m) =>
-      applyMerge(acc, lit(m.getAs[String]("w1")), lit(m.getAs[String]("w2")),
-        lit(m.getAs[String]("merged")))
-    }
     val wl = ti.select("word").distinct()
-      .select(col("word"),
-        size(split(segSym, "  ")).cast("long").as("units"))
+      .select(col("word"), unitsOf(col("word"), merges).as("units"))
     ti.join(wl, "word")
       .groupBy("source")
       .agg(count(lit(1)).as("n_tokens"),

@@ -289,7 +289,7 @@ object SketchQueries {
     * consumers (t67's scorecard) can never drift: the exact scaled
     * register sum (every term a dyadic rational → bigint), then the
     * single deterministic double op chain. */
-  private[queries] def hllEstimateFrame(regs: DataFrame,
+  private[graft] def hllEstimateFrame(regs: DataFrame,
       gcol: String): DataFrame =
     regs.groupBy(gcol)
       .agg((lit(HllM) - count(lit(1))).cast("long").as("n_zero"),

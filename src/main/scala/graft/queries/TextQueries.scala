@@ -147,14 +147,21 @@ object TextQueries {
     * arbitrary docs frame — the shared derivation under every near-dup
     * variant, parameterized so t34 can run it over exact-dedup
     * representatives. */
-  private def nearDupSigs(
+  /** The (doc_id, sig) MinHash-signature projection — pure shared
+    * expressions, STREAMING-SAFE (no checkpoint): the batch paths wrap
+    * it in [[nearDupSigs]]'s localCheckpoint; the streaming scorecard
+    * spec runs it over a readStream frame. */
+  private def sigProjectionOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
       .select(col("doc_id"), minhashBase(col("s")).as("hv"))
       .select(col("doc_id"),
         array((0 until K).map(i => minhashSig(col("hv"), i)): _*).as("sig"))
-      .localCheckpoint()
+
+  private def nearDupSigs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sigProjectionOf(docs).localCheckpoint()
 
   /** (doc_id, sig, band, bkey): one row per band key, signature array
     * carried through so no join-back to the signature table is needed. */
@@ -195,6 +202,15 @@ object TextQueries {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     nearDupBands(nearDupSigs(docs))
 
+  /** [[bandIndexOf]] without the checkpoint — the STREAMING-SAFE band
+    * projection: pure shared expressions over an unbounded frame, so a
+    * crawl pipeline can persist the (doc_id, sig, band, bkey) index as
+    * documents arrive (this IS the standing LSH index t38 probes) and
+    * publish-time clustering reads the accumulated table. */
+  private[graft] def bandProjectionOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    nearDupBands(sigProjectionOf(docs))
+
   /** Spark twin of [[StarPairCtes]]: per (band, bkey) bucket, each
     * member pairs ONLY with the bucket-min hub (m−1 edges, not
     * C(m,2)), then the same ≥ K/2 signature screen. d1 < d2 holds by
@@ -203,8 +219,16 @@ object TextQueries {
     * is by leading field, and doc_id is unique — so no join back to
     * the signature table is needed on either side. */
   private[queries] def nearDupStarEdgesOf(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bands = nearDupBands(nearDupSigs(docs))
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    starEdgesOfBands(nearDupBands(nearDupSigs(docs)))
+
+  /** The hub-election + signature-screen half of the star-edge build,
+    * over an ALREADY-MATERIALIZED (doc_id, sig, band, bkey) frame —
+    * factored so a finalize pass over a STREAMED band index (the
+    * scorecard e2e spec) runs the exact operator the batch tier runs,
+    * and the two cannot drift. */
+  private[graft] def starEdgesOfBands(
+      bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val hubs = bands.groupBy("band", "bkey")
       .agg(min(struct(col("doc_id"), col("sig"))).as("h"))
     bands.join(hubs, Seq("band", "bkey"))
