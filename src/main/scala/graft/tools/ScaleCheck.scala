@@ -74,6 +74,14 @@ object ScaleCheck {
       case a if a.startsWith("--tables=") =>
         a.stripPrefix("--tables=").split(',').toSet
     }
+    // --media: the media-family heavy sweep — a GENERATED corpus
+    // (copies × the base sizes), not the fixture-bounded m-gates, so
+    // media plans have a ×10+ regression record like the text tier
+    if (args.contains("--media")) {
+      mediaDemo(spark, nImages = 50000 * copies, nClips = 5000 * copies)
+      spark.stop()
+      return
+    }
     // --reuse: rerun queries against an already-written scale dir
     if (!args.contains("--reuse")) scaleUp(spark, src, dst, copies, tables)
     // --skew: run the SaltedJoin skew demonstration instead of the
@@ -424,6 +432,102 @@ object ScaleCheck {
         s"layout changed the result: $adhoc != $indexed")
       println(f"[index-j3] one-time bucketed sheet write: $tw%.2fs " +
         "(amortized over every later upsert run)")
+    }
+  }
+
+  /** Media-family heavy entries (VERDICT r14 item 8): the m8 / m9 /
+    * m12 PIPELINE SHAPES — grouping window / perceptual grouping /
+    * frame-key inverted-index pair join, not MediaBench's bare
+    * decode-rate counts — over a size-parameterized GENERATED corpus
+    * (the m9/m14 fixture generators, synthesized per-partition on
+    * executors like a real scan's decompression). Each entry times the
+    * full pipeline and asserts the finalized plan carries no cartesian
+    * and no single-partition window — the regression the fixture-
+    * bounded gates (a few hundred rows) can never catch. The clip
+    * entry runs the CODEC-FREE raw-BGR decode path (m14's), giving the
+    * new seam its scale record alongside the JPEG one. */
+  def mediaDemo(spark: SparkSession, nImages: Int, nClips: Int): Unit = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+
+    // `must`: plan fragments the entry's scale shape depends on (a
+    // keyed grouping window, an equi-join); `forbidSingle` is on for
+    // the window entries — their whole pipeline must stay hash-
+    // partitioned — and off for the pair entry, whose final 1-row
+    // rollup legitimately collapses (the pre-aggregated partials, not
+    // the data, pass through it)
+    def run(label: String, n: Long, must: Seq[String] = Nil,
+        forbidSingle: Boolean = true)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val d = df
+      val rows = d.queryExecution.toRdd.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val plan = d.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val markers = Seq("BroadcastHashJoin", "SortMergeJoin",
+        "BroadcastNestedLoopJoin", "ShuffledHashJoin")
+        .filter(plan.contains).mkString("+")
+      require(!plan.contains("CartesianProduct"),
+        s"$label: cartesian in the finalized plan")
+      require(!forbidSingle || !plan.contains("SinglePartition"),
+        s"$label: single-partition exchange in the finalized plan")
+      must.foreach(m => require(plan.contains(m), s"$label: plan lost '$m'"))
+      println(f"[media-scale] $label%-18s n=$n%8d rows=$rows%8d " +
+        f"wall=$wall%7.2fs rate=${n / wall}%9.0f rows/s " +
+        f"joins=${if (markers.isEmpty) "none" else markers}")
+    }
+
+    // one synthesized image corpus feeds both grouping entries (the
+    // m10 discipline); byte-distinct rows in 4096 perceptual families
+    val images = spark.range(nImages).repartition(256).map { id =>
+      Multimodal.MediaRow(id, "image",
+        Multimodal.perturbedImageFixture(id % 4096,
+          delta = 1 + (id % 4).toInt, 18, 16),
+        Multimodal.MediaMeta("png", 18, 16, 0, 0))
+    }.localCheckpoint()
+
+    run("m8_raster_dedup", nImages,
+        must = Seq("windowspecdefinition(key")) {
+      Multimodal.rasterSignature(images).toDF()
+        .select(col("mediaId").as("media_id"), col("sig").as("key"))
+        .withColumn("dup_group", min("media_id").over(w))
+        .groupBy(col("media_id") === col("dup_group"))
+        .agg(count(lit(1)))
+    }
+    run("m9_dhash_neardup", nImages,
+        must = Seq("windowspecdefinition(key")) {
+      Multimodal.dHash(images).toDF()
+        .select(col("mediaId").as("media_id"), col("dhash").as("key"))
+        .withColumn("dup_group", min("media_id").over(w))
+        .groupBy(col("media_id") === col("dup_group"))
+        .agg(count(lit(1)))
+    }
+
+    // raw-BGR clips: 1000 families × length cycle 6/7/8 — the m14
+    // shape (m12's join machinery, zero codec in the decode)
+    val clips = spark.range(nClips).repartition(128).map { id =>
+      Multimodal.MediaRow(id, "video",
+        Multimodal.aviDibFixture(
+          frames = (6 + (id / 1000) % 3).toInt, width = 24, height = 16,
+          fps = 10, seed = id % 1000),
+        Multimodal.MediaMeta("avi", 24, 16, 0, 0))
+    }.localCheckpoint()
+
+    run("m12_clip_neardup", nClips, forbidSingle = false) {
+      val frames = Multimodal.frameSampleAvi(clips, k = 4).toDF()
+        .filter(col("width") > 0)
+        .select(col("mediaId").as("media_id"), col("pixChecksum").as("fsig"))
+        .distinct()
+        .localCheckpoint() // one decode pass, both join sides
+      frames.as("a")
+        .join(frames.as("b"),
+          col("a.fsig") === col("b.fsig") &&
+            col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .groupBy().agg(count(lit(1)))
     }
   }
 
