@@ -586,6 +586,178 @@ object MultimodalQueries {
       .orderBy("qid", "rank")
   }
 
+  /** The SQL CTE text shared by m13b/m13c: pixel features at `dim`
+    * dims over the first 120 customers' gradient PNGs (m13's fixture
+    * algebra, parameterized dim), as long-form (k, d, v). */
+  private def pixelFeatureSql(dim: Int): String =
+    s"""m13b_m AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS k,
+       |    16 + CAST(c_custkey AS BIGINT) % 5 AS w,
+       |    12 + CAST(c_custkey AS BIGINT) % 3 AS h
+       |  FROM customer WHERE c_custkey < 120
+       |),
+       |m13b_px AS (SELECT k, w, unnest(range(0, w * h)) AS p FROM m13b_m),
+       |m13b_pv AS (
+       |  SELECT k, p,
+       |    ((k*53 + (p % w)*3) % 256) + ((k*29 + (p // w)*5) % 256)
+       |      + ((k*17 + (p % w) + (p // w)) % 256) AS pv
+       |  FROM m13b_px
+       |),
+       |m13b_f AS (
+       |  SELECT k, d, CAST(SUM(pv * ((d+1)*(p+7) % 101 - 50)) AS BIGINT) AS v
+       |  FROM m13b_pv, range(0, $dim) u(d)
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** m13b's operating point: 8 projection dims = 2 sign-bit tables ×
+    * 4 bits (16 buckets each over the 120-image corpus), hot buckets
+    * capped at t10's contract. The seeded projection matrix IS a
+    * random-projection family, so its sign bits are exactly the
+    * hyperplane-LSH key the t10 family uses on pre-supplied
+    * embeddings — here computed from media bytes the engine decoded
+    * itself. */
+  private val M13bDim = 8
+  private val M13bTables = 2
+  private val M13bBits = 4
+  private val M13bCap = 64
+
+  /** Spark-side assembled (media_id, eL, ss) pixel-feature vectors at
+    * `dim` dims — m13's assembly, parameterized and checkpointed (one
+    * decode+project pass feeds keys and both score fetches). */
+  private def imageVecs(s: org.apache.spark.sql.SparkSession, d: String,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 120).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "image",
+          Multimodal.pngFixture(k,
+            width = (16 + k % 5).toInt, height = (12 + k % 3).toInt),
+          Multimodal.MediaMeta("png", (16 + k % 5).toInt,
+            (12 + k % 3).toInt, 0, 0))
+      }
+    Multimodal.featuresPixels(rows, dim = dim).toDF()
+      .groupBy(col("mediaId").as("media_id"))
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("v")))),
+        x => x.getField("v")).as("eL"))
+      .withColumn("ss", call_function("long_dot", col("eL"), col("eL")))
+      .localCheckpoint()
+  }
+
+  /** M13b — BUCKETED IMAGE ANN, the SCALE path for m13 (VERDICT r14
+    * item 5): t10b's sign-bit LSH applied to embeddings the engine
+    * EXTRACTED from media bytes. Each image's 8-dim exact-integer
+    * projection yields 2 tables × 4 sign bits; candidates come from a
+    * bucket-keyed equi self-join (hot buckets capped — the t10
+    * overflow contract), then exact long-cosine on the candidate set
+    * and top-3 per query — the fetch-then-score shape, never a
+    * brute-force pair sweep. At 100 TB the knobs are t10b's: bits
+    * grow with log2(corpus), tables recover recall. The oracle
+    * derives identical keys (string_agg of sign bits over d), the
+    * same cap screen, and the same ranking. */
+  val m13bImageAnnLsh: QuerySpec = QuerySpec.sql(
+    "m13b_image_ann_lsh",
+    s"""WITH ${pixelFeatureSql(M13bDim)},
+       |keys AS (
+       |  SELECT k, d // $M13bBits AS tbl,
+       |    string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, ''
+       |      ORDER BY d) AS bkey
+       |  FROM m13b_f GROUP BY 1, 2
+       |),
+       |ok AS (SELECT tbl, bkey FROM keys GROUP BY 1, 2
+       |       HAVING COUNT(*) <= $M13bCap),
+       |cand AS (
+       |  SELECT DISTINCT x.k AS qid, y.k AS nid
+       |  FROM keys x JOIN keys y ON x.tbl = y.tbl AND x.bkey = y.bkey
+       |    AND x.k < 10 AND y.k <> x.k
+       |  JOIN ok o ON x.tbl = o.tbl AND x.bkey = o.bkey
+       |),
+       |ss AS (SELECT k, CAST(SUM(v * v) AS BIGINT) AS ss
+       |       FROM m13b_f GROUP BY 1),
+       |dots AS (
+       |  SELECT qid, nid, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |  FROM cand JOIN m13b_f a ON a.k = qid
+       |  JOIN m13b_f b ON b.k = nid AND b.d = a.d
+       |  GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM (
+       |    SELECT qid, nid,
+       |      CAST(dot AS DOUBLE)
+       |        / sqrt(CAST(sa.ss AS DOUBLE) * CAST(sb.ss AS DOUBLE)) AS cos
+       |    FROM dots
+       |    JOIN ss sa ON sa.k = dots.qid
+       |    JOIN ss sb ON sb.k = dots.nid
+       |  )
+       |)
+       |SELECT qid, nid, CAST(rn AS BIGINT) AS rank, cos
+       |FROM r WHERE rn <= 3
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val vecs = imageVecs(s, d, M13bDim)
+    val bitCols = (tbl: Int) => concat((0 until M13bBits).map(i =>
+      when(element_at(col("eL"), tbl * M13bBits + i + 1) >= 0, "1")
+        .otherwise("0")): _*)
+    val keys = vecs.select(col("media_id"),
+      posexplode(array((0 until M13bTables).map(bitCols): _*))
+        .as(Seq("tbl", "bkey")))
+    val ok = keys.groupBy("tbl", "bkey").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= M13bCap).select("tbl", "bkey")
+    val cand = keys.filter(col("media_id") < 10)
+      .select(col("media_id").as("qid"), col("tbl"), col("bkey"))
+      .join(keys.select(col("media_id").as("nid"), col("tbl"), col("bkey")),
+        Seq("tbl", "bkey"))
+      .filter(col("nid") =!= col("qid"))
+      .join(ok, Seq("tbl", "bkey"))
+      .select("qid", "nid").distinct()
+    val cos = cand
+      .join(vecs.select(col("media_id").as("qid"), col("eL").as("qL"),
+        col("ss").as("qss")), "qid")
+      .join(vecs.select(col("media_id").as("nid"), col("eL").as("nL"),
+        col("ss").as("nss")), "nid")
+      .select(col("qid"), col("nid"),
+        (call_function("long_dot", col("qL"), col("nL")).cast("double") /
+          sqrt(col("qss").cast("double") * col("nss").cast("double")))
+          .as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    cos.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "nid", "rank", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  /** M13c — recall@3 of the bucketed image ANN against m13's
+    * brute-force truth, per query: the t20/t30 recall-gate convention
+    * for the media tier. Composed from the two gates' own definitions
+    * on BOTH sides (Spark joins the operators' outputs, the oracle
+    * embeds their SQL), so the recall number can never drift from the
+    * operators it scores — an approximate family ships with its
+    * measured trade, never an assumed one. */
+  val m13cImageAnnRecall: QuerySpec = QuerySpec.sql(
+    "m13c_image_ann_recall",
+    s"""WITH bf AS (${m13ImageAnn.oracle.get}),
+       |lsh AS (${m13bImageAnnLsh.oracle.get})
+       |SELECT b.qid, count(l.nid) AS n_hits,
+       |  CAST(count(l.nid) AS DOUBLE) / 3 AS recall_at_3
+       |FROM (SELECT qid, nid FROM bf) b
+       |LEFT JOIN lsh l ON b.qid = l.qid AND b.nid = l.nid
+       |GROUP BY b.qid
+       |ORDER BY b.qid""".stripMargin) { (s, d) =>
+    val bf = m13ImageAnn.run(s, d).select(col("qid"), col("nid"))
+    val lsh = m13bImageAnnLsh.run(s, d)
+      .select(col("qid").as("lqid"), col("nid").as("lnid"))
+    bf.join(lsh, col("qid") === col("lqid") && col("nid") === col("lnid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("lnid")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / 3).as("recall_at_3"))
+      .orderBy("qid")
+  }
+
   /** M14 — RAW-VIDEO CLIP NEAR-DUP: the m12 shape with the JPEG codec
     * REMOVED — clips are uncompressed BI_RGB AVIs
     * ([[Multimodal.aviDibFixture]]) whose `00db` frames decode
@@ -700,5 +872,6 @@ object MultimodalQueries {
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
       m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup,
-      m13ImageAnn, m14RawClipNearDup, m15RawFrameFeatures)
+      m13ImageAnn, m13bImageAnnLsh, m13cImageAnnRecall, m14RawClipNearDup,
+      m15RawFrameFeatures)
 }

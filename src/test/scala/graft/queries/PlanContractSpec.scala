@@ -521,6 +521,17 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("m13b bucketed image ANN: bucket-keyed equi candidates, no cartesian, keyed top-k") {
+    val p = finalizedPlan(MultimodalQueries.m13bImageAnnLsh.run(spark, sf))
+    // the scale path must NEVER fall back to m13's brute pair sweep:
+    // candidates ride the (tbl, bkey) equi-key, scoring fetches by id
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(AnyJoin.findAllIn(p).nonEmpty, p)
+    assert(p.contains("windowspecdefinition(qid"), p)
+    assert(p.contains("ExistingRDD"), p) // one decode+project pass
+  }
+
   test("m14 raw clip near-dup: the m12 contract holds codec-free") {
     val p = finalizedPlan(MultimodalQueries.m14RawClipNearDup.run(spark, sf))
     assert(AnyJoin.findAllIn(p).nonEmpty, p)
