@@ -1005,6 +1005,14 @@ object Multimodal {
 
   final case class AudioHash(mediaId: Long, ahash: Long)
 
+  /** One clip's perceptual audio hash straight from bytes — decode
+    * (PCM contract) + [[aHash64Pcm]], the single definition
+    * [[audioHash]] (batch) and the streaming audio dedup share. None
+    * when the bytes don't decode or the clip is shorter than the
+    * hash's 64 blocks. */
+  def audioHashOf(bytes: Array[Byte]): Option[Long] =
+    aHash64Pcm(pcmSamples(bytes))
+
   /** Partition-parallel audio perceptual hash: decode 16-bit mono LE
     * PCM (the [[featuresPcm]] contract) and [[aHash64Pcm]] it. Clips
     * that fail the decode or are shorter than 64 samples yield no
@@ -1015,7 +1023,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.filter(_.kind == "audio").flatMap { m =>
-        aHash64Pcm(pcmSamples(m.content)).map(AudioHash(m.mediaId, _)).toSeq
+        audioHashOf(m.content).map(AudioHash(m.mediaId, _)).toSeq
       }
     }
   }

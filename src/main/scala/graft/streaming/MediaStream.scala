@@ -82,4 +82,31 @@ object MediaStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("dhash")
   }
+
+  /** [[dedupePerceptual]]'s AUDIO twin — the m11 block-mean PCM hash
+    * at the door: clips are decoded by the shared [[Multimodal]] PCM
+    * contract (16-bit mono LE; WAV fast path or AudioSystem) and
+    * keyed by [[Multimodal.aHash64Pcm]], so a re-encode or a clip
+    * with small sum-preserving sample perturbations dedups at ingest
+    * while exact byte/PCM hashing would see distinct content. Same
+    * quarantine rule: undecodable bytes and clips shorter than 64
+    * samples (no perceptual identity) are dropped to the batch
+    * sweep's conventions. State: one 64-bit key per distinct hash in
+    * the window. */
+  def dedupeAudio(media: DataFrame, tsCol: String,
+      delay: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("content"), col(tsCol).as("__ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes, ts) =>
+          Multimodal.audioHashOf(bytes).map(h => (id, ts, h))
+        }
+      }
+      .toDF("media_id", tsCol, "ahash")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("ahash")
+  }
 }

@@ -100,4 +100,48 @@ class MediaStreamSpec extends SparkSpec {
       assert(streamedHash.values.toSet == batchHash.values.toSet)
     } finally q.stop()
   }
+
+  test("streaming audio dedup: survivor set == batch m11 grouping over the same prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = MediaStream.dedupeAudio(
+      input.toDF().toDF("media_id", "content", "ts"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("media_adedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the m11 fixture family: 40 byte-distinct clips over 8 PCM
+      // noise families (sum-preserving perturbation magnitude cycles);
+      // an undecodable blob and a sub-64-sample clip must vanish
+      def row(k: Long) =
+        (k, Multimodal.wavNoiseFixture(k % 8, frames = 1280,
+          delta = 1 + ((k / 8) % 4).toInt), t(k))
+      val (a, b) = (0L until 40L).map(row).splitAt(20)
+      input.addData(a ++ Seq(
+        (98L, Array[Byte](7, 7, 7), t(70)),
+        (99L, Multimodal.wavFixture(32), t(71))): _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      val kept = spark.table("media_adedup")
+        .select("media_id").as[Long].collect().toSet
+      assert(kept.size == 8)
+      assert((0L until 8L).forall(g => kept.count(_ % 8 == g) == 1))
+      assert(!kept.contains(98L) && !kept.contains(99L))
+      assert(kept.forall(_ < 20L), "batch two must contribute nothing new")
+      // batch parity: same hash definition → same grouping
+      val batchRows = (0L until 40L).map { k =>
+        val (id, bytes, _) = row(k)
+        graft.multimodal.Multimodal.MediaRow(id, "audio", bytes,
+          graft.multimodal.Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+      }
+      val batchHash = Multimodal.audioHash(spark.createDataset(batchRows))
+        .collect().map(h => h.mediaId -> h.ahash).toMap
+      assert(batchHash.values.toSet.size == 8)
+      import org.apache.spark.sql.functions.col
+      val streamedHash = spark.table("media_adedup")
+        .select("media_id", "ahash").as[(Long, Long)].collect().toMap
+      assert(streamedHash.forall { case (id, h) => batchHash(id) == h })
+      assert(streamedHash.values.toSet == batchHash.values.toSet)
+    } finally q.stop()
+  }
 }
