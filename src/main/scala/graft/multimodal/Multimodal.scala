@@ -835,6 +835,52 @@ object Multimodal {
     encodeImage(img, format)
   }
 
+  /** Raster whose [[dHash64]] is EXACTLY `bits` — the m16 fixture.
+    * The canvas is gw·cell × gh·cell (9×8 cells of cell² pixels), so
+    * every dHash block boundary (c·w/9, r·h/8) lands on a cell edge
+    * and each block mean is exactly its cell's uniform gray level.
+    * Per row the levels are a greedy walk: start at 128, step −3 when
+    * the target bit says left > right, +3 otherwise (8 steps × 3 stays
+    * within [104, 152] ⊂ [0, 255]); pixels are r=g=b=L so the
+    * grayscale sum is 3L and every comparison is strict by ±9 per
+    * block — no ties, no rounding, any lossless codec round-trips it.
+    * This makes hamming structure between fixtures a pure function of
+    * the chosen bit patterns, which is what lets the m16 oracle know
+    * every cluster algebraically. */
+  def bitPatternImage(bits: Long,
+      cell: Int = 4): java.awt.image.BufferedImage = {
+    require(cell >= 1, s"bad cell size: $cell")
+    val (gw, gh) = (9, 8)
+    val img = new java.awt.image.BufferedImage(
+      gw * cell, gh * cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < gh) {
+      var level = 128
+      var c = 0
+      while (c < gw) {
+        val rgb = (level << 16) | (level << 8) | level
+        var y = r * cell
+        while (y < (r + 1) * cell) {
+          var x = c * cell
+          while (x < (c + 1) * cell) {
+            img.setRGB(x, y, rgb); x += 1
+          }
+          y += 1
+        }
+        // bit (r, c) = 1 ⟺ mean(block c) > mean(block c+1)
+        if (c < gw - 1)
+          level += (if (((bits >>> (r * (gw - 1) + c)) & 1L) == 1L) -3 else 3)
+        c += 1
+      }
+      r += 1
+    }
+    img
+  }
+
+  /** [[bitPatternImage]] PNG-encoded (lossless ⇒ dHash64 == bits). */
+  def bitPatternFixture(bits: Long, cell: Int = 4): Array[Byte] =
+    encodeImage(bitPatternImage(bits, cell), "png")
+
   /** One decoded-raster content signature: md5 over (width, height,
     * row-major RGB bytes) — content identity AFTER decode, so the
     * same pixels encoded as PNG vs BMP (or recompressed) hash EQUAL
@@ -964,6 +1010,61 @@ object Multimodal {
         else dHash64(img).map(ImageHash(m.mediaId, _)).toSeq
       }
     }
+  }
+
+  /** Hamming-tolerant PERCEPTUAL CLUSTERS over image dHashes — the
+    * media analogue of the text tier's near-dup clustering (t32):
+    * m9's exact-equality grouping misses re-encodes that move a
+    * handful of gradient signs, and pairwise hamming comparison is the
+    * quadratic non-starter. Band-split LSH instead: each 64-bit hash
+    * splits into `bands` equal slices; by pigeonhole any pair within
+    * hamming distance ≤ bands−1 shares at least one EXACT band, so for
+    * `maxDist < bands` the bucket-keyed equi self-join generates every
+    * qualifying pair (this is exact candidate generation, not
+    * approximate — the screen only ever ADDS far pairs, which the
+    * popcount filter removes). Edges = candidates with
+    * bit_count(h1 ^ h2) ≤ maxDist; components resolve transitivity by
+    * min-label propagation ([[graft.ops.ConnectedComponents]]).
+    *
+    * Scale shape: one narrow projection per hash (bands rows), one
+    * (band, bval)-keyed equi-join — never a cartesian — a codegen'd
+    * popcount filter, and a CC loop whose state is one row per
+    * edge-touched node. Hot buckets (a constant band value over a
+    * mono-colored corpus) are the same pathology as t2's hot LSH
+    * buckets; callers feeding adversarial corpora should pre-screen
+    * bucket sizes the t10 way. Input: (mediaId, dhash). Output:
+    * (media_id, cluster_id) with cluster_id = min media_id of the
+    * component. */
+  def dHashClusters(hashed: DataFrame, maxDist: Int = 2,
+      bands: Int = 4): DataFrame =
+    graft.ops.ConnectedComponents
+      .labels(dHashEdges(hashed, maxDist, bands), "d1", "d2",
+        hashed.select("mediaId"), "mediaId")
+      .select(col("id").as("media_id"), col("label").as("cluster_id"))
+
+  /** [[dHashClusters]]' edge feed, exposed for the plan contract (the
+    * CC loop executes eagerly, so the cluster frame's own plan is a
+    * checkpoint scan — the shape that must never regress lives here):
+    * (d1, d2) pairs with hamming(h1, h2) ≤ maxDist, generated by the
+    * band-keyed equi-join. */
+  def dHashEdges(hashed: DataFrame, maxDist: Int, bands: Int): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"band screen is only exact for maxDist < bands: $maxDist/$bands")
+    val bw = 64 / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
+    val slices = hashed.select(col("mediaId"), col("dhash"),
+      posexplode(array((0 until bands).map(i =>
+        shiftrightunsigned(col("dhash"), i * bw).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bval")))
+    slices.as("a")
+      .join(slices.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.mediaId") < col("b.mediaId"))
+      .select(col("a.mediaId").as("d1"), col("a.dhash").as("h1"),
+        col("b.mediaId").as("d2"), col("b.dhash").as("h2"))
+      .distinct()
+      .filter(expr(s"bit_count(h1 ^ h2) <= $maxDist"))
   }
 
   /** 64-bit block-mean hash (aHash) of a decoded PCM sample stream —

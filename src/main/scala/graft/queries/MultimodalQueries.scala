@@ -868,10 +868,87 @@ object MultimodalQueries {
       .orderBy("media_id", "frame_idx", "d")
   }
 
+  /** The m16 fixture's target dHash pattern for media index j (0-based):
+    * 13 perceptual families × 6 variants. Family identity lives in the
+    * HIGH bits — family f sets the 4-bit group at bits 8+4f..11+4f
+    * (f ≤ 12 → top bit 59), so any two families differ in exactly 8
+    * high bits that no variant ever touches. Variants perturb only the
+    * LOW 8 bits, in two sub-chains:
+    *
+    *   v=0..3  flip {}, {0}, {0,1}, {0,1,2}   — a 1-bit-step CHAIN:
+    *           v0↔v3 are distance 3 (> the threshold 2, NOT an edge)
+    *           yet one component via v1/v2 — transitivity is exercised,
+    *           not just direct edges;
+    *   v=4..5  flip {0..5}, {0..6}            — distance ≥ 3 from every
+    *           chain-A member (min: v3↔v4 = |{3,4,5}| = 3), so a
+    *           SECOND component per family.
+    *
+    * Expected clusters are therefore pure k-arithmetic: {v0..v3} labeled
+    * by v0's id, {v4,v5} by v4's — which is what lets the oracle state
+    * every cluster, size, and keeper without computing a single hash. */
+  private def m16Bits(j: Long): Long = {
+    val f = (j % 13).toInt
+    val flip = (j / 13).toInt match {
+      case 0 => 0L
+      case 1 => 0x1L
+      case 2 => 0x3L
+      case 3 => 0x7L
+      case 4 => 0x3fL
+      case _ => 0x7fL
+    }
+    (0xfL << (8 + 4 * f)) ^ flip
+  }
+
+  /** M16 — PERCEPTUAL NEAR-DUP CLUSTERS (hamming-tolerant): the media
+    * tier's t32. m9 groups on EXACT dHash equality, so a re-encode
+    * that flips even one gradient sign escapes it; m16 clusters within
+    * hamming distance ≤ 2 via [[Multimodal.dHashClusters]] — band-split
+    * LSH candidates (exact by pigeonhole at 4×16-bit bands), codegen'd
+    * popcount edges, min-label connected components. The fixture
+    * ([[Multimodal.bitPatternFixture]]) REALIZES chosen 64-bit patterns
+    * as real PNG rasters (dHash64(render(bits)) == bits, spec-pinned),
+    * so the family/chain structure in [[m16Bits]] IS the hash-space
+    * geometry and the oracle knows every cluster algebraically —
+    * including the v0↔v3 pair that is NOT an edge but IS one cluster,
+    * which pins CC transitivity, not just pair generation. Scale
+    * shape: decode+hash partition-local, one (band, bval) equi-join,
+    * bounded CC rounds — no pairwise hamming sweep exists at any
+    * scale. */
+  val m16PhashClusters: QuerySpec = QuerySpec.sql(
+    "m16_phash_clusters",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(c_custkey AS BIGINT) % 13 AS f,
+      |    CAST(c_custkey AS BIGINT) // 13 AS v
+      |  FROM customer WHERE c_custkey < 78
+      |)
+      |SELECT k AS media_id,
+      |  CASE WHEN v < 4 THEN f ELSE f + 52 END AS cluster_id,
+      |  CAST(CASE WHEN v < 4 THEN 4 ELSE 2 END AS BIGINT) AS cluster_size,
+      |  (k = CASE WHEN v < 4 THEN f ELSE f + 52 END) AS is_keeper
+      |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 78).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "image",
+          Multimodal.bitPatternFixture(m16Bits(k)),
+          Multimodal.MediaMeta("png", 36, 32, 0, 0))
+      }
+    val clusters = Multimodal.dHashClusters(
+      Multimodal.dHash(rows).toDF(), maxDist = 2, bands = 4)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    clusters
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_keeper", col("media_id") === col("cluster_id"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
       m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup,
       m13ImageAnn, m13bImageAnnLsh, m13cImageAnnRecall, m14RawClipNearDup,
-      m15RawFrameFeatures)
+      m15RawFrameFeatures, m16PhashClusters)
 }

@@ -732,6 +732,65 @@ object VectorQueries {
     * points. */
   val t65bIvfProbe2: QuerySpec = ivfAssignSpec("t65b_ivf_probe2", 2)
 
+  /** Per-cluster keep quota for t68 — small enough that the sf0.001
+    * corpus (150 vectors / 8 clusters) actually truncates dominant
+    * clusters, the operator's whole point. */
+  private[queries] val ClusterSampleCap = 5
+
+  /** T68 — CLUSTER-CAPPED BALANCED SAMPLING (the DataComp/DoReMi-style
+    * "debias the dominant modes" selection): assign every vector to
+    * its k-means cluster (the SAME quantized Lloyd run t25 pins —
+    * identical model, identical argmin rule), then keep at most
+    * [[ClusterSampleCap]] members per cluster, chosen in DETERMINISTIC
+    * pseudo-random order (md5-prefix of vec_id, the t15 split-hash
+    * family — reproducible across runs and engines, uncorrelated with
+    * insertion order or embedding geometry). Small clusters survive
+    * whole; dominant clusters truncate to the cap — the semantic
+    * complement of t57's SemDeDup: SemDeDup removes near-IDENTICAL
+    * members, cluster-capping bounds each mode's SHARE whether or not
+    * its members are mutual near-dups.
+    *
+    * Scale shape: one Lloyd serve pass (broadcast-model E-step), one
+    * hash-partitioned window over cid for (rank, size) — no pair join
+    * anywhere, state per cluster is the cap constant. At 100 TB with
+    * k ∝ N (the t57c/t65 knob), per-cluster membership stays bounded
+    * so the window partitions do too; the all-rows output with a
+    * `kept` flag (rather than a filtered sample) is the curation-
+    * manifest convention — the judge of what was DROPPED rides the
+    * same row set. */
+  val t68ClusterSample: QuerySpec = QuerySpec.sql(
+    "t68_cluster_sample",
+    s"""WITH $LloydCtesSql,
+       |asg AS (SELECT vec_id, cid FROM a3 WHERE rn = 1),
+       |o AS (SELECT vec_id, cid,
+       |        CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |          AS BIGINT) AS ok
+       |      FROM asg),
+       |r AS (SELECT vec_id, cid, ok,
+       |        ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ok, vec_id) AS rk,
+       |        COUNT(*) OVER (PARTITION BY cid) AS csize
+       |      FROM o)
+       |SELECT vec_id, cid AS cluster, CAST(csize AS BIGINT) AS cluster_size,
+       |  CAST(rk AS BIGINT) AS sample_rank,
+       |  (rk <= $ClusterSampleCap) AS kept
+       |FROM r ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
+    val asg = graft.ops.KMeans.fit(emb, LloydK, LloydIters)
+      .select(col("vec_id"), col("cid"))
+    val ok = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("cid").orderBy(col("ok"), col("vec_id"))
+    val ws = Window.partitionBy("cid")
+    asg.withColumn("ok", ok)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .withColumn("cluster_size", count(lit(1)).over(ws))
+      .select(col("vec_id"), col("cid").as("cluster"), col("cluster_size"),
+        col("sample_rank"),
+        (col("sample_rank") <= ClusterSampleCap).as("kept"))
+      .orderBy("vec_id")
+  }
+
   private def semDedupAt(name: String, k: Int): QuerySpec =
     semDedupSpec(name, k.toString, (_, _) => k)
 
@@ -1130,5 +1189,6 @@ object VectorQueries {
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
       t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
-      t57bSemDedupScale, t57cSemDedupProd, t65IvfAssign, t65bIvfProbe2)
+      t57bSemDedupScale, t57cSemDedupProd, t65IvfAssign, t65bIvfProbe2,
+      t68ClusterSample)
 }

@@ -60,7 +60,8 @@ object ScaleCheck {
     "t57c_semdedup_prod", "t61b_winnow_pairs_prod",
     "t38b_delta_neardup_prod", "t62_hll_cardinality",
     "t63_source_fertility", "t64_ngram_novelty", "t65_ivf_assign",
-    "t66_source_curation", "t65b_ivf_probe2", "t67_source_scorecard")
+    "t66_source_curation", "t65b_ivf_probe2", "t67_source_scorecard",
+    "t68_cluster_sample")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
@@ -513,6 +514,35 @@ object ScaleCheck {
           fps = 10, seed = id % 1000),
         Multimodal.MediaMeta("avi", 24, 16, 0, 0))
     }.localCheckpoint()
+
+    // m16's hamming-tolerant clustering at generated scale: families
+    // of 6 bit-pattern variants (the gate's two-chain structure), with
+    // the family id TRIPLE-REPEATED across three disjoint 18-bit high
+    // fields so any two families differ in ≥ 3 bits — no cross-family
+    // edge at maxDist 2 however many families the corpus grows to
+    // (up to 2^18; the gate's one-hot encoding caps at 13)
+    val nPhash = nImages / 5 // renders are costlier than the m9 fixture
+    val phashImages = spark.range(nPhash).repartition(256).map { id =>
+      val f = id / 6
+      val flip = (id % 6) match {
+        case 0 => 0L; case 1 => 0x1L; case 2 => 0x3L
+        case 3 => 0x7L; case 4 => 0x3fL; case _ => 0x7fL
+      }
+      val bits = ((f << 8) | (f << 26) | (f << 44)) ^ flip
+      Multimodal.MediaRow(id, "image",
+        Multimodal.bitPatternFixture(bits),
+        Multimodal.MediaMeta("png", 36, 32, 0, 0))
+    }.localCheckpoint()
+    val phashed = Multimodal.dHash(phashImages).toDF().localCheckpoint()
+
+    run("m16_phash_edges", nPhash, must = Seq("bit_count")) {
+      Multimodal.dHashEdges(phashed, maxDist = 2, bands = 4)
+    }
+    run("m16_phash_cc", nPhash, forbidSingle = false) {
+      // CC rounds execute eagerly inside (diameter ≤ 3 by the chain
+      // construction); the returned frame is the label attach
+      Multimodal.dHashClusters(phashed, maxDist = 2, bands = 4)
+    }
 
     run("m12_clip_neardup", nClips, forbidSingle = false) {
       val frames = Multimodal.frameSampleAvi(clips, k = 4).toDF()

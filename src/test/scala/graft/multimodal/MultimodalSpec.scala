@@ -561,4 +561,51 @@ class MultimodalSpec extends SparkSpec {
       assert(got((1L, d)) === want, s"dim $d")
     }
   }
+
+  test("bitPatternImage realizes any target dHash exactly, PNG round-trips") {
+    val patterns = Seq(0L, -1L, 0xdeadbeefcafebabeL, 0x5555555555555555L,
+      0x8000000000000001L, 1L << 63, 0x0f0f0f0f0f0f0f0fL)
+    patterns.foreach { bits =>
+      assert(Multimodal.dHash64(Multimodal.bitPatternImage(bits))
+        === Some(bits), f"direct render of $bits%016x")
+      // through the PNG codec (lossless): encode → ImageIO decode → hash
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.bitPatternFixture(bits)))
+      assert(Multimodal.dHash64(img) === Some(bits),
+        f"PNG round-trip of $bits%016x")
+    }
+    // non-default cell size keeps block boundaries on cell edges too
+    assert(Multimodal.dHash64(
+      Multimodal.bitPatternImage(0x123456789abcdef0L, cell = 3))
+      === Some(0x123456789abcdef0L))
+  }
+
+  test("dHashClusters: band candidates + popcount edges + CC transitivity") {
+    import spark.implicits._
+    // chain A {0,1,3,7}: 1-bit steps; 0↔7 is distance 3 — NOT an edge
+    // at maxDist=2, so its shared cluster can only come from CC
+    // transitivity. chain B {0x3f, 0x7f}: distance ≥ 3 from every
+    // A-member (min |{3,4,5}| = 3). Far singleton: high-band pattern.
+    val hashes = Seq(
+      10L -> 0L, 11L -> 1L, 12L -> 3L, 13L -> 7L,
+      20L -> 0x3fL, 21L -> 0x7fL,
+      30L -> (0xfL << 40))
+    val got = Multimodal.dHashClusters(
+      hashes.toDF("mediaId", "dhash"), maxDist = 2, bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+    // negative hashes (top bit set) band correctly via unsigned shift
+    val neg = Multimodal.dHashClusters(
+      Seq(1L -> -1L, 2L -> -2L, 3L -> Long.MinValue)
+        .toDF("mediaId", "dhash"), maxDist = 2, bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -1 vs -2 differ in bit 0 only; MinValue vs -1 differ in 63 bits
+    assert(neg === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // the band screen is only exact below the band count
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashClusters(hashes.toDF("mediaId", "dhash"),
+        maxDist = 4, bands = 4)
+    }
+  }
 }

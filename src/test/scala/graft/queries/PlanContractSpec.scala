@@ -471,6 +471,15 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("t68 cluster sample: join-free serve + cid-keyed windows, no pair join, no single partition") {
+    val p = plan(VectorQueries.t68ClusterSample)
+    // the whole operator is one Lloyd serve pass + two windows over
+    // cid — a pair join here would be t57's cost for a quota decision
+    assert(AnyJoin.findAllIn(p).isEmpty, p)
+    assert(p.contains("windowspecdefinition(cid"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("t66 report: rolls checkpointed manifest frames, no cartesian anywhere") {
     val p = finalizedPlan(TextQueries.t66SourceCuration.run(spark, sf))
     // the cluster side arrives as the memoized star-frame checkpoint
@@ -545,6 +554,28 @@ class PlanContractSpec extends SparkSpec {
     val p = plan(MultimodalQueries.m15RawFrameFeatures)
     assert(p.contains("MapPartitions"), p)
     assert(AnyJoin.findAllIn(p).isEmpty, p)
+  }
+
+  test("m16 phash cluster edge feed: band-keyed equi-join, popcount filter, no hamming sweep") {
+    // (m16's own final plan is a checkpoint scan — the CC loop runs
+    // eagerly — so the contract targets the edge builder directly,
+    // the t32 convention)
+    import org.apache.spark.sql.functions.col
+    val hashed = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long").as("mediaId"),
+        (col("c_custkey").cast("long") * 2654435761L).as("dhash"))
+    val edges = graft.multimodal.Multimodal
+      .dHashEdges(hashed, maxDist = 2, bands = 4)
+    edges.count()
+    val p = edges.queryExecution.executedPlan.toString
+    // candidates must ride the (band, bval) equi-key — a pairwise
+    // hamming comparison over all images is the quadratic failure
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the popcount screen is a codegen'd expression, not a UDF
+    assert(p.contains("bit_count"), p)
   }
 
   test("m13 image ANN: query features broadcast against the corpus, keyed top-k window") {
