@@ -1067,6 +1067,39 @@ object Multimodal {
       .filter(expr(s"bit_count(h1 ^ h2) <= $maxDist"))
   }
 
+  /** ASYMMETRIC hamming probe — the t38 ingest-delta shape for the
+    * perceptual tier: a small `delta` batch probes a standing `corpus`
+    * band index instead of re-pairing the whole corpus against itself.
+    * Same band-split screen as [[dHashEdges]] (exact for
+    * maxDist < bands), but only delta×corpus candidates are ever
+    * generated — cost scales with |delta| × bucket occupancy, not
+    * |corpus|². At 100 TB the corpus side is the persisted bucketed
+    * band index (write once, bucketed by (band, bval) — the t38b
+    * discipline); here both sides derive from frames. Inputs:
+    * (mediaId, dhash) each. Output: (delta_id, corpus_id) hit pairs
+    * within hamming ≤ maxDist. */
+  def dHashProbe(delta: DataFrame, corpus: DataFrame, maxDist: Int,
+      bands: Int): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"band screen is only exact for maxDist < bands: $maxDist/$bands")
+    val bw = 64 / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
+    def slices(df: DataFrame): DataFrame =
+      df.select(col("mediaId"), col("dhash"),
+        posexplode(array((0 until bands).map(i =>
+          shiftrightunsigned(col("dhash"), i * bw).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bval")))
+    slices(delta).as("a")
+      .join(slices(corpus).as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval"))
+      .select(col("a.mediaId").as("delta_id"), col("a.dhash").as("h1"),
+        col("b.mediaId").as("corpus_id"), col("b.dhash").as("h2"))
+      .distinct()
+      .filter(expr(s"bit_count(h1 ^ h2) <= $maxDist"))
+      .select(col("delta_id"), col("corpus_id"))
+  }
+
   /** 64-bit block-mean hash (aHash) of a decoded PCM sample stream —
     * the audio analogue of [[dHash64]]: split the samples into 64
     * equal blocks (exact integer bounds i·n/64), bit b = 1 iff block

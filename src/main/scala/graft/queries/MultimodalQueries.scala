@@ -945,10 +945,84 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** M17 — DELTA PERCEPTUAL PROBE (the t38 ingest shape for media): a
+    * small arrival batch probes the STANDING corpus's dHash band index
+    * within hamming ≤ 2 — never re-pairing the corpus against itself —
+    * via [[Multimodal.dHashProbe]]. Completes the perceptual tier's
+    * ingest story: exact-hash dedup at the door
+    * (MediaStream.dedupePerceptual), hamming-tolerant probe against
+    * the standing index per ingest batch (this gate; at 100 TB the
+    * index is persisted bucketed by (band, bval) — the t38b
+    * discipline), full m16 re-cluster on the slow cadence.
+    *
+    * Fixture: the m16 bit-pattern universe (13 families × 6 chain
+    * variants); membership rule k % 7 == 3 marks 11 arrivals, the
+    * rest stand. Because the fixture geometry is exact, the oracle
+    * enumerates the qualifying variant pairs (the ≤ 2-distance chain
+    * edges) as a VALUES list and derives every hit, count, and
+    * verdict from k arithmetic alone. Delta-delta pairs are out of
+    * scope by construction (they belong to the door dedup / next
+    * sweep, not the corpus probe). */
+  val m17DeltaPhash: QuerySpec = QuerySpec.sql(
+    "m17_delta_phash",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(c_custkey AS BIGINT) % 13 AS f,
+      |    CAST(c_custkey AS BIGINT) // 13 AS v,
+      |    (CAST(c_custkey AS BIGINT) % 7 = 3) AS is_delta
+      |  FROM customer WHERE c_custkey < 78
+      |),
+      |e AS (SELECT * FROM (VALUES (0,1),(1,0),(0,2),(2,0),(1,2),(2,1),
+      |        (1,3),(3,1),(2,3),(3,2),(4,5),(5,4)) t(va, vb)),
+      |hits AS (
+      |  SELECT d.k AS delta_id, c.k AS corpus_id
+      |  FROM m d JOIN e ON d.is_delta AND e.va = d.v
+      |  JOIN m c ON c.f = d.f AND c.v = e.vb AND NOT c.is_delta
+      |),
+      |agg AS (SELECT delta_id, COUNT(*) AS n_corpus_hits,
+      |          MIN(corpus_id) AS nearest_dup
+      |        FROM hits GROUP BY 1)
+      |SELECT m.k AS media_id,
+      |  COALESCE(n_corpus_hits, 0) AS n_corpus_hits,
+      |  COALESCE(nearest_dup, -1) AS nearest_dup,
+      |  CASE WHEN COALESCE(n_corpus_hits, 0) > 0
+      |       THEN 'dup_corpus' ELSE 'keep' END AS verdict
+      |FROM m LEFT JOIN agg ON m.k = agg.delta_id
+      |WHERE m.is_delta
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val hashed = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 78).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "image",
+          Multimodal.bitPatternFixture(m16Bits(k)),
+          Multimodal.MediaMeta("png", 36, 32, 0, 0))
+      }
+      .transform(Multimodal.dHash(_).toDF())
+      .withColumn("is_delta", col("mediaId") % 7 === 3)
+      .localCheckpoint() // one decode+hash pass feeds both probe sides
+    val hits = Multimodal.dHashProbe(
+      hashed.filter(col("is_delta")).select("mediaId", "dhash"),
+      hashed.filter(!col("is_delta")).select("mediaId", "dhash"),
+      maxDist = 2, bands = 4)
+    val agg = hits.groupBy("delta_id").agg(
+      count(lit(1)).as("n_corpus_hits"), min("corpus_id").as("nearest_dup"))
+    hashed.filter(col("is_delta"))
+      .select(col("mediaId").as("media_id"))
+      .join(agg, col("media_id") === col("delta_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_corpus_hits"), lit(0L)).as("n_corpus_hits"),
+        coalesce(col("nearest_dup"), lit(-1L)).as("nearest_dup"),
+        when(coalesce(col("n_corpus_hits"), lit(0L)) > 0, "dup_corpus")
+          .otherwise("keep").as("verdict"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
       m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup,
       m13ImageAnn, m13bImageAnnLsh, m13cImageAnnRecall, m14RawClipNearDup,
-      m15RawFrameFeatures, m16PhashClusters)
+      m15RawFrameFeatures, m16PhashClusters, m17DeltaPhash)
 }

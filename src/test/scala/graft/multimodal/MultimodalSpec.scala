@@ -608,4 +608,18 @@ class MultimodalSpec extends SparkSpec {
         maxDist = 4, bands = 4)
     }
   }
+
+  test("dHashProbe: asymmetric — only delta×corpus hits, never within a side") {
+    import spark.implicits._
+    // each delta is within distance 2 of corpus 10 and 11 but far from
+    // 12 and 13; deltas 1 and 2 are distance 1 apart — a within-delta
+    // pair the probe must NOT emit — and corpus 10/11 are distance 1
+    // apart — a within-corpus pair ditto
+    val delta = Seq(1L -> 0x7L, 2L -> 0x6L).toDF("mediaId", "dhash")
+    val corpus = Seq(10L -> 0x5L, 11L -> 0x4L, 12L -> 0x38L,
+      13L -> (0xfL << 30)).toDF("mediaId", "dhash")
+    val got = Multimodal.dHashProbe(delta, corpus, maxDist = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
+  }
 }

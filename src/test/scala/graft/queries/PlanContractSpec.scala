@@ -578,6 +578,16 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("bit_count"), p)
   }
 
+  test("m17 delta probe rides the band equi-key off one decode pass, no corpus self-pair") {
+    val p = finalizedPlan(MultimodalQueries.m17DeltaPhash.run(spark, sf))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bit_count"), p)
+    assert(p.contains("ExistingRDD"), p) // hash pass paid once, both sides
+  }
+
   test("m13 image ANN: query features broadcast against the corpus, keyed top-k window") {
     val p = plan(MultimodalQueries.m13ImageAnn)
     // the t5 contract on self-extracted features: the 10-query side
