@@ -415,6 +415,46 @@ object Multimodal {
     buf.toByteArray
   }
 
+  /** WAV whose [[aHash64Pcm]] is EXACTLY `bits` — the m18 fixture, the
+    * audio analogue of [[bitPatternImage]]: 64 blocks of `cell`
+    * samples, block b uniformly +amp when bit b is set, −amp when
+    * clear. With p = popcount(bits) < 64 the global mean is
+    * amp·(2p−64)/64 ∈ [−amp, amp), so every +amp block exceeds it
+    * strictly and every −amp block never does (the p = 0 equality
+    * resolves to clear, which matches). All-ones is the one pattern
+    * with NO realization — no block can exceed a global mean equal to
+    * every block's mean — so it is rejected rather than silently
+    * mis-rendered. 16-bit mono PCM through the real WAV writer, so
+    * the hash survives the codec round-trip bit-exactly. */
+  def wavPatternFixture(bits: Long, cell: Int = 8,
+      amp: Int = 1000): Array[Byte] = {
+    require(bits != -1L,
+      "all-ones aHash has no realization: no block exceeds a global " +
+        "mean every block equals")
+    require(cell >= 1 && amp >= 1 && amp < 32768,
+      s"bad wav pattern fixture: cell=$cell amp=$amp")
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = 64 * cell
+    val pcm = new Array[Byte](n * 2)
+    var b = 0
+    while (b < 64) {
+      val v = if (((bits >>> b) & 1L) == 1L) amp else -amp
+      var j = b * cell
+      while (j < (b + 1) * cell) {
+        pcm(2 * j) = (v & 0xff).toByte
+        pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+        j += 1
+      }
+      b += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
   /** Deterministic fixture table: stable pseudo-random bytes per id. */
   def fixture(spark: SparkSession, n: Int, parts: Int = 4): Dataset[MediaRow] = {
     import spark.implicits._

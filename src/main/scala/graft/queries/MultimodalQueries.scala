@@ -914,8 +914,11 @@ object MultimodalQueries {
     * shape: decode+hash partition-local, one (band, bval) equi-join,
     * bounded CC rounds — no pairwise hamming sweep exists at any
     * scale. */
-  val m16PhashClusters: QuerySpec = QuerySpec.sql(
-    "m16_phash_clusters",
+  /** The chain-geometry cluster oracle shared by m16 (image dHash) and
+    * m18 (audio aHash): both fixtures realize the SAME [[m16Bits]]
+    * patterns in their modality's hash space, so the expected
+    * clustering is one piece of k-arithmetic. */
+  private val ChainClusterOracleSql: String =
     """WITH m AS (
       |  SELECT CAST(c_custkey AS BIGINT) AS k,
       |    CAST(c_custkey AS BIGINT) % 13 AS f,
@@ -926,7 +929,11 @@ object MultimodalQueries {
       |  CASE WHEN v < 4 THEN f ELSE f + 52 END AS cluster_id,
       |  CAST(CASE WHEN v < 4 THEN 4 ELSE 2 END AS BIGINT) AS cluster_size,
       |  (k = CASE WHEN v < 4 THEN f ELSE f + 52 END) AS is_keeper
-      |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+      |FROM m ORDER BY media_id""".stripMargin
+
+  val m16PhashClusters: QuerySpec = QuerySpec.sql(
+    "m16_phash_clusters",
+    ChainClusterOracleSql) { (s, d) =>
     import s.implicits._
     val rows = Tables.customer(s, d)
       .select(col("c_custkey").cast("long").as("k"))
@@ -938,6 +945,41 @@ object MultimodalQueries {
       }
     val clusters = Multimodal.dHashClusters(
       Multimodal.dHash(rows).toDF(), maxDist = 2, bands = 4)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    clusters
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_keeper", col("media_id") === col("cluster_id"))
+      .orderBy("media_id")
+  }
+
+  /** M18 — AUDIO PERCEPTUAL CLUSTERS: m16's hamming-tolerant
+    * clustering applied to the AUDIO hash space. The cluster machinery
+    * ([[Multimodal.dHashClusters]]) is hash-agnostic — band-split LSH
+    * + popcount edges + CC work on any 64-bit perceptual key — so the
+    * audio tier gets transitive near-dup groups by renaming one
+    * column, which is the point of keeping the operator generic. The
+    * fixture ([[Multimodal.wavPatternFixture]]) realizes the SAME
+    * [[m16Bits]] chain patterns as aHash values (block b of 16-bit PCM
+    * at +amp/−amp per bit; popcount < 64 always holds here since
+    * patterns carry ≤ 11 set bits), spec-pinned through the real WAV
+    * codec — so the oracle is m16's, verbatim. Same scale shape:
+    * decode+hash partition-local, band equi-join, bounded CC. */
+  val m18AudioPhashClusters: QuerySpec = QuerySpec.sql(
+    "m18_audio_phash_clusters",
+    ChainClusterOracleSql) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 78).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "audio",
+          Multimodal.wavPatternFixture(m16Bits(k)),
+          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+      }
+    val clusters = Multimodal.dHashClusters(
+      Multimodal.audioHash(rows).toDF()
+        .select(col("mediaId"), col("ahash").as("dhash")),
+      maxDist = 2, bands = 4)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     clusters
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -1024,5 +1066,6 @@ object MultimodalQueries {
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
       m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup,
       m13ImageAnn, m13bImageAnnLsh, m13cImageAnnRecall, m14RawClipNearDup,
-      m15RawFrameFeatures, m16PhashClusters, m17DeltaPhash)
+      m15RawFrameFeatures, m16PhashClusters, m17DeltaPhash,
+      m18AudioPhashClusters)
 }

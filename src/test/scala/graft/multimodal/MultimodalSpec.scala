@@ -609,6 +609,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavPatternFixture realizes any target aHash exactly through the WAV codec") {
+    val patterns = Seq(0L, 1L, 0xdeadbeefcafebabeL, 0x5555555555555555L,
+      1L << 63, 0x7fffffffffffffffL)
+    patterns.foreach { bits =>
+      assert(Multimodal.audioHashOf(Multimodal.wavPatternFixture(bits))
+        === Some(bits), f"WAV round-trip of $bits%016x")
+    }
+    // all-ones is unrealizable (no block exceeds its own global mean)
+    // and must be rejected, not silently rendered as hash 0
+    intercept[IllegalArgumentException] {
+      Multimodal.wavPatternFixture(-1L)
+    }
+  }
+
   test("dHashProbe: asymmetric — only delta×corpus hits, never within a side") {
     import spark.implicits._
     // each delta is within distance 2 of corpus 10 and 11 but far from
