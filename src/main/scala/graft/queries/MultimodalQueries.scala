@@ -886,7 +886,7 @@ object MultimodalQueries {
     * Expected clusters are therefore pure k-arithmetic: {v0..v3} labeled
     * by v0's id, {v4,v5} by v4's — which is what lets the oracle state
     * every cluster, size, and keeper without computing a single hash. */
-  private def m16Bits(j: Long): Long = {
+  private[graft] def m16Bits(j: Long): Long = {
     val f = (j % 13).toInt
     val flip = (j / 13).toInt match {
       case 0 => 0L

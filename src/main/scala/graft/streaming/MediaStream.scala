@@ -2,8 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.multimodal.Multimodal
 
@@ -93,6 +94,117 @@ object MediaStream {
     * samples (no perceptual identity) are dropped to the batch
     * sweep's conventions. State: one 64-bit key per distinct hash in
     * the window. */
+  final case class MediaDupCandidate(d1: Long, d2: Long, dist: Int)
+
+  /** One band bucket's state: retained (mediaId, dhash) members —
+    * newest first — and the newest event time (drives the timeout). */
+  final case class HashBucketState(members: List[(Long, Long)],
+      maxEventMs: Long)
+
+  /** HAMMING-TOLERANT near-dup candidates at the door — the
+    * [[StreamingNearDup]] machinery with the MinHash signature compare
+    * replaced by the m16 popcount rule: each arriving image's dHash
+    * splits into `bands` slices, the arrival joins each slice's
+    * bucket, and every retained member within hamming ≤ `maxDist`
+    * emits a candidate pair immediately. [[dedupePerceptual]] catches
+    * EXACT-hash re-encodes at the door; this tier catches the
+    * one-bit-off ones that otherwise wait for the batch m16 sweep —
+    * the streaming third of the perceptual story (door exact → door
+    * fuzzy → batch clusters), each tier sharing the batch operators'
+    * own key math ([[Multimodal.dHash64]], the band split, the
+    * popcount cut) so no tier can drift from the sweep that backstops
+    * it.
+    *
+    * The band screen is exact for maxDist < bands (pigeonhole), so
+    * within a bucket's retention the emitted pair set is complete. A
+    * pair within ≤ maxDist shares ≥ bands − maxDist bands and emits
+    * once per shared band (the batch DISTINCT is a shuffle the stream
+    * does not pay) — sinks dedup on (d1, d2) or rely on the batch
+    * backstop, the [[StreamingNearDup]] convention. State per
+    * (band, bval) bucket is capped at `bucketCap` members retained by
+    * LOWEST media_id (t38b's bounded-standing-index rule — arrival-
+    * order independent) and cleared by event-time timeout `delay`
+    * past the newest member. Undecodable bytes have no perceptual
+    * identity and are dropped (the quarantine rule). */
+  def nearDupCandidates(media: DataFrame, tsCol: String, delay: String,
+      maxDist: Int = 2, bands: Int = 4,
+      bucketCap: Int = 200): Dataset[MediaDupCandidate] = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"band screen is only exact for maxDist < bands: $maxDist/$bands")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bw = 64 / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
+    val hashed = media
+      .select(col("media_id"), col("content"), col(tsCol).as("__ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes, ts) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else Multimodal.dHash64(img).map(h => (id, ts, h))
+        }
+      }
+      .toDF("media_id", "__ts", "dhash")
+      .withWatermark("__ts", delay)
+    hashed
+      .select(col("media_id"), col("__ts"), col("dhash"),
+        posexplode(array((0 until bands).map(i =>
+          shiftrightunsigned(col("dhash"), i * bw).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bval")))
+      .as[(Long, Timestamp, Long, Int, Long)]
+      .groupByKey { case (_, _, _, band, bval) => s"$band:$bval" }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(process(maxDist, bucketCap, delay))
+  }
+
+  private def process(maxDist: Int, bucketCap: Int, delay: String)(
+      key: String, rows: Iterator[(Long, Timestamp, Long, Int, Long)],
+      state: GroupState[HashBucketState]): Iterator[MediaDupCandidate] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val st = state.getOption.getOrElse(HashBucketState(Nil, 0L))
+      var members = st.members
+      var maxMs = st.maxEventMs
+      val out = List.newBuilder[MediaDupCandidate]
+      // micro-batch iterators carry no ordering guarantee — process by
+      // (event time, id) so within-batch emission is deterministic
+      rows.toSeq.sortBy { case (id, ts, _, _, _) => (ts.getTime, id) }
+        .foreach { case (id, ts, h, _, _) =>
+          members.foreach { case (mid, mh) =>
+            if (mid != id) {
+              val dist = java.lang.Long.bitCount(h ^ mh)
+              if (dist <= maxDist)
+                out += MediaDupCandidate(
+                  math.min(id, mid), math.max(id, mid), dist)
+            }
+          }
+          // retention = the LOWEST media_ids seen (t38b's standing-
+          // index contract): a full bucket evicts its largest id for a
+          // smaller arrival — arrival-order independent
+          if (!members.exists(_._1 == id)) {
+            if (members.size < bucketCap) members = (id, h) :: members
+            else {
+              val evict = members.maxBy(_._1)
+              if (id < evict._1)
+                members = (id, h) :: members.filterNot(_._1 == evict._1)
+            }
+          }
+          maxMs = math.max(maxMs, ts.getTime)
+        }
+      state.update(HashBucketState(members, maxMs))
+      // timeout must sit strictly past the current watermark
+      state.setTimeoutTimestamp(
+        math.max(maxMs, state.getCurrentWatermarkMs() + 1), delay)
+      out.result().iterator
+    }
+  }
+
   def dedupeAudio(media: DataFrame, tsCol: String,
       delay: String): DataFrame = {
     val spark = media.sparkSession

@@ -144,4 +144,49 @@ class MediaStreamSpec extends SparkSpec {
       assert(streamedHash.values.toSet == batchHash.values.toSet)
     } finally q.stop()
   }
+
+  test("streaming hamming candidates: pair set == batch dHashEdges over the same prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = MediaStream.nearDupCandidates(
+      input.toDF().toDF("media_id", "content", "ts"), "ts", "1 hour",
+      maxDist = 2, bands = 4)
+      .writeStream.format("memory").queryName("media_hcand")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the m16 chain universe (13 families × 6 variants) split across
+      // two micro-batches by PARITY, so most qualifying pairs span the
+      // batch boundary and must come from STATE, not within-batch
+      // joins; an undecodable blob must vanish
+      def row(k: Long) = (k, Multimodal.bitPatternFixture(
+        graft.queries.MultimodalQueries.m16Bits(k)), t(k))
+      val all = (0L until 78L).map(row)
+      val (a, b) = all.partition(_._1 % 2 == 0)
+      input.addData(a :+ ((99L, Array[Byte](1, 2, 3), t(90))): _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      // streamed pairs (distinct — a pair sharing several bands emits
+      // once per shared band by contract)
+      val streamed = spark.table("media_hcand")
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      // batch truth: dHashEdges over the same 78 images
+      import org.apache.spark.sql.functions.col
+      val batchRows = all.map { case (id, bytes, _) =>
+        Multimodal.MediaRow(id, "image", bytes,
+          Multimodal.MediaMeta("png", 36, 32, 0, 0))
+      }
+      val batchPairs = Multimodal.dHashEdges(
+        Multimodal.dHash(spark.createDataset(batchRows)).toDF(),
+        maxDist = 2, bands = 4)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      // 6 qualifying pairs per family by the chain geometry
+      assert(batchPairs.size == 13 * 6)
+      assert(streamed == batchPairs)
+      // every emitted distance is within the cut and exact
+      val dists = spark.table("media_hcand")
+        .select("d1", "d2", "dist").as[(Long, Long, Int)].collect()
+      assert(dists.forall(_._3 <= 2))
+    } finally q.stop()
+  }
 }
