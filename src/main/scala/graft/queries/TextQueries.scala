@@ -1401,6 +1401,56 @@ object TextQueries {
     }
   }
 
+  /** T69 — PER-SOURCE QUANTILE QUALITY FILTER (the adaptive-threshold
+    * curation cut): a fixed quality floor (t19's 0.5) passes a
+    * different FRACTION of every source — a clean source keeps nearly
+    * everything, a noisy one nearly nothing — where deployments
+    * usually want "keep each source's best X%" so no source is
+    * silently wiped or waved through. Rank every document within its
+    * source by [[graft.functions.TextAnalysis.qualityOf]] (t7's exact
+    * score — ONE definition, no drift) descending with doc_id
+    * tie-break, keep percent_rank ≤ 0.8. All-rows output with the
+    * `kept` flag (the manifest convention). Scale shape: one window
+    * partitioned by source — sources are the natural parallel unit; a
+    * skewed giant source is the t59 percentile machinery's problem
+    * shape and takes the same remedy (pre-agg quantile cut) if a
+    * single source outgrows a partition. */
+  val t69QualityQuantile: QuerySpec = {
+    val stopList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    QuerySpec.sql(
+      "t69_quality_quantile",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text, $ToksSql AS toks FROM documents
+         |), m AS (
+         |  SELECT doc_id, source,
+         |    least(1.0, CAST(len(toks) AS DOUBLE) / 100)
+         |      * (CASE WHEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |                   / len(toks) >= 0.01
+         |              AND CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |                   / len(toks) <= 0.3 THEN 1.0 ELSE 0.5 END)
+         |      * (CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |                   / length(text) <= 0.2 THEN 1.0 ELSE 0.5 END) AS quality
+         |  FROM t
+         |), r AS (
+         |  SELECT doc_id, source, quality,
+         |    PERCENT_RANK() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS q_rank
+         |  FROM m
+         |)
+         |SELECT doc_id, source, quality, q_rank, (q_rank <= 0.8) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          qualityOf(col("text")).as("quality"))
+        .withColumn("q_rank", percent_rank().over(w))
+        .select(col("doc_id"), col("source"), col("quality"), col("q_rank"),
+          (col("q_rank") <= 0.8).as("kept"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** T8 — token counting two ways: raw whitespace split vs a BPE-ish
     * regex segmentation (letters / digits / single symbols). */
   val t8TokenCount: QuerySpec = QuerySpec.sql(
@@ -2447,6 +2497,7 @@ object TextQueries {
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
+    t69QualityQuantile,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,

@@ -480,6 +480,13 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("t69 quantile filter: one source-keyed window, no join, no single partition") {
+    val p = plan(TextQueries.t69QualityQuantile)
+    assert(p.contains("windowspecdefinition(source"), p)
+    assert(AnyJoin.findAllIn(p).isEmpty, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("t66 report: rolls checkpointed manifest frames, no cartesian anywhere") {
     val p = finalizedPlan(TextQueries.t66SourceCuration.run(spark, sf))
     // the cluster side arrives as the memoized star-frame checkpoint
