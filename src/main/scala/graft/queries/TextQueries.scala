@@ -1328,6 +1328,77 @@ object TextQueries {
       JaccardDfCap, 0.9)
   }
 
+  /** T70 — NEAR-CONTAINMENT PAIRS: the DIRECTIONAL complement of t4's
+    * symmetric Jaccard. A short document embedded in an aggregator
+    * page (quote farms, mirrors-with-boilerplate, doc+comments) has
+    * LOW Jaccard against its container — the union is dominated by
+    * the container — but containment |A∩B|/|A| ≈ 1, so Jaccard-only
+    * dedup systematically misses the subset direction and the model
+    * trains on the contained text twice. Same inverted-index + df-cap
+    * machinery as t4 over 3-gram shingle sets (shingles, not tokens:
+    * containment needs phrase identity, not vocabulary overlap); each
+    * undirected pair is evaluated in BOTH directions and emits
+    * (contained, container) rows independently — an exact mutual pair
+    * emits both. The df cap is the sub-quadratic guarantee, exactly
+    * t4's scale argument; at lake scale t2's LSH pre-candidates feed
+    * this the same way. */
+  val t70Containment: QuerySpec = QuerySpec.sql(
+    "t70_containment",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $ToksSql AS toks
+       |  FROM documents WHERE doc_id < 1000
+       |), dt0 AS (
+       |  SELECT DISTINCT doc_id, lang, unnest($ShinglesOverToks) AS sh FROM t
+       |), rare AS (
+       |  SELECT lang, sh FROM dt0 GROUP BY lang, sh HAVING COUNT(*) <= $JaccardDfCap
+       |), dt AS (
+       |  SELECT dt0.doc_id, dt0.lang, dt0.sh FROM dt0 JOIN rare USING (lang, sh)
+       |), nt AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |  FROM dt a JOIN dt b ON a.sh = b.sh AND a.lang = b.lang
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), j AS (
+       |  SELECT d1, d2, i, x.n AS n1, y.n AS n2
+       |  FROM inter JOIN nt x ON d1 = x.doc_id JOIN nt y ON d2 = y.doc_id
+       |), dirs AS (
+       |  SELECT d1 AS contained, d2 AS container, i AS n_common,
+       |    CAST(i AS DOUBLE) / n1 AS containment FROM j
+       |  UNION ALL
+       |  SELECT d2, d1, i, CAST(i AS DOUBLE) / n2 FROM j
+       |)
+       |SELECT contained, container, n_common, containment
+       |FROM dirs WHERE containment >= 0.9
+       |ORDER BY contained, container""".stripMargin) { (s, d) =>
+    val dt0 = Tables.documents(s, d).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("lang"),
+        explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .distinct()
+      .localCheckpoint() // one shingle scan feeds the screen + both sides
+    val rare = dt0.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= JaccardDfCap).select("lang", "sh")
+    val dt = dt0.join(rare, Seq("lang", "sh"))
+    val nt = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val j = dt.as("a")
+      .join(dt.as("b"),
+        col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+      .join(nt.as("x"), col("d1") === col("x.doc_id"))
+      .join(nt.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"), col("i"),
+        col("x.n").as("n1"), col("y.n").as("n2"))
+    val dirs = j.select(col("d1").as("contained"), col("d2").as("container"),
+        col("i").as("n_common"),
+        (col("i").cast("double") / col("n1")).as("containment"))
+      .unionAll(j.select(col("d2"), col("d1"), col("i"),
+        (col("i").cast("double") / col("n2"))))
+    dirs.filter(col("containment") >= 0.9)
+      .orderBy("contained", "container")
+  }
+
   /** T6 — language-ID heuristic: English function-word ratio over the
     * token stream (scan-local; no shuffle). */
   val t6LangId: QuerySpec = {
@@ -2497,7 +2568,7 @@ object TextQueries {
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
-    t69QualityQuantile,
+    t69QualityQuantile, t70Containment,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,

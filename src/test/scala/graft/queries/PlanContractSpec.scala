@@ -487,6 +487,17 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("t70 containment: shingle-keyed inverted-index equi-join, df screen, no cartesian") {
+    val p = finalizedPlan(TextQueries.t70Containment.run(spark, sf))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // one shingle scan feeds the screen and both join sides
+    assert(p.contains("ExistingRDD"), p)
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("t66 report: rolls checkpointed manifest frames, no cartesian anywhere") {
     val p = finalizedPlan(TextQueries.t66SourceCuration.run(spark, sf))
     // the cluster side arrives as the memoized star-frame checkpoint
