@@ -129,13 +129,8 @@ object MediaStream {
   def nearDupCandidates(media: DataFrame, tsCol: String, delay: String,
       maxDist: Int = 2, bands: Int = 4,
       bucketCap: Int = 200): Dataset[MediaDupCandidate] = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
-    require(maxDist >= 0 && maxDist < bands,
-      s"band screen is only exact for maxDist < bands: $maxDist/$bands")
     val spark = media.sparkSession
     import spark.implicits._
-    val bw = 64 / bands
-    val mask = if (bw == 64) -1L else (1L << bw) - 1
     val hashed = media
       .select(col("media_id"), col("content"), col(tsCol).as("__ts"))
       .as[(Long, Array[Byte], Timestamp)]
@@ -152,6 +147,46 @@ object MediaStream {
       }
       .toDF("media_id", "__ts", "dhash")
       .withWatermark("__ts", delay)
+    nearDupCandidatesHashed(hashed, maxDist, bands, bucketCap, delay)
+  }
+
+  /** [[nearDupCandidates]]' AUDIO twin — the same band-bucket state
+    * machinery over [[Multimodal.aHash64Pcm]] (the m18 hash space):
+    * clips within hamming ≤ maxDist of a retained arrival emit
+    * candidate pairs at the door. Undecodable bytes and sub-64-sample
+    * clips have no perceptual identity and are dropped (the
+    * [[dedupeAudio]] quarantine rule). */
+  def nearDupCandidatesAudio(media: DataFrame, tsCol: String, delay: String,
+      maxDist: Int = 2, bands: Int = 4,
+      bucketCap: Int = 200): Dataset[MediaDupCandidate] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media
+      .select(col("media_id"), col("content"), col(tsCol).as("__ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions(_.flatMap { case (id, bytes, ts) =>
+        Multimodal.audioHashOf(bytes).map(h => (id, ts, h))
+      })
+      .toDF("media_id", "__ts", "dhash")
+      .withWatermark("__ts", delay)
+    nearDupCandidatesHashed(hashed, maxDist, bands, bucketCap, delay)
+  }
+
+  /** Hash-agnostic core shared by the image and audio doors: band-
+    * split the watermarked (media_id, __ts, dhash) frame and run the
+    * bucket state machine. Callers OWN the decode and the watermark;
+    * this owns the candidate semantics, so the two modalities cannot
+    * diverge on retention, ordering, or emission rules. */
+  private def nearDupCandidatesHashed(hashed: DataFrame, maxDist: Int,
+      bands: Int, bucketCap: Int,
+      delay: String): Dataset[MediaDupCandidate] = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"band screen is only exact for maxDist < bands: $maxDist/$bands")
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val bw = 64 / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
     hashed
       .select(col("media_id"), col("__ts"), col("dhash"),
         posexplode(array((0 until bands).map(i =>

@@ -79,7 +79,12 @@ object ScaleCheck {
     // (copies × the base sizes), not the fixture-bounded m-gates, so
     // media plans have a ×10+ regression record like the text tier
     if (args.contains("--media")) {
-      mediaDemo(spark, nImages = 50000 * copies, nClips = 5000 * copies)
+      val mediaOnly = args.collectFirst {
+        case a if a.startsWith("--only=") =>
+          a.stripPrefix("--only=").split(',').toSet
+      }
+      mediaDemo(spark, nImages = 50000 * copies, nClips = 5000 * copies,
+        only = mediaOnly)
       spark.stop()
       return
     }
@@ -447,10 +452,12 @@ object ScaleCheck {
     * bounded gates (a few hundred rows) can never catch. The clip
     * entry runs the CODEC-FREE raw-BGR decode path (m14's), giving the
     * new seam its scale record alongside the JPEG one. */
-  def mediaDemo(spark: SparkSession, nImages: Int, nClips: Int): Unit = {
+  def mediaDemo(spark: SparkSession, nImages: Int, nClips: Int,
+      only: Option[Set[String]] = None): Unit = {
     import spark.implicits._
     import graft.multimodal.Multimodal
     val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    def wanted(label: String): Boolean = only.forall(_.contains(label))
 
     // `must`: plan fragments the entry's scale shape depends on (a
     // keyed grouping window, an equi-join); `forbidSingle` is on for
@@ -460,6 +467,7 @@ object ScaleCheck {
     // the data, pass through it)
     def run(label: String, n: Long, must: Seq[String] = Nil,
         forbidSingle: Boolean = true)(df: => DataFrame): Unit = {
+      if (!wanted(label)) return
       val t0 = System.nanoTime()
       val d = df
       val rows = d.queryExecution.toRdd.count()
@@ -480,8 +488,10 @@ object ScaleCheck {
     }
 
     // one synthesized image corpus feeds both grouping entries (the
-    // m10 discipline); byte-distinct rows in 4096 perceptual families
-    val images = spark.range(nImages).repartition(256).map { id =>
+    // m10 discipline); byte-distinct rows in 4096 perceptual families.
+    // Corpora are lazy so an --only run never synthesizes what it
+    // doesn't measure.
+    lazy val images = spark.range(nImages).repartition(256).map { id =>
       Multimodal.MediaRow(id, "image",
         Multimodal.perturbedImageFixture(id % 4096,
           delta = 1 + (id % 4).toInt, 18, 16),
@@ -507,7 +517,7 @@ object ScaleCheck {
 
     // raw-BGR clips: 1000 families × length cycle 6/7/8 — the m14
     // shape (m12's join machinery, zero codec in the decode)
-    val clips = spark.range(nClips).repartition(128).map { id =>
+    lazy val clips = spark.range(nClips).repartition(128).map { id =>
       Multimodal.MediaRow(id, "video",
         Multimodal.aviDibFixture(
           frames = (6 + (id / 1000) % 3).toInt, width = 24, height = 16,
@@ -522,7 +532,7 @@ object ScaleCheck {
     // edge at maxDist 2 however many families the corpus grows to
     // (up to 2^18; the gate's one-hot encoding caps at 13)
     val nPhash = nImages / 5 // renders are costlier than the m9 fixture
-    val phashImages = spark.range(nPhash).repartition(256).map { id =>
+    lazy val phashImages = spark.range(nPhash).repartition(256).map { id =>
       val f = id / 6
       val flip = (id % 6) match {
         case 0 => 0L; case 1 => 0x1L; case 2 => 0x3L
@@ -533,7 +543,7 @@ object ScaleCheck {
         Multimodal.bitPatternFixture(bits),
         Multimodal.MediaMeta("png", 36, 32, 0, 0))
     }.localCheckpoint()
-    val phashed = Multimodal.dHash(phashImages).toDF().localCheckpoint()
+    lazy val phashed = Multimodal.dHash(phashImages).toDF().localCheckpoint()
 
     run("m16_phash_edges", nPhash, must = Seq("bit_count")) {
       Multimodal.dHashEdges(phashed, maxDist = 2, bands = 4)

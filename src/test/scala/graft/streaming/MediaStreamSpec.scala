@@ -189,4 +189,42 @@ class MediaStreamSpec extends SparkSpec {
       assert(dists.forall(_._3 <= 2))
     } finally q.stop()
   }
+
+  test("streaming audio hamming candidates: pair set == batch edges over the aHash space") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = MediaStream.nearDupCandidatesAudio(
+      input.toDF().toDF("media_id", "content", "ts"), "ts", "1 hour",
+      maxDist = 2, bands = 4)
+      .writeStream.format("memory").queryName("media_ahcand")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the SAME chain universe as the image test, realized in the
+      // audio hash space (wavPatternFixture) — the hash-agnostic core
+      // must produce the identical pair structure; parity split across
+      // micro-batches again forces cross-batch pairs through state
+      def row(k: Long) = (k, Multimodal.wavPatternFixture(
+        graft.queries.MultimodalQueries.m16Bits(k)), t(k))
+      val all = (0L until 78L).map(row)
+      val (a, b) = all.partition(_._1 % 2 == 0)
+      input.addData(a :+ ((99L, Array[Byte](1, 2, 3), t(90))): _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("media_ahcand")
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val batchRows = all.map { case (id, bytes, _) =>
+        Multimodal.MediaRow(id, "audio", bytes,
+          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+      }
+      val batchPairs = Multimodal.dHashEdges(
+        Multimodal.audioHash(spark.createDataset(batchRows)).toDF()
+          .select(org.apache.spark.sql.functions.col("mediaId"),
+            org.apache.spark.sql.functions.col("ahash").as("dhash")),
+        maxDist = 2, bands = 4)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(batchPairs.size == 13 * 6)
+      assert(streamed == batchPairs)
+    } finally q.stop()
+  }
 }
