@@ -1061,11 +1061,63 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** M19 — EXACT CLIP-LEVEL VIDEO DEDUP: the t1 shape for video. m12
+    * finds PARTIAL overlap (clips sharing ≥ 2 sampled frames); a
+    * mirror re-serving the SAME clip needs the exact tier first — one
+    * content signature per clip, group, keep lowest id. The signature
+    * is md5 over the frameIdx-ordered sampled-frame raster checksums
+    * (content identity after decode, so container-level byte noise —
+    * chunk padding, index layout — cannot split a group, the m8
+    * raster-vs-byte argument at clip granularity). Fixture: the m12
+    * MJPEG corpus, where two clips share all 4 sampled frames iff they
+    * share (family, length) — so dup_group = fam + 10·(n−6)
+    * algebraically. Scale shape: decode partition-local, one
+    * groupBy(media_id) to assemble the ordered digest, one
+    * hash-keyed grouping window — no pair join at the exact tier,
+    * ever. */
+  val m19ClipDedup: QuerySpec = QuerySpec.sql(
+    "m19_clip_dedup",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(c_custkey AS BIGINT) % 10 AS fam,
+      |    6 + (CAST(c_custkey AS BIGINT) // 10) % 3 AS n
+      |  FROM customer WHERE c_custkey < 100
+      |)
+      |SELECT k AS media_id,
+      |  fam + 10 * (n - 6) AS dup_group,
+      |  (k = fam + 10 * (n - 6)) AS is_keeper
+      |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 100).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "video",
+          Multimodal.aviMjpegFixture(
+            frames = (6 + (k / 10) % 3).toInt, width = 24, height = 16,
+            fps = 10, seed = k % 10),
+          Multimodal.MediaMeta("avi", 24, 16, 0, 0))
+      }
+    val sigs = Multimodal.frameSampleAvi(rows, k = 4).toDF()
+      .filter(col("width") > 0) // decode failures never fabricate a key
+      .groupBy(col("mediaId").as("media_id"))
+      .agg(md5(concat_ws(",",
+        transform(sort_array(collect_list(
+          struct(col("frameIdx"), col("pixChecksum")))),
+          x => x.getField("pixChecksum")))).as("clip_sig"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("clip_sig")
+    sigs
+      .withColumn("dup_group", min("media_id").over(w))
+      .select(col("media_id"), col("dup_group"),
+        (col("media_id") === col("dup_group")).as("is_keeper"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
       m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup,
       m13ImageAnn, m13bImageAnnLsh, m13cImageAnnRecall, m14RawClipNearDup,
       m15RawFrameFeatures, m16PhashClusters, m17DeltaPhash,
-      m18AudioPhashClusters)
+      m18AudioPhashClusters, m19ClipDedup)
 }

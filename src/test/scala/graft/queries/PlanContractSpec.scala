@@ -606,6 +606,14 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p) // hash pass paid once, both sides
   }
 
+  test("m19 clip dedup: digest assembly + sig-keyed window, no pair join at the exact tier") {
+    val p = plan(MultimodalQueries.m19ClipDedup)
+    assert(p.contains("MapPartitions"), p) // partition-local decode
+    assert(p.contains("windowspecdefinition(clip_sig"), p)
+    assert(AnyJoin.findAllIn(p).isEmpty, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("m13 image ANN: query features broadcast against the corpus, keyed top-k window") {
     val p = plan(MultimodalQueries.m13ImageAnn)
     // the t5 contract on self-extracted features: the 10-query side
