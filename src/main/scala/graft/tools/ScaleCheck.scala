@@ -526,19 +526,27 @@ object ScaleCheck {
     }.localCheckpoint()
 
     // m16's hamming-tolerant clustering at generated scale: families
-    // of 6 bit-pattern variants (the gate's two-chain structure), with
-    // the family id TRIPLE-REPEATED across three disjoint 18-bit high
-    // fields so any two families differ in ≥ 3 bits — no cross-family
-    // edge at maxDist 2 however many families the corpus grows to
-    // (up to 2^18; the gate's one-hot encoding caps at 13)
+    // of 6 bit-pattern variants (the gate's two-chain structure). The
+    // family id is encoded TWICE in disjoint 24-bit fields (bits 8-31,
+    // 32-55) plus an 8-bit XOR fold (bits 56-63): families differing
+    // in ≥ 2 id bits are ≥ 4 apart from the fields alone; families
+    // differing in exactly 1 id bit get 2 from the fields and 1 more
+    // from the fold (a single flipped id bit flips exactly one fold
+    // bit) — min cross-family distance 3 > maxDist for any corpus up
+    // to 2^24 families. (The first ×1000 attempt used 3×18-bit
+    // repetition fields, whose 2^18 cap the 1.67M-family corpus
+    // silently overflowed into 68M collision edges — kept in COVERAGE
+    // as the cautionary record; the require below makes the cap loud.)
     val nPhash = nImages / 5 // renders are costlier than the m9 fixture
     lazy val phashImages = spark.range(nPhash).repartition(256).map { id =>
       val f = id / 6
+      require(f < (1L << 24), s"family id overflows the 24-bit encoding: $f")
       val flip = (id % 6) match {
         case 0 => 0L; case 1 => 0x1L; case 2 => 0x3L
         case 3 => 0x7L; case 4 => 0x3fL; case _ => 0x7fL
       }
-      val bits = ((f << 8) | (f << 26) | (f << 44)) ^ flip
+      val fold = (f ^ (f >> 8) ^ (f >> 16)) & 0xffL
+      val bits = ((f << 8) | (f << 32) | (fold << 56)) ^ flip
       Multimodal.MediaRow(id, "image",
         Multimodal.bitPatternFixture(bits),
         Multimodal.MediaMeta("png", 36, 32, 0, 0))
