@@ -917,9 +917,13 @@ object Multimodal {
     img
   }
 
-  /** [[bitPatternImage]] PNG-encoded (lossless ⇒ dHash64 == bits). */
-  def bitPatternFixture(bits: Long, cell: Int = 4): Array[Byte] =
-    encodeImage(bitPatternImage(bits, cell), "png")
+  /** [[bitPatternImage]] encoded as `format` ("png" or "bmp" — both
+    * lossless for TYPE_INT_RGB ⇒ dHash64 == bits either way; the m20
+    * manifest renders both to make byte-distinct raster-equal
+    * twins). */
+  def bitPatternFixture(bits: Long, cell: Int = 4,
+      format: String = "png"): Array[Byte] =
+    encodeImage(bitPatternImage(bits, cell), format)
 
   /** One decoded-raster content signature: md5 over (width, height,
     * row-major RGB bytes) — content identity AFTER decode, so the

@@ -1113,11 +1113,82 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** M20 — the PERCEPTUAL CURATION MANIFEST end to end: m10's composed
+    * two-tier idea upgraded to the hamming ladder. One corpus carrying
+    * both duplication structures — 156 images = the 78-pattern m16
+    * chain universe rendered twice (PNG and BMP: byte-distinct,
+    * raster-EQUAL) — runs the composed production pipeline: (1)
+    * raster-exact dedup ([[Multimodal.rasterSignature]], lowest-id
+    * keeper), (2) hamming clusters over the KEEPERS ONLY
+    * ([[Multimodal.dHashClusters]] — the dedup-before-cluster order
+    * every real pipeline uses: why band-join rows the exact tier
+    * already collapsed), (3) per-image verdict: `exact_dup` (a
+    * re-encode of a kept raster), `representative` (its cluster's
+    * lowest id), or `near_dup`, with every image carrying its
+    * keeper's cluster id. The oracle knows all three tiers from k
+    * arithmetic: raster twins are k ↔ k+78, clusters are the chain
+    * formula on k mod 78. Scale shape: two partition-local decode
+    * passes feeding hash-keyed machinery, one id-keyed join back —
+    * tier costs stay the component gates' costs. */
+  val m20PhashManifest: QuerySpec = QuerySpec.sql(
+    "m20_phash_manifest",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(c_custkey AS BIGINT) % 78 AS b,
+      |    CAST(c_custkey AS BIGINT) % 78 % 13 AS f,
+      |    CAST(c_custkey AS BIGINT) % 78 // 13 AS v
+      |  FROM customer WHERE c_custkey < 156
+      |)
+      |SELECT k AS media_id,
+      |  b AS exact_keeper,
+      |  CASE WHEN v < 4 THEN f ELSE f + 52 END AS cluster_id,
+      |  CASE WHEN k >= 78 THEN 'exact_dup'
+      |       WHEN k = CASE WHEN v < 4 THEN f ELSE f + 52 END
+      |       THEN 'representative'
+      |       ELSE 'near_dup' END AS verdict
+      |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 156).as[Long]
+      .map { k =>
+        val fmt = if (k < 78) "png" else "bmp"
+        Multimodal.MediaRow(k, "image",
+          Multimodal.bitPatternFixture(m16Bits(k % 78), format = fmt),
+          Multimodal.MediaMeta(fmt, 36, 32, 0, 0))
+      }
+      .localCheckpoint() // one fixture build feeds both decode passes
+    // tier 1: raster-exact dedup, lowest-id keeper per decoded raster
+    val wSig = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    val exact = Multimodal.rasterSignature(rows).toDF()
+      .select(col("mediaId").as("media_id"), col("sig"))
+      .withColumn("exact_keeper", min("media_id").over(wSig))
+      .select(col("media_id"), col("exact_keeper"))
+      .localCheckpoint() // feeds the keeper screen + the final join
+    // tier 2: hamming clusters over keepers only
+    val keepers = exact.filter(col("media_id") === col("exact_keeper"))
+      .select(col("media_id").as("keeper_id"))
+    val clusters = Multimodal.dHashClusters(
+      Multimodal.dHash(rows).toDF()
+        .join(keepers, col("mediaId") === col("keeper_id"))
+        .select("mediaId", "dhash"),
+      maxDist = 2, bands = 4)
+      .select(col("media_id").as("ck"), col("cluster_id"))
+    // tier 3: every image inherits its keeper's cluster; verdict
+    exact
+      .join(clusters, col("exact_keeper") === col("ck"))
+      .select(col("media_id"), col("exact_keeper"), col("cluster_id"),
+        when(col("media_id") =!= col("exact_keeper"), "exact_dup")
+          .when(col("media_id") === col("cluster_id"), "representative")
+          .otherwise("near_dup").as("verdict"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
       m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup,
       m13ImageAnn, m13bImageAnnLsh, m13cImageAnnRecall, m14RawClipNearDup,
       m15RawFrameFeatures, m16PhashClusters, m17DeltaPhash,
-      m18AudioPhashClusters, m19ClipDedup)
+      m18AudioPhashClusters, m19ClipDedup, m20PhashManifest)
 }

@@ -614,6 +614,16 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("m20 phash manifest: keeper screen before clustering, id-keyed join back, no cartesian") {
+    val p = finalizedPlan(MultimodalQueries.m20PhashManifest.run(spark, sf))
+    // the cluster tier must ride the checkpointed exact frame (dedup
+    // BEFORE cluster — never band-join rows the exact tier collapsed)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(AnyJoin.findAllIn(p).nonEmpty, p)
+  }
+
   test("m13 image ANN: query features broadcast against the corpus, keyed top-k window") {
     val p = plan(MultimodalQueries.m13ImageAnn)
     // the t5 contract on self-extracted features: the 10-query side
