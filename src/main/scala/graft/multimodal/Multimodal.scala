@@ -1267,6 +1267,58 @@ object Multimodal {
     * container walk or have no frames yield no rows, a frame that
     * fails JPEG decode keeps its row with zero dims (same convention
     * as [[decode]]). */
+  /** The rolling RGB checksum every sampled frame carries
+    * (AviFrame.pixChecksum) — ONE definition so the batch frame
+    * sample, the m19 clip digest, and the streaming clip door key the
+    * same pixels identically. */
+  private def frameChecksum(img: java.awt.image.BufferedImage): Long = {
+    var acc = 1125899906842597L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        acc = 31 * acc + (img.getRGB(x, y) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
+  /** One clip CONTENT signature: md5 over the sample-order frame
+    * checksums of the k evenly spaced frames ([[frameSampleAvi]]'s
+    * i·n/k rule, [[frameChecksum]]'s pixels) joined with "," — the
+    * exact digest the batch m19 gate assembles from the frame-sample
+    * frame (`md5(concat_ws(",", …))` over the frameIdx-ordered
+    * checksums), computed per clip for the streaming door. Frames
+    * that fail the decode are skipped (the m19 `width > 0` screen);
+    * None when the container doesn't parse or NO frame decodes — a
+    * clip with no decodable content has no identity (quarantine
+    * rule). */
+  def clipSigOf(bytes: Array[Byte], k: Int): Option[String] = {
+    require(k > 0, s"sample count must be positive: $k")
+    if (parseAvi(bytes).isEmpty) None
+    else {
+      val chunks = aviFrameChunks(bytes)
+      val dib = aviDibInfo(bytes)
+      val n = chunks.length
+      if (n == 0) None
+      else {
+        val sums = (0 until k).flatMap { i =>
+          val (cs, ce) = chunks(i * n / k)
+          val img = decodeAviFrame(bytes, cs, ce, dib)
+          if (img == null) None else Some(frameChecksum(img))
+        }
+        if (sums.isEmpty) None
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(sums.mkString(",").getBytes("UTF-8"))
+          Some(md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   def frameSampleAvi(media: Dataset[MediaRow], k: Int): Dataset[AviFrame] = {
     import media.sparkSession.implicits._
     require(k > 0, s"sample count must be positive: $k")
@@ -1284,19 +1336,7 @@ object Multimodal {
             val img = decodeAviFrame(m.content, cs, ce, dib)
             val (w, h, sum) =
               if (img == null) (0, 0, 0L)
-              else {
-                var acc = 1125899906842597L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    acc = 31 * acc + (img.getRGB(x, y) & 0xffffff)
-                    x += 1
-                  }
-                  y += 1
-                }
-                (img.getWidth, img.getHeight, acc)
-              }
+              else (img.getWidth, img.getHeight, frameChecksum(img))
             AviFrame(m.mediaId, i, fno,
               fno * meta.microSecPerFrame / 1000, w, h, sum)
           }

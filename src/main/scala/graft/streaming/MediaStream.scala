@@ -240,6 +240,35 @@ object MediaStream {
     }
   }
 
+  /** The VIDEO door — [[dedupeRaster]]'s contract keyed by the m19
+    * clip content signature ([[Multimodal.clipSigOf]]: md5 over the
+    * k evenly-spaced sampled-frame checksums — the SAME digest the
+    * batch gate assembles, one definition, no drift): a mirror
+    * re-serving the same clip under different container byte noise
+    * dedups at ingest. Completes the door symmetry across all four
+    * modalities (t1↔dedupe, m8/m9↔raster/perceptual, m11↔audio,
+    * m19↔this). Quarantine rule as everywhere: clips whose container
+    * doesn't parse or with no decodable frame have no identity and
+    * drop to the batch sweep's conventions. State: one md5 string per
+    * distinct clip signature in the window. */
+  def dedupeClips(media: DataFrame, tsCol: String, delay: String,
+      k: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("content"), col(tsCol).as("__ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes, ts) =>
+          Multimodal.clipSigOf(bytes, k).map(sig => (id, ts, sig))
+        }
+      }
+      .toDF("media_id", tsCol, "clip_sig")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("clip_sig")
+  }
+
   def dedupeAudio(media: DataFrame, tsCol: String,
       delay: String): DataFrame = {
     val spark = media.sparkSession

@@ -145,6 +145,59 @@ class MediaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming clip dedup: survivor set == batch m19 grouping over the same prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = MediaStream.dedupeClips(
+      input.toDF().toDF("media_id", "content", "ts"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("media_cdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the m19 fixture universe: 100 MJPEG clips in 30 (family,
+      // length) content groups, split across two micro-batches by
+      // parity (cross-batch dups must come from state); an
+      // undecodable blob has no clip identity and vanishes
+      def row(k: Long) = (k, Multimodal.aviMjpegFixture(
+        frames = (6 + (k / 10) % 3).toInt, width = 24, height = 16,
+        fps = 10, seed = k % 10), t(k))
+      val all = (0L until 100L).map(row)
+      val (a, b) = all.partition(_._1 % 2 == 0)
+      input.addData(a :+ ((999L, Array[Byte](1, 2, 3), t(90))): _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      val kept = spark.table("media_cdedup")
+        .select("media_id").as[Long].collect().toSet
+      // one survivor per (fam, n) group, drawn from that group
+      assert(kept.size == 30)
+      def group(k: Long) = (k % 10, (k / 10) % 3)
+      assert(kept.map(group).size == 30)
+      assert(!kept.contains(999L))
+      // BATCH PARITY: the streamed survivors' signatures group exactly
+      // like the m19 digest over the same clips — same frame sampling,
+      // same checksum, same md5 assembly
+      val batchRows = all.map { case (id, bytes, _) =>
+        Multimodal.MediaRow(id, "video", bytes,
+          Multimodal.MediaMeta("avi", 24, 16, 0, 0))
+      }
+      import org.apache.spark.sql.functions.{col, md5, concat_ws, transform,
+        sort_array, collect_list, struct}
+      val batchSigs = Multimodal.frameSampleAvi(
+        spark.createDataset(batchRows), k = 4).toDF()
+        .filter(col("width") > 0)
+        .groupBy(col("mediaId"))
+        .agg(md5(concat_ws(",",
+          transform(sort_array(collect_list(
+            struct(col("frameIdx"), col("pixChecksum")))),
+            x => x.getField("pixChecksum")))).as("sig"))
+        .as[(Long, String)].collect().toMap
+      val streamedSigs = spark.table("media_cdedup")
+        .select("media_id", "clip_sig").as[(Long, String)].collect().toMap
+      assert(streamedSigs.forall { case (id, s) => batchSigs(id) == s })
+      assert(batchSigs.values.toSet.size == 30)
+    } finally q.stop()
+  }
+
   test("streaming hamming candidates: pair set == batch dHashEdges over the same prefix") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Array[Byte], Timestamp)]
