@@ -1005,8 +1005,10 @@ object MultimodalQueries {
     * verdict from k arithmetic alone. Delta-delta pairs are out of
     * scope by construction (they belong to the door dedup / next
     * sweep, not the corpus probe). */
-  val m17DeltaPhash: QuerySpec = QuerySpec.sql(
-    "m17_delta_phash",
+  /** The chain-geometry delta-probe oracle shared by m17 (image) and
+    * m21 (audio) — the qualifying ≤ 2-distance variant pairs as a
+    * VALUES list, hits/counts/verdicts from k arithmetic. */
+  private val ChainDeltaOracleSql: String =
     """WITH m AS (
       |  SELECT CAST(c_custkey AS BIGINT) AS k,
       |    CAST(c_custkey AS BIGINT) % 13 AS f,
@@ -1031,19 +1033,14 @@ object MultimodalQueries {
       |       THEN 'dup_corpus' ELSE 'keep' END AS verdict
       |FROM m LEFT JOIN agg ON m.k = agg.delta_id
       |WHERE m.is_delta
-      |ORDER BY media_id""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val hashed = Tables.customer(s, d)
-      .select(col("c_custkey").cast("long").as("k"))
-      .filter(col("k") < 78).as[Long]
-      .map { k =>
-        Multimodal.MediaRow(k, "image",
-          Multimodal.bitPatternFixture(m16Bits(k)),
-          Multimodal.MediaMeta("png", 36, 32, 0, 0))
-      }
-      .transform(Multimodal.dHash(_).toDF())
-      .withColumn("is_delta", col("mediaId") % 7 === 3)
-      .localCheckpoint() // one decode+hash pass feeds both probe sides
+      |ORDER BY media_id""".stripMargin
+
+  /** Shared m17/m21 finalize: probe the standing side with the delta
+    * side via [[Multimodal.dHashProbe]] and shape the per-arrival
+    * report — one composition so the two modalities' delta semantics
+    * cannot drift. Input: (mediaId, dhash, is_delta). */
+  private def deltaProbeReport(
+      hashed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val hits = Multimodal.dHashProbe(
       hashed.filter(col("is_delta")).select("mediaId", "dhash"),
       hashed.filter(!col("is_delta")).select("mediaId", "dhash"),
@@ -1059,6 +1056,50 @@ object MultimodalQueries {
         when(coalesce(col("n_corpus_hits"), lit(0L)) > 0, "dup_corpus")
           .otherwise("keep").as("verdict"))
       .orderBy("media_id")
+  }
+
+  val m17DeltaPhash: QuerySpec = QuerySpec.sql(
+    "m17_delta_phash",
+    ChainDeltaOracleSql) { (s, d) =>
+    import s.implicits._
+    val hashed = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 78).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "image",
+          Multimodal.bitPatternFixture(m16Bits(k)),
+          Multimodal.MediaMeta("png", 36, 32, 0, 0))
+      }
+      .transform(Multimodal.dHash(_).toDF())
+      .withColumn("is_delta", col("mediaId") % 7 === 3)
+      .localCheckpoint() // one decode+hash pass feeds both probe sides
+    deltaProbeReport(hashed)
+  }
+
+  /** M21 — AUDIO DELTA PROBE: m17's ingest shape in the aHash space,
+    * completing probe symmetry across the perceptual tiers (clusters:
+    * m16 image / m18 audio; delta probe: m17 image / m21 audio;
+    * streaming doors: both). Same chain universe realized by
+    * [[Multimodal.wavPatternFixture]], same membership rule, same
+    * shared finalize ([[deltaProbeReport]]) and the SAME oracle
+    * string — modality enters only through the decode+hash pass. */
+  val m21AudioDeltaPhash: QuerySpec = QuerySpec.sql(
+    "m21_audio_delta_phash",
+    ChainDeltaOracleSql) { (s, d) =>
+    import s.implicits._
+    val hashed = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 78).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "audio",
+          Multimodal.wavPatternFixture(m16Bits(k)),
+          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+      }
+      .transform(Multimodal.audioHash(_).toDF())
+      .select(col("mediaId"), col("ahash").as("dhash"))
+      .withColumn("is_delta", col("mediaId") % 7 === 3)
+      .localCheckpoint() // one decode+hash pass feeds both probe sides
+    deltaProbeReport(hashed)
   }
 
   /** M19 — EXACT CLIP-LEVEL VIDEO DEDUP: the t1 shape for video. m12
@@ -1190,5 +1231,6 @@ object MultimodalQueries {
       m9DhashNearDup, m10MediaManifest, m11AudioNearDup, m12ClipNearDup,
       m13ImageAnn, m13bImageAnnLsh, m13cImageAnnRecall, m14RawClipNearDup,
       m15RawFrameFeatures, m16PhashClusters, m17DeltaPhash,
-      m18AudioPhashClusters, m19ClipDedup, m20PhashManifest)
+      m18AudioPhashClusters, m19ClipDedup, m20PhashManifest,
+      m21AudioDeltaPhash)
 }
