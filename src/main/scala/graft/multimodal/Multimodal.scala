@@ -1038,6 +1038,19 @@ object Multimodal {
 
   final case class ImageHash(mediaId: Long, dhash: Long)
 
+  /** Decode `bytes` and dHash the raster — the ONE bytes→perceptual-
+    * key computation the batch [[dHash]] operator and the streaming
+    * doors share (the [[audioHashOf]] discipline for images): None
+    * when no codec decodes the bytes or the image is below the hash
+    * grid. Callers should have ImageIO's disk cache off
+    * (per-partition `setUseCache(false)`). */
+  def imageHashOf(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None else dHash64(img)
+  }
+
   /** Partition-parallel dHash over an image stream — decode + hash,
     * no shuffle; grouping equal hashes downstream is exact-dedup
     * machinery (t1's shape) applied to a PERCEPTUAL key. */
@@ -1046,12 +1059,7 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.filter(_.kind == "image").flatMap { m =>
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(m.content))
-          catch { case _: Exception => null }
-        if (img == null) Seq.empty
-        else dHash64(img).map(ImageHash(m.mediaId, _)).toSeq
+        imageHashOf(m.content).map(ImageHash(m.mediaId, _)).toSeq
       }
     }
   }
@@ -1091,24 +1099,42 @@ object Multimodal {
     * checkpoint scan — the shape that must never regress lives here):
     * (d1, d2) pairs with hamming(h1, h2) ≤ maxDist, generated by the
     * band-keyed equi-join. */
-  def dHashEdges(hashed: DataFrame, maxDist: Int, bands: Int): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
-    require(maxDist >= 0 && maxDist < bands,
-      s"band screen is only exact for maxDist < bands: $maxDist/$bands")
+  /** The ONE band-split projection every hamming screen rides
+    * ([[dHashEdges]], [[dHashProbe]], the streaming door): input
+    * (mediaId, dhash) → one row per (band, bval) slice. Exactness
+    * contract checked by [[requireBandScreen]]. */
+  private[graft] def bandSlices(df: DataFrame, bands: Int): DataFrame = {
     val bw = 64 / bands
     val mask = if (bw == 64) -1L else (1L << bw) - 1
-    val slices = hashed.select(col("mediaId"), col("dhash"),
+    // keeps the caller's other columns (the streaming door carries an
+    // event-time column through the split)
+    df.select(col("*"),
       posexplode(array((0 until bands).map(i =>
         shiftrightunsigned(col("dhash"), i * bw).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bval")))
+  }
+
+  /** The pigeonhole exactness contract shared by every band screen. */
+  private[graft] def requireBandScreen(maxDist: Int, bands: Int): Unit = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"band screen is only exact for maxDist < bands: $maxDist/$bands")
+  }
+
+  def dHashEdges(hashed: DataFrame, maxDist: Int, bands: Int): DataFrame = {
+    requireBandScreen(maxDist, bands)
+    val slices = bandSlices(hashed, bands)
     slices.as("a")
       .join(slices.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.mediaId") < col("b.mediaId"))
       .select(col("a.mediaId").as("d1"), col("a.dhash").as("h1"),
         col("b.mediaId").as("d2"), col("b.dhash").as("h2"))
-      .distinct()
+      // popcount BEFORE distinct: the filter is a codegen'd per-row
+      // scan, the distinct a shuffle — screen the far pairs out before
+      // paying the exchange, not after
       .filter(expr(s"bit_count(h1 ^ h2) <= $maxDist"))
+      .distinct()
   }
 
   /** ASYMMETRIC hamming probe — the t38 ingest-delta shape for the
@@ -1124,24 +1150,16 @@ object Multimodal {
     * within hamming ≤ maxDist. */
   def dHashProbe(delta: DataFrame, corpus: DataFrame, maxDist: Int,
       bands: Int): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
-    require(maxDist >= 0 && maxDist < bands,
-      s"band screen is only exact for maxDist < bands: $maxDist/$bands")
-    val bw = 64 / bands
-    val mask = if (bw == 64) -1L else (1L << bw) - 1
-    def slices(df: DataFrame): DataFrame =
-      df.select(col("mediaId"), col("dhash"),
-        posexplode(array((0 until bands).map(i =>
-          shiftrightunsigned(col("dhash"), i * bw).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band", "bval")))
-    slices(delta).as("a")
-      .join(slices(corpus).as("b"),
+    requireBandScreen(maxDist, bands)
+    bandSlices(delta, bands).as("a")
+      .join(bandSlices(corpus, bands).as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval"))
       .select(col("a.mediaId").as("delta_id"), col("a.dhash").as("h1"),
         col("b.mediaId").as("corpus_id"), col("b.dhash").as("h2"))
-      .distinct()
+      // popcount before distinct — the dHashEdges ordering argument
       .filter(expr(s"bit_count(h1 ^ h2) <= $maxDist"))
       .select(col("delta_id"), col("corpus_id"))
+      .distinct()
   }
 
   /** 64-bit block-mean hash (aHash) of a decoded PCM sample stream —

@@ -914,6 +914,31 @@ object MultimodalQueries {
     * shape: decode+hash partition-local, one (band, bval) equi-join,
     * bounded CC rounds — no pairwise hamming sweep exists at any
     * scale. */
+  /** The 78-element chain UNIVERSE shared by m16/m17 (image) and
+    * m18/m21 (audio): ONE builder for the k < 78 bound and the
+    * k → fixture rule the shared oracles depend on — a universe change
+    * in one gate but not its oracle-sharing twin is impossible by
+    * construction. */
+  private def chainMedia(s: org.apache.spark.sql.SparkSession, d: String,
+      mk: Long => Multimodal.MediaRow)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 78).as[Long]
+      .map(mk)
+  }
+
+  private def chainImageRow(k: Long): Multimodal.MediaRow =
+    Multimodal.MediaRow(k, "image",
+      Multimodal.bitPatternFixture(m16Bits(k)),
+      Multimodal.MediaMeta("png", 36, 32, 0, 0))
+
+  private def chainAudioRow(k: Long): Multimodal.MediaRow =
+    Multimodal.MediaRow(k, "audio",
+      Multimodal.wavPatternFixture(m16Bits(k)),
+      Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+
   /** The chain-geometry cluster oracle shared by m16 (image dHash) and
     * m18 (audio aHash): both fixtures realize the SAME [[m16Bits]]
     * patterns in their modality's hash space, so the expected
@@ -934,15 +959,7 @@ object MultimodalQueries {
   val m16PhashClusters: QuerySpec = QuerySpec.sql(
     "m16_phash_clusters",
     ChainClusterOracleSql) { (s, d) =>
-    import s.implicits._
-    val rows = Tables.customer(s, d)
-      .select(col("c_custkey").cast("long").as("k"))
-      .filter(col("k") < 78).as[Long]
-      .map { k =>
-        Multimodal.MediaRow(k, "image",
-          Multimodal.bitPatternFixture(m16Bits(k)),
-          Multimodal.MediaMeta("png", 36, 32, 0, 0))
-      }
+    val rows = chainMedia(s, d, chainImageRow)
     val clusters = Multimodal.dHashClusters(
       Multimodal.dHash(rows).toDF(), maxDist = 2, bands = 4)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
@@ -967,15 +984,7 @@ object MultimodalQueries {
   val m18AudioPhashClusters: QuerySpec = QuerySpec.sql(
     "m18_audio_phash_clusters",
     ChainClusterOracleSql) { (s, d) =>
-    import s.implicits._
-    val rows = Tables.customer(s, d)
-      .select(col("c_custkey").cast("long").as("k"))
-      .filter(col("k") < 78).as[Long]
-      .map { k =>
-        Multimodal.MediaRow(k, "audio",
-          Multimodal.wavPatternFixture(m16Bits(k)),
-          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
-      }
+    val rows = chainMedia(s, d, chainAudioRow)
     val clusters = Multimodal.dHashClusters(
       Multimodal.audioHash(rows).toDF()
         .select(col("mediaId"), col("ahash").as("dhash")),
@@ -1061,16 +1070,7 @@ object MultimodalQueries {
   val m17DeltaPhash: QuerySpec = QuerySpec.sql(
     "m17_delta_phash",
     ChainDeltaOracleSql) { (s, d) =>
-    import s.implicits._
-    val hashed = Tables.customer(s, d)
-      .select(col("c_custkey").cast("long").as("k"))
-      .filter(col("k") < 78).as[Long]
-      .map { k =>
-        Multimodal.MediaRow(k, "image",
-          Multimodal.bitPatternFixture(m16Bits(k)),
-          Multimodal.MediaMeta("png", 36, 32, 0, 0))
-      }
-      .transform(Multimodal.dHash(_).toDF())
+    val hashed = Multimodal.dHash(chainMedia(s, d, chainImageRow)).toDF()
       .withColumn("is_delta", col("mediaId") % 7 === 3)
       .localCheckpoint() // one decode+hash pass feeds both probe sides
     deltaProbeReport(hashed)
@@ -1086,16 +1086,7 @@ object MultimodalQueries {
   val m21AudioDeltaPhash: QuerySpec = QuerySpec.sql(
     "m21_audio_delta_phash",
     ChainDeltaOracleSql) { (s, d) =>
-    import s.implicits._
-    val hashed = Tables.customer(s, d)
-      .select(col("c_custkey").cast("long").as("k"))
-      .filter(col("k") < 78).as[Long]
-      .map { k =>
-        Multimodal.MediaRow(k, "audio",
-          Multimodal.wavPatternFixture(m16Bits(k)),
-          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
-      }
-      .transform(Multimodal.audioHash(_).toDF())
+    val hashed = Multimodal.audioHash(chainMedia(s, d, chainAudioRow)).toDF()
       .select(col("mediaId"), col("ahash").as("dhash"))
       .withColumn("is_delta", col("mediaId") % 7 === 3)
       .localCheckpoint() // one decode+hash pass feeds both probe sides

@@ -71,12 +71,7 @@ object MediaStream {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes, ts) =>
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
-          if (img == null) None
-          else Multimodal.dHash64(img).map(h => (id, ts, h))
+          Multimodal.imageHashOf(bytes).map(h => (id, ts, h))
         }
       }
       .toDF("media_id", tsCol, "dhash")
@@ -137,12 +132,7 @@ object MediaStream {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes, ts) =>
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
-          if (img == null) None
-          else Multimodal.dHash64(img).map(h => (id, ts, h))
+          Multimodal.imageHashOf(bytes).map(h => (id, ts, h))
         }
       }
       .toDF("media_id", "__ts", "dhash")
@@ -180,18 +170,14 @@ object MediaStream {
   private def nearDupCandidatesHashed(hashed: DataFrame, maxDist: Int,
       bands: Int, bucketCap: Int,
       delay: String): Dataset[MediaDupCandidate] = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
-    require(maxDist >= 0 && maxDist < bands,
-      s"band screen is only exact for maxDist < bands: $maxDist/$bands")
+    Multimodal.requireBandScreen(maxDist, bands)
     val spark = hashed.sparkSession
     import spark.implicits._
-    val bw = 64 / bands
-    val mask = if (bw == 64) -1L else (1L << bw) - 1
-    hashed
-      .select(col("media_id"), col("__ts"), col("dhash"),
-        posexplode(array((0 until bands).map(i =>
-          shiftrightunsigned(col("dhash"), i * bw).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band", "bval")))
+    Multimodal
+      .bandSlices(hashed.select(col("media_id").as("mediaId"),
+        col("__ts"), col("dhash")), bands)
+      .select(col("mediaId"), col("__ts"), col("dhash"),
+        col("band"), col("bval"))
       .as[(Long, Timestamp, Long, Int, Long)]
       .groupByKey { case (_, _, _, band, bval) => s"$band:$bval" }
       .flatMapGroupsWithState(OutputMode.Append,

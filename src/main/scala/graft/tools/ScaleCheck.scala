@@ -75,16 +75,17 @@ object ScaleCheck {
       case a if a.startsWith("--tables=") =>
         a.stripPrefix("--tables=").split(',').toSet
     }
+    // --only=a,b,c restricts either sweep — parsed once, both branches
+    val only = args.collectFirst {
+      case a if a.startsWith("--only=") =>
+        a.stripPrefix("--only=").split(',').toSet
+    }
     // --media: the media-family heavy sweep — a GENERATED corpus
     // (copies × the base sizes), not the fixture-bounded m-gates, so
     // media plans have a ×10+ regression record like the text tier
     if (args.contains("--media")) {
-      val mediaOnly = args.collectFirst {
-        case a if a.startsWith("--only=") =>
-          a.stripPrefix("--only=").split(',').toSet
-      }
       mediaDemo(spark, nImages = 50000 * copies, nClips = 5000 * copies,
-        only = mediaOnly)
+        only = only)
       spark.stop()
       return
     }
@@ -102,10 +103,6 @@ object ScaleCheck {
     // fact⋈fact upsert (bucket the standing sheet by its canonical key)
     else if (args.contains("--index-j3")) indexDemoJ3(spark, dst)
     else {
-      val only = args.collectFirst {
-        case a if a.startsWith("--only=") =>
-          a.stripPrefix("--only=").split(',').toSet
-      }
       val names = only match {
         case Some(o) => o.toSeq.sorted
         case None => Heavy
@@ -457,6 +454,16 @@ object ScaleCheck {
     import spark.implicits._
     import graft.multimodal.Multimodal
     val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    // a typo'd --only label must fail loudly, not produce a green
+    // zero-entry "sweep" (the no-silent-caps discipline)
+    val MediaLabels = Set("m8_raster_dedup", "m9_dhash_neardup",
+      "m16_phash_edges", "m16_phash_cc", "m12_clip_neardup")
+    only.foreach { o =>
+      val unknown = o -- MediaLabels
+      require(unknown.isEmpty,
+        s"unknown media sweep entries: ${unknown.mkString(",")} " +
+          s"(known: ${MediaLabels.mkString(",")})")
+    }
     def wanted(label: String): Boolean = only.forall(_.contains(label))
 
     // `must`: plan fragments the entry's scale shape depends on (a
