@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis._
+
+/** Published curation methods a large-scale training-data pipeline
+  * runs beyond the dedup/LM tiers already gated: DSIR hashed
+  * importance resampling (Xie et al. 2023), the Gopher document-rule
+  * battery (Rae et al. 2021 §A1.1), and CCNet-style corpus-level line
+  * dedup with reassembly (Wenzek et al. 2019). Beyond-reference north
+  * star — the reference (a printer-fleet ETL) has no analogue; these
+  * follow the documents-table conventions of TextQueries (portable
+  * md5 hashing, whole-bit integer surprisal from LmQueries, the t14
+  * "synthesize structure into text" trick for line-level rules).
+  *
+  * Scale shape notes per query, in their scaladocs.
+  */
+object CurationQueries {
+
+  private val ToksSql = TextQueries.ToksSql
+
+  // ---------------------------------------------------------------
+  // t71 — DSIR hashed importance weights
+  // ---------------------------------------------------------------
+
+  /** Hash-bucket count for a token: first 32 bits of md5 mod B.
+    * Portable — DuckDB twin in the oracle CTE. */
+  private val DsirBuckets = 64
+
+  private def dsirBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % DsirBuckets
+
+  private val DsirBucketSql =
+    s"CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $DsirBuckets"
+
+  /** T71 — DSIR (Data Selection via Importance Resampling, Xie et
+    * al. 2023): rank raw documents by how target-like their hashed
+    * n-gram bag is. Features are word unigrams hashed into
+    * [[DsirBuckets]] buckets; the target distribution is the `lang =
+    * 'en'` slice, the raw distribution the whole corpus; each
+    * document's importance weight is Σ_tok log p_t(b)/p_r(b) with
+    * add-one smoothing. Logs are the whole-BIT integer surprisal of
+    * t48/t49 (`bitlen(c+1)` via `length(bin(..))`) so the oracle is
+    * hash-exact — no cross-engine libm in the gate. Selection is the
+    * deterministic variant: keep the top 25 % by (weight desc,
+    * doc_id) percent-rank; production DSIR adds Gumbel noise to the
+    * same weight, which changes the sampled set but not the plan.
+    *
+    * Scale shape: the instance stream reduces to per-(doc, bucket)
+    * counts BEFORE any join (map-side combinable groupBy); both
+    * bucket models are B-row frames (64 rows — broadcast by
+    * construction, never corpus-sized), and the target restriction is
+    * a scan FILTER on the instance stream, never a doc-id join. One
+    * corpus-wide shuffle (the per-doc groupBy) plus one window for
+    * the rank. The percent-rank itself is TWO-PHASE (never a
+    * single-partition corpus window): logw_bits is a bounded integer
+    * (whole bits), so per-VALUE counts form a model-sized frame whose
+    * cumulative strictly-higher counts broadcast back, and the
+    * in-value tie-break is a row_number PARTITIONED by logw_bits —
+    * rank = n_higher + rn, identical to `PERCENT_RANK() OVER (ORDER BY
+    * logw_bits DESC, doc_id)` but every corpus-sized stage stays
+    * partitioned (the GlobalRank discipline in window form). */
+  val t71DsirWeights: QuerySpec = QuerySpec.sql(
+    "t71_dsir_weights",
+    s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+       |inst AS (SELECT doc_id, lang, $DsirBucketSql AS bucket
+       |         FROM t, unnest(toks) AS u(tok)),
+       |db AS (SELECT doc_id, bucket, COUNT(*) AS k
+       |       FROM inst GROUP BY 1, 2),
+       |ct AS (SELECT bucket, COUNT(*) AS c_t FROM inst
+       |       WHERE lang = 'en' GROUP BY 1),
+       |cr AS (SELECT bucket, COUNT(*) AS c_r FROM inst GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM inst WHERE lang = 'en')
+       |          AS t_t, (SELECT COUNT(*) FROM inst) AS t_r),
+       |sc AS (SELECT db.doc_id,
+       |         SUM(db.k) AS n_toks,
+       |         SUM(db.k * (length(bin(COALESCE(ct.c_t, 0) + 1))
+       |                     - length(bin(cr.c_r + 1)))) AS raw_bits
+       |       FROM db LEFT JOIN ct USING (bucket)
+       |         JOIN cr USING (bucket)
+       |       GROUP BY 1),
+       |w AS (SELECT sc.doc_id, sc.n_toks,
+       |        sc.raw_bits + sc.n_toks *
+       |          (length(bin(tot.t_r + $DsirBuckets))
+       |           - length(bin(tot.t_t + $DsirBuckets))) AS logw_bits
+       |      FROM sc, tot),
+       |r AS (SELECT doc_id, n_toks, logw_bits,
+       |        PERCENT_RANK() OVER (ORDER BY logw_bits DESC, doc_id)
+       |          AS w_rank
+       |      FROM w)
+       |SELECT r.doc_id, t.lang, r.n_toks, r.logw_bits, r.w_rank,
+       |  (r.w_rank <= 0.25) AS kept
+       |FROM r JOIN t ON r.doc_id = t.doc_id
+       |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val inst = docs
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("bucket"))
+    val db = inst.groupBy("doc_id", "bucket").agg(count(lit(1)).as("k"))
+    val ct = inst.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val cr = inst.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val tot = inst.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_t"),
+      count(lit(1)).as("t_r"))
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val sc = db
+      .join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_toks"),
+        sum(col("k") * (bitlen(coalesce(col("c_t"), lit(0L)) + 1) -
+          bitlen(col("c_r") + 1))).as("raw_bits"))
+    val w = sc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_toks"),
+        (col("raw_bits") + col("n_toks") *
+          (bitlen(col("t_r") + DsirBuckets) -
+            bitlen(col("t_t") + DsirBuckets))).as("logw_bits"))
+    // two-phase percent_rank: per-value frame (bounded — whole-bit
+    // weights) carries the cumulative strictly-higher count; the
+    // corpus-side tie-break window is PARTITIONED by the value.
+    val vWin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("logw_bits").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val vc = w.groupBy("logw_bits").agg(count(lit(1)).as("vn"))
+      .withColumn("n_higher", coalesce(sum("vn").over(vWin), lit(0L)))
+      .drop("vn")
+    val nTotal = w.agg(count(lit(1)).as("n_docs"))
+    val tieWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("logw_bits").orderBy("doc_id")
+    w.join(broadcast(vc), Seq("logw_bits"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("rank", col("n_higher") + row_number().over(tieWin))
+      .withColumn("w_rank",
+        (col("rank") - 1).cast("double") / (col("n_docs") - 1))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("logw_bits"),
+        col("w_rank"), (col("w_rank") <= 0.25).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // t72 — Gopher document-rule battery
+  // ---------------------------------------------------------------
+
+  /** Tokens-per-synthesized-line for the Gopher line rules. */
+  private val LineW = 8
+
+  /** T72 — the GOPHER quality-rule battery (Rae et al. 2021 §A1.1)
+    * over a document with real line structure. The fixture corpus is
+    * single-line, so line structure is SYNTHESIZED into the text from
+    * doc_id (the t14 convention — the oracle builds the identical
+    * text, so every rule provably fires): tokens are chunked into
+    * 8-token lines; line i gets a "• " bullet prefix when
+    * (doc_id + i) % 5 = 0, a trailing " #" symbol when % 11 = 0 and a
+    * trailing "..." ellipsis when % 7 = 0. The rules then PARSE that
+    * text — they never peek at the injection formulas:
+    *   r_words     word count ∈ [20, 1000] (Gopher's [50, 100k]
+    *               scaled to the fixture's 10–99-token docs),
+    *   r_wordlen   mean word length ∈ [3, 10],
+    *   r_symbol    symbol-to-word ratio ('#' or '...') ≤ 0.1,
+    *   r_bullet    ≤ 90 % of lines start with a bullet,
+    *   r_ellipsis  ≤ 30 % of lines end with an ellipsis,
+    *   r_alpha     ≥ 80 % of words contain an alphabetic character,
+    *   r_stop      ≥ 2 distinct English stopwords present,
+    * keep = all seven. Ratios are integer divisions (IEEE-exact both
+    * engines); no floats beyond them. Scale shape: entirely row-local
+    * — one scan, zero shuffles; at 100 TB this is a pure map stage
+    * exactly like t7/t14. */
+  val t72GopherRules: QuerySpec = {
+    val stopList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    QuerySpec.sql(
+      "t72_gopher_rules",
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |ln AS (SELECT doc_id,
+         |         list_transform(range(0, CAST(ceil(len(toks) / $LineW.0) AS BIGINT)),
+         |           i -> concat(
+         |             CASE WHEN (doc_id + i) % 5 = 0 THEN '• ' ELSE '' END,
+         |             array_to_string(toks[i * $LineW + 1 : i * $LineW + $LineW], ' '),
+         |             CASE WHEN (doc_id + i) % 11 = 0 THEN ' #' ELSE '' END,
+         |             CASE WHEN (doc_id + i) % 7 = 0 THEN '...' ELSE '' END))
+         |           AS lines
+         |       FROM t),
+         |doc AS (SELECT doc_id, array_to_string(lines, chr(10)) AS text2
+         |        FROM ln),
+         |p AS (SELECT doc_id, text2,
+         |        string_split(text2, chr(10)) AS plines,
+         |        string_split_regex(trim(regexp_replace(text2, '\\s+', ' ', 'g')), ' ')
+         |          AS words
+         |      FROM doc),
+         |m AS (SELECT doc_id,
+         |        len(words) AS n_words,
+         |        len(plines) AS n_lines,
+         |        CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+         |          / len(words) AS mean_word_len,
+         |        CAST(len(list_filter(words, w -> w = '#' OR w LIKE '%...'))
+         |          AS DOUBLE) / len(words) AS symbol_ratio,
+         |        CAST(len(list_filter(plines, l -> l LIKE '•%')) AS DOUBLE)
+         |          / len(plines) AS bullet_frac,
+         |        CAST(len(list_filter(plines, l -> l LIKE '%...')) AS DOUBLE)
+         |          / len(plines) AS ellipsis_frac,
+         |        CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+         |          AS DOUBLE) / len(words) AS alpha_frac,
+         |        len(list_distinct(list_filter(words,
+         |          w -> list_contains($stopList, w)))) AS n_stop_distinct
+         |      FROM p),
+         |r AS (SELECT doc_id, n_words, n_lines, mean_word_len, symbol_ratio,
+         |        bullet_frac, ellipsis_frac, alpha_frac, n_stop_distinct,
+         |        (n_words >= 20 AND n_words <= 1000) AS r_words,
+         |        (mean_word_len >= 3 AND mean_word_len <= 10) AS r_wordlen,
+         |        (symbol_ratio <= 0.1) AS r_symbol,
+         |        (bullet_frac <= 0.9) AS r_bullet,
+         |        (ellipsis_frac <= 0.3) AS r_ellipsis,
+         |        (alpha_frac >= 0.8) AS r_alpha,
+         |        (n_stop_distinct >= 2) AS r_stop
+         |      FROM m)
+         |SELECT doc_id, n_words, n_lines, mean_word_len, symbol_ratio,
+         |  bullet_frac, ellipsis_frac, alpha_frac, n_stop_distinct,
+         |  r_words, r_wordlen, r_symbol, r_bullet, r_ellipsis, r_alpha,
+         |  r_stop,
+         |  (r_words AND r_wordlen AND r_symbol AND r_bullet AND r_ellipsis
+         |   AND r_alpha AND r_stop) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val nLines = ceil(size(col("toks")) / lit(LineW.toDouble)).cast("long")
+      val lineOf = (i: Column) => concat(
+        when((col("doc_id") + i) % 5 === 0, "• ").otherwise(""),
+        array_join(slice(col("toks"), (i * LineW + 1).cast("int"), lit(LineW)), " "),
+        when((col("doc_id") + i) % 11 === 0, " #").otherwise(""),
+        when((col("doc_id") + i) % 7 === 0, "...").otherwise(""))
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0L), nLines - 1), lineOf).as("lines"))
+        .select(col("doc_id"), array_join(col("lines"), "\n").as("text2"))
+      val p = t.select(col("doc_id"),
+        split(col("text2"), "\n").as("plines"),
+        split(trim(regexp_replace(col("text2"), "\\s+", " ")), " ")
+          .as("words"))
+      val stopArr = array(EnStopwords.map(lit): _*)
+      val m = p.select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        size(col("plines")).cast("long").as("n_lines"),
+        (aggregate(col("words"), lit(0L), (a, w) => a + length(w))
+          .cast("double") / size(col("words"))).as("mean_word_len"),
+        (size(filter(col("words"), w => w === "#" || w.endsWith("...")))
+          .cast("double") / size(col("words"))).as("symbol_ratio"),
+        (size(filter(col("plines"), l => l.startsWith("•")))
+          .cast("double") / size(col("plines"))).as("bullet_frac"),
+        (size(filter(col("plines"), l => l.endsWith("...")))
+          .cast("double") / size(col("plines"))).as("ellipsis_frac"),
+        (size(filter(col("words"), w => w.rlike("[a-z]")))
+          .cast("double") / size(col("words"))).as("alpha_frac"),
+        size(array_distinct(filter(col("words"),
+          w => array_contains(stopArr, w)))).cast("long")
+          .as("n_stop_distinct"))
+      val r = m
+        .withColumn("r_words", col("n_words") >= 20 && col("n_words") <= 1000)
+        .withColumn("r_wordlen",
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10)
+        .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+        .withColumn("r_bullet", col("bullet_frac") <= 0.9)
+        .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
+        .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+        .withColumn("r_stop", col("n_stop_distinct") >= 2)
+      r.withColumn("keep",
+          col("r_words") && col("r_wordlen") && col("r_symbol") &&
+            col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+            col("r_stop"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // t73 — CCNet-style corpus-level line dedup + reassembly
+  // ---------------------------------------------------------------
+
+  /** Tokens per dedup line. */
+  private val DedupLineW = 10
+
+  /** T73 — CORPUS-LEVEL LINE DEDUP with document reassembly (the
+    * CCNet / RefinedWeb pre-step: boilerplate lines repeated across
+    * pages are dropped corpus-wide BEFORE document-level dedup).
+    * Lines are non-overlapping 10-token chunks of the normalized
+    * token stream (the fixture corpus is single-line — the chunking
+    * stands in for real newline splits; the operator is agnostic to
+    * where lines come from). A line instance survives iff it is the
+    * corpus-wide FIRST occurrence of its md5 (argmin by (doc_id,
+    * line_idx), encoded as one integer `doc_id·10^6 + line_idx` so
+    * the min is engine-portable — valid while a document has < 10^6
+    * lines — deterministic, arrival-order-free, the same lowest-id
+    * retention rule as t38b/StreamingNearDup). Per document:
+    * line counts, kept fraction, and the md5 of the reassembled text
+    * (kept lines in original order, '\n'-joined) so the gate pins the
+    * exact reassembly, not just counts.
+    *
+    * Scale shape: explode is narrow; the only corpus-wide shuffle is
+    * the per-hash argmin groupBy (two-phase, map-side combinable) and
+    * the hash-keyed join back — fan-in per key is the line's
+    * duplication count, the same bounded shape as t1's hash-groupBy.
+    * Reassembly is a per-doc groupBy over surviving instances. No
+    * sort, no window, no all-pairs anything. */
+  val t73LineDedup: QuerySpec = QuerySpec.sql(
+    "t73_line_dedup",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |ln AS (SELECT doc_id, i AS line_idx,
+       |         array_to_string(toks[i * $DedupLineW + 1 : i * $DedupLineW + $DedupLineW], ' ')
+       |           AS line
+       |       FROM t, unnest(range(0, CAST(ceil(len(toks) / $DedupLineW.0) AS BIGINT)))
+       |         AS u(i)),
+       |h AS (SELECT doc_id, line_idx, line, md5(line) AS lh,
+       |        doc_id * 1000000 + line_idx AS pos_key
+       |      FROM ln),
+       |keep AS (SELECT lh, MIN(pos_key) AS k FROM h GROUP BY 1),
+       |mk AS (SELECT h.doc_id, h.line_idx, h.line,
+       |         (h.pos_key = keep.k) AS kept
+       |       FROM h JOIN keep USING (lh))
+       |SELECT doc_id,
+       |  COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |    AS kept_frac,
+       |  md5(COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10)
+       |        ORDER BY line_idx), '')) AS new_text_hash
+       |FROM mk GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    val nLines = ceil(size(col("toks")) / lit(DedupLineW.toDouble)).cast("long")
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0L), nLines - 1), i => struct(
+          i.as("line_idx"),
+          array_join(slice(col("toks"), (i * DedupLineW + 1).cast("int"),
+            lit(DedupLineW)), " ").as("line")))).as("l"))
+      .select(col("doc_id"), col("l.line_idx"), col("l.line"),
+        md5(col("l.line")).as("lh"),
+        (col("doc_id") * 1000000L + col("l.line_idx")).as("pos_key"))
+    val keep = h.groupBy("lh").agg(min("pos_key").as("k"))
+    val mk = h.join(keep, Seq("lh"))
+      .select(col("doc_id"), col("line_idx"), col("line"),
+        (col("pos_key") === col("k")).as("kept"))
+    mk.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        (sum(when(col("kept"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("kept_frac"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("line_idx"), col("line"))))),
+          x => x.getField("line")), "\n")).as("new_text_hash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(t71DsirWeights, t72GopherRules, t73LineDedup)
+}

@@ -644,4 +644,37 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("t71 DSIR: bucket models broadcast, tie-break window partitioned by value") {
+    val p = plan(CurationQueries.t71DsirWeights)
+    // the 64-row bucket models and the scalar totals must broadcast —
+    // the corpus instance stream never shuffles to meet a model
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-sized rank tie-break is PARTITIONED by logw_bits; the
+    // only unpartitioned window is over the bounded per-value frame,
+    // which sits downstream of an aggregation (model-sized by
+    // construction)
+    assert(p.contains("windowspecdefinition(logw_bits"), p)
+  }
+
+  test("t72 Gopher rules: row-local — no joins, no aggregation exchange") {
+    val p = plan(CurationQueries.t72GopherRules)
+    assert(AnyJoin.findAllIn(p).isEmpty, p)
+    assert(!p.contains("HashAggregate"), p)
+    // one scan, one projection pipeline; the only exchange is the
+    // presentation sort's range partitioning
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("t73 line dedup: hash-keyed argmin with map-side partials, equi join back") {
+    val p = plan(CurationQueries.t73LineDedup)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // two-phase min: partial + final aggregate pair around the lh
+    // exchange (shuffling one (lh, min) state per map partition, not
+    // every line instance)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
