@@ -167,4 +167,31 @@ object TextAnalysis {
     when(predicted =!= "en", "lang")
       .when(quality < 0.5, "quality")
       .when(dupFrac >= 0.3, "repetition")
+
+  // --- t73 corpus line dedup: the line unit, ONE definition shared by
+  // the batch gate and the streaming door so they cannot chunk
+  // differently (the minhashSignature discipline) ---
+
+  /** Tokens per dedup "line" (t73 / StreamingLineDedup). */
+  val DedupLineW = 10
+
+  /** Non-overlapping [[DedupLineW]]-token chunk lines of a token
+    * array as `array<struct<line_idx: long, line: string>>`, 0-based
+    * indices. Guarded for empty token arrays (`sequence` DESCENDS on
+    * a negative range — t43's lesson — so an empty doc yields zero
+    * lines, matching the oracle's `range(0, 0)`). */
+  def chunkLines(toks: Column): Column = {
+    val n = ceil(size(toks) / lit(DedupLineW.toDouble)).cast("long")
+    val chunks = transform(sequence(lit(0L), n - 1), i => struct(
+      i.as("line_idx"),
+      array_join(slice(toks, (i * DedupLineW + 1).cast("int"),
+        lit(DedupLineW)), " ").as("line")))
+    when(size(toks) >= 1, chunks)
+      .otherwise(array().cast("array<struct<line_idx:bigint,line:string>>"))
+  }
+
+  /** The t73 keeper-ordering key: (doc_id, line_idx) encoded as one
+    * integer — valid while a document has < 10^6 lines. */
+  def linePosKey(docId: Column, lineIdx: Column): Column =
+    docId * 1000000L + lineIdx
 }

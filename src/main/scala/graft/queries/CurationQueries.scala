@@ -279,8 +279,8 @@ object CurationQueries {
   // t73 — CCNet-style corpus-level line dedup + reassembly
   // ---------------------------------------------------------------
 
-  /** Tokens per dedup line. */
-  private val DedupLineW = 10
+  // line unit + pos-key: TextAnalysis.DedupLineW / chunkLines /
+  // linePosKey (shared with the streaming door), in scope via import
 
   /** T73 — CORPUS-LEVEL LINE DEDUP with document reassembly (the
     * CCNet / RefinedWeb pre-step: boilerplate lines repeated across
@@ -328,18 +328,12 @@ object CurationQueries {
        |        ORDER BY line_idx), '')) AS new_text_hash
        |FROM mk GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val toks = tokens(col("text"))
-    val nLines = ceil(size(col("toks")) / lit(DedupLineW.toDouble)).cast("long")
     val h = Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0L), nLines - 1), i => struct(
-          i.as("line_idx"),
-          array_join(slice(col("toks"), (i * DedupLineW + 1).cast("int"),
-            lit(DedupLineW)), " ").as("line")))).as("l"))
+      .select(col("doc_id"),
+        explode(chunkLines(tokens(col("text")))).as("l"))
       .select(col("doc_id"), col("l.line_idx"), col("l.line"),
         md5(col("l.line")).as("lh"),
-        (col("doc_id") * 1000000L + col("l.line_idx")).as("pos_key"))
+        linePosKey(col("doc_id"), col("l.line_idx")).as("pos_key"))
     val keep = h.groupBy("lh").agg(min("pos_key").as("k"))
     val mk = h.join(keep, Seq("lh"))
       .select(col("doc_id"), col("line_idx"), col("line"),
