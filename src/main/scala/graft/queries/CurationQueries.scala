@@ -350,5 +350,55 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(t71DsirWeights, t72GopherRules, t73LineDedup)
+  // ---------------------------------------------------------------
+  // t74 — the composed curation decision over the new tier
+  // ---------------------------------------------------------------
+
+  /** T74 — CURATION DECISION v2: one row per document joining the
+    * three gates of this tier — the Gopher rule battery (t72), the
+    * corpus line-dedup survival fraction (t73; a document that lost
+    * over half its lines to corpus-wide boilerplate is dropped, the
+    * RefinedWeb-style rule) and the DSIR selection (t71) — into the
+    * per-document verdict a curation run actually applies, with a
+    * first-failing drop reason (gopher → boilerplate → dsir, the t19
+    * convention). Composition is the t67 pattern: the Spark side runs
+    * the three gated queries and joins their outputs; the oracle
+    * embeds the components' own oracle SQL as subqueries, so the
+    * decision can never disagree with any component gate.
+    *
+    * Scale shape: all three components are doc-grained, so the joins
+    * are hash-keyed equi joins on doc_id — corpus-sized but
+    * shuffle-aligned (same key all the way through; AQE plans SMJ/
+    * shuffled-hash, never a cartesian). Nothing beyond the component
+    * plans themselves. */
+  val t74CurationV2: QuerySpec = QuerySpec.sql(
+    "t74_curation_v2",
+    s"""SELECT g.doc_id, g.keep AS gopher_keep, l.kept_frac,
+       |  (l.kept_frac >= 0.5) AS line_frac_ok, w.kept AS dsir_kept,
+       |  (g.keep AND l.kept_frac >= 0.5 AND w.kept) AS selected,
+       |  CASE WHEN NOT g.keep THEN 'gopher'
+       |       WHEN l.kept_frac < 0.5 THEN 'boilerplate'
+       |       WHEN NOT w.kept THEN 'dsir' END AS drop_reason
+       |FROM (${t72GopherRules.oracle.get}) g
+       |JOIN (${t73LineDedup.oracle.get}) l ON g.doc_id = l.doc_id
+       |JOIN (${t71DsirWeights.oracle.get}) w ON g.doc_id = w.doc_id
+       |ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+    val g = t72GopherRules.run(s, d).select(col("doc_id"),
+      col("keep").as("gopher_keep"))
+    val l = t73LineDedup.run(s, d).select("doc_id", "kept_frac")
+    val w = t71DsirWeights.run(s, d).select(col("doc_id"),
+      col("kept").as("dsir_kept"))
+    g.join(l, "doc_id").join(w, "doc_id")
+      .select(col("doc_id"), col("gopher_keep"), col("kept_frac"),
+        (col("kept_frac") >= 0.5).as("line_frac_ok"), col("dsir_kept"),
+        (col("gopher_keep") && col("kept_frac") >= 0.5 && col("dsir_kept"))
+          .as("selected"),
+        when(!col("gopher_keep"), "gopher")
+          .when(col("kept_frac") < 0.5, "boilerplate")
+          .when(!col("dsir_kept"), "dsir").as("drop_reason"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(t71DsirWeights, t72GopherRules, t73LineDedup, t74CurationV2)
 }

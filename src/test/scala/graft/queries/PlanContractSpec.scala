@@ -667,6 +667,14 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("t74 curation v2: doc-keyed equi joins only, no cartesian") {
+    val p = plan(CurationQueries.t74CurationV2)
+    assert(!p.contains("CartesianProduct"), p)
+    // the scalar totals broadcast (t71's O(1)-row frames) may ride a
+    // BNLJ; every corpus-sized merge must be a doc_id equi join
+    assert(AnyJoin.findAllIn(p).nonEmpty, p)
+  }
+
   test("t73 line dedup: hash-keyed argmin with map-side partials, equi join back") {
     val p = plan(CurationQueries.t73LineDedup)
     assert(!p.contains("CartesianProduct") &&
