@@ -194,4 +194,21 @@ object TextAnalysis {
     * integer — valid while a document has < 10^6 lines. */
   def linePosKey(docId: Column, lineIdx: Column): Column =
     docId * 1000000L + lineIdx
+
+  // --- t71 DSIR: feature hashing + whole-bit surprisal, ONE
+  // definition shared by the batch gate and the frozen-model serve
+  // path (DsirServe) ---
+
+  /** DSIR feature-hash bucket count. */
+  val DsirBuckets = 64
+
+  /** Token → feature bucket: first 32 bits of md5 mod
+    * [[DsirBuckets]] (portable — the DuckDB twin lives in the t71
+    * oracle). */
+  def dsirBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % DsirBuckets
+
+  /** Integer bit length — the whole-bit surprisal primitive
+    * (`floor(log2 x) + 1` for positive x; t48/t49/t71 discipline). */
+  def bitlen(c: Column): Column = length(bin(c)).cast("long")
 }

@@ -26,13 +26,9 @@ object CurationQueries {
   // t71 — DSIR hashed importance weights
   // ---------------------------------------------------------------
 
-  /** Hash-bucket count for a token: first 32 bits of md5 mod B.
-    * Portable — DuckDB twin in the oracle CTE. */
-  private val DsirBuckets = 64
-
-  private def dsirBucket(tok: Column): Column =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % DsirBuckets
-
+  // bucket hash + bitlen: TextAnalysis.DsirBuckets / dsirBucket /
+  // bitlen (shared with DsirServe), in scope via import; the oracle's
+  // DuckDB twin of the bucket hash lives here
   private val DsirBucketSql =
     s"CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $DsirBuckets"
 
@@ -107,7 +103,6 @@ object CurationQueries {
     val tot = inst.agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_t"),
       count(lit(1)).as("t_r"))
-    def bitlen(c: Column): Column = length(bin(c)).cast("long")
     val sc = db
       .join(broadcast(ct), Seq("bucket"), "left")
       .join(broadcast(cr), Seq("bucket"))
