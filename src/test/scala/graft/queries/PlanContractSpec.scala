@@ -667,6 +667,22 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("t75 wordpiece vocab: top-K cut is TakeOrdered, no corpus-sized window") {
+    val p = plan(WordPieceQueries.t75WordpieceVocab)
+    // the multi-char cut must be a distributed top-K, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t76 wordpiece segment: model is literal, word-keyed join, per-doc partials") {
+    val p = plan(WordPieceQueries.t76WordpieceSegment)
+    // the piece maps ride as literals — segmentation adds NO model join
+    // beyond the word-keyed instance join (AQE broadcasts the vocab)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("t74 curation v2: doc-keyed equi joins only, no cartesian") {
     val p = plan(CurationQueries.t74CurationV2)
     assert(!p.contains("CartesianProduct"), p)
