@@ -1185,10 +1185,110 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
+  /** T77 — MARGIN-BASED MINING (the LASER/CCMatrix bitext criterion,
+    * Artetxe & Schwenk 2019): raw cosine over-fires in dense "hubness"
+    * regions, so mined pairs are scored by the RATIO of the pair's
+    * cosine to the mean of both endpoints' k-NN cosines — a pair only
+    * ranks high if it is close RELATIVE to what each side usually
+    * sees. Side X is the 8 even vec_ids < 16 (the mining query batch —
+    * real mining runs in bounded query batches exactly like this; the
+    * x-query trick makes the oracle self-contained), side Y every odd
+    * vec_id; k = 4; margin(a,b) = cos(a,b) / ((avgk(a) + avgk(b))/2)
+    * with b's k-NN taken over the query batch (the batch-margin
+    * variant). Output: top-3 Y candidates per X query by (margin
+    * desc, nid).
+    *
+    * Float discipline: cosines are the exact-long-dot convention
+    * (bit-identical cross-engine); the k-NN means are computed by
+    * PIVOTING the top-4 cosines into rank-indexed columns (1-value
+    * conditional MAX — no multi-row float SUM whose order could
+    * differ) and adding with fixed parenthesization, so margins are
+    * bit-identical too, not merely within tolerance.
+    *
+    * Scale shape: the query batch broadcasts against the corpus (the
+    * t5 BNLJ contract); every window is PARTITIONED (per qid / per
+    * nid); the avgk(b) frame joins back nid-keyed. At 100 TB the pair
+    * generator swaps for the t10b LSH candidate join with this exact
+    * scoring stage unchanged — the margin is a per-candidate
+    * projection + two bounded-k rollups either way. */
+  val t77MarginMining: QuerySpec = {
+    def avg4(c: String => String): String =
+      s"(((${c("1")} + ${c("2")}) + ${c("3")}) + ${c("4")}) / 4"
+    val crA = (r: String) => s"MAX(CASE WHEN r_a = $r THEN cosine END)"
+    val crB = (r: String) => s"MAX(CASE WHEN r_b = $r THEN cosine END)"
+    QuerySpec.sql(
+      "t77_margin_mining",
+      s"""WITH sq AS ($NormsSql),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 16 AND vec_id % 2 = 0),
+         |y AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings
+         |      WHERE vec_id % 2 = 1),
+         |prods AS (
+         |  SELECT qid, nid, ${prodLSql("qe[i+1]", "ne[i+1]")} AS p
+         |  FROM q, y, range(0, 64) t(i)),
+         |dots AS (SELECT qid, nid, CAST(SUM(p) AS DOUBLE) / 1e12 AS dot
+         |         FROM prods GROUP BY 1, 2),
+         |cos AS (SELECT qid, nid, dot / (sqrt(a.ss) * sqrt(b.ss)) AS cosine
+         |        FROM dots JOIN sq a ON qid = a.vec_id
+         |          JOIN sq b ON nid = b.vec_id),
+         |rk AS (SELECT qid, nid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nid) AS r_a,
+         |    ROW_NUMBER() OVER (PARTITION BY nid
+         |      ORDER BY cosine DESC, qid) AS r_b
+         |  FROM cos),
+         |ka AS (SELECT qid, ${avg4(r => crA(r))} AS avg_a
+         |       FROM rk GROUP BY qid),
+         |kb AS (SELECT nid, ${avg4(r => crB(r))} AS avg_b
+         |       FROM rk GROUP BY nid),
+         |mg AS (SELECT rk.qid, rk.nid, rk.cosine,
+         |    rk.cosine / ((ka.avg_a + kb.avg_b) / 2) AS margin
+         |  FROM rk JOIN ka ON rk.qid = ka.qid JOIN kb ON rk.nid = kb.nid),
+         |top AS (SELECT qid, nid, cosine, margin,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY margin DESC, nid) AS rank
+         |  FROM mg)
+         |SELECT qid, rank, nid, cosine, margin FROM top WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = embScaled(s, d)
+      val q = emb.filter(col("vec_id") < 16 && col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("qid"), col("eL").as("qL"),
+          col("ss").as("ss_a"))
+      val y = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("nid"), col("eL").as("nL"),
+          col("ss").as("ss_b"))
+      val cos = broadcast(q).crossJoin(y)
+        .select(col("qid"), col("nid"),
+          (dotL(col("qL"), col("nL")) /
+            (sqrt(col("ss_a")) * sqrt(col("ss_b")))).as("cosine"))
+      val rk = cos
+        .withColumn("r_a", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))))
+        .withColumn("r_b", row_number().over(
+          Window.partitionBy("nid").orderBy(col("cosine").desc, col("qid"))))
+      def cr(rankCol: String, r: Int): Column =
+        max(when(col(rankCol) === r, col("cosine")))
+      def avg4(cs: Seq[Column]): Column =
+        (((cs(0) + cs(1)) + cs(2)) + cs(3)) / 4
+      val ka = rk.groupBy("qid")
+        .agg(avg4((1 to 4).map(cr("r_a", _))).as("avg_a"))
+      val kb = rk.groupBy("nid")
+        .agg(avg4((1 to 4).map(cr("r_b", _))).as("avg_b"))
+      val mg = rk.join(broadcast(ka), "qid").join(kb, "nid")
+        .select(col("qid"), col("nid"), col("cosine"),
+          (col("cosine") / ((col("avg_a") + col("avg_b")) / 2)).as("margin"))
+      val w = Window.partitionBy("qid").orderBy(col("margin").desc, col("nid"))
+      mg.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid", "cosine", "margin")
+        .orderBy("qid", "rank")
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
       t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
       t57bSemDedupScale, t57cSemDedupProd, t65IvfAssign, t65bIvfProbe2,
-      t68ClusterSample)
+      t68ClusterSample, t77MarginMining)
 }

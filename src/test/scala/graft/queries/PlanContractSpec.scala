@@ -667,6 +667,16 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("t77 margin mining: query batch broadcasts, every window partitioned") {
+    val p = plan(VectorQueries.t77MarginMining)
+    // the t5 contract on the pair generator: the 8-query side rides a
+    // broadcast NLJ; nothing plans a cartesian; the rank/margin
+    // windows stay qid-/nid-partitioned
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("t75 wordpiece vocab: top-K cut is TakeOrdered, no corpus-sized window") {
     val p = plan(WordPieceQueries.t75WordpieceVocab)
     // the multi-char cut must be a distributed top-K, not a global sort
