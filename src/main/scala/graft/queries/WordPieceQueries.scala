@@ -234,5 +234,165 @@ object WordPieceQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(t75WordpieceVocab, t76WordpieceSegment)
+  // ---------------------------------------------------------------
+  // t78 — unigram-LM Viterbi segmentation (SentencePiece)
+  // ---------------------------------------------------------------
+
+  /** Collected vocab model for Viterbi: piece → (mass-derived
+    * whole-bit cost), plus the OOV single-char fallback cost.
+    * cost(p) = bitlen(T) − bitlen(mass(p)) ≈ ⌈−log2 p(piece)⌉ with
+    * T = Σ mass over the vocab — the t48/t49 whole-bit discipline, so
+    * costs are integers and the gate carries zero float surface. */
+  private[queries] def viterbiModel(
+      s: SparkSession, d: String): (Map[String, Long], Long) = {
+    val pm = pieceMass(s, d)
+    val vocab =
+      pm.filter(col("plen") === 1).select("piece", "mass").collect() ++
+        pm.filter(col("plen") > 1)
+          .orderBy(col("mass").desc, col("piece")).limit(VocabK)
+          .select("piece", "mass").collect()
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val t = vocab.map(_.getLong(1)).sum
+    val costs = vocab.map(r =>
+      r.getString(0) -> (bitlen(t) - bitlen(r.getLong(1)))).toMap
+    (costs, bitlen(t) + 1)
+  }
+
+  /** Viterbi (cost, units) of `word` under the piece-cost model: the
+    * classic lattice DP as a row-local positional fold. The state is
+    * the dp window dp[i−3..i] (lookback bounded by [[MaxPieceLen]]);
+    * each step builds one candidate per piece length ending at i and
+    * takes `array_min` over the (cost, units) structs — Spark orders
+    * structs lexicographically, which IS the tie rule (min cost, then
+    * min units), the same total order the oracle's path argmin sorts
+    * by. Unknown characters cost `fb` (OOV, > any vocab char), so the
+    * DP is total on any input. Candidates for lengths exceeding the
+    * cursor guard to an INF sentinel far above any reachable cost
+    * (≤ len·fb ≪ 10^9). */
+  private[queries] def viterbiCostUnits(word: Column,
+      costs: Map[String, Long], fb: Long): Column = {
+    val byLen = (1 to MaxPieceLen).map(l =>
+      l -> typedLit(costs.filter(_._1.length == l))).toMap
+    val Inf = 1000000000L
+    val infS = struct(lit(Inf).as("cost"), lit(Inf).as("units"))
+    val init = array(infS, infS, infS,
+      struct(lit(0L).as("cost"), lit(0L).as("units")))
+    val step = (st: Column, i: Column) => {
+      val cands = (1 to MaxPieceLen).map { l =>
+        val prev = element_at(st, 5 - l) // dp[i-l]; l=1 → newest slot
+        val piece = word.substr(i - l + 1, lit(l))
+        val cRaw = element_at(byLen(l), piece)
+        val c = if (l == 1) coalesce(cRaw, lit(fb)) else cRaw
+        when(lit(l) <= i && c.isNotNull,
+          struct((prev.getField("cost") + c).as("cost"),
+            (prev.getField("units") + 1L).as("units"))).otherwise(infS)
+      }
+      array(element_at(st, 2), element_at(st, 3), element_at(st, 4),
+        array_min(array(cands: _*)))
+    }
+    element_at(
+      aggregate(sequence(lit(1), length(word)), init, step), 4)
+  }
+
+  /** T78 — UNIGRAM-LM VITERBI SEGMENTATION (Kudo 2018; the
+    * SentencePiece algorithm): segment each word into the
+    * minimum-total-cost piece sequence under the mass-derived
+    * whole-bit unigram costs — the probabilistic counterpart to t76's
+    * greedy (same vocab, same corpus, directly comparable units).
+    * Tokenizer tier now covers all three public families: BPE merge
+    * replay (t50/t51), WordPiece maximal munch (t75/t76), unigram-LM
+    * Viterbi (here).
+    *
+    * The oracle cannot run a DP fold, so it enumerates EVERY
+    * segmentation path of each distinct word as a recursive CTE over
+    * a precomputed per-position extension table and takes the
+    * (cost, units) argmin — exhaustive ground truth against which the
+    * engine's DP must be exactly optimal; any DP bug (a wrong
+    * lookback slot, a tie broken the other way) is a value mismatch,
+    * not a tolerance miss. Path counts are compositions of word
+    * length into parts ≤ 4 — bounded at vocab scale, astronomically
+    * infeasible at corpus scale, which is exactly why the ENGINE side
+    * is the DP.
+    *
+    * Scale shape: identical to t76 — model collected (≤ 84 pieces),
+    * DISTINCT words segment once (vocab-sized), instances join by
+    * word, per-doc partials. */
+  val t78UnigramViterbi: QuerySpec = QuerySpec.sql(
+    "t78_unigram_viterbi",
+    s"""WITH RECURSIVE $wpCtesSql,
+       |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS tm FROM vocab),
+       |vc AS (SELECT piece, plen,
+       |    CAST(length(bin(tm)) - length(bin(mass)) AS BIGINT) AS cb
+       |  FROM vocab, tot),
+       |ti AS (SELECT doc_id, word FROM (SELECT doc_id,
+       |    unnest($ToksSql) AS word FROM documents) WHERE word <> ''),
+       |vw AS (SELECT DISTINCT word FROM ti),
+       |pos0 AS (SELECT word, s FROM vw,
+       |  unnest(range(1, length(word) + 1)) AS u(s)),
+       |ext AS (
+       |  SELECT p0.word, p0.s - 1 AS pos, vc.plen, vc.cb
+       |  FROM pos0 p0 JOIN vc
+       |    ON p0.s + vc.plen - 1 <= length(p0.word)
+       |   AND substr(p0.word, p0.s, vc.plen) = vc.piece
+       |  UNION ALL
+       |  SELECT p0.word, p0.s - 1, 1,
+       |    (SELECT CAST(length(bin(tm)) + 1 AS BIGINT) FROM tot)
+       |  FROM pos0 p0 WHERE NOT EXISTS (SELECT 1 FROM vc
+       |    WHERE vc.plen = 1 AND vc.piece = substr(p0.word, p0.s, 1))),
+       |paths AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS units
+       |  FROM vw
+       |  UNION ALL
+       |  SELECT p.word, p.pos + e.plen, p.cost + e.cb, p.units + 1
+       |  FROM paths p JOIN ext e ON e.word = p.word AND e.pos = p.pos),
+       |best AS (SELECT word, cost, units,
+       |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, units)
+       |      AS rn
+       |  FROM paths WHERE pos = length(word)),
+       |wl AS (SELECT word, cost, CAST(units AS BIGINT) AS units
+       |       FROM best WHERE rn = 1),
+       |sc AS (SELECT ti.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(wl.units) AS BIGINT) AS vit_units,
+       |    CAST(SUM(wl.cost) AS BIGINT) AS vit_bits
+       |  FROM ti JOIN wl USING (word) GROUP BY 1),
+       |al AS (SELECT * FROM sc
+       |  UNION ALL
+       |  SELECT doc_id, 0, 0, 0 FROM documents
+       |  WHERE len(list_filter($ToksSql, x -> x <> '')) = 0)
+       |SELECT doc_id, n_tokens, vit_units, vit_bits,
+       |  CASE WHEN n_tokens > 0
+       |       THEN CAST(vit_units AS DOUBLE) / n_tokens
+       |  END AS units_per_token
+       |FROM al
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (costs, fb) = viterbiModel(s, d)
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(tokens(col("text")), w => w =!= "").as("toks"))
+      .localCheckpoint()
+    val ti = t.select(col("doc_id"), explode(col("toks")).as("word"))
+    val wl = ti.select("word").distinct()
+      .select(col("word"),
+        viterbiCostUnits(col("word"), costs, fb).as("v"))
+      .select(col("word"), col("v.cost").as("cost"),
+        col("v.units").as("units"))
+    val sc = ti.join(wl, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("units").as("vit_units"),
+        sum("cost").as("vit_bits"))
+    val zeros = t.filter(size(col("toks")) === 0)
+      .select(col("doc_id"), lit(0L).as("n_tokens"),
+        lit(0L).as("vit_units"), lit(0L).as("vit_bits"))
+    sc.union(zeros)
+      .select(col("doc_id"), col("n_tokens"), col("vit_units"),
+        col("vit_bits"),
+        when(col("n_tokens") > 0,
+          col("vit_units").cast("double") / col("n_tokens"))
+          .as("units_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(t75WordpieceVocab, t76WordpieceSegment, t78UnigramViterbi)
 }

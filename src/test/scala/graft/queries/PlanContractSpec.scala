@@ -677,6 +677,15 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("t78 unigram viterbi: literal model, word-keyed join, per-doc partials") {
+    val p = plan(WordPieceQueries.t78UnigramViterbi)
+    // the DP fold rides literal cost maps — no model join; same t51/t76
+    // skeleton: word-keyed instance join + two-phase per-doc aggregate
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("t75 wordpiece vocab: top-K cut is TakeOrdered, no corpus-sized window") {
     val p = plan(WordPieceQueries.t75WordpieceVocab)
     // the multi-char cut must be a distributed top-K, not a global sort
