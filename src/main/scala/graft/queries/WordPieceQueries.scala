@@ -127,7 +127,7 @@ object WordPieceQueries {
 
   /** The trained multi-char piece set, collected (≤ [[VocabK]] rows —
     * the model artifact; chars are implicit: the greedy fallback). */
-  private[queries] def trainedPieces(s: SparkSession, d: String): Set[String] =
+  private[graft] def trainedPieces(s: SparkSession, d: String): Set[String] =
     pieceMass(s, d).filter(col("plen") > 1)
       .orderBy(col("mass").desc, col("piece")).limit(VocabK)
       .select("piece").collect().map(_.getString(0)).toSet
@@ -139,7 +139,7 @@ object WordPieceQueries {
     * literals. Matching a length-L piece needs L chars remaining,
     * which the map guards for free: a shorter end-of-word substring
     * can never equal an L-char key. */
-  private[queries] def greedyUnits(word: Column,
+  private[graft] def greedyUnits(word: Column,
       pieces: Set[String]): Column = {
     val byLen = (2 to MaxPieceLen).map(l =>
       l -> typedLit(pieces.filter(_.length == l).map(_ -> true).toMap))

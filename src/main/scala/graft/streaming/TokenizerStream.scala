@@ -47,4 +47,22 @@ object TokenizerStream {
       .select(col("source"), BpeQueries.unitsOf(col("word"), merges).as("units"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
+
+  /** The same running rollup under the WORDPIECE model — the t76
+    * greedy fold ([[graft.queries.WordPieceQueries.greedyUnits]],
+    * literal piece maps, row-local) swapped in for the merge replay;
+    * identical bounded state, identical plan shape, so a deployment
+    * can stream BOTH families' fertility side by side and read the
+    * comparison t75/t76's scaladocs promise. Spec-pinned against the
+    * batch per-source rollup over the same prefix
+    * (`TokenizerStreamSpec`). */
+  def fertilityWordpiece(docs: DataFrame, pieces: Set[String]): DataFrame =
+    docs
+      .select(col("source"),
+        explode(filter(tokens(col("text")), w => w =!= "")).as("word"))
+      .select(col("source"),
+        graft.queries.WordPieceQueries.greedyUnits(col("word"), pieces)
+          .as("units"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
 }
