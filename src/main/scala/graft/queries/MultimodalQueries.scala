@@ -1216,6 +1216,92 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** M22 — AUDIO SIMILARITY SEARCH over the decoded-sample features:
+    * m13's brute-force ANN contract in the audio modality, closing the
+    * last asymmetry in the media matrix (image had ANN m13/m13b/m13c;
+    * audio had features m6 but no search). Each clip's 4-dim exact-
+    * integer PCM projection ([[Multimodal.featuresPcm]], the m6 gate's
+    * vectors — real javax.sound decode on executors) becomes an
+    * embedding; first 10 clips are queries, brute cosine top-3 with
+    * (cos desc, nid) ties. The oracle reconstructs samples
+    * algebraically from the WAV byte generator (m6's CTEs) and replays
+    * the same integer dots. Magnitude audit: |v| ≤ 1.6e7 over this
+    * fixture, so 4-dim dots ≤ ~1e15 ≪ 2^63 — pure long arithmetic up
+    * to the one sqrt+divide both engines write identically. Scale
+    * shape: one decode+project pass (localCheckpoint) feeds both
+    * sides; the query side broadcasts; no shuffle before the
+    * per-query top-k window. */
+  val m22AudioAnn: QuerySpec = QuerySpec.sql(
+    "m22_audio_ann",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    800 + (CAST(c_custkey AS BIGINT) % 100) * 8 AS frames
+      |  FROM customer WHERE c_custkey < 120
+      |),
+      |s0 AS (SELECT k, unnest(range(0, frames)) AS j FROM m),
+      |s AS (
+      |  SELECT k, j,
+      |    ((2*j)*13 % 251)
+      |      + 256 * (CASE WHEN ((2*j+1)*13 % 251) >= 128
+      |               THEN ((2*j+1)*13 % 251) - 256
+      |               ELSE ((2*j+1)*13 % 251) END) AS v
+      |  FROM s0
+      |),
+      |f AS (
+      |  SELECT k, d, CAST(SUM(v * ((d+1)*(j+7) % 101 - 50)) AS BIGINT) AS v
+      |  FROM s, range(0, 4) u(d)
+      |  GROUP BY 1, 2
+      |),
+      |ss AS (SELECT k, CAST(SUM(v * v) AS BIGINT) AS ss FROM f GROUP BY 1),
+      |dots AS (
+      |  SELECT a.k AS qid, b.k AS nid, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM f a JOIN f b ON a.d = b.d AND a.k < 10 AND b.k <> a.k
+      |  GROUP BY 1, 2
+      |),
+      |r AS (
+      |  SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+      |  FROM (
+      |    SELECT qid, nid,
+      |      CAST(dot AS DOUBLE)
+      |        / sqrt(CAST(sa.ss AS DOUBLE) * CAST(sb.ss AS DOUBLE)) AS cos
+      |    FROM dots
+      |    JOIN ss sa ON sa.k = dots.qid
+      |    JOIN ss sb ON sb.k = dots.nid
+      |  )
+      |)
+      |SELECT qid, nid, CAST(rn AS BIGINT) AS rank, cos
+      |FROM r WHERE rn <= 3
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 120).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "audio",
+          Multimodal.wavFixture((800 + (k % 100) * 8).toInt),
+          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+      }
+    val vecs = Multimodal.featuresPcm(rows, dim = 4).toDF()
+      .groupBy(col("mediaId").as("media_id"))
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("v")))),
+        x => x.getField("v")).as("eL"))
+      .withColumn("ss", call_function("long_dot", col("eL"), col("eL")))
+      .localCheckpoint() // one decode+project pass feeds both sides
+    val q = vecs.select(col("media_id").as("qid"), col("eL").as("qL"),
+      col("ss").as("qss")).filter(col("qid") < 10)
+    val cos = call_function("long_dot", col("qL"), col("eL")).cast("double") /
+      sqrt(col("qss").cast("double") * col("ss").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    vecs.join(broadcast(q), col("media_id") =!= col("qid"))
+      .select(col("qid"), col("media_id").as("nid"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
@@ -1223,5 +1309,5 @@ object MultimodalQueries {
       m13ImageAnn, m13bImageAnnLsh, m13cImageAnnRecall, m14RawClipNearDup,
       m15RawFrameFeatures, m16PhashClusters, m17DeltaPhash,
       m18AudioPhashClusters, m19ClipDedup, m20PhashManifest,
-      m21AudioDeltaPhash)
+      m21AudioDeltaPhash, m22AudioAnn)
 }

@@ -667,6 +667,18 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("m22 audio ANN: one decode pass, broadcast queries, keyed top-k window") {
+    val p = plan(MultimodalQueries.m22AudioAnn)
+    // the m13 contract in the audio modality: checkpointed single
+    // decode+project pass, 10-query side broadcast (BNLJ on the
+    // non-equi self-pair condition), qid-partitioned top-k
+    assert(p.contains("ExistingRDD"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("windowspecdefinition(qid"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("t77 margin mining: query batch broadcasts, every window partitioned") {
     val p = plan(VectorQueries.t77MarginMining)
     // the t5 contract on the pair generator: the 8-query side rides a
