@@ -394,6 +394,102 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // t79 — UniMax per-source budget allocation
+  // ---------------------------------------------------------------
+
+  /** Max epochs any source may repeat (UniMax's N). */
+  private val UniMaxEpochs = 2
+
+  /** T79 — UNIMAX BUDGET ALLOCATION (Chung et al. 2023): split a
+    * token budget T across sources as uniformly as possible subject
+    * to a per-source repeat cap — each source may contribute at most
+    * `capacity × N` tokens (N = [[UniMaxEpochs]]); small sources are
+    * taken whole (capped), the rest split the remaining budget
+    * equally (the water level). Closed form instead of the paper's
+    * greedy loop: with sources sorted by ceiling ascending, source i
+    * is capped iff its ceiling is at or below its CANDIDATE level
+    * (T − prefix)/(n − i + 1); the cap prefix runs to the first
+    * violation (min rn, so a spurious later flip-back cannot split
+    * the prefix), and every uncapped source gets the level at the
+    * first uncapped rank — exactly the loop's fixpoint. T here is
+    * ⌊9/10 of the total ceiling⌋ so the fixture exercises both
+    * outcomes. Divisions of integers are IEEE-exact; no float sums.
+    *
+    * Scale shape: ONE corpus-scale stage (the per-source token-count
+    * aggregate, map-side partials); everything after operates on the
+    * sources frame — ~20 rows, the model-frame convention — so its
+    * windows and scalar cross-joins are bounded by the number of
+    * SOURCES, never by corpus rows. This is t40's rebalance-consumer
+    * view upgraded to a principled allocator. */
+  val t79UnimaxMix: QuerySpec = QuerySpec.sql(
+    "t79_unimax_mix",
+    s"""WITH c0 AS (
+       |  SELECT source, CAST(SUM(len(list_filter($ToksSql, x -> x <> '')))
+       |    AS BIGINT) AS capacity
+       |  FROM documents GROUP BY 1),
+       |b0 AS (SELECT source, capacity,
+       |         capacity * $UniMaxEpochs AS ceil_tokens FROM c0),
+       |n0 AS (SELECT COUNT(*) AS n,
+       |         CAST(SUM(ceil_tokens) * 9 // 10 AS BIGINT) AS t FROM b0),
+       |rk AS (SELECT source, capacity, ceil_tokens,
+       |         ROW_NUMBER() OVER (ORDER BY ceil_tokens, source) AS rn,
+       |         COALESCE(SUM(ceil_tokens) OVER (ORDER BY ceil_tokens, source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS pfx
+       |       FROM b0),
+       |lv AS (SELECT rk.*, n0.n, n0.t,
+       |         CAST(t - pfx AS DOUBLE) / (n - rn + 1) AS lvl
+       |       FROM rk, n0),
+       |mm AS (SELECT COALESCE(MIN(rn) - 1, (SELECT n FROM n0)) AS m
+       |       FROM lv WHERE ceil_tokens > lvl),
+       |fin AS (SELECT lv.source, lv.capacity, lv.ceil_tokens,
+       |         CAST(lv.rn AS BIGINT) AS rn, (lv.rn <= mm.m) AS capped,
+       |         CASE WHEN lv.rn <= mm.m THEN CAST(lv.ceil_tokens AS DOUBLE)
+       |              ELSE (SELECT l2.lvl FROM lv l2, mm
+       |                    WHERE l2.rn = mm.m + 1) END AS allocation
+       |       FROM lv, mm)
+       |SELECT source, capacity, ceil_tokens, rn, capped, allocation,
+       |  allocation / capacity AS epochs
+       |FROM fin ORDER BY source""".stripMargin) { (s, d) =>
+    val c0 = Tables.documents(s, d)
+      .select(col("source"),
+        size(filter(tokens(col("text")), w => w =!= "")).cast("long")
+          .as("nt"))
+      .groupBy("source").agg(sum("nt").as("capacity"))
+    val b0 = c0.withColumn("ceil_tokens", col("capacity") * UniMaxEpochs)
+    val n0 = b0.agg(count(lit(1)).as("n"),
+      (sum("ceil_tokens") * 9 / lit(10)).cast("long").as("t"))
+    val ordW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ceil_tokens"), col("source"))
+    val pfxW = ordW.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val lv = b0
+      .withColumn("rn", row_number().over(ordW).cast("long"))
+      .withColumn("pfx", coalesce(sum("ceil_tokens").over(pfxW), lit(0L)))
+      .crossJoin(broadcast(n0))
+      .withColumn("lvl",
+        (col("t") - col("pfx")).cast("double") / (col("n") - col("rn") + 1))
+    val mm = lv
+      .agg(coalesce(min(when(col("ceil_tokens") > col("lvl"), col("rn"))) - 1,
+        max("n")).as("m"))
+    val lstar = lv.crossJoin(broadcast(mm))
+      .filter(col("rn") === col("m") + 1)
+      .select(col("lvl").as("lstar"))
+    val fin = lv.crossJoin(broadcast(mm))
+      .join(broadcast(lstar), org.apache.spark.sql.functions.lit(true),
+        "left")
+      .select(col("source"), col("capacity"), col("ceil_tokens"), col("rn"),
+        (col("rn") <= col("m")).as("capped"),
+        when(col("rn") <= col("m"), col("ceil_tokens").cast("double"))
+          .otherwise(col("lstar")).as("allocation"))
+    fin.select(col("source"), col("capacity"), col("ceil_tokens"), col("rn"),
+        col("capped"), col("allocation"),
+        (col("allocation") / col("capacity")).as("epochs"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(t71DsirWeights, t72GopherRules, t73LineDedup, t74CurationV2)
+    Seq(t71DsirWeights, t72GopherRules, t73LineDedup, t74CurationV2,
+      t79UnimaxMix)
 }

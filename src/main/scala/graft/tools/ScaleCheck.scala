@@ -64,7 +64,7 @@ object ScaleCheck {
     "t68_cluster_sample", "t69_quality_quantile", "t70_containment",
     "t71_dsir_weights", "t72_gopher_rules", "t73_line_dedup",
     "t74_curation_v2", "t75_wordpiece_vocab", "t76_wordpiece_segment",
-    "t77_margin_mining", "t78_unigram_viterbi")
+    "t77_margin_mining", "t78_unigram_viterbi", "t79_unimax_mix")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))

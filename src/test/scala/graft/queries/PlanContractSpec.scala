@@ -667,6 +667,15 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("t79 unimax: one two-phase corpus aggregate; scalar frames broadcast") {
+    val p = plan(CurationQueries.t79UnimaxMix)
+    // the per-source token count is the ONLY corpus-scale stage (map-
+    // side partials); the waterfill runs on the sources frame, whose
+    // scalar cross-joins ride O(1)-row broadcasts
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("m22 audio ANN: one decode pass, broadcast queries, keyed top-k window") {
     val p = plan(MultimodalQueries.m22AudioAnn)
     // the m13 contract in the audio modality: checkpointed single
