@@ -1302,6 +1302,98 @@ object MultimodalQueries {
       .orderBy("qid", "rank")
   }
 
+  /** M23 — VIDEO CLIP SIMILARITY SEARCH: the ANN contract in the
+    * third modality, completing the matrix (features + ANN now exist
+    * for image m7/m13, audio m6/m22 AND video m15/here). A clip's
+    * embedding is the per-dimension SUM of its sampled DIB frames'
+    * exact-integer projections (m15's vectors — real uncompressed-AVI
+    * decode on executors; frame sample = the i·n/k rule) — the
+    * standard mean-pool clip representation with the 1/k factor
+    * dropped to stay integer (cosine is scale-invariant, so top-k and
+    * cos values are IDENTICAL to the mean-pooled form). First 10
+    * clips are queries, brute cosine top-3, (cos desc, nid) ties.
+    * Magnitude audit: per-frame |v| ≤ ~1.1e7, 3-frame sums ≤ 3.3e7,
+    * 4-dim dots ≤ 4.4e15 ≪ 2^63 — long arithmetic to the one
+    * sqrt+divide. Scale shape: ONE decode+project pass
+    * (localCheckpoint) feeds query and corpus sides; queries
+    * broadcast; qid-partitioned top-k. */
+  val m23ClipAnn: QuerySpec = QuerySpec.sql(
+    "m23_clip_ann",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    4 + CAST(c_custkey AS BIGINT) % 3 AS n
+      |  FROM customer WHERE c_custkey < 120
+      |),
+      |sf AS (SELECT k, i, i * n // 3 AS f FROM m, range(0, 3) t(i)),
+      |px AS (SELECT k, i, f, unnest(range(0, 288)) AS p FROM sf),
+      |pv AS (
+      |  SELECT k, i, p,
+      |    ((f*53 + k*101 + (p % 18)*3) % 256)
+      |      + ((f*29 + k*59 + (p // 18)*5) % 256)
+      |      + ((f*17 + k*23 + (p % 18) + (p // 18)) % 256) AS pv
+      |  FROM px
+      |),
+      |f AS (
+      |  SELECT k, d, CAST(SUM(pv * ((d+1)*(p+7) % 101 - 50)) AS BIGINT) AS v
+      |  FROM pv, range(0, 4) u(d)
+      |  GROUP BY 1, 2
+      |),
+      |ss AS (SELECT k, CAST(SUM(v * v) AS BIGINT) AS ss FROM f GROUP BY 1),
+      |dots AS (
+      |  SELECT a.k AS qid, b.k AS nid, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM f a JOIN f b ON a.d = b.d AND a.k < 10 AND b.k <> a.k
+      |  GROUP BY 1, 2
+      |),
+      |r AS (
+      |  SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+      |  FROM (
+      |    SELECT qid, nid,
+      |      CAST(dot AS DOUBLE)
+      |        / sqrt(CAST(sa.ss AS DOUBLE) * CAST(sb.ss AS DOUBLE)) AS cos
+      |    FROM dots
+      |    JOIN ss sa ON sa.k = dots.qid
+      |    JOIN ss sb ON sb.k = dots.nid
+      |  )
+      |)
+      |SELECT qid, nid, CAST(rn AS BIGINT) AS rank, cos
+      |FROM r WHERE rn <= 3
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 120).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "video",
+          Multimodal.aviDibFixture(
+            frames = (4 + k % 3).toInt, width = 18, height = 16,
+            fps = 10, seed = k),
+          Multimodal.MediaMeta("avi", 18, 16, 0, 0))
+      }
+    // per-clip vector: frame projections summed per dimension, then
+    // the KMeans sort_array(collect_list) vector assembly
+    val vecs = Multimodal.featuresFrames(rows, k = 3, dim = 4).toDF()
+      .groupBy(col("mediaId").as("media_id"), col("d"))
+      .agg(sum("v").as("v"))
+      .groupBy("media_id")
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("v")))),
+        x => x.getField("v")).as("eL"))
+      .withColumn("ss", call_function("long_dot", col("eL"), col("eL")))
+      .localCheckpoint() // one decode+project pass feeds both sides
+    val q = vecs.select(col("media_id").as("qid"), col("eL").as("qL"),
+      col("ss").as("qss")).filter(col("qid") < 10)
+    val cos = call_function("long_dot", col("qL"), col("eL")).cast("double") /
+      sqrt(col("qss").cast("double") * col("ss").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    vecs.join(broadcast(q), col("media_id") =!= col("qid"))
+      .select(col("qid"), col("media_id").as("nid"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
@@ -1309,5 +1401,5 @@ object MultimodalQueries {
       m13ImageAnn, m13bImageAnnLsh, m13cImageAnnRecall, m14RawClipNearDup,
       m15RawFrameFeatures, m16PhashClusters, m17DeltaPhash,
       m18AudioPhashClusters, m19ClipDedup, m20PhashManifest,
-      m21AudioDeltaPhash, m22AudioAnn)
+      m21AudioDeltaPhash, m22AudioAnn, m23ClipAnn)
 }

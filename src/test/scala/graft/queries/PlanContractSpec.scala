@@ -676,6 +676,15 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("m23 clip ANN: one decode pass, broadcast queries, keyed top-k window") {
+    val p = plan(MultimodalQueries.m23ClipAnn)
+    assert(p.contains("ExistingRDD"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("windowspecdefinition(qid"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("m22 audio ANN: one decode pass, broadcast queries, keyed top-k window") {
     val p = plan(MultimodalQueries.m22AudioAnn)
     // the m13 contract in the audio modality: checkpointed single
