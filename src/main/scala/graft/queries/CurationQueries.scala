@@ -220,54 +220,62 @@ object CurationQueries {
          |  (r_words AND r_wordlen AND r_symbol AND r_bullet AND r_ellipsis
          |   AND r_alpha AND r_stop) AS keep
          |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = tokens(col("text"))
-      val nLines = ceil(size(col("toks")) / lit(LineW.toDouble)).cast("long")
-      val lineOf = (i: Column) => concat(
-        when((col("doc_id") + i) % 5 === 0, "• ").otherwise(""),
-        array_join(slice(col("toks"), (i * LineW + 1).cast("int"), lit(LineW)), " "),
-        when((col("doc_id") + i) % 11 === 0, " #").otherwise(""),
-        when((col("doc_id") + i) % 7 === 0, "...").otherwise(""))
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"),
-          transform(sequence(lit(0L), nLines - 1), lineOf).as("lines"))
-        .select(col("doc_id"), array_join(col("lines"), "\n").as("text2"))
-      val p = t.select(col("doc_id"),
-        split(col("text2"), "\n").as("plines"),
-        split(trim(regexp_replace(col("text2"), "\\s+", " ")), " ")
-          .as("words"))
-      val stopArr = array(EnStopwords.map(lit): _*)
-      val m = p.select(col("doc_id"),
-        size(col("words")).cast("long").as("n_words"),
-        size(col("plines")).cast("long").as("n_lines"),
-        (aggregate(col("words"), lit(0L), (a, w) => a + length(w))
-          .cast("double") / size(col("words"))).as("mean_word_len"),
-        (size(filter(col("words"), w => w === "#" || w.endsWith("...")))
-          .cast("double") / size(col("words"))).as("symbol_ratio"),
-        (size(filter(col("plines"), l => l.startsWith("•")))
-          .cast("double") / size(col("plines"))).as("bullet_frac"),
-        (size(filter(col("plines"), l => l.endsWith("...")))
-          .cast("double") / size(col("plines"))).as("ellipsis_frac"),
-        (size(filter(col("words"), w => w.rlike("[a-z]")))
-          .cast("double") / size(col("words"))).as("alpha_frac"),
-        size(array_distinct(filter(col("words"),
-          w => array_contains(stopArr, w)))).cast("long")
-          .as("n_stop_distinct"))
-      val r = m
-        .withColumn("r_words", col("n_words") >= 20 && col("n_words") <= 1000)
-        .withColumn("r_wordlen",
-          col("mean_word_len") >= 3 && col("mean_word_len") <= 10)
-        .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
-        .withColumn("r_bullet", col("bullet_frac") <= 0.9)
-        .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
-        .withColumn("r_alpha", col("alpha_frac") >= 0.8)
-        .withColumn("r_stop", col("n_stop_distinct") >= 2)
-      r.withColumn("keep",
-          col("r_words") && col("r_wordlen") && col("r_symbol") &&
-            col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
-            col("r_stop"))
-        .orderBy("doc_id")
+      gopherRules(Tables.documents(s, d)).orderBy("doc_id")
     }
+  }
+
+  /** The t72 rule battery as a pure per-row frame transform over
+    * (doc_id, text) — ONE definition shared by the gate and the
+    * streaming curation-v2 leg (stateless, so it runs on a streaming
+    * frame unchanged; StreamingCurationV2E2ESpec pins the finalize
+    * parity). */
+  private[graft] def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nLines = ceil(size(col("toks")) / lit(LineW.toDouble)).cast("long")
+    val lineOf = (i: Column) => concat(
+      when((col("doc_id") + i) % 5 === 0, "• ").otherwise(""),
+      array_join(slice(col("toks"), (i * LineW + 1).cast("int"), lit(LineW)), " "),
+      when((col("doc_id") + i) % 11 === 0, " #").otherwise(""),
+      when((col("doc_id") + i) % 7 === 0, "...").otherwise(""))
+    val t = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), nLines - 1), lineOf).as("lines"))
+      .select(col("doc_id"), array_join(col("lines"), "\n").as("text2"))
+    val p = t.select(col("doc_id"),
+      split(col("text2"), "\n").as("plines"),
+      split(trim(regexp_replace(col("text2"), "\\s+", " ")), " ")
+        .as("words"))
+    val stopArr = array(EnStopwords.map(lit): _*)
+    val m = p.select(col("doc_id"),
+      size(col("words")).cast("long").as("n_words"),
+      size(col("plines")).cast("long").as("n_lines"),
+      (aggregate(col("words"), lit(0L), (a, w) => a + length(w))
+        .cast("double") / size(col("words"))).as("mean_word_len"),
+      (size(filter(col("words"), w => w === "#" || w.endsWith("...")))
+        .cast("double") / size(col("words"))).as("symbol_ratio"),
+      (size(filter(col("plines"), l => l.startsWith("•")))
+        .cast("double") / size(col("plines"))).as("bullet_frac"),
+      (size(filter(col("plines"), l => l.endsWith("...")))
+        .cast("double") / size(col("plines"))).as("ellipsis_frac"),
+      (size(filter(col("words"), w => w.rlike("[a-z]")))
+        .cast("double") / size(col("words"))).as("alpha_frac"),
+      size(array_distinct(filter(col("words"),
+        w => array_contains(stopArr, w)))).cast("long")
+        .as("n_stop_distinct"))
+    val r = m
+      .withColumn("r_words", col("n_words") >= 20 && col("n_words") <= 1000)
+      .withColumn("r_wordlen",
+        col("mean_word_len") >= 3 && col("mean_word_len") <= 10)
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r_bullet", col("bullet_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("n_stop_distinct") >= 2)
+    r.withColumn("keep",
+      col("r_words") && col("r_wordlen") && col("r_symbol") &&
+        col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+        col("r_stop"))
   }
 
   // ---------------------------------------------------------------
