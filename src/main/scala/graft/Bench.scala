@@ -13,8 +13,11 @@ import graft.spark.Sessions
   * {"metric":"total","value":N,"unit":"sec","queries":{...},...} where
   * `value` and `queries` report the per-query MEDIAN of the three warm
   * passes (two consecutive rounds showed uniform ~±20-30% cross-round
-  * swings on untouched queries; single warm runs carry no signal) and
-  * `cold_total` carries the cold pass. A `load` stamp
+  * swings on untouched queries; single warm runs carry no signal),
+  * `min_total` (+ full-artifact `queries_min`) the per-query MIN of
+  * the warm passes — drift-immune, the cross-round headline on a
+  * thermally degrading host (VERDICT r15 item 3) — and `cold_total`
+  * carries the cold pass. A `load` stamp
   * (availableProcessors, system load average, epoch seconds) is
   * embedded so cross-round deltas can be discounted when the host was
   * busy, making the artifact self-adjudicating.
@@ -67,6 +70,18 @@ object Bench {
         val med = byTime(byTime.size / 2)
         (name, med._2, med._3, samples.flatMap(_._4).headOption)
     }
+    // per-query MIN across warm passes (VERDICT r15 item 3): a host
+    // that degrades monotonically across the session (thermal/load
+    // drift) inflates every median uniformly, but the fastest warm
+    // sample of each query is drift-IMMUNE — it is the least-disturbed
+    // observation of the plan. min_total is therefore the headline for
+    // cross-round comparison; median stays for continuity.
+    val warmMin: Seq[(String, Double, Double, Option[String])] = queries.map {
+      case (name, _) =>
+        val samples = warmRuns.map(_.find(_._1 == name).get)
+        val best = samples.minBy(_._2)
+        (name, best._2, best._3, samples.flatMap(_._4).headOption)
+    }
     def fmt(v: Double, dp: Int): String =
       String.format(Locale.ROOT, s"%.${dp}f", Double.box(v))
     def obj(rs: Seq[(String, Double, Double, Option[String])], dp: Int): String =
@@ -105,6 +120,8 @@ object Bench {
       cold.collect { case (n, t, _, _) if !failedNames.contains(n) => t }.sum
     val warmTotal =
       warm.collect { case (n, t, _, _) if !failedNames.contains(n) => t }.sum
+    val minTotal =
+      warmMin.collect { case (n, t, _, _) if !failedNames.contains(n) => t }.sum
     // HOST-NOISE GATE (VERDICT r14 item 1): r14's committed artifact was
     // captured at load_avg 4.32 with warm passes degrading 132→191 s,
     // making the headline number useless for cross-round comparison.
@@ -135,10 +152,10 @@ object Bench {
       .map { case (n, p, e) => jstr(s"$n/$p") + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(warmTotal, 2)},"unit":"sec","queries":${obj(warm, 2)},"sf":"$sfDir","cold_total":${fmt(coldTotal, 2)},"warm_total":${fmt(warmTotal, 2)},"runs":$nRuns,"load":$loadJson,$noiseJson,"n_failed":${failedNames.size},"failed":$failedJson,"methodology":"1 cold + $nRuns warm passes; value+queries=per-query median of warm; totals exclude failed queries; host_noisy=true disqualifies cross-round comparison"}"""
+      s"""{"metric":"total","value":${fmt(warmTotal, 2)},"unit":"sec","queries":${obj(warm, 2)},"sf":"$sfDir","cold_total":${fmt(coldTotal, 2)},"warm_total":${fmt(warmTotal, 2)},"min_total":${fmt(minTotal, 2)},"runs":$nRuns,"load":$loadJson,$noiseJson,"n_failed":${failedNames.size},"failed":$failedJson,"methodology":"1 cold + $nRuns warm passes; value+queries=per-query median of warm; min_total=sum of per-query MIN of warm (drift-immune cross-round headline); totals exclude failed queries; host_noisy=true disqualifies cross-round median comparison"}"""
     val warmRunsJson = warmRuns.map(obj(_, 4)).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_gc":${gcObj(warm)},"queries_cold":${obj(cold, 4)},"queries_cold_gc":${gcObj(cold)},"warm_runs":$warmRunsJson,"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"runs":$nRuns,"load":$loadJson,$noiseJson,"n_failed":${failedNames.size},"failed":$failedJson,"errors":$errsJson,"methodology":"1 cold + $nRuns warm passes over all queries: the cold pass STARTS from a fresh JVM, but later queries in it share JVM/codegen/footer warmup from earlier ones — only cold_total is meaningful as a cold number, per-query queries_cold is not; value+queries report the per-query MEDIAN of the fully-warm passes (warm_runs carries the raw samples); queries_gc is each median run's co-sampled JVM GC seconds; totals exclude failed queries (their fail-fast times would skew cross-round comparison); load stamps host conditions + heap/GC totals at exit"}"""
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_min":${obj(warmMin, 4)},"queries_gc":${gcObj(warm)},"queries_cold":${obj(cold, 4)},"queries_cold_gc":${gcObj(cold)},"warm_runs":$warmRunsJson,"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"min_total":$minTotal,"runs":$nRuns,"load":$loadJson,$noiseJson,"n_failed":${failedNames.size},"failed":$failedJson,"errors":$errsJson,"methodology":"1 cold + $nRuns warm passes over all queries: the cold pass STARTS from a fresh JVM, but later queries in it share JVM/codegen/footer warmup from earlier ones — only cold_total is meaningful as a cold number, per-query queries_cold is not; value+queries report the per-query MEDIAN of the fully-warm passes (warm_runs carries the raw samples); queries_min+min_total report the per-query MIN of the warm passes — drift-immune, the headline for cross-round comparison on a thermally degrading host; queries_gc is each median run's co-sampled JVM GC seconds; totals exclude failed queries (their fail-fast times would skew cross-round comparison); load stamps host conditions + heap/GC totals at exit"}"""
     // belt and braces against log-tail truncation: persist the full
     // artifact to a file, then print the compact line as the process's
     // LAST stdout line (after spark.stop()'s shutdown chatter)

@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   * (LSH components are dense blobs, diameter 2-4), so this beats the
   * constant-factor-heavy O(log n) large-star/small-star alternation in
   * practice; `maxRounds` guards the adversarial long-chain case — on
-  * hitting it we fail loudly rather than return half-merged clusters.
+  * hitting it we ESCALATE to the large-star/small-star contraction on
+  * the label-CONTRACTED graph (VERDICT r15 item 6: a 100 TB
+  * chain-shaped graph — paginated boilerplate — would hit the bound;
+  * half-merged clusters and a hard failure are both wrong answers
+  * there). The contraction runs on one node per current label, so the
+  * min-propagation rounds already paid shrink the escalated problem;
+  * composing the two mappings is exact because min propagation never
+  * merges across true components. `escalateToStar = false` restores
+  * the fail-loudly behavior for callers that budget rounds strictly.
   */
 object ConnectedComponents {
 
@@ -39,7 +47,8 @@ object ConnectedComponents {
     * are a small minority — loop state is |touched|, not |V|, and the
     * untouched majority joins back once at the end as singletons. */
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
-      nodes: DataFrame, nodeCol: String, maxRounds: Int = 50): DataFrame = {
+      nodes: DataFrame, nodeCol: String, maxRounds: Int = 50,
+      escalateToStar: Boolean = true): DataFrame = {
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
@@ -65,13 +74,41 @@ object ConnectedComponents {
         .localCheckpoint()
       changed = staged.filter(col("next") < col("label")).count()
       if (logRounds) println(s"[cc] round=$round changed=$changed")
+      labels = staged.select(col("id"), col("next").as("label"))
       // bound CHANGE rounds only: up to maxRounds rounds may report
       // changes, and a run converging in exactly maxRounds still gets
       // its zero-change confirmation pass (round maxRounds+1)
-      require(changed == 0 || round <= maxRounds,
-        s"connected components did not converge in $maxRounds rounds " +
-          "(component diameter exceeds the bound); raise maxRounds")
-      labels = staged.select(col("id"), col("next").as("label"))
+      if (changed > 0 && round > maxRounds) {
+        require(escalateToStar,
+          s"connected components did not converge in $maxRounds rounds " +
+            "(component diameter exceeds the bound); raise maxRounds")
+        System.err.println(s"[cc] WARNING: min-label hit the $maxRounds-" +
+          "round bound — escalating to large-star/small-star contraction " +
+          "on the label-contracted graph (O(log n) rounds)")
+        // contract edges through the current labels: one node per
+        // label, loops dropped inside starPairs' orient; the rounds
+        // already run shrink the escalated problem
+        val contracted = sym
+          .join(labels.select(col("id").as("src"), col("label").as("cu")),
+            "src")
+          .join(labels.select(col("id").as("dst"), col("label").as("cv")),
+            "dst")
+          .select(col("cu").as("u"), col("cv").as("v"))
+        // the star phase gets its own O(log n) budget — the caller's
+        // maxRounds bounds O(diameter) min-propagation, a different
+        // regime; 64 log-halving rounds covers any graph that fits in
+        // 64-bit ids
+        val starred = starPairs(contracted, math.max(maxRounds, 64))
+        // compose: id → its partial label → that label's star min;
+        // labels whose component already fully merged have no star
+        // edge and keep themselves
+        val composed = labels
+          .join(starred.select(col("u").as("label"), col("v").as("slabel")),
+            Seq("label"), "left")
+          .select(col("id"),
+            coalesce(col("slabel"), col("label")).as("label"))
+        return attachLabels(nodes, nodeCol, composed)
+      }
     }
     attachLabels(nodes, nodeCol, labels)
   }
@@ -101,14 +138,22 @@ object ConnectedComponents {
     * shrinks monotonically once stars form.
     */
   def labelsStar(edges: DataFrame, srcCol: String, dstCol: String,
-      nodes: DataFrame, nodeCol: String, maxRounds: Int = 50): DataFrame = {
+      nodes: DataFrame, nodeCol: String, maxRounds: Int = 50): DataFrame =
+    attachLabels(nodes, nodeCol,
+      starPairs(edges.select(col(srcCol).as("u"), col(dstCol).as("v")),
+        maxRounds))
+
+  /** Core star contraction over an ("u", "v") edge frame; returns the
+    * converged star forest as (u → component-min v) pairs for every
+    * edge-touched non-min node. Shared by [[labelsStar]] and
+    * [[labels]]' maxRounds-exceeded escalation. */
+  private def starPairs(edges: DataFrame, maxRounds: Int): DataFrame = {
     // orient every edge large→small ((u,v) with u > v), drop loops
     def orient(df: DataFrame): DataFrame = df
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
-    var l = orient(edges
-      .select(col(srcCol).as("u"), col(dstCol).as("v"))).distinct()
+    var l = orient(edges).distinct()
       .localCheckpoint()
     var round = 0
     var done = false
@@ -141,7 +186,7 @@ object ConnectedComponents {
       l = next
     }
     // l is now a star forest: u → component min. Singletons label
-    // themselves.
-    attachLabels(nodes, nodeCol, l.select(col("u"), col("v")))
+    // themselves (handled by attachLabels' left join).
+    l.select(col("u"), col("v"))
   }
 }

@@ -42,8 +42,16 @@ object CurationQueries {
     * t48/t49 (`bitlen(c+1)` via `length(bin(..))`) so the oracle is
     * hash-exact — no cross-engine libm in the gate. Selection is the
     * deterministic variant: keep the top 25 % by (weight desc,
-    * doc_id) percent-rank; production DSIR adds Gumbel noise to the
-    * same weight, which changes the sampled set but not the plan.
+    * doc_id) rank; production DSIR adds Gumbel noise to the same
+    * weight, which changes the sampled set but not the plan (the
+    * seeded hash-Gumbel twin is t71b below).
+    *
+    * The gate output is FLOAT-FREE (r15 verdict item 1): it emits the
+    * integer `rnk` and `n_docs` instead of a hand-assembled
+    * percent-rank double, and `kept` is the integer predicate
+    * `4*(rnk-1) <= n_docs-1` — algebraically identical to
+    * `percent_rank <= 0.25` but immune to cross-engine float
+    * formatting/hash seams (the r15 driver red was exactly that).
     *
     * Scale shape: the instance stream reduces to per-(doc, bucket)
     * counts BEFORE any join (map-side combinable groupBy); both
@@ -56,7 +64,7 @@ object CurationQueries {
     * (whole bits), so per-VALUE counts form a model-sized frame whose
     * cumulative strictly-higher counts broadcast back, and the
     * in-value tie-break is a row_number PARTITIONED by logw_bits —
-    * rank = n_higher + rn, identical to `PERCENT_RANK() OVER (ORDER BY
+    * rnk = n_higher + rn, identical to `ROW_NUMBER() OVER (ORDER BY
     * logw_bits DESC, doc_id)` but every corpus-sized stage stays
     * partitioned (the GlobalRank discipline in window form). */
   val t71DsirWeights: QuerySpec = QuerySpec.sql(
@@ -84,11 +92,11 @@ object CurationQueries {
        |           - length(bin(tot.t_t + $DsirBuckets))) AS logw_bits
        |      FROM sc, tot),
        |r AS (SELECT doc_id, n_toks, logw_bits,
-       |        PERCENT_RANK() OVER (ORDER BY logw_bits DESC, doc_id)
-       |          AS w_rank
+       |        ROW_NUMBER() OVER (ORDER BY logw_bits DESC, doc_id) AS rnk,
+       |        COUNT(*) OVER () AS n_docs
        |      FROM w)
-       |SELECT r.doc_id, t.lang, r.n_toks, r.logw_bits, r.w_rank,
-       |  (r.w_rank <= 0.25) AS kept
+       |SELECT r.doc_id, t.lang, r.n_toks, r.logw_bits, r.rnk, r.n_docs,
+       |  (4 * (r.rnk - 1) <= r.n_docs - 1) AS kept
        |FROM r JOIN t ON r.doc_id = t.doc_id
        |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
@@ -129,12 +137,12 @@ object CurationQueries {
       .partitionBy("logw_bits").orderBy("doc_id")
     w.join(broadcast(vc), Seq("logw_bits"))
       .crossJoin(broadcast(nTotal))
-      .withColumn("rank", col("n_higher") + row_number().over(tieWin))
-      .withColumn("w_rank",
-        (col("rank") - 1).cast("double") / (col("n_docs") - 1))
+      .withColumn("rnk",
+        (col("n_higher") + row_number().over(tieWin)).cast("long"))
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_toks"), col("logw_bits"),
-        col("w_rank"), (col("w_rank") <= 0.25).as("kept"))
+        col("rnk"), col("n_docs"),
+        (lit(4L) * (col("rnk") - 1) <= col("n_docs") - 1).as("kept"))
       .orderBy("doc_id")
   }
 

@@ -435,6 +435,173 @@ object LmQueries {
     }
   }
 
+  // ---------------------------------------------------------------
+  // t6b — REAL language ID: char-n-gram Naive Bayes (VERDICT r15
+  // item 4). t6 is an English stopword-ratio heuristic — the one thin
+  // row in the text tier; this is the public langid.py / fastText
+  // langid SHAPE (char-n-gram multinomial NB, Lui & Baldwin 2012)
+  // trained and applied in-engine. The fixture corpus's five langs
+  // share one template vocabulary (zero text-derivable signal — the
+  // t56 scaladoc's measurement), so the language SIGNAL is synthesized
+  // into the text deterministically from the lang column (the t14/t72
+  // convention: the oracle builds the identical text, so the gate is
+  // algebraic): each language rotates the vowels of the normalized
+  // text by a fixed per-lang offset (en identity, de +1, es +2, fr +3,
+  // zh +4), giving each language a distinct character-bigram
+  // distribution exactly the way real orthographies do. The classifier
+  // then PARSES text only — it never sees the lang column at scoring
+  // time.
+
+  /** T6B — CHAR-BIGRAM NB LANGUAGE ID (the real-classifier upgrade of
+    * t6): train add-one multinomial NB over character bigrams of the
+    * vowel-rotated text on the t15 split (idHashByte < 205), labels =
+    * the true `lang`; score EVERY document densely against all five
+    * languages; argmax; report the held-out confusion matrix
+    * (lang, pred, n_docs, n_correct) — bounded L², pinning the whole
+    * synthesize→featurize→train→score→select path. All log-probs are
+    * [[graft.functions.FixedLog]] 1/256-bit integers (the t56
+    * discipline) — integer sums, argmax by min(struct(bits, label)),
+    * bit-identical across engines; the gate output is float-free.
+    *
+    * Scale shape: the char-bigram explode is narrow (one scan);
+    * per-(label, gram) counts and per-doc gram counts are map-side
+    * combinable groupBys; the model tables are vocab-sized (≤ ~1.4k
+    * distinct bigrams) and broadcast; dense scoring rides the 5-row
+    * label frame — no corpus-sized window, no cartesian. At 100 TB
+    * this is exactly fastText-langid serving: broadcast model,
+    * scan-local featurize, one per-doc combine. */
+  val t6bLangidNb: QuerySpec = {
+    import graft.functions.TextAnalysis.{idHashByte, idHashByteSql}
+    import graft.functions.FixedLog
+    val costChain = FixedLog.sqlCtes("costbase", "cl",
+      Seq("a" -> "la", "b" -> "lb"))
+    val labChain = FixedLog.sqlCtes("labbase", "pl",
+      Seq("a" -> "den", "b" -> "lnl", "g" -> "lnd"))
+    val rotSql = s"""translate(${TextQueries.NormSql}, 'aeiou',
+       |      CASE lang WHEN 'de' THEN 'eioua' WHEN 'es' THEN 'iouae'
+       |        WHEN 'fr' THEN 'ouaei' WHEN 'zh' THEN 'uaeio'
+       |        ELSE 'aeiou' END)""".stripMargin
+    QuerySpec.sql(
+      "t6b_langid_nb",
+      s"""WITH syn AS (SELECT doc_id, lang,
+         |    (${idHashByteSql("doc_id")} < 205) AS is_train,
+         |    $rotSql AS text2
+         |  FROM documents),
+         |ch AS (SELECT doc_id, lang, is_train,
+         |    substr(text2, CAST(i AS INT), 2) AS gram
+         |  FROM syn, unnest(range(1, length(text2))) AS u(i)),
+         |cwl AS (SELECT lang AS label, gram, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ch WHERE is_train GROUP BY 1, 2),
+         |lab AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS t_l
+         |  FROM ch WHERE is_train GROUP BY 1),
+         |pri AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_l
+         |  FROM syn WHERE is_train GROUP BY 1),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM syn WHERE is_train),
+         |voc AS (SELECT CAST(COUNT(DISTINCT gram) AS BIGINT) AS v
+         |  FROM ch WHERE is_train),
+         |costbase AS (SELECT cwl.label, cwl.gram, l.t_l + voc.v AS a,
+         |    cwl.c + 1 AS b
+         |  FROM cwl JOIN lab l USING (label) CROSS JOIN voc),
+         |$costChain,
+         |cost AS (SELECT label, gram, la - lb AS cost FROM clz),
+         |labbase AS (SELECT l.label, l.t_l + voc.v AS a, p.n_l AS b,
+         |    nd.n_docs AS g
+         |  FROM lab l JOIN pri p USING (label)
+         |  CROSS JOIN nd CROSS JOIN voc),
+         |$labChain,
+         |labf AS (SELECT label, den, lnd - lnl AS pbits FROM plz),
+         |nb AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM ch GROUP BY 1, 2),
+         |sc AS (SELECT nb.doc_id, lf.label,
+         |    CAST(SUM(nb.k * COALESCE(c.cost, lf.den)) + lf.pbits
+         |      AS BIGINT) AS bits
+         |  FROM nb CROSS JOIN labf lf
+         |  LEFT JOIN cost c ON c.gram = nb.gram AND c.label = lf.label
+         |  GROUP BY nb.doc_id, lf.label, lf.pbits),
+         |sc0 AS (SELECT syn.doc_id, lf.label, CAST(lf.pbits AS BIGINT) AS bits
+         |  FROM syn CROSS JOIN labf lf
+         |  WHERE length(text2) < 2),
+         |ranked AS (SELECT doc_id, label, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY bits, label) AS rn
+         |  FROM (SELECT * FROM sc UNION ALL SELECT * FROM sc0)),
+         |pred AS (SELECT doc_id, label AS pred FROM ranked WHERE rn = 1)
+         |SELECT syn.lang, pred.pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN syn.lang = pred.pred THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct
+         |FROM pred JOIN syn USING (doc_id)
+         |WHERE NOT syn.is_train
+         |GROUP BY 1, 2
+         |ORDER BY lang, pred""".stripMargin) { (s, d) =>
+      val t1c = normText(col("text"))
+      val rot = when(col("lang") === "de", translate(t1c, "aeiou", "eioua"))
+        .when(col("lang") === "es", translate(t1c, "aeiou", "iouae"))
+        .when(col("lang") === "fr", translate(t1c, "aeiou", "ouaei"))
+        .when(col("lang") === "zh", translate(t1c, "aeiou", "uaeio"))
+        .otherwise(t1c)
+      val syn = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (idHashByte(col("doc_id")) < 205).as("is_train"),
+          rot.as("text2"))
+        .localCheckpoint() // one documents scan: synthesize once,
+                           // then train, score, eval
+      // guarded sequence: Spark's sequence(1, n) DESCENDS when n < 1
+      // (DuckDB's range is empty) — short docs must yield no grams in
+      // both engines and score on the prior alone (sc0)
+      val ch = syn
+        .select(col("doc_id"), col("lang"), col("is_train"), col("text2"),
+          explode(when(length(col("text2")) >= 2,
+            sequence(lit(1), length(col("text2")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"), col("lang"), col("is_train"),
+          col("text2").substr(col("i"), lit(2)).as("gram"))
+      val train = ch.filter(col("is_train"))
+      val cwl = train.groupBy(col("lang").as("label"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+      val lab = train.groupBy(col("lang").as("label"))
+        .agg(count(lit(1)).as("t_l"))
+      val pri = syn.filter(col("is_train"))
+        .groupBy(col("lang").as("label")).agg(count(lit(1)).as("n_l"))
+      val nd = syn.filter(col("is_train")).agg(count(lit(1)).as("n_docs"))
+      val voc = train.agg(count_distinct(col("gram")).as("v"))
+      val cost = FixedLog.withLog2(
+        cwl.join(lab, "label").crossJoin(broadcast(voc))
+          .select(col("label"), col("gram"),
+            (col("t_l") + col("v")).as("a"), (col("c") + 1).as("b")),
+        "a" -> "la", "b" -> "lb")
+        .select(col("label"), col("gram"), (col("la") - col("lb")).as("cost"))
+      val labf = broadcast(FixedLog.withLog2(
+        lab.join(pri, "label")
+          .crossJoin(broadcast(nd)).crossJoin(broadcast(voc))
+          .select(col("label"), (col("t_l") + col("v")).as("a"),
+            col("n_l").as("b"), col("n_docs").as("g")),
+        "a" -> "den", "b" -> "lnl", "g" -> "lnd")
+        .select(col("label"), col("den"),
+          (col("lnd") - col("lnl")).as("pbits")))
+      val nb = ch.groupBy("doc_id", "gram").agg(count(lit(1)).as("k"))
+      val sc = nb.crossJoin(labf)
+        .join(broadcast(cost), Seq("gram", "label"), "left")
+        .groupBy(col("doc_id"), col("label"), col("pbits"))
+        .agg(sum(col("k") * coalesce(col("cost"), col("den"))).as("wbits"))
+        .select(col("doc_id"), col("label"),
+          (col("wbits") + col("pbits")).as("bits"))
+      val sc0 = syn.filter(length(col("text2")) < 2)
+        .select(col("doc_id")).crossJoin(labf)
+        .select(col("doc_id"), col("label"), col("pbits").as("bits"))
+      val pred = sc.union(sc0).groupBy("doc_id")
+        .agg(min(struct(col("bits"), col("label"))).as("best"))
+        .select(col("doc_id"), col("best.label").as("pred"))
+      pred
+        .join(syn.filter(!col("is_train")).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .orderBy("lang", "pred")
+    }
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(t48BigramLm, t49MooreLewis, t54ManifestLm, t56NbClassify)
+    Seq(t48BigramLm, t49MooreLewis, t54ManifestLm, t56NbClassify,
+      t6bLangidNb)
 }

@@ -17,18 +17,36 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
-  test("long chain fails loudly when maxRounds is too small") {
+  test("long chain fails loudly when maxRounds is too small and escalation is off") {
     val edges = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
     val nodes = (1L to 8L).toDF("n")
     val e = intercept[IllegalArgumentException] {
-      ConnectedComponents.labels(edges, "a", "b", nodes, "n", maxRounds = 2)
-        .count()
+      ConnectedComponents.labels(edges, "a", "b", nodes, "n", maxRounds = 2,
+        escalateToStar = false).count()
     }
     assert(e.getMessage.contains("did not converge"))
     // and with enough rounds the same chain fully merges
     val ok = ConnectedComponents.labels(edges, "a", "b", nodes, "n")
       .as[(Long, Long)].collect()
     assert(ok.forall(_._2 == 1L))
+  }
+
+  test("maxRounds-exceeded escalation: diameter-200 chain lands on min labels") {
+    // VERDICT r15 item 6: the adversarial chain (paginated boilerplate
+    // at 100 TB) must neither half-merge nor hard-fail — labels() hits
+    // its bound after 5 change rounds and escalates to star
+    // contraction on the label-contracted graph; the composed result
+    // must be exact min-label parity (+ untouched singleton)
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = ((1L to 200L) :+ 999L).toDF("n")
+    val got = ConnectedComponents.labels(edges, "a", "b", nodes, "n",
+      maxRounds = 5).as[(Long, Long)].collect().toMap
+    assert(got.size == 201)
+    assert((1L to 200L).forall(got(_) == 1L) && got(999L) == 999L)
+    // parity with the direct star variant on the same fixture
+    val star = ConnectedComponents.labelsStar(edges, "a", "b", nodes, "n",
+      maxRounds = 15).as[(Long, Long)].collect().toMap
+    assert(got == star)
   }
 
   test("labelsStar: long chain converges in O(log n) rounds") {

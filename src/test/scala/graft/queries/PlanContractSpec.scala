@@ -378,6 +378,16 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("t6b langid NB: model tables broadcast onto the gram stream; no corpus SMJ") {
+    // the fastText-langid serving contract (t56's, in the char-gram
+    // modality): vocab-sized cost table + 5-row label frame broadcast;
+    // the corpus never shuffles to meet the model
+    val df = LmQueries.t6bLangidNb.run(spark, sf)
+    val p = finalizedPlan(df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("t57 SemDeDup: pair generation stays within clusters (cid-keyed join, cosine as condition)") {
     val df = VectorQueries.t57SemDedup.run(spark, sf)
     val p = finalizedPlan(df)

@@ -3,15 +3,21 @@
 the Scala engine never touches DuckDB; this script exists so mismatches
 are caught before the round verify).
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [--approx]
   - expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run
   - loads each <outDir>/<name> parquet (Spark result)
   - runs <outDir>/oracle_sql.json[name] in DuckDB over <sfDir> tables
   - compares: column names (sorted), row count, and cell values with
-    rows sorted by all columns; floats exact-or-1e-9-relative.
+    rows sorted by all columns; floats BIT-EXACT by default (packed
+    little-endian doubles, so +0.0 != -0.0; both-NaN counts equal) —
+    the driver hashes exactly, and the r15 1e-9 tolerance here let a
+    driver-red float column (t71 w_rank) ship as "pass". `--approx`
+    restores the old 1e-9-relative mode for debugging only; the
+    pre-commit loop MUST run the default.
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -73,17 +79,26 @@ def compare(got, want):
     g = sort_rows(got, gcols)
     w = sort_rows(want, wcols)
     n_exact = 0
+    approx = "--approx" in sys.argv
     for ci, cname in enumerate(gcols):
         for ri in range(len(g[0])):
             a, b = g[ci][ri], w[ci][ri]
+            if isinstance(a, float) and isinstance(b, float):
+                # bit-exact: distinguishes +0.0/-0.0; both-NaN equal
+                if math.isnan(a) and math.isnan(b):
+                    n_exact += 1
+                    continue
+                if struct.pack("<d", a) == struct.pack("<d", b):
+                    n_exact += 1
+                    continue
+                if approx and abs(a - b) <= 1e-9 * max(abs(a), abs(b)):
+                    continue  # near but not exact — count separately
+                return False, (f"cell mismatch col={cname} row={ri}: "
+                               f"spark={a!r} oracle={b!r} "
+                               f"(bit-exact float compare)")
             if a == b or (a is None and b is None):
                 n_exact += 1
                 continue
-            if isinstance(a, float) and isinstance(b, float):
-                if math.isnan(a) and math.isnan(b):
-                    continue
-                if a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b)):
-                    continue  # near but not exact — count separately
             return False, (f"cell mismatch col={cname} row={ri}: "
                            f"spark={a!r} oracle={b!r}")
     total = len(gcols) * (len(g[0]) if g else 0)
