@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.FixedLog
 import graft.functions.TextAnalysis._
+import graft.ops.GlobalRank
 
 /** Published curation methods a large-scale training-data pipeline
   * runs beyond the dedup/LM tiers already gated: DSIR hashed
@@ -31,6 +33,65 @@ object CurationQueries {
   // DuckDB twin of the bucket hash lives here
   private val DsirBucketSql =
     s"CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $DsirBuckets"
+
+  /** Shared t71/t71b oracle core: CTEs from the documents scan through
+    * `w` = (doc_id, n_toks, logw_bits) — the per-document integer
+    * DSIR log-weight (see t71 scaladoc for the semantics). */
+  private val DsirWCtes: String =
+    s"""t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+       |inst AS (SELECT doc_id, lang, $DsirBucketSql AS bucket
+       |         FROM t, unnest(toks) AS u(tok)),
+       |db AS (SELECT doc_id, bucket, COUNT(*) AS k
+       |       FROM inst GROUP BY 1, 2),
+       |ct AS (SELECT bucket, COUNT(*) AS c_t FROM inst
+       |       WHERE lang = 'en' GROUP BY 1),
+       |cr AS (SELECT bucket, COUNT(*) AS c_r FROM inst GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM inst WHERE lang = 'en')
+       |          AS t_t, (SELECT COUNT(*) FROM inst) AS t_r),
+       |sc AS (SELECT db.doc_id,
+       |         SUM(db.k) AS n_toks,
+       |         SUM(db.k * (length(bin(COALESCE(ct.c_t, 0) + 1))
+       |                     - length(bin(cr.c_r + 1)))) AS raw_bits
+       |       FROM db LEFT JOIN ct USING (bucket)
+       |         JOIN cr USING (bucket)
+       |       GROUP BY 1),
+       |w AS (SELECT sc.doc_id, sc.n_toks,
+       |        sc.raw_bits + sc.n_toks *
+       |          (length(bin(tot.t_r + $DsirBuckets))
+       |           - length(bin(tot.t_t + $DsirBuckets))) AS logw_bits
+       |      FROM sc, tot)""".stripMargin
+
+  /** Shared t71/t71b Spark core: (docs projection, the `w` log-weight
+    * frame) — one definition so the deterministic and Gumbel-sampled
+    * gates can never disagree on the weights. */
+  private def dsirCore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val inst = docs
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("bucket"))
+    val db = inst.groupBy("doc_id", "bucket").agg(count(lit(1)).as("k"))
+    val ct = inst.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val cr = inst.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val tot = inst.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_t"),
+      count(lit(1)).as("t_r"))
+    val sc = db
+      .join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_toks"),
+        sum(col("k") * (bitlen(coalesce(col("c_t"), lit(0L)) + 1) -
+          bitlen(col("c_r") + 1))).as("raw_bits"))
+    val w = sc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_toks"),
+        (col("raw_bits") + col("n_toks") *
+          (bitlen(col("t_r") + DsirBuckets) -
+            bitlen(col("t_t") + DsirBuckets))).as("logw_bits"))
+    (docs, w)
+  }
 
   /** T71 — DSIR (Data Selection via Importance Resampling, Xie et
     * al. 2023): rank raw documents by how target-like their hashed
@@ -69,28 +130,7 @@ object CurationQueries {
     * partitioned (the GlobalRank discipline in window form). */
   val t71DsirWeights: QuerySpec = QuerySpec.sql(
     "t71_dsir_weights",
-    s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
-       |inst AS (SELECT doc_id, lang, $DsirBucketSql AS bucket
-       |         FROM t, unnest(toks) AS u(tok)),
-       |db AS (SELECT doc_id, bucket, COUNT(*) AS k
-       |       FROM inst GROUP BY 1, 2),
-       |ct AS (SELECT bucket, COUNT(*) AS c_t FROM inst
-       |       WHERE lang = 'en' GROUP BY 1),
-       |cr AS (SELECT bucket, COUNT(*) AS c_r FROM inst GROUP BY 1),
-       |tot AS (SELECT (SELECT COUNT(*) FROM inst WHERE lang = 'en')
-       |          AS t_t, (SELECT COUNT(*) FROM inst) AS t_r),
-       |sc AS (SELECT db.doc_id,
-       |         SUM(db.k) AS n_toks,
-       |         SUM(db.k * (length(bin(COALESCE(ct.c_t, 0) + 1))
-       |                     - length(bin(cr.c_r + 1)))) AS raw_bits
-       |       FROM db LEFT JOIN ct USING (bucket)
-       |         JOIN cr USING (bucket)
-       |       GROUP BY 1),
-       |w AS (SELECT sc.doc_id, sc.n_toks,
-       |        sc.raw_bits + sc.n_toks *
-       |          (length(bin(tot.t_r + $DsirBuckets))
-       |           - length(bin(tot.t_t + $DsirBuckets))) AS logw_bits
-       |      FROM sc, tot),
+    s"""WITH $DsirWCtes,
        |r AS (SELECT doc_id, n_toks, logw_bits,
        |        ROW_NUMBER() OVER (ORDER BY logw_bits DESC, doc_id) AS rnk,
        |        COUNT(*) OVER () AS n_docs
@@ -99,30 +139,7 @@ object CurationQueries {
        |  (4 * (r.rnk - 1) <= r.n_docs - 1) AS kept
        |FROM r JOIN t ON r.doc_id = t.doc_id
        |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-    val inst = docs
-      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("bucket"))
-    val db = inst.groupBy("doc_id", "bucket").agg(count(lit(1)).as("k"))
-    val ct = inst.filter(col("lang") === "en")
-      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
-    val cr = inst.groupBy("bucket").agg(count(lit(1)).as("c_r"))
-    val tot = inst.agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_t"),
-      count(lit(1)).as("t_r"))
-    val sc = db
-      .join(broadcast(ct), Seq("bucket"), "left")
-      .join(broadcast(cr), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(sum("k").as("n_toks"),
-        sum(col("k") * (bitlen(coalesce(col("c_t"), lit(0L)) + 1) -
-          bitlen(col("c_r") + 1))).as("raw_bits"))
-    val w = sc.crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("n_toks"),
-        (col("raw_bits") + col("n_toks") *
-          (bitlen(col("t_r") + DsirBuckets) -
-            bitlen(col("t_t") + DsirBuckets))).as("logw_bits"))
+    val (docs, w) = dsirCore(s, d)
     // two-phase percent_rank: per-value frame (bounded — whole-bit
     // weights) carries the cumulative strictly-higher count; the
     // corpus-side tie-break window is PARTITIONED by the value.
@@ -142,6 +159,85 @@ object CurationQueries {
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_toks"), col("logw_bits"),
         col("rnk"), col("n_docs"),
+        (lit(4L) * (col("rnk") - 1) <= col("n_docs") - 1).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // t71b — Gumbel-sampled DSIR (the production sampling variant)
+  // ---------------------------------------------------------------
+
+  /** T71B — GUMBEL-SAMPLED DSIR: production DSIR (Xie et al. 2023)
+    * does not take the deterministic top-quantile cut of t71 — it
+    * SAMPLES without replacement by perturbing each log-weight with
+    * Gumbel noise and taking the top-k (the Gumbel-top-k trick,
+    * Vieira 2014 / Kool et al. 2019: argtop-k(logw_i + G_i) is an
+    * exact weighted sample). This gate is that variant with the noise
+    * made oracle-checkable: u_i is a seeded hash uniform
+    * (md5("gumbel:" ‖ doc_id), first 32 bits, u = (h+1)/2^32) and the
+    * double-log runs in [[FixedLog]] 1/256-bit integer units —
+    * A = 32·S − log2fp(h+1) (= −log2 u, fixed-point, floored to ≥ 1 so
+    * the h = 2^32−1 edge stays defined), G = 8·S − log2fp(A)
+    * (= −log2(−log2 u)), score = logw_bits·S + G. Base-2 logs give a
+    * scaled-Gumbel law — same trick, integer-exact in both engines;
+    * the gate output stays float-free (t71's discipline).
+    *
+    * Scale shape: the model build is t71's ([[dsirCore]] — broadcast
+    * 64-row buckets, one corpus groupBy); the noise is ROW-LOCAL
+    * integer arithmetic on the per-doc frame (FixedLog's
+    * corpus-stream caveat is about join economics for model tables,
+    * not about row-local maps — there is no model to precompute noise
+    * from). The noisy scores are near-unique, so t71's bounded
+    * per-value rank frame would be corpus-sized here — the rank
+    * instead rides [[GlobalRank]]'s two-phase range-partition +
+    * zipWithIndex, the engine's standing scalable total-order
+    * primitive. */
+  val t71bDsirSample: QuerySpec = QuerySpec.sql(
+    "t71b_dsir_sample",
+    s"""WITH $DsirWCtes,
+       |gb AS (SELECT doc_id, n_toks, logw_bits,
+       |    CAST(concat('0x', substr(md5(concat('gumbel:',
+       |      CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1 AS h1
+       |  FROM w),
+       |${FixedLog.sqlCtes("gb", "gl", Seq("h1" -> "lh"))},
+       |mid AS (SELECT doc_id, n_toks, logw_bits,
+       |    greatest(${32 * FixedLog.Scale} - lh, 1) AS a2
+       |  FROM glz),
+       |${FixedLog.sqlCtes("mid", "gm", Seq("a2" -> "la2"))},
+       |gsc AS (SELECT doc_id, n_toks, logw_bits,
+       |    ${8 * FixedLog.Scale} - la2 AS g_fp,
+       |    logw_bits * ${FixedLog.Scale} + ${8 * FixedLog.Scale} - la2
+       |      AS score_fp
+       |  FROM gmz),
+       |r AS (SELECT doc_id, n_toks, logw_bits, g_fp, score_fp,
+       |    ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rnk,
+       |    COUNT(*) OVER () AS n_docs
+       |  FROM gsc)
+       |SELECT r.doc_id, t.lang, r.n_toks, r.logw_bits, r.g_fp,
+       |  r.score_fp, r.rnk, r.n_docs,
+       |  (4 * (r.rnk - 1) <= r.n_docs - 1) AS kept
+       |FROM r JOIN t ON r.doc_id = t.doc_id
+       |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    val (docs, w) = dsirCore(s, d)
+    val gb = w.withColumn("h1",
+      conv(substring(md5(concat(lit("gumbel:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") + 1)
+    val mid = FixedLog.withLog2(gb, "h1" -> "lh")
+      .withColumn("a2",
+        greatest(lit(32L * FixedLog.Scale) - col("lh"), lit(1L)))
+      .drop("h1", "lh")
+    val gsc = FixedLog.withLog2(mid, "a2" -> "la2")
+      .withColumn("g_fp", lit(8L * FixedLog.Scale) - col("la2"))
+      .withColumn("score_fp",
+        col("logw_bits") * FixedLog.Scale + col("g_fp"))
+      .select("doc_id", "n_toks", "logw_bits", "g_fp", "score_fp")
+    val nTotal = gsc.agg(count(lit(1)).as("n_docs"))
+    val ranked = GlobalRank.withGlobalRowNumber(gsc, "rnk",
+      col("score_fp").desc, col("doc_id"))
+    ranked.crossJoin(broadcast(nTotal))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("logw_bits"),
+        col("g_fp"), col("score_fp"), col("rnk"), col("n_docs"),
         (lit(4L) * (col("rnk") - 1) <= col("n_docs") - 1).as("kept"))
       .orderBy("doc_id")
   }
@@ -506,6 +602,6 @@ object CurationQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(t71DsirWeights, t72GopherRules, t73LineDedup, t74CurationV2,
-      t79UnimaxMix)
+    Seq(t71DsirWeights, t71bDsirSample, t72GopherRules, t73LineDedup,
+      t74CurationV2, t79UnimaxMix)
 }

@@ -668,6 +668,17 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(logw_bits"), p)
   }
 
+  test("t71b Gumbel DSIR: rank rides the RDD seam, no corpus window, no cartesian") {
+    val p = plan(CurationQueries.t71bDsirSample)
+    // near-unique noisy scores → the rank must be GlobalRank's
+    // range-partition + zipWithIndex (ExistingRDD), never a
+    // single-partition corpus window; model joins live upstream of
+    // the seam in their own (t71-contracted) execution
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t72 Gopher rules: row-local — no joins, no aggregation exchange") {
     val p = plan(CurationQueries.t72GopherRules)
     assert(AnyJoin.findAllIn(p).isEmpty, p)
