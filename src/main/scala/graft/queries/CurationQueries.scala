@@ -328,6 +328,91 @@ object CurationQueries {
     }
   }
 
+  /** T72B — the C4 RULE BATTERY (Raffel et al. 2020 §2.2): the OTHER
+    * canonical heuristic filter next to Gopher's, operating at
+    * line-then-page granularity with reassembly — C4 first DROPS
+    * lines (keep only lines ending in terminal punctuation; drop
+    * lines containing 'javascript'), then drops PAGES (< 3 retained
+    * lines, any 'lorem ipsum', any '{'), and the survivors are the
+    * reassembled retained lines. Line structure is synthesized from
+    * doc_id (the t72/t14 convention — the oracle builds identical
+    * text, so every rule provably fires): 8-token lines; line i gets a
+    * terminal '.' unless (doc_id+i) % 3 = 0, an injected 'javascript'
+    * word when (doc_id+i) % 13 = 0; page-level, a trailing
+    * 'lorem ipsum' line when doc_id % 17 = 0 and a 'config {' line
+    * when doc_id % 19 = 0. The rules then PARSE the text — they never
+    * see the injection formulas. The gate pins the exact reassembly
+    * (md5 of retained lines) like t73, not just counts; output is
+    * float-free. Scale shape: entirely row-local — one scan, zero
+    * shuffles, a pure map stage at 100 TB (t72's shape). */
+  val t72bC4Rules: QuerySpec = QuerySpec.sql(
+    "t72b_c4_rules",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |ln AS (SELECT doc_id,
+       |         list_transform(range(0, CAST(ceil(len(toks) / $LineW.0) AS BIGINT)),
+       |           i -> concat(
+       |             array_to_string(toks[i * $LineW + 1 : i * $LineW + $LineW], ' '),
+       |             CASE WHEN (doc_id + i) % 13 = 0 THEN ' javascript' ELSE '' END,
+       |             CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END))
+       |           AS lines0
+       |       FROM t),
+       |pg AS (SELECT doc_id,
+       |         list_concat(lines0,
+       |           CASE WHEN doc_id % 17 = 0 THEN ['lorem ipsum'] ELSE [] END
+       |             || CASE WHEN doc_id % 19 = 0 THEN ['config {'] ELSE [] END)
+       |           AS plines
+       |       FROM ln),
+       |r AS (SELECT doc_id,
+       |        CAST(len(plines) AS BIGINT) AS n_lines,
+       |        list_filter(plines, l -> l LIKE '%.'
+       |          AND NOT contains(l, 'javascript')) AS kept_lines,
+       |        contains(array_to_string(plines, chr(10)), 'lorem ipsum')
+       |          AS has_lorem,
+       |        contains(array_to_string(plines, chr(10)), '{') AS has_brace
+       |      FROM pg)
+       |SELECT doc_id, n_lines,
+       |  CAST(len(kept_lines) AS BIGINT) AS n_kept,
+       |  has_lorem, has_brace,
+       |  (len(kept_lines) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep,
+       |  md5(COALESCE(array_to_string(kept_lines, chr(10)), ''))
+       |    AS new_text_hash
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    c4Rules(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** The t72b battery as a per-row frame transform (the gopherRules
+    * convention — stateless, streaming-ready). */
+  private[graft] def c4Rules(docs: DataFrame): DataFrame = {
+    val nLines = ceil(size(col("toks")) / lit(LineW.toDouble)).cast("long")
+    val lineOf = (i: Column) => concat(
+      array_join(slice(col("toks"), (i * LineW + 1).cast("int"), lit(LineW)), " "),
+      when((col("doc_id") + i) % 13 === 0, " javascript").otherwise(""),
+      when((col("doc_id") + i) % 3 === 0, "").otherwise("."))
+    val pg = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), nLines - 1), lineOf).as("lines0"))
+      .select(col("doc_id"),
+        concat(col("lines0"),
+          when(col("doc_id") % 17 === 0, array(lit("lorem ipsum")))
+            .otherwise(array().cast("array<string>")),
+          when(col("doc_id") % 19 === 0, array(lit("config {")))
+            .otherwise(array().cast("array<string>"))).as("plines"))
+    val r = pg.select(col("doc_id"),
+      size(col("plines")).cast("long").as("n_lines"),
+      filter(col("plines"), l => l.endsWith(".") &&
+        !l.contains("javascript")).as("kept_lines"),
+      array_join(col("plines"), "\n").contains("lorem ipsum")
+        .as("has_lorem"),
+      array_join(col("plines"), "\n").contains("{").as("has_brace"))
+    r.select(col("doc_id"), col("n_lines"),
+      size(col("kept_lines")).cast("long").as("n_kept"),
+      col("has_lorem"), col("has_brace"),
+      (size(col("kept_lines")) >= 3 && !col("has_lorem") &&
+        !col("has_brace")).as("keep"),
+      md5(array_join(col("kept_lines"), "\n")).as("new_text_hash"))
+  }
+
   /** The t72 rule battery as a pure per-row frame transform over
     * (doc_id, text) — ONE definition shared by the gate and the
     * streaming curation-v2 leg (stateless, so it runs on a streaming
@@ -602,6 +687,6 @@ object CurationQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(t71DsirWeights, t71bDsirSample, t72GopherRules, t73LineDedup,
-      t74CurationV2, t79UnimaxMix)
+    Seq(t71DsirWeights, t71bDsirSample, t72GopherRules, t72bC4Rules,
+      t73LineDedup, t74CurationV2, t79UnimaxMix)
 }

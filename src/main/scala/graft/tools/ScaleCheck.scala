@@ -64,7 +64,8 @@ object ScaleCheck {
     "t68_cluster_sample", "t69_quality_quantile", "t70_containment",
     "t71_dsir_weights", "t72_gopher_rules", "t73_line_dedup",
     "t74_curation_v2", "t75_wordpiece_vocab", "t76_wordpiece_segment",
-    "t77_margin_mining", "t78_unigram_viterbi", "t79_unimax_mix")
+    "t77_margin_mining", "t78_unigram_viterbi", "t79_unimax_mix",
+    "t6b_langid_nb", "t71b_dsir_sample", "t72b_c4_rules")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
@@ -88,7 +89,7 @@ object ScaleCheck {
     // media plans have a ×10+ regression record like the text tier
     if (args.contains("--media")) {
       mediaDemo(spark, nImages = 50000 * copies, nClips = 5000 * copies,
-        only = only)
+        nAudio = 5000 * copies, only = only)
       spark.stop()
       return
     }
@@ -453,14 +454,17 @@ object ScaleCheck {
     * entry runs the CODEC-FREE raw-BGR decode path (m14's), giving the
     * new seam its scale record alongside the JPEG one. */
   def mediaDemo(spark: SparkSession, nImages: Int, nClips: Int,
-      only: Option[Set[String]] = None): Unit = {
+      nAudio: Int = 0, only: Option[Set[String]] = None): Unit = {
     import spark.implicits._
     import graft.multimodal.Multimodal
     val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
     // a typo'd --only label must fail loudly, not produce a green
     // zero-entry "sweep" (the no-silent-caps discipline)
     val MediaLabels = Set("m8_raster_dedup", "m9_dhash_neardup",
-      "m16_phash_edges", "m16_phash_cc", "m12_clip_neardup")
+      "m16_phash_edges", "m16_phash_cc", "m12_clip_neardup",
+      // VERDICT r15 item 5: the r15 additions' decade entries
+      "m19_clip_dedup", "m20_phash_manifest", "m22_audio_ann",
+      "m23_clip_ann")
     only.foreach { o =>
       val unknown = o -- MediaLabels
       require(unknown.isEmpty,
@@ -586,6 +590,118 @@ object ScaleCheck {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
         .groupBy().agg(count(lit(1)))
+    }
+
+    // ---- VERDICT r15 item 5: decade entries for the r15 media
+    // additions (m19/m20/m22/m23), same generated-corpus discipline ----
+
+    // m19: the exact clip tier over the SAME DIB corpus m12 pair-joins
+    // — groupBy(media_id) ordered digest + one hash-keyed window,
+    // no pair join at the exact tier ever
+    run("m19_clip_dedup", nClips,
+        must = Seq("windowspecdefinition(clip_sig")) {
+      val sigs = Multimodal.frameSampleAvi(clips, k = 4).toDF()
+        .filter(col("width") > 0)
+        .groupBy(col("mediaId").as("media_id"))
+        .agg(md5(concat_ws(",",
+          transform(sort_array(collect_list(
+            struct(col("frameIdx"), col("pixChecksum")))),
+            x => x.getField("pixChecksum")))).as("clip_sig"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("clip_sig")
+      sigs.withColumn("dup_group", min("media_id").over(wc))
+        .groupBy(col("media_id") === col("dup_group"))
+        .agg(count(lit(1)))
+    }
+
+    // m20's composed manifest corpus: every raster pattern rendered
+    // TWICE (png + bmp — byte-distinct, raster-equal exact twins) and
+    // patterns chained 6-per-family in the m16 24-bit hamming encoding
+    // (the loud overflow require applied per the m16 lesson)
+    val nMan = nImages / 5
+    lazy val manImages = spark.range(nMan).repartition(256).map { id =>
+      val pat = id / 2 // raster pattern; ids 2·pat and 2·pat+1 tie
+      val f = pat / 6 // hamming family, 6 chained variants each
+      require(f < (1L << 24), s"family id overflows the 24-bit encoding: $f")
+      val flip = (pat % 6) match {
+        case 0 => 0L; case 1 => 0x1L; case 2 => 0x3L
+        case 3 => 0x7L; case 4 => 0x3fL; case _ => 0x7fL
+      }
+      val fold = (f ^ (f >> 8) ^ (f >> 16)) & 0xffL
+      val bits = ((f << 8) | (f << 32) | (fold << 56)) ^ flip
+      val fmt = if (id % 2 == 0) "png" else "bmp"
+      Multimodal.MediaRow(id, "image",
+        Multimodal.bitPatternFixture(bits, format = fmt),
+        Multimodal.MediaMeta(fmt, 36, 32, 0, 0))
+    }.localCheckpoint()
+
+    run("m20_phash_manifest", nMan, forbidSingle = false) {
+      val wSig = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+      val exact = Multimodal.rasterSignature(manImages).toDF()
+        .select(col("mediaId").as("media_id"), col("sig"))
+        .withColumn("exact_keeper", min("media_id").over(wSig))
+        .select("media_id", "exact_keeper")
+        .localCheckpoint() // feeds the keeper screen + the final join
+      val keepers = exact.filter(col("media_id") === col("exact_keeper"))
+        .select(col("media_id").as("keeper_id"))
+      val clusters = Multimodal.dHashClusters(
+        Multimodal.dHash(manImages).toDF()
+          .join(keepers, col("mediaId") === col("keeper_id"))
+          .select("mediaId", "dhash"),
+        maxDist = 2, bands = 4)
+        .select(col("media_id").as("ck"), col("cluster_id"))
+      exact.join(clusters, col("exact_keeper") === col("ck"))
+        .groupBy(when(col("media_id") =!= col("exact_keeper"), "exact_dup")
+          .when(col("media_id") === col("cluster_id"), "representative")
+          .otherwise("near_dup").as("verdict"))
+        .agg(count(lit(1)))
+    }
+
+    // m22's audio ANN corpus: per-seed WAV noise (distinct PCM per
+    // clip — wavFixture's length-only pattern would collapse the
+    // vector space to 100 points)
+    lazy val wavs = spark.range(nAudio.toLong).repartition(256).map { id =>
+      Multimodal.MediaRow(id, "audio",
+        Multimodal.wavNoiseFixture(seed = id,
+          frames = (800 + (id % 100) * 8).toInt),
+        Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+    }.localCheckpoint()
+
+    // shared ANN tail (m13's serve contract): one decode+project pass
+    // checkpointed, 10-query side broadcast, qid-partitioned top-k
+    def annTail(vecs: DataFrame): DataFrame = {
+      val q = vecs.select(col("media_id").as("qid"), col("eL").as("qL"),
+        col("ss").as("qss")).filter(col("qid") < 10)
+      val cos =
+        call_function("long_dot", col("qL"), col("eL")).cast("double") /
+          sqrt(col("qss").cast("double") * col("ss").cast("double"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      vecs.join(broadcast(q), col("media_id") =!= col("qid"))
+        .select(col("qid"), col("media_id").as("nid"), cos.as("cos"))
+        .withColumn("rank", row_number().over(wq).cast("long"))
+        .filter(col("rank") <= 3)
+        .groupBy("qid").agg(count(lit(1)))
+    }
+
+    run("m22_audio_ann", nAudio, must = Seq("windowspecdefinition(qid")) {
+      annTail(Multimodal.featuresPcm(wavs, dim = 4).toDF()
+        .groupBy(col("mediaId").as("media_id"))
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("v")))),
+          x => x.getField("v")).as("eL"))
+        .withColumn("ss", call_function("long_dot", col("eL"), col("eL")))
+        .localCheckpoint())
+    }
+
+    run("m23_clip_ann", nClips, must = Seq("windowspecdefinition(qid")) {
+      annTail(Multimodal.featuresFrames(clips, k = 3, dim = 4).toDF()
+        .groupBy(col("mediaId").as("media_id"), col("d"))
+        .agg(sum("v").as("v"))
+        .groupBy("media_id")
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("v")))),
+          x => x.getField("v")).as("eL"))
+        .withColumn("ss", call_function("long_dot", col("eL"), col("eL")))
+        .localCheckpoint())
     }
   }
 

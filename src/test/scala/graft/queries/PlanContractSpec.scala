@@ -688,6 +688,13 @@ class PlanContractSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("t72b C4 rules: row-local — no joins, no aggregation exchange") {
+    val p = plan(CurationQueries.t72bC4Rules)
+    assert(AnyJoin.findAllIn(p).isEmpty, p)
+    assert(!p.contains("HashAggregate"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
   test("t79 unimax: one two-phase corpus aggregate; scalar frames broadcast") {
     val p = plan(CurationQueries.t79UnimaxMix)
     // the per-source token count is the ONLY corpus-scale stage (map-

@@ -10,12 +10,14 @@ import graft.queries.CurationQueries
 
 /** The curation-v2 tier (t74 = Gopher rules ∧ line-dedup survival ∧
   * DSIR selection) exercised as one AvailableNow streaming pass — the
-  * v2 twin of StreamingCurationE2ESpec. Three legs ride ONE
+  * v2 twin of StreamingCurationE2ESpec. Four rule legs ride ONE
   * file-source read: the stateless Gopher battery (the gate's own
   * [[CurationQueries.gopherRules]] frame — one definition), the
   * frozen-model DSIR scorer ([[DsirServe.score]] — map-literal
-  * projection), and the line-dedup door
-  * ([[StreamingLineDedup.survivors]]); a fourth stateless projection
+  * projection), the line-dedup door
+  * ([[StreamingLineDedup.survivors]]), and the stateless C4 battery
+  * ([[CurationQueries.c4Rules]] — finalized against the batch t72b
+  * gate, reassembly hash included); a further stateless projection
   * carries each doc's total line count. Finalization joins the legs
   * into t74's decision columns using a batch-frozen DSIR cut (the
   * (logw, doc_id) pair of the worst kept row — how a production
@@ -84,8 +86,26 @@ class StreamingCurationV2E2ESpec extends SparkSpec
           size(TextAnalysis.chunkLines(TextAnalysis.tokens(col("text"))))
             .cast("long").as("n_lines"))
         .writeStream.format("memory").queryName("v2_nlines")
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start(),
+      // the C4 battery is stateless like the Gopher one — same frame
+      // definition at the door as in the t72b gate
+      CurationQueries.c4Rules(stream)
+        .select(col("doc_id"), col("keep").as("c4_keep"),
+          col("new_text_hash"))
+        .writeStream.format("memory").queryName("v2_c4")
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start())
     legs.foreach(_.awaitTermination())
+
+    // the C4 leg finalizes to the batch t72b gate, reassembly hash
+    // included (keep + the exact retained text, not just counts)
+    val batchC4 = CurationQueries.t72bC4Rules.run(spark, sf)
+      .select(col("doc_id"), col("keep"), col("new_text_hash"))
+      .as[(Long, Boolean, String)].collect().toSet
+    val gotC4 = spark.table("v2_c4")
+      .select(col("doc_id"), col("c4_keep"), col("new_text_hash"))
+      .as[(Long, Boolean, String)].collect().toSet
+    assert(batchC4.exists(!_._2) && batchC4.exists(_._2)) // non-vacuous
+    assert(gotC4 == batchC4)
 
     // finalize (publish-time batch over the leg tables)
     val kept = spark.table("v2_lines")
