@@ -243,7 +243,7 @@ object WordPieceQueries {
     * cost(p) = bitlen(T) − bitlen(mass(p)) ≈ ⌈−log2 p(piece)⌉ with
     * T = Σ mass over the vocab — the t48/t49 whole-bit discipline, so
     * costs are integers and the gate carries zero float surface. */
-  private[queries] def viterbiModel(
+  private[graft] def viterbiModel(
       s: SparkSession, d: String): (Map[String, Long], Long) = {
     val pm = pieceMass(s, d)
     val vocab =
@@ -269,7 +269,7 @@ object WordPieceQueries {
     * DP is total on any input. Candidates for lengths exceeding the
     * cursor guard to an INF sentinel far above any reachable cost
     * (≤ len·fb ≪ 10^9). */
-  private[queries] def viterbiCostUnits(word: Column,
+  private[graft] def viterbiCostUnits(word: Column,
       costs: Map[String, Long], fb: Long): Column = {
     val byLen = (1 to MaxPieceLen).map(l =>
       l -> typedLit(costs.filter(_._1.length == l))).toMap

@@ -65,4 +65,21 @@ object TokenizerStream {
           .as("units"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
+
+  /** The rollup under the UNIGRAM-LM VITERBI model (t78's row-local
+    * lattice DP with literal whole-bit piece costs) — the third
+    * tokenizer family at the door, completing the streaming symmetry
+    * for all three batch-gated segmenters (BPE t51/t63, WordPiece
+    * t76, unigram Viterbi t78). Same bounded per-source counter
+    * state, same stateless segmentation projection. */
+  def fertilityViterbi(docs: DataFrame, costs: Map[String, Long],
+      fb: Long): DataFrame =
+    docs
+      .select(col("source"),
+        explode(filter(tokens(col("text")), w => w =!= "")).as("word"))
+      .select(col("source"),
+        graft.queries.WordPieceQueries.viterbiCostUnits(col("word"), costs, fb)
+          .getField("units").as("units"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
 }
