@@ -651,6 +651,88 @@ object VectorQueries {
       math.max(LloydK, math.ceil(n.toDouble / SemDedupTarget).toInt)
     })
 
+  /** T57D — D4 PROTOTYPICALITY PRUNE (Tirumala et al. 2023: SemDeDup
+    * then DIVERSIFY by dropping each cluster's most prototypical
+    * members — the docs closest to their cluster centroid are
+    * near-template redundancy even when no pair crosses the cosine
+    * cut). Same Lloyd model as t25/t57 (one chain, shared oracle
+    * CTEs); per member the squared distance to the cluster CENTROID
+    * is made integer-exact by clearing the mean's denominator:
+    * ‖x − s/n‖² ∝ ‖n·x − s‖² with s = the cluster's per-dim exact
+    * long sums — n·x − s stays in long range for any real n, and the
+    * square accumulates in 128-bit exact arithmetic (Spark
+    * decimal(38,0), DuckDB HUGEINT — identical integers, identical
+    * order) that never leaves the plan: the gate emits only the
+    * integer per-cluster rank. proto = the closest quarter
+    * (4·rnk ≤ n_cluster, t71's integer-predicate form); keep = rest.
+    *
+    * Scale shape: one Lloyd fit (t25's plan), cluster sums/counts are
+    * k·64-row model frames (broadcast), d² is a row-local zip_with
+    * against the broadcast sums. The rank window is PARTITIONED by
+    * cid — shuffle-aligned but k-capped in parallelism (t57's salting
+    * lesson, window form); the production remedy at fixed small k is
+    * a per-cluster d²-threshold select (the t69 two-phase quantile
+    * shape) instead of a total rank — or t57c's k ∝ N knob, under
+    * which each cid partition is constant-sized. Documented, not
+    * hidden: the gate form IS the paper's exact rank semantics. */
+  val t57dD4Prototypes: QuerySpec = QuerySpec.sql(
+    "t57d_d4_prototypes",
+    s"""WITH $LloydCtesSql,
+       |asg AS (SELECT vec_id, cid FROM a3 WHERE rn = 1),
+       |nn AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_cluster
+       |       FROM asg GROUP BY 1),
+       |csum AS (SELECT a.cid, v.dim, CAST(SUM(v.x) AS BIGINT) AS sx
+       |      FROM asg a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2),
+       |pdist AS (SELECT a.vec_id, a.cid,
+       |        SUM(CAST(nn.n_cluster * v.x - csum.sx AS HUGEINT)
+       |            * (nn.n_cluster * v.x - csum.sx)) AS dist2
+       |       FROM asg a
+       |       JOIN nn USING (cid)
+       |       JOIN v ON v.vec_id = a.vec_id
+       |       JOIN csum ON csum.cid = a.cid AND csum.dim = v.dim
+       |       GROUP BY 1, 2),
+       |prk AS (SELECT pdist.vec_id, pdist.cid,
+       |        ROW_NUMBER() OVER (PARTITION BY pdist.cid
+       |          ORDER BY pdist.dist2, pdist.vec_id) AS rnk,
+       |        nn.n_cluster
+       |      FROM pdist JOIN nn ON nn.cid = pdist.cid)
+       |SELECT vec_id, cid AS cluster, CAST(rnk AS BIGINT) AS rnk,
+       |  n_cluster,
+       |  (4 * rnk <= n_cluster) AS proto,
+       |  (4 * rnk > n_cluster) AS keep
+       |FROM prk ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), scaleL(col("embedding")).as("eL"))
+    val asg = graft.ops.KMeans.fit(emb, LloydK, LloydIters)
+      .select(col("vec_id"), col("cid"))
+      .join(emb, "vec_id")
+      .localCheckpoint() // one Lloyd run feeds sums + the d² scan
+    val nn = asg.groupBy("cid").agg(count(lit(1)).as("n_cluster"))
+    val sums = asg
+      .select(col("cid"), posexplode(col("eL")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim").agg(sum("x").as("sx"))
+      .groupBy("cid")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("sx")))),
+        x => x.getField("sx")).as("sL"))
+    val d2 = asg
+      .join(broadcast(nn), "cid")
+      .join(broadcast(sums), "cid")
+      .withColumn("diff",
+        zip_with(col("eL"), col("sL"), (a, b) => col("n_cluster") * a - b))
+      .withColumn("dist2",
+        aggregate(col("diff"), lit(0).cast("decimal(38,0)"),
+          (acc, v) => acc +
+            v.cast("decimal(38,0)") * v.cast("decimal(38,0)")))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("dist2").asc, col("vec_id"))
+    d2.withColumn("rnk", row_number().over(wr).cast("long"))
+      .select(col("vec_id"), col("cid").as("cluster"), col("rnk"),
+        col("n_cluster"),
+        (lit(4L) * col("rnk") <= col("n_cluster")).as("proto"),
+        (lit(4L) * col("rnk") > col("n_cluster")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Fine-centroid count for t65's two-level assignment — t57b's
     * k=64 point, so the fine model is one the gates already train. */
   private[queries] val IvfFineK = 64
@@ -1289,6 +1371,6 @@ object VectorQueries {
     Seq(t5AnnBruteForce, t10AnnLshBuckets, t10bAnnLshScale, t16Quantize,
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
       t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
-      t57bSemDedupScale, t57cSemDedupProd, t65IvfAssign, t65bIvfProbe2,
+      t57bSemDedupScale, t57cSemDedupProd, t57dD4Prototypes, t65IvfAssign, t65bIvfProbe2,
       t68ClusterSample, t77MarginMining)
 }

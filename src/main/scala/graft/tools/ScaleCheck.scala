@@ -65,7 +65,8 @@ object ScaleCheck {
     "t71_dsir_weights", "t72_gopher_rules", "t73_line_dedup",
     "t74_curation_v2", "t75_wordpiece_vocab", "t76_wordpiece_segment",
     "t77_margin_mining", "t78_unigram_viterbi", "t79_unimax_mix",
-    "t6b_langid_nb", "t71b_dsir_sample", "t72b_c4_rules")
+    "t6b_langid_nb", "t71b_dsir_sample", "t72b_c4_rules",
+    "t57d_d4_prototypes")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))

@@ -399,6 +399,16 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("t57d D4 prune: model frames broadcast, rank window cid-partitioned") {
+    val df = VectorQueries.t57dD4Prototypes.run(spark, sf)
+    val p = finalizedPlan(df)
+    // cluster sums/counts are k·64-row frames riding broadcasts; the
+    // d² scan is row-local; the only window is PARTITIONED by cid
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("windowspecdefinition(cid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t38b: the standing index is capped PER BUCKET SIDE, never a global window") {
     val p = plan(TextQueries.t38bDeltaNearDupProd)
     // the row_number cap rides a (band, bkey, …)-partitioned window —
