@@ -79,7 +79,13 @@ object Bench {
     val warmMin: Seq[(String, Double, Double, Option[String])] = queries.map {
       case (name, _) =>
         val samples = warmRuns.map(_.find(_._1 == name).get)
-        val best = samples.minBy(_._2)
+        // a throwing pass records its fail-fast time (~0.3 s where the
+        // real cost is seconds) — excluding errored samples keeps a
+        // flaky query's min from reading as a phantom speedup; a query
+        // failing EVERY pass falls back to the raw min (it is excluded
+        // from min_total via failedNames anyway)
+        val ok = samples.filter(_._4.isEmpty)
+        val best = (if (ok.nonEmpty) ok else samples).minBy(_._2)
         (name, best._2, best._3, samples.flatMap(_._4).headOption)
     }
     def fmt(v: Double, dp: Int): String =

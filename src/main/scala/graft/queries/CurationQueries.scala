@@ -391,7 +391,12 @@ object CurationQueries {
     val pg = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        transform(sequence(lit(0L), nLines - 1), lineOf).as("lines0"))
+        // guarded: Spark's sequence DESCENDS when the bound is
+        // negative (DuckDB's range is empty) — tokens() never returns
+        // an empty array for non-null text, but the guard keeps the
+        // streaming-ready claim honest on arbitrary input (t6b lesson)
+        transform(when(nLines >= 1, sequence(lit(0L), nLines - 1))
+          .otherwise(array().cast("array<bigint>")), lineOf).as("lines0"))
       .select(col("doc_id"),
         concat(col("lines0"),
           when(col("doc_id") % 17 === 0, array(lit("lorem ipsum")))
@@ -429,7 +434,9 @@ object CurationQueries {
     val t = docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
-        transform(sequence(lit(0L), nLines - 1), lineOf).as("lines"))
+        // same descending-sequence guard as c4Rules (t6b lesson)
+        transform(when(nLines >= 1, sequence(lit(0L), nLines - 1))
+          .otherwise(array().cast("array<bigint>")), lineOf).as("lines"))
       .select(col("doc_id"), array_join(col("lines"), "\n").as("text2"))
     val p = t.select(col("doc_id"),
       split(col("text2"), "\n").as("plines"),

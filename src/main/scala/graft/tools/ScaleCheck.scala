@@ -473,6 +473,12 @@ object ScaleCheck {
           s"(known: ${MediaLabels.mkString(",")})")
     }
     def wanted(label: String): Boolean = only.forall(_.contains(label))
+    // nAudio defaults to 0 for old call shapes — running the audio
+    // entry against an empty corpus would record a vacuous green
+    // zero-row sweep (the same silent-cap class the MediaLabels
+    // require above makes loud)
+    require(!wanted("m22_audio_ann") || nAudio > 0,
+      "m22_audio_ann requested but nAudio is 0 — pass nAudio > 0")
 
     // `must`: plan fragments the entry's scale shape depends on (a
     // keyed grouping window, an equi-join); `forbidSingle` is on for

@@ -83,6 +83,14 @@ def compare(got, want):
     for ci, cname in enumerate(gcols):
         for ri in range(len(g[0])):
             a, b = g[ci][ri], w[ci][ri]
+            # a float on ONE side only is a column-TYPE seam (Spark
+            # DOUBLE vs oracle BIGINT/HUGEINT): the driver's exact hash
+            # distinguishes 2.0 from 2, so loose == must not pass it
+            if isinstance(a, float) != isinstance(b, float) \
+                    and a is not None and b is not None:
+                return False, (f"type mismatch col={cname} row={ri}: "
+                               f"spark={a!r} ({type(a).__name__}) "
+                               f"oracle={b!r} ({type(b).__name__})")
             if isinstance(a, float) and isinstance(b, float):
                 # bit-exact: distinguishes +0.0/-0.0; both-NaN equal
                 if math.isnan(a) and math.isnan(b):
