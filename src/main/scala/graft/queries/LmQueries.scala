@@ -555,15 +555,23 @@ object LmQueries {
             .otherwise(array().cast("array<int>"))).as("i"))
         .select(col("doc_id"), col("lang"), col("is_train"),
           col("text2").substr(col("i"), lit(2)).as("gram"))
-      val train = ch.filter(col("is_train"))
-      val cwl = train.groupBy(col("lang").as("label"), col("gram"))
+      // ch stays LAZY: materializing a corpus instance stream is the
+      // wrong trade at scale (a 300M-row checkpoint OOMed the ×100
+      // point where the recomputed scan-local explode is nearly free);
+      // instead the SCAN COUNT is cut 4 → 2: lab (per-label instance
+      // totals) and voc (distinct grams) are AGGREGATES OF cwl —
+      // derived from the model-sized frame instead of re-scanning the
+      // corpus; cwl is checkpointed because three consumers (lab, voc,
+      // cost) would otherwise each recompute its corpus groupBy
+      val cwl = ch.filter(col("is_train"))
+        .groupBy(col("lang").as("label"), col("gram"))
         .agg(count(lit(1)).as("c"))
-      val lab = train.groupBy(col("lang").as("label"))
-        .agg(count(lit(1)).as("t_l"))
+        .localCheckpoint()
+      val lab = cwl.groupBy("label").agg(sum("c").as("t_l"))
       val pri = syn.filter(col("is_train"))
         .groupBy(col("lang").as("label")).agg(count(lit(1)).as("n_l"))
       val nd = syn.filter(col("is_train")).agg(count(lit(1)).as("n_docs"))
-      val voc = train.agg(count_distinct(col("gram")).as("v"))
+      val voc = cwl.agg(count_distinct(col("gram")).as("v"))
       val cost = FixedLog.withLog2(
         cwl.join(lab, "label").crossJoin(broadcast(voc))
           .select(col("label"), col("gram"),
