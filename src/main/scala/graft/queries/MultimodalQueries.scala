@@ -1394,6 +1394,140 @@ object MultimodalQueries {
       .orderBy("qid", "rank")
   }
 
+  /** M24 — CLIP PERCEPTUAL CLUSTERS: the m16 shape in the video
+    * modality, closing the clusters row of the modality matrix (image
+    * m16, audio m18, video here). m12's pairwise near-dup edges
+    * (clips sharing ≥ 2 sampled decoded frames) feed
+    * [[graft.ops.ConnectedComponents]] min-label, so transitive
+    * frame-sharing chains collapse into one cluster per family even
+    * where two lengths share too few frames to edge directly (the
+    * 7↔8-frame pair shares only frame 0 — they join through the
+    * 6-frame member, exactly the non-transitivity CC exists for).
+    * Oracle: pure k-arithmetic — every clip of family f connects
+    * through the n=6 member (k = f), so cluster_id = k % 10.
+    * Scale shape: decode partition-local (one pass, checkpointed),
+    * edges are the m12 frame-sig keyed join (fan-in = per-frame
+    * duplication), CC state = edge-touched nodes. */
+  val m24ClipClusters: QuerySpec = QuerySpec.sql(
+    "m24_clip_clusters",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+      |  WHERE c_custkey < 100
+      |)
+      |SELECT k AS media_id, k % 10 AS cluster_id,
+      |  (k = k % 10) AS is_rep
+      |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 100).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "video",
+          Multimodal.aviMjpegFixture(
+            frames = (6 + (k / 10) % 3).toInt, width = 24, height = 16,
+            fps = 10, seed = k % 10),
+          Multimodal.MediaMeta("avi", 24, 16, 0, 0))
+      }
+    val frames = Multimodal.frameSampleAvi(rows, k = 4).toDF()
+      .filter(col("width") > 0)
+      .select(col("mediaId").as("media_id"), col("pixChecksum").as("fsig"))
+      .distinct()
+      .localCheckpoint() // one decode pass: edges + the node set
+    val edges = frames.as("a")
+      .join(frames.as("b"),
+        col("a.fsig") === col("b.fsig") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    graft.ops.ConnectedComponents.labels(edges, "d1", "d2",
+        frames.select("media_id").distinct(), "media_id")
+      .select(col("id").as("media_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_rep"))
+      .orderBy("media_id")
+  }
+
+  /** M25 — CLIP CURATION MANIFEST: the m20 composed pipeline in the
+    * video modality, completing the manifest row (image m20, video
+    * here): (1) exact clip tier — m19's ordered frame-digest,
+    * lowest-id keeper per digest; (2) near-dup CLUSTERS over the
+    * KEEPERS ONLY (the dedup-before-cluster order: why pair-join
+    * clips the exact tier already collapsed) via m24's shared-frame
+    * edges + CC; (3) per-clip verdict — `exact_dup` (a re-render of a
+    * kept digest), `representative` (its cluster's lowest id), or
+    * `near_dup` — each clip carrying its keeper's cluster. Oracle
+    * from k-arithmetic: exact keeper = fam + 10·(n−6) (m19's
+    * formula), keeper clusters connect through the n=6 keeper →
+    * cluster_id = fam. One decode pass (checkpointed frame table)
+    * feeds BOTH tiers; everything downstream is hash-keyed. */
+  val m25ClipManifest: QuerySpec = QuerySpec.sql(
+    "m25_clip_manifest",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(c_custkey AS BIGINT) % 10 AS fam,
+      |    6 + (CAST(c_custkey AS BIGINT) // 10) % 3 AS n
+      |  FROM customer WHERE c_custkey < 100
+      |)
+      |SELECT k AS media_id,
+      |  fam + 10 * (n - 6) AS exact_keeper,
+      |  fam AS cluster_id,
+      |  CASE WHEN k <> fam + 10 * (n - 6) THEN 'exact_dup'
+      |       WHEN k = fam THEN 'representative'
+      |       ELSE 'near_dup' END AS verdict
+      |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 100).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "video",
+          Multimodal.aviMjpegFixture(
+            frames = (6 + (k / 10) % 3).toInt, width = 24, height = 16,
+            fps = 10, seed = k % 10),
+          Multimodal.MediaMeta("avi", 24, 16, 0, 0))
+      }
+    val fr = Multimodal.frameSampleAvi(rows, k = 4).toDF()
+      .filter(col("width") > 0)
+      .select(col("mediaId").as("media_id"), col("frameIdx"),
+        col("pixChecksum"))
+      .localCheckpoint() // ONE decode pass feeds both tiers
+    // tier 1: exact digest, lowest-id keeper
+    val sigs = fr.groupBy("media_id")
+      .agg(md5(concat_ws(",",
+        transform(sort_array(collect_list(
+          struct(col("frameIdx"), col("pixChecksum")))),
+          x => x.getField("pixChecksum")))).as("clip_sig"))
+    val wSig = org.apache.spark.sql.expressions.Window
+      .partitionBy("clip_sig")
+    val exact = sigs
+      .withColumn("exact_keeper", min("media_id").over(wSig))
+      .select("media_id", "exact_keeper")
+      .localCheckpoint() // keeper screen + final join
+    // tier 2: shared-frame clusters over keepers only
+    val keepers = exact.filter(col("media_id") === col("exact_keeper"))
+      .select(col("media_id").as("kid"))
+    val kframes = fr.join(keepers, col("media_id") === col("kid"))
+      .select(col("media_id"), col("pixChecksum").as("fsig"))
+      .distinct()
+    val edges = kframes.as("a")
+      .join(kframes.as("b"),
+        col("a.fsig") === col("b.fsig") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    val clusters = graft.ops.ConnectedComponents.labels(edges, "d1", "d2",
+        keepers.select(col("kid").as("media_id")), "media_id")
+      .select(col("id").as("ck"), col("label").as("cluster_id"))
+    // tier 3: verdicts, every clip carrying its keeper's cluster
+    exact.join(clusters, col("exact_keeper") === col("ck"))
+      .select(col("media_id"), col("exact_keeper"), col("cluster_id"),
+        when(col("media_id") =!= col("exact_keeper"), "exact_dup")
+          .when(col("media_id") === col("cluster_id"), "representative")
+          .otherwise("near_dup").as("verdict"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
@@ -1401,5 +1535,6 @@ object MultimodalQueries {
       m13ImageAnn, m13bImageAnnLsh, m13cImageAnnRecall, m14RawClipNearDup,
       m15RawFrameFeatures, m16PhashClusters, m17DeltaPhash,
       m18AudioPhashClusters, m19ClipDedup, m20PhashManifest,
-      m21AudioDeltaPhash, m22AudioAnn, m23ClipAnn)
+      m21AudioDeltaPhash, m22AudioAnn, m23ClipAnn, m24ClipClusters,
+      m25ClipManifest)
 }

@@ -465,7 +465,7 @@ object ScaleCheck {
       "m16_phash_edges", "m16_phash_cc", "m12_clip_neardup",
       // VERDICT r15 item 5: the r15 additions' decade entries
       "m19_clip_dedup", "m20_phash_manifest", "m22_audio_ann",
-      "m23_clip_ann")
+      "m23_clip_ann", "m25_clip_manifest")
     only.foreach { o =>
       val unknown = o -- MediaLabels
       require(unknown.isEmpty,
@@ -698,6 +698,48 @@ object ScaleCheck {
           x => x.getField("v")).as("eL"))
         .withColumn("ss", call_function("long_dot", col("eL"), col("eL")))
         .localCheckpoint())
+    }
+
+    // m25: the composed clip manifest (exact digest tier → keeper
+    // screen → shared-frame clusters over keepers → verdicts) over
+    // the SAME DIB corpus — the m20 composition in the video modality
+    run("m25_clip_manifest", nClips, forbidSingle = false) {
+      val fr = Multimodal.frameSampleAvi(clips, k = 4).toDF()
+        .filter(col("width") > 0)
+        .select(col("mediaId").as("media_id"), col("frameIdx"),
+          col("pixChecksum"))
+        .localCheckpoint() // one decode pass feeds both tiers
+      val sigs = fr.groupBy("media_id")
+        .agg(md5(concat_ws(",",
+          transform(sort_array(collect_list(
+            struct(col("frameIdx"), col("pixChecksum")))),
+            x => x.getField("pixChecksum")))).as("clip_sig"))
+      val wSig = org.apache.spark.sql.expressions.Window
+        .partitionBy("clip_sig")
+      val exact = sigs
+        .withColumn("exact_keeper", min("media_id").over(wSig))
+        .select("media_id", "exact_keeper")
+        .localCheckpoint()
+      val keepers = exact.filter(col("media_id") === col("exact_keeper"))
+        .select(col("media_id").as("kid"))
+      val kframes = fr.join(keepers, col("media_id") === col("kid"))
+        .select(col("media_id"), col("pixChecksum").as("fsig"))
+        .distinct()
+      val edges = kframes.as("a")
+        .join(kframes.as("b"),
+          col("a.fsig") === col("b.fsig") &&
+            col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      val clusters = graft.ops.ConnectedComponents.labels(edges, "d1", "d2",
+          keepers.select(col("kid").as("media_id")), "media_id")
+        .select(col("id").as("ck"), col("label").as("cluster_id"))
+      exact.join(clusters, col("exact_keeper") === col("ck"))
+        .groupBy(when(col("media_id") =!= col("exact_keeper"), "exact_dup")
+          .when(col("media_id") === col("cluster_id"), "representative")
+          .otherwise("near_dup").as("verdict"))
+        .agg(count(lit(1)))
     }
 
     run("m23_clip_ann", nClips, must = Seq("windowspecdefinition(qid")) {

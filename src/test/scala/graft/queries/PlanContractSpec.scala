@@ -644,6 +644,25 @@ class PlanContractSpec extends SparkSpec {
     assert(AnyJoin.findAllIn(p).nonEmpty, p)
   }
 
+  test("m24 clip clusters: frame-sig keyed edges, no cartesian, label attach id-keyed") {
+    val p = finalizedPlan(MultimodalQueries.m24ClipClusters.run(spark, sf))
+    // CC runs eagerly inside; the final plan is the label attach over
+    // the checkpointed decode — equi joins only, never a clip sweep
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("m25 clip manifest: keeper screen before clustering, id-keyed join back, no cartesian") {
+    val p = finalizedPlan(MultimodalQueries.m25ClipManifest.run(spark, sf))
+    // the m20 contract in the video modality: the cluster tier rides
+    // the checkpointed exact frame (dedup BEFORE cluster)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(AnyJoin.findAllIn(p).nonEmpty, p)
+  }
+
   test("m13 image ANN: query features broadcast against the corpus, keyed top-k window") {
     val p = plan(MultimodalQueries.m13ImageAnn)
     // the t5 contract on self-extracted features: the 10-query side
