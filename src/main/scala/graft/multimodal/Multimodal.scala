@@ -1209,6 +1209,37 @@ object Multimodal {
   def audioHashOf(bytes: Array[Byte]): Option[Long] =
     aHash64Pcm(pcmSamples(bytes))
 
+  final case class AudioSig(mediaId: Long, nSamples: Int, sig: String)
+
+  /** Exact PCM signature — the audio analogue of [[rasterSignature]]:
+    * decode to samples and md5 the canonical little-endian 16-bit
+    * stream, so container-level byte differences that decode to the
+    * same PCM hash equal (and byte-identical re-ingestions trivially
+    * do). Decode failures / empty PCM yield no rows (the
+    * [[featuresPcm]] convention). */
+  def audioSignature(media: Dataset[MediaRow]): Dataset[AudioSig] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.kind == "audio").flatMap { m =>
+        val s = pcmSamples(m.content)
+        if (s.isEmpty) Nil
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val buf = new Array[Byte](2 * s.length)
+          var j = 0
+          while (j < s.length) {
+            buf(2 * j) = (s(j) & 0xff).toByte
+            buf(2 * j + 1) = ((s(j) >> 8) & 0xff).toByte
+            j += 1
+          }
+          md.update(buf)
+          Seq(AudioSig(m.mediaId, s.length,
+            md.digest().map("%02x".format(_)).mkString))
+        }
+      }
+    }
+  }
+
   /** Partition-parallel audio perceptual hash: decode 16-bit mono LE
     * PCM (the [[featuresPcm]] contract) and [[aHash64Pcm]] it. Clips
     * that fail the decode or are shorter than 64 samples yield no

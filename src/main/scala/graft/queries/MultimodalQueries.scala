@@ -1528,6 +1528,69 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** M26 — AUDIO CURATION MANIFEST: the m20 composition in the audio
+    * modality, completing the manifest row across all three (image
+    * m20, video m25, audio here). Corpus: the 78-pattern chain
+    * universe as WAVs, each ingested TWICE (k and k+78 byte-identical
+    * — audio's dominant exact-dup reality is the same file re-crawled;
+    * the image manifest's two-encoder raster twins are the
+    * image-specific variant of the same tier). Tiers: (1) exact PCM
+    * dedup via [[Multimodal.audioSignature]] (decode-level, so a
+    * container-byte variant would also collapse), lowest-id keeper;
+    * (2) m18's hamming clusters over the KEEPERS only; (3) per-clip
+    * verdict with the keeper's cluster. Oracle: m20's k-arithmetic
+    * verbatim (same chain geometry in the audio hash space — the
+    * m16Bits/wavPatternFixture parity m18 already gates). */
+  val m26AudioManifest: QuerySpec = QuerySpec.sql(
+    "m26_audio_manifest",
+    """WITH m AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(c_custkey AS BIGINT) % 78 AS b,
+      |    CAST(c_custkey AS BIGINT) % 78 % 13 AS f,
+      |    CAST(c_custkey AS BIGINT) % 78 // 13 AS v
+      |  FROM customer WHERE c_custkey < 156
+      |)
+      |SELECT k AS media_id,
+      |  b AS exact_keeper,
+      |  CASE WHEN v < 4 THEN f ELSE f + 52 END AS cluster_id,
+      |  CASE WHEN k >= 78 THEN 'exact_dup'
+      |       WHEN k = CASE WHEN v < 4 THEN f ELSE f + 52 END
+      |       THEN 'representative'
+      |       ELSE 'near_dup' END AS verdict
+      |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") < 156).as[Long]
+      .map { k =>
+        Multimodal.MediaRow(k, "audio",
+          Multimodal.wavPatternFixture(m16Bits(k % 78)),
+          Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
+      }
+      .localCheckpoint() // one fixture build feeds both decode passes
+    val wSig = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    val exact = Multimodal.audioSignature(rows).toDF()
+      .select(col("mediaId").as("media_id"), col("sig"))
+      .withColumn("exact_keeper", min("media_id").over(wSig))
+      .select("media_id", "exact_keeper")
+      .localCheckpoint() // keeper screen + final join
+    val keepers = exact.filter(col("media_id") === col("exact_keeper"))
+      .select(col("media_id").as("keeper_id"))
+    val clusters = Multimodal.dHashClusters(
+      Multimodal.audioHash(rows).toDF()
+        .join(keepers, col("mediaId") === col("keeper_id"))
+        .select(col("mediaId"), col("ahash").as("dhash")),
+      maxDist = 2, bands = 4)
+      .select(col("media_id").as("ck"), col("cluster_id"))
+    exact
+      .join(clusters, col("exact_keeper") === col("ck"))
+      .select(col("media_id"), col("exact_keeper"), col("cluster_id"),
+        when(col("media_id") =!= col("exact_keeper"), "exact_dup")
+          .when(col("media_id") === col("cluster_id"), "representative")
+          .otherwise("near_dup").as("verdict"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(m1ResizePlan, m2FrameSample, m3Mp4Duration, m4WavDuration,
       m5AviFrames, m6AudioFeatures, m7ImageFeatures, m8RasterDedup,
@@ -1536,5 +1599,5 @@ object MultimodalQueries {
       m15RawFrameFeatures, m16PhashClusters, m17DeltaPhash,
       m18AudioPhashClusters, m19ClipDedup, m20PhashManifest,
       m21AudioDeltaPhash, m22AudioAnn, m23ClipAnn, m24ClipClusters,
-      m25ClipManifest)
+      m25ClipManifest, m26AudioManifest)
 }

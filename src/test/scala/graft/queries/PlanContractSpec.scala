@@ -663,6 +663,15 @@ class PlanContractSpec extends SparkSpec {
     assert(AnyJoin.findAllIn(p).nonEmpty, p)
   }
 
+  test("m26 audio manifest: keeper screen before clustering, id-keyed join back, no cartesian") {
+    val p = finalizedPlan(MultimodalQueries.m26AudioManifest.run(spark, sf))
+    // the m20/m25 contract in the audio modality
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(AnyJoin.findAllIn(p).nonEmpty, p)
+  }
+
   test("m13 image ANN: query features broadcast against the corpus, keyed top-k window") {
     val p = plan(MultimodalQueries.m13ImageAnn)
     // the t5 contract on self-extracted features: the 10-query side
