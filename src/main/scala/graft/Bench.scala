@@ -34,6 +34,26 @@ object Bench {
     // end-of-run reading mostly reflects this benchmark itself)
     val loadBefore = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // ABSOLUTE CPU reference probe (r16 finding: uniform thermal
+    // capping passes BOTH noise gates — loadavg is low, intra-session
+    // drift is low, every query is just uniformly ~1.2× slower, so
+    // ratio-based checks are blind to it). A fixed deterministic
+    // single-thread integer loop's wall time depends only on the
+    // effective clock, giving cross-round comparisons an absolute
+    // denominator: same probe time ⇒ totals comparable; probe 1.2×
+    // slower ⇒ deflate before comparing.
+    def cpuProbe(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) System.err.print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    cpuProbe() // JIT warm-up run — only the timed runs are stamped
+    val probeBefore = cpuProbe()
     val spark = Sessions.local(cpus)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // cumulative JVM GC wall time (ms) across all collectors — deltas
@@ -108,8 +128,9 @@ object Bench {
     // number (after mostly measures this benchmark's own footprint)
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val rt = Runtime.getRuntime
+    val probeAfter = cpuProbe()
     val loadJson =
-      s"""{"available_processors":${os.getAvailableProcessors},"load_avg_before":${fmt(loadBefore, 2)},"load_avg_after":${fmt(os.getSystemLoadAverage, 2)},"epoch_sec":${System.currentTimeMillis() / 1000L},"heap_max_gb":${fmt(rt.maxMemory / 1e9, 2)},"heap_used_gb":${fmt((rt.totalMemory - rt.freeMemory) / 1e9, 2)},"gc_total_sec":${fmt(gcMillis() / 1e3, 1)}}"""
+      s"""{"available_processors":${os.getAvailableProcessors},"load_avg_before":${fmt(loadBefore, 2)},"load_avg_after":${fmt(os.getSystemLoadAverage, 2)},"cpu_probe_sec_before":${fmt(probeBefore, 3)},"cpu_probe_sec_after":${fmt(probeAfter, 3)},"epoch_sec":${System.currentTimeMillis() / 1000L},"heap_max_gb":${fmt(rt.maxMemory / 1e9, 2)},"heap_used_gb":${fmt((rt.totalMemory - rt.freeMemory) / 1e9, 2)},"gc_total_sec":${fmt(gcMillis() / 1e3, 1)}}"""
     // union of cold/warm failures, with which pass failed — a query
     // failing only cold or only one warm pass must be visible too; the
     // warm pass index keeps the errors-object keys unique (a query
@@ -161,7 +182,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(warmTotal, 2)},"unit":"sec","queries":${obj(warm, 2)},"sf":"$sfDir","cold_total":${fmt(coldTotal, 2)},"warm_total":${fmt(warmTotal, 2)},"min_total":${fmt(minTotal, 2)},"runs":$nRuns,"load":$loadJson,$noiseJson,"n_failed":${failedNames.size},"failed":$failedJson,"methodology":"1 cold + $nRuns warm passes; value+queries=per-query median of warm; min_total=sum of per-query MIN of warm (drift-immune cross-round headline); totals exclude failed queries; host_noisy=true disqualifies cross-round median comparison"}"""
     val warmRunsJson = warmRuns.map(obj(_, 4)).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_min":${obj(warmMin, 4)},"queries_gc":${gcObj(warm)},"queries_cold":${obj(cold, 4)},"queries_cold_gc":${gcObj(cold)},"warm_runs":$warmRunsJson,"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"min_total":$minTotal,"runs":$nRuns,"load":$loadJson,$noiseJson,"n_failed":${failedNames.size},"failed":$failedJson,"errors":$errsJson,"methodology":"1 cold + $nRuns warm passes over all queries: the cold pass STARTS from a fresh JVM, but later queries in it share JVM/codegen/footer warmup from earlier ones — only cold_total is meaningful as a cold number, per-query queries_cold is not; value+queries report the per-query MEDIAN of the fully-warm passes (warm_runs carries the raw samples); queries_min+min_total report the per-query MIN of the warm passes — drift-immune, the headline for cross-round comparison on a thermally degrading host; queries_gc is each median run's co-sampled JVM GC seconds; totals exclude failed queries (their fail-fast times would skew cross-round comparison); load stamps host conditions + heap/GC totals at exit"}"""
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${obj(warm, 4)},"queries_min":${obj(warmMin, 4)},"queries_gc":${gcObj(warm)},"queries_cold":${obj(cold, 4)},"queries_cold_gc":${gcObj(cold)},"warm_runs":$warmRunsJson,"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"min_total":$minTotal,"runs":$nRuns,"load":$loadJson,$noiseJson,"n_failed":${failedNames.size},"failed":$failedJson,"errors":$errsJson,"methodology":"1 cold + $nRuns warm passes over all queries: the cold pass STARTS from a fresh JVM, but later queries in it share JVM/codegen/footer warmup from earlier ones — only cold_total is meaningful as a cold number, per-query queries_cold is not; value+queries report the per-query MEDIAN of the fully-warm passes (warm_runs carries the raw samples); queries_min+min_total report the per-query MIN of the warm passes — drift-immune, the headline for cross-round comparison on a thermally degrading host; queries_gc is each median run's co-sampled JVM GC seconds; totals exclude failed queries (their fail-fast times would skew cross-round comparison); load stamps host conditions + heap/GC totals at exit + an absolute single-thread cpu probe (before/after) so uniform thermal capping — which ratio gates cannot see — is detectable cross-round"}"""
     // belt and braces against log-tail truncation: persist the full
     // artifact to a file, then print the compact line as the process's
     // LAST stdout line (after spark.stop()'s shutdown chatter)
