@@ -36,7 +36,14 @@ object CurationQueries {
 
   /** Shared t71/t71b oracle core: CTEs from the documents scan through
     * `w` = (doc_id, n_toks, logw_bits) — the per-document integer
-    * DSIR log-weight (see t71 scaladoc for the semantics). */
+    * DSIR log-weight (see t71 scaladoc for the semantics).
+    *
+    * Every emitted sum is `CAST(... AS BIGINT)` (VERDICT r16 item 1):
+    * DuckDB `SUM(BIGINT)` returns HUGEINT (decimal128), and the
+    * driver's exact hash distinguishes the PHYSICAL type even when
+    * every cell value matches Spark's int64 — the proven r16 root
+    * cause of the t71/t71b reds. The t57d discipline: 128-bit width
+    * may be used INTERNALLY, but never emitted. */
   private val DsirWCtes: String =
     s"""t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
        |inst AS (SELECT doc_id, lang, $DsirBucketSql AS bucket
@@ -49,16 +56,17 @@ object CurationQueries {
        |tot AS (SELECT (SELECT COUNT(*) FROM inst WHERE lang = 'en')
        |          AS t_t, (SELECT COUNT(*) FROM inst) AS t_r),
        |sc AS (SELECT db.doc_id,
-       |         SUM(db.k) AS n_toks,
-       |         SUM(db.k * (length(bin(COALESCE(ct.c_t, 0) + 1))
-       |                     - length(bin(cr.c_r + 1)))) AS raw_bits
+       |         CAST(SUM(db.k) AS BIGINT) AS n_toks,
+       |         CAST(SUM(db.k * (length(bin(COALESCE(ct.c_t, 0) + 1))
+       |                     - length(bin(cr.c_r + 1)))) AS BIGINT) AS raw_bits
        |       FROM db LEFT JOIN ct USING (bucket)
        |         JOIN cr USING (bucket)
        |       GROUP BY 1),
        |w AS (SELECT sc.doc_id, sc.n_toks,
-       |        sc.raw_bits + sc.n_toks *
+       |        CAST(sc.raw_bits + sc.n_toks *
        |          (length(bin(tot.t_r + $DsirBuckets))
-       |           - length(bin(tot.t_t + $DsirBuckets))) AS logw_bits
+       |           - length(bin(tot.t_t + $DsirBuckets))) AS BIGINT)
+       |          AS logw_bits
        |      FROM sc, tot)""".stripMargin
 
   /** Shared t71/t71b Spark core: (docs projection, the `w` log-weight
@@ -119,15 +127,18 @@ object CurationQueries {
     * bucket models are B-row frames (64 rows — broadcast by
     * construction, never corpus-sized), and the target restriction is
     * a scan FILTER on the instance stream, never a doc-id join. One
-    * corpus-wide shuffle (the per-doc groupBy) plus one window for
-    * the rank. The percent-rank itself is TWO-PHASE (never a
-    * single-partition corpus window): logw_bits is a bounded integer
-    * (whole bits), so per-VALUE counts form a model-sized frame whose
-    * cumulative strictly-higher counts broadcast back, and the
-    * in-value tie-break is a row_number PARTITIONED by logw_bits —
-    * rnk = n_higher + rn, identical to `ROW_NUMBER() OVER (ORDER BY
-    * logw_bits DESC, doc_id)` but every corpus-sized stage stays
-    * partitioned (the GlobalRank discipline in window form). */
+    * corpus-wide shuffle (the per-doc groupBy) plus the rank. The
+    * rank is [[GlobalRank]]'s two-phase range-partition + zipWithIndex
+    * (VERDICT r16 item 4: the former per-value-frame window rank —
+    * bounded frame of whole-bit values + a logw_bits-partitioned
+    * tie-break window, see git 43dbfbf for the pedagogical window
+    * form — was order-identical but measured 1.4× SLOWER at ×1000 on
+    * t71b's identical core, 869 s vs 621 s: the value-frame build
+    * costs an extra corpus shuffle + broadcast join that the
+    * range-partition sort subsumes). (logw_bits desc, doc_id) is a
+    * total key, so ranks are identical to `ROW_NUMBER() OVER (ORDER
+    * BY logw_bits DESC, doc_id)` with every corpus-sized stage
+    * partitioned. */
   val t71DsirWeights: QuerySpec = QuerySpec.sql(
     "t71_dsir_weights",
     s"""WITH $DsirWCtes,
@@ -140,22 +151,10 @@ object CurationQueries {
        |FROM r JOIN t ON r.doc_id = t.doc_id
        |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
     val (docs, w) = dsirCore(s, d)
-    // two-phase percent_rank: per-value frame (bounded — whole-bit
-    // weights) carries the cumulative strictly-higher count; the
-    // corpus-side tie-break window is PARTITIONED by the value.
-    val vWin = org.apache.spark.sql.expressions.Window
-      .orderBy(col("logw_bits").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val vc = w.groupBy("logw_bits").agg(count(lit(1)).as("vn"))
-      .withColumn("n_higher", coalesce(sum("vn").over(vWin), lit(0L)))
-      .drop("vn")
     val nTotal = w.agg(count(lit(1)).as("n_docs"))
-    val tieWin = org.apache.spark.sql.expressions.Window
-      .partitionBy("logw_bits").orderBy("doc_id")
-    w.join(broadcast(vc), Seq("logw_bits"))
-      .crossJoin(broadcast(nTotal))
-      .withColumn("rnk",
-        (col("n_higher") + row_number().over(tieWin)).cast("long"))
+    val ranked = GlobalRank.withGlobalRowNumber(w, "rnk",
+      col("logw_bits").desc, col("doc_id"))
+    ranked.crossJoin(broadcast(nTotal))
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_toks"), col("logw_bits"),
         col("rnk"), col("n_docs"),
@@ -206,8 +205,8 @@ object CurationQueries {
        |${FixedLog.sqlCtes("mid", "gm", Seq("a2" -> "la2"))},
        |gsc AS (SELECT doc_id, n_toks, logw_bits,
        |    ${8 * FixedLog.Scale} - la2 AS g_fp,
-       |    logw_bits * ${FixedLog.Scale} + ${8 * FixedLog.Scale} - la2
-       |      AS score_fp
+       |    CAST(logw_bits * ${FixedLog.Scale} + ${8 * FixedLog.Scale} - la2
+       |      AS BIGINT) AS score_fp
        |  FROM gmz),
        |r AS (SELECT doc_id, n_toks, logw_bits, g_fp, score_fp,
        |    ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rnk,

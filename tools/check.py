@@ -15,12 +15,15 @@ Usage: python3 tools/check.py <sfDir> <outDir> [--approx]
     restores the old 1e-9-relative mode for debugging only; the
     pre-commit loop MUST run the default.
 """
+import argparse
+import decimal
 import json
 import math
 import struct
-import sys
 
 import duckdb
+
+APPROX = False
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -72,25 +75,39 @@ def compare(got, want):
                 return False, (f"non-scalar column {side}.{field.name}: {t} — "
                                "serialize with array_join/concat_ws "
                                "(f15 convention)")
+            # VERDICT r16 item 2, schema-level contract: NO decimal column
+            # may be emitted on either side. Spark never writes decimal
+            # here, and a DuckDB decimal means an uncast SUM (HUGEINT /
+            # decimal128) — the exact physical-type seam that reds the
+            # driver's type-sensitive hash while every cell VALUE matches
+            # (r16: t71/t71b). Fail loudly before the round, not at the
+            # driver.
+            if pt.is_decimal(t):
+                return False, (f"decimal column {side}.{field.name}: {t} — "
+                               "DuckDB SUM(BIGINT) is HUGEINT; CAST the "
+                               "emitted column to BIGINT (t57d discipline)")
     if gcols != wcols:
         return False, f"columns differ: spark={gcols} oracle={wcols}"
     if got.num_rows != want.num_rows:
         return False, f"row count differs: spark={got.num_rows} oracle={want.num_rows}"
     g = sort_rows(got, gcols)
     w = sort_rows(want, wcols)
-    n_exact = 0
-    approx = "--approx" in sys.argv
+    n_exact = n_approx = 0
     for ci, cname in enumerate(gcols):
         for ri in range(len(g[0])):
             a, b = g[ci][ri], w[ci][ri]
-            # a float on ONE side only is a column-TYPE seam (Spark
-            # DOUBLE vs oracle BIGINT/HUGEINT): the driver's exact hash
-            # distinguishes 2.0 from 2, so loose == must not pass it
-            if isinstance(a, float) != isinstance(b, float) \
-                    and a is not None and b is not None:
-                return False, (f"type mismatch col={cname} row={ri}: "
-                               f"spark={a!r} ({type(a).__name__}) "
-                               f"oracle={b!r} ({type(b).__name__})")
+            # a float OR Decimal on ONE side only is a column-TYPE seam
+            # (Spark DOUBLE vs oracle BIGINT, Spark int64 vs oracle
+            # HUGEINT/decimal128): the driver's exact hash distinguishes
+            # 2.0 from 2 AND Decimal(2) from 2 — Python's loose == is
+            # True for both (Decimal(5) == 5 is how the r16 t71 red
+            # sailed through this mirror), so neither may pass it
+            for kind in (float, decimal.Decimal):
+                if isinstance(a, kind) != isinstance(b, kind) \
+                        and a is not None and b is not None:
+                    return False, (f"type mismatch col={cname} row={ri}: "
+                                   f"spark={a!r} ({type(a).__name__}) "
+                                   f"oracle={b!r} ({type(b).__name__})")
             if isinstance(a, float) and isinstance(b, float):
                 # bit-exact: distinguishes +0.0/-0.0; both-NaN equal
                 if math.isnan(a) and math.isnan(b):
@@ -99,8 +116,9 @@ def compare(got, want):
                 if struct.pack("<d", a) == struct.pack("<d", b):
                     n_exact += 1
                     continue
-                if approx and abs(a - b) <= 1e-9 * max(abs(a), abs(b)):
-                    continue  # near but not exact — count separately
+                if APPROX and abs(a - b) <= 1e-9 * max(abs(a), abs(b)):
+                    n_approx += 1  # near but not exact — count separately
+                    continue
                 return False, (f"cell mismatch col={cname} row={ri}: "
                                f"spark={a!r} oracle={b!r} "
                                f"(bit-exact float compare)")
@@ -110,7 +128,8 @@ def compare(got, want):
             return False, (f"cell mismatch col={cname} row={ri}: "
                            f"spark={a!r} oracle={b!r}")
     total = len(gcols) * (len(g[0]) if g else 0)
-    return True, f"rows={want.num_rows} exact_cells={n_exact}/{total}"
+    ap = f" approx_cells={n_approx}" if n_approx else ""
+    return True, f"rows={want.num_rows} exact_cells={n_exact}/{total}{ap}"
 
 
 def sort_rows(tbl, cols):
@@ -122,4 +141,14 @@ def sort_rows(tbl, cols):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # argparse (ADVICE r16): `check.py --approx sf out` used to mis-bind
+    # sf_dir to '--approx' with the old positional sys.argv reads
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--approx", action="store_true",
+                    help="debug-only 1e-9-relative float mode; the "
+                         "pre-commit loop MUST run the default")
+    ns = ap.parse_args()
+    APPROX = ns.approx
+    raise SystemExit(main(ns.sf_dir, ns.out_dir))
