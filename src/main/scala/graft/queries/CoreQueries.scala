@@ -361,7 +361,7 @@ object CoreQueries {
       .agg(min("o_orderkey").as("first_seen"), count(lit(1)).as("n_orders"))
     val w = Window.partitionBy("o_custkey").orderBy("first_seen")
     pairs
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 2)
       .select(col("o_custkey"), col("rn"), col("o_orderpriority"),
         col("o_orderstatus"), col("first_seen").as("line_id"), col("n_orders"))

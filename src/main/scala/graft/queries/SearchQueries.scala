@@ -131,7 +131,7 @@ object SearchQueries {
         .agg(sum("score_u").as("score_u"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("score_u").desc, col("doc_id"))
-      sc.withColumn("rank", row_number().over(w))
+      sc.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TopK)
         .select("query_id", "rank", "doc_id", "score_u")
         .orderBy("query_id", "rank")

@@ -1421,7 +1421,7 @@ object TextQueries {
       val ratio = nStop.cast("double") / size(toks)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          nStop.as("n_stop"),
+          nStop.cast("long").as("n_stop"),
           size(toks).cast("long").as("n_toks"),
           ratio.as("stop_ratio"),
           when(ratio >= 0.05, "en").otherwise("und").as("predicted"))
@@ -1975,7 +1975,7 @@ object TextQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         md5(col("doc_id").cast("string")).as("hkey"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("lang"), col("source"), col("doc_id"), col("rnk"))
       .orderBy("lang", "source", "rnk")
@@ -2022,7 +2022,7 @@ object TextQueries {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         ((col("tf") * (col("n") - col("df") + 0.5)) / (col("df") + 0.5))
           .as("weight"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("tok").as("keyword"), col("tf"),
         col("df"), col("weight"), col("rnk"))

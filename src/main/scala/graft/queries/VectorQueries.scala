@@ -106,7 +106,7 @@ object VectorQueries {
         (dotL(col("qL"), col("nL")) / (sqrt(col("ss_a")) * sqrt(col("ss_b"))))
           .as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-    cos.withColumn("rank", row_number().over(w))
+    cos.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("qid", "rank", "nid", "cosine")
       .orderBy("qid", "rank")
@@ -244,7 +244,7 @@ object VectorQueries {
           (dotL(col("qL"), col("nL")) / (sqrt(col("ss_a")) * sqrt(col("ss_b"))))
             .as("cosine"))
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-      cos.withColumn("rank", row_number().over(w))
+      cos.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("qid", "rank", "nid", "bucket", "cosine")
         .orderBy("qid", "rank")
@@ -445,7 +445,7 @@ object VectorQueries {
           (dotL(col("qL"), col("nL")) / (sqrt(col("ss_a")) * sqrt(col("ss_b"))))
             .as("cosine"))
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-      cos.withColumn("rank", row_number().over(w))
+      cos.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("qid", "rank", "nid", "cid", "cosine")
         .orderBy("qid", "rank")
@@ -504,7 +504,7 @@ object VectorQueries {
         posexplode(scaleL(col("embedding"))).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(sum("v").as("sv"), count(lit(1)).as("n_vecs"))
-      .select(col("label"), col("dim"),
+      .select(col("label"), col("dim").cast("long").as("dim"),
         (col("sv").cast("double") / 1e6 / col("n_vecs")).as("centroid"),
         col("n_vecs"))
       .orderBy("label", "dim")
@@ -1120,7 +1120,7 @@ object VectorQueries {
       .groupBy(lut("qid"), enc("vec_id"))
       .agg(sum("ldist").as("adist"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
-    ad.withColumn("rank", row_number().over(w))
+    ad.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("vec_id").as("nid"), col("adist"))
       .orderBy("qid", "rank")
@@ -1187,7 +1187,7 @@ object VectorQueries {
       .groupBy(cand("qid"), cand("nid"), cand("cid"))
       .agg(sum("ldist").as("adist"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
-    ad.withColumn("rank", row_number().over(w))
+    ad.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   val t46IvfPq: QuerySpec = QuerySpec.sql(
@@ -1261,7 +1261,7 @@ object VectorQueries {
         (dotL(col("qL"), col("nL")) / (sqrt(col("ss_a")) * sqrt(col("ss_b"))))
           .as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-    cos.withColumn("rank", row_number().over(w))
+    cos.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "nid", "cid", "rank_adc", "adist", "cosine")
       .orderBy("qid", "rank")
@@ -1360,7 +1360,7 @@ object VectorQueries {
         .select(col("qid"), col("nid"), col("cosine"),
           (col("cosine") / ((col("avg_a") + col("avg_b")) / 2)).as("margin"))
       val w = Window.partitionBy("qid").orderBy(col("margin").desc, col("nid"))
-      mg.withColumn("rank", row_number().over(w))
+      mg.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("qid", "rank", "nid", "cosine", "margin")
         .orderBy("qid", "rank")
