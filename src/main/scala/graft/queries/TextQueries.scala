@@ -1328,6 +1328,73 @@ object TextQueries {
       JaccardDfCap, 0.9)
   }
 
+  /** T4B — the PRODUCTION twin of t4 (VERDICT r16 item 5, the
+    * t31→t31b / t38→t38b pattern): exact token-set Jaccard verification
+    * over LSH PRE-CANDIDATES, with NO demo-sized `doc_id < 1000`
+    * screen — this is the whole-corpus operating point. The standard
+    * two-stage near-dup pipeline: stage 1 generates candidates from
+    * t2's MinHash band index (ANY band collision — recall-oriented, so
+    * t2's ≥ K/2 signature screen is deliberately NOT applied here);
+    * stage 2 verifies each candidate with the EXACT measure — token-set
+    * Jaccard |A∩B|/|A∪B| ≥ 0.9 over the full distinct-token sets (not
+    * t4's df-filtered universe: the df cap existed to keep t4's
+    * inverted-index self-join sub-quadratic, and the band index now
+    * carries that burden, so the production measure needs no
+    * vocabulary screen at all).
+    *
+    * Scale shape: candidate generation is the t2 band-bucket self-join
+    * (fan-in bounded by bucket size — the classic LSH scale argument);
+    * verification is two hash equi-joins on doc_id pulling each side's
+    * token set plus a ROW-LOCAL array_intersect — candidate-count-
+    * bounded, never corpus-quadratic. The Jaccard is one division of
+    * exact integers (IEEE-exact both engines); n_common/n1/n2 emitted
+    * as BIGINT (the type-parity discipline). */
+  val t4bJaccardLsh: QuerySpec = QuerySpec.sql(
+    "t4b_jaccard_lsh",
+    s"""WITH ${nearDupBaseCtes("documents")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |),
+       |ts AS (SELECT doc_id, list_distinct($ToksSql) AS ts FROM documents),
+       |j AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS i,
+       |    CAST(len(x.ts) AS BIGINT) AS n1, CAST(len(y.ts) AS BIGINT) AS n2
+       |  FROM cand JOIN ts x ON d1 = x.doc_id JOIN ts y ON d2 = y.doc_id
+       |)
+       |SELECT d1, d2, i AS n_common, n1, n2,
+       |  CAST(i AS DOUBLE) / (n1 + n2 - i) AS jaccard
+       |FROM j WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.9
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cand = {
+      val bands = bandIndexOf(docs).select("doc_id", "band", "bkey")
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+    }
+    val ts = docs.select(col("doc_id"),
+      array_distinct(tokens(col("text"))).as("ts"))
+    val j = cand
+      .join(ts.as("x"), col("d1") === col("x.doc_id"))
+      .join(ts.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("x.ts"), col("y.ts"))).cast("long").as("i"),
+        size(col("x.ts")).cast("long").as("n1"),
+        size(col("y.ts")).cast("long").as("n2"))
+    j.select(col("d1"), col("d2"), col("i").as("n_common"), col("n1"),
+        col("n2"),
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .orderBy("d1", "d2")
+  }
+
   /** T70 — NEAR-CONTAINMENT PAIRS: the DIRECTIONAL complement of t4's
     * symmetric Jaccard. A short document embedded in an aggregator
     * page (quote farms, mirrors-with-boilerplate, doc+comments) has
@@ -2566,7 +2633,7 @@ object TextQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard,
+    t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard, t4bJaccardLsh,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
     t69QualityQuantile, t70Containment,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,

@@ -714,11 +714,24 @@ object VectorQueries {
       .groupBy("cid")
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("sx")))),
         x => x.getField("sx")).as("sL"))
+    // ADVICE r16: Spark decimal(38,0) overflow NULLs silently in
+    // non-ANSI mode while DuckDB's HUGEINT (~1.7e38) errors — a sum in
+    // the gap would silently misorder ranks. Loud row-local bound
+    // instead: |n·x − s| ≤ 2·n·max|x|, so requiring max|x| ≤
+    // (cap/2)/n keeps every square ≤ cap² = 1.21e36 and the 64-dim
+    // sum ≤ 7.8e37 < 10^38 (and the long diff itself far from 2^63).
+    // Division form so the CHECK can't overflow either.
+    val DiffCap = 1100000000000000000L // 1.1e18
     val d2 = asg
       .join(broadcast(nn), "cid")
       .join(broadcast(sums), "cid")
       .withColumn("diff",
-        zip_with(col("eL"), col("sL"), (a, b) => col("n_cluster") * a - b))
+        when(array_max(transform(col("eL"), v => abs(v))) <=
+            lit(DiffCap / 2) / greatest(col("n_cluster"), lit(1L)),
+          zip_with(col("eL"), col("sL"), (a, b) => col("n_cluster") * a - b))
+          .otherwise(raise_error(lit(
+            "t57d dist2 overflow: n_cluster * max|eL| exceeds the " +
+              "decimal(38,0) safety bound — rescale or shard the cluster"))))
       .withColumn("dist2",
         aggregate(col("diff"), lit(0).cast("decimal(38,0)"),
           (acc, v) => acc +

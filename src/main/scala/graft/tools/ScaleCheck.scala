@@ -37,7 +37,8 @@ object ScaleCheck {
     * variable: the rev-tagged copies form per-original near-dup blobs,
     * so rounds should stay flat as copies grow). */
   private val Heavy = Seq(
-    "t2_minhash_lsh", "t4_ngram_jaccard", "t10_ann_lsh_buckets",
+    "t2_minhash_lsh", "t4_ngram_jaccard", "t4b_jaccard_lsh",
+    "t10_ann_lsh_buckets",
     "t10b_ann_lsh_scale", "t11_cosine_neardup", "t12_decontaminate",
     "t13_repetition", "t18_ann_ivf", "t19_curation_verdict",
     "j3_last_wins_upsert", "x8_pipeline_e2e", "t21_dup_clusters",
@@ -455,7 +456,7 @@ object ScaleCheck {
     * entry runs the CODEC-FREE raw-BGR decode path (m14's), giving the
     * new seam its scale record alongside the JPEG one. */
   def mediaDemo(spark: SparkSession, nImages: Int, nClips: Int,
-      nAudio: Int = 0, only: Option[Set[String]] = None): Unit = {
+      nAudio: Int, only: Option[Set[String]] = None): Unit = {
     import spark.implicits._
     import graft.multimodal.Multimodal
     val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
@@ -473,9 +474,11 @@ object ScaleCheck {
           s"(known: ${MediaLabels.mkString(",")})")
     }
     def wanted(label: String): Boolean = only.forall(_.contains(label))
-    // nAudio defaults to 0 for old call shapes — running the audio
-    // entry against an empty corpus would record a vacuous green
-    // zero-row sweep (the same silent-cap class the MediaLabels
+    // nAudio is a required parameter (ADVICE r16: the old `= 0`
+    // default tripped this require on EVERY defaulted call, since
+    // wanted() is true for all labels when --only is absent) — running
+    // the audio entry against an empty corpus would record a vacuous
+    // green zero-row sweep (the same silent-cap class the MediaLabels
     // require above makes loud)
     require(!wanted("m22_audio_ann") || nAudio > 0,
       "m22_audio_ann requested but nAudio is 0 — pass nAudio > 0")

@@ -518,6 +518,22 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("t4b LSH-verify twin: band-keyed equi-joins only, no cartesian, no window") {
+    val p = finalizedPlan(TextQueries.t4bJaccardLsh.run(spark, sf))
+    // stage 1 (band-bucket self-join) and stage 2 (doc_id verify joins)
+    // are all hash/sort-merge EQUI joins — never an all-pairs product
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // one checkpointed signature scan feeds both self-join sides
+    assert(p.contains("ExistingRDD"), p)
+    // the exact-Jaccard verify is row-local array arithmetic: no rank
+    // window, no single-partition stage anywhere in the pipeline
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("t66 report: rolls checkpointed manifest frames, no cartesian anywhere") {
     val p = finalizedPlan(TextQueries.t66SourceCuration.run(spark, sf))
     // the cluster side arrives as the memoized star-frame checkpoint
