@@ -1217,27 +1217,85 @@ object Multimodal {
     * same PCM hash equal (and byte-identical re-ingestions trivially
     * do). Decode failures / empty PCM yield no rows (the
     * [[featuresPcm]] convention). */
+  /** md5 of the canonical little-endian 16-bit render of a PCM sample
+    * array — the ONE exact-audio-identity definition
+    * ([[audioSignature]], [[audioKeysOf]]). */
+  private def pcmMd5(s: Array[Int]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](2 * s.length)
+    var j = 0
+    while (j < s.length) {
+      buf(2 * j) = (s(j) & 0xff).toByte
+      buf(2 * j + 1) = ((s(j) >> 8) & 0xff).toByte
+      j += 1
+    }
+    md.update(buf)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def audioSignature(media: Dataset[MediaRow]): Dataset[AudioSig] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.filter(_.kind == "audio").flatMap { m =>
         val s = pcmSamples(m.content)
         if (s.isEmpty) Nil
-        else {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val buf = new Array[Byte](2 * s.length)
-          var j = 0
-          while (j < s.length) {
-            buf(2 * j) = (s(j) & 0xff).toByte
-            buf(2 * j + 1) = ((s(j) >> 8) & 0xff).toByte
-            j += 1
-          }
-          md.update(buf)
-          Seq(AudioSig(m.mediaId, s.length,
-            md.digest().map("%02x".format(_)).mkString))
-        }
+        else Seq(AudioSig(m.mediaId, s.length, pcmMd5(s)))
       }
     }
+  }
+
+  /** BOTH audio-manifest keys off ONE decode: the exact PCM signature
+    * (m26 tier 1) and the m18 perceptual hash (tier 2) from the same
+    * sample array, so a manifest door pays one container parse per
+    * clip instead of two. None when the bytes decode to no PCM or the
+    * clip is shorter than [[aHash64Pcm]]'s 64 blocks — such clips have
+    * an exact identity but no perceptual one, and the manifest
+    * composition needs both (a real door routes them to the
+    * exact-only dedup tier; the m26 fixture universe has none). */
+  def audioKeysOf(bytes: Array[Byte]): Option[(Int, String, Long)] = {
+    val s = pcmSamples(bytes)
+    aHash64Pcm(s).map(h => (s.length, pcmMd5(s), h))
+  }
+
+  /** One-decode (mediaId, sig, ahash) projection over a media frame —
+    * STREAMING-SAFE (stateless mapPartitions): persisted at the door
+    * this IS the standing state [[audioManifest]] composes at publish
+    * time. Batch m26 runs the same projection, so the two tiers share
+    * every key definition. */
+  def audioManifestKeys(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.kind == "audio").flatMap { m =>
+        audioKeysOf(m.content).map { case (_, sig, h) => (m.mediaId, sig, h) }
+      }
+    }.toDF("media_id", "sig", "ahash")
+  }
+
+  /** The m26 AUDIO-MANIFEST composition over an accumulated
+    * (media_id, sig, ahash) key table — ONE definition shared by the
+    * batch gate and the streaming finalize (the starEdgesOfBands
+    * convention), so the two cannot drift: (1) exact keeper = min
+    * media_id per PCM signature; (2) m18 band-hamming clusters over
+    * the KEEPERS' perceptual hashes; (3) per-clip verdict carrying
+    * the keeper's cluster. The sig window is key-partitioned
+    * (fan-in = duplication depth); the cluster pass inherits
+    * [[dHashClusters]]' banded-join scale shape. */
+  def audioManifest(keys: DataFrame): DataFrame = {
+    val wSig = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    val exact = keys
+      .select(col("media_id"), col("sig"), col("ahash"))
+      .withColumn("exact_keeper", min("media_id").over(wSig))
+    val clusters = dHashClusters(
+      exact.filter(col("media_id") === col("exact_keeper"))
+        .select(col("media_id").as("mediaId"), col("ahash").as("dhash")),
+      maxDist = 2, bands = 4)
+      .select(col("media_id").as("ck"), col("cluster_id"))
+    exact
+      .join(clusters, col("exact_keeper") === col("ck"))
+      .select(col("media_id"), col("exact_keeper"), col("cluster_id"),
+        when(col("media_id") =!= col("exact_keeper"), "exact_dup")
+          .when(col("media_id") === col("cluster_id"), "representative")
+          .otherwise("near_dup").as("verdict"))
   }
 
   /** Partition-parallel audio perceptual hash: decode 16-bit mono LE

@@ -1540,7 +1540,14 @@ object MultimodalQueries {
     * (2) m18's hamming clusters over the KEEPERS only; (3) per-clip
     * verdict with the keeper's cluster. Oracle: m20's k-arithmetic
     * verbatim (same chain geometry in the audio hash space — the
-    * m16Bits/wavPatternFixture parity m18 already gates). */
+    * m16Bits/wavPatternFixture parity m18 already gates).
+    *
+    * The composition is [[Multimodal.audioManifest]] over the
+    * one-decode [[Multimodal.audioManifestKeys]] projection — the SAME
+    * two definitions the streaming door persists and finalizes
+    * (VERDICT r16 item 6; StreamingAudioManifestSpec pins the
+    * row-for-row parity), and one decode pass where the original
+    * composed audioSignature + audioHash paid two. */
   val m26AudioManifest: QuerySpec = QuerySpec.sql(
     "m26_audio_manifest",
     """WITH m AS (
@@ -1567,28 +1574,11 @@ object MultimodalQueries {
           Multimodal.wavPatternFixture(m16Bits(k % 78)),
           Multimodal.MediaMeta("wav", 0, 0, 8000, 0))
       }
-      .localCheckpoint() // one fixture build feeds both decode passes
-    val wSig = org.apache.spark.sql.expressions.Window.partitionBy("sig")
-    val exact = Multimodal.audioSignature(rows).toDF()
-      .select(col("mediaId").as("media_id"), col("sig"))
-      .withColumn("exact_keeper", min("media_id").over(wSig))
-      .select("media_id", "exact_keeper")
-      .localCheckpoint() // keeper screen + final join
-    val keepers = exact.filter(col("media_id") === col("exact_keeper"))
-      .select(col("media_id").as("keeper_id"))
-    val clusters = Multimodal.dHashClusters(
-      Multimodal.audioHash(rows).toDF()
-        .join(keepers, col("mediaId") === col("keeper_id"))
-        .select(col("mediaId"), col("ahash").as("dhash")),
-      maxDist = 2, bands = 4)
-      .select(col("media_id").as("ck"), col("cluster_id"))
-    exact
-      .join(clusters, col("exact_keeper") === col("ck"))
-      .select(col("media_id"), col("exact_keeper"), col("cluster_id"),
-        when(col("media_id") =!= col("exact_keeper"), "exact_dup")
-          .when(col("media_id") === col("cluster_id"), "representative")
-          .otherwise("near_dup").as("verdict"))
-      .orderBy("media_id")
+      .localCheckpoint() // one fixture build under the one decode pass
+    // keys materialized once: the keeper window, the cluster pass and
+    // the verdict join all read the same decoded frame
+    val keys = Multimodal.audioManifestKeys(rows).localCheckpoint()
+    Multimodal.audioManifest(keys).orderBy("media_id")
   }
 
   val all: Seq[QuerySpec] =

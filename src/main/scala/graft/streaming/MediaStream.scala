@@ -255,6 +255,34 @@ object MediaStream {
       .dropDuplicatesWithinWatermark("clip_sig")
   }
 
+  /** The AUDIO-MANIFEST DOOR (VERDICT r16 item 6): the stateless
+    * one-decode projection of BOTH m26 keys — the exact PCM signature
+    * (tier 1's dedup identity) and the m18 perceptual hash (tier 2's
+    * cluster key) — via [[Multimodal.audioKeysOf]], the same
+    * definition the batch gate scans with. Persisted at ingest, the
+    * output IS the standing key table the publish-time finalize
+    * ([[Multimodal.audioManifest]] — keeper election, band-hamming
+    * clusters over keepers, verdict join) composes, completing the
+    * manifest leg the other three door families already have
+    * (StreamingAudioManifestSpec pins row-for-row parity with the
+    * m26 batch gate). Quarantine rule as everywhere: bytes that
+    * decode to no PCM — or clips shorter than the hash's 64 blocks,
+    * which have an exact identity but no perceptual one — drop to
+    * the batch sweep's conventions. */
+  def audioManifestDoor(media: DataFrame, tsCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("content"), col(tsCol).as("__ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions(_.flatMap { case (id, bytes, ts) =>
+        Multimodal.audioKeysOf(bytes).map { case (_, sig, h) =>
+          (id, ts, sig, h)
+        }
+      })
+      .toDF("media_id", tsCol, "sig", "ahash")
+  }
+
   def dedupeAudio(media: DataFrame, tsCol: String,
       delay: String): DataFrame = {
     val spark = media.sparkSession
