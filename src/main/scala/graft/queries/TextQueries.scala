@@ -1466,6 +1466,83 @@ object TextQueries {
       .orderBy("contained", "container")
   }
 
+  /** T70B — the PRODUCTION twin of t70 (t4b's pattern, closing the
+    * demo-screen class): whole-corpus directional near-containment
+    * with LSH pre-candidates in place of the `doc_id < 1000` screen.
+    * Candidates are t2's MinHash band collisions (the signatures
+    * already live in 3-gram shingle space — exactly the phrase
+    * identity containment needs); each candidate pair is verified
+    * with the EXACT measure, |A∩B|/|A| over the full distinct-shingle
+    * sets, row-locally, and emits (contained, container) rows in BOTH
+    * directions at ≥ 0.9 (an exact mutual pair emits both — t70's
+    * semantics over t70's measure, minus the df-capped universe: the
+    * cap kept t70's inverted-index self-join sub-quadratic, a burden
+    * the band index now carries).
+    *
+    * LSH recall caveat, stated not hidden: a SHORT doc swallowed by a
+    * much larger container has Jaccard ≈ |A|/|B| even at containment
+    * 1.0, so band collisions thin out as the size ratio grows — the
+    * standard remedy at lake scale is banding PER LENGTH STRATUM of
+    * the contained side (each stratum's signatures computed over the
+    * container's windows of that length). The fixture's containment
+    * pairs are same-scale near-mirrors, where band recall is the m13b
+    * story; the verify stage is screen-agnostic either way.
+    *
+    * Scale shape: identical to t4b — band-bucket equi self-join for
+    * candidates, two doc_id equi-joins for the shingle sets, row-local
+    * array_intersect, one integer division per direction. */
+  val t70bContainmentLsh: QuerySpec = QuerySpec.sql(
+    "t70b_containment_lsh",
+    s"""WITH ${nearDupBaseCtes("documents")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |),
+       |ss AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),
+       |j AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) AS i,
+       |    CAST(len(x.ss) AS BIGINT) AS n1, CAST(len(y.ss) AS BIGINT) AS n2
+       |  FROM cand JOIN ss x ON d1 = x.doc_id JOIN ss y ON d2 = y.doc_id
+       |),
+       |dirs AS (
+       |  SELECT d1 AS contained, d2 AS container, i AS n_common,
+       |    CAST(i AS DOUBLE) / n1 AS containment FROM j
+       |  UNION ALL
+       |  SELECT d2, d1, i, CAST(i AS DOUBLE) / n2 FROM j
+       |)
+       |SELECT contained, container, n_common, containment
+       |FROM dirs WHERE containment >= 0.9
+       |ORDER BY contained, container""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cand = {
+      val bands = bandIndexOf(docs).select("doc_id", "band", "bkey")
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+    }
+    val ss = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("ss"))
+    val j = cand
+      .join(ss.as("x"), col("d1") === col("x.doc_id"))
+      .join(ss.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("x.ss"), col("y.ss"))).cast("long").as("i"),
+        size(col("x.ss")).cast("long").as("n1"),
+        size(col("y.ss")).cast("long").as("n2"))
+    val dirs = j.select(col("d1").as("contained"), col("d2").as("container"),
+        col("i").as("n_common"),
+        (col("i").cast("double") / col("n1")).as("containment"))
+      .unionAll(j.select(col("d2"), col("d1"), col("i"),
+        (col("i").cast("double") / col("n2"))))
+    dirs.filter(col("containment") >= 0.9)
+      .orderBy("contained", "container")
+  }
+
   /** T6 — language-ID heuristic: English function-word ratio over the
     * token stream (scan-local; no shuffle). */
   val t6LangId: QuerySpec = {
@@ -2635,7 +2712,7 @@ object TextQueries {
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard, t4bJaccardLsh,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
-    t69QualityQuantile, t70Containment,
+    t69QualityQuantile, t70Containment, t70bContainmentLsh,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,

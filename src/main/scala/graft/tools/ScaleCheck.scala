@@ -63,6 +63,7 @@ object ScaleCheck {
     "t63_source_fertility", "t64_ngram_novelty", "t65_ivf_assign",
     "t66_source_curation", "t65b_ivf_probe2", "t67_source_scorecard",
     "t68_cluster_sample", "t69_quality_quantile", "t70_containment",
+    "t70b_containment_lsh",
     "t71_dsir_weights", "t72_gopher_rules", "t73_line_dedup",
     "t74_curation_v2", "t75_wordpiece_vocab", "t76_wordpiece_segment",
     "t77_margin_mining", "t78_unigram_viterbi", "t79_unimax_mix",

@@ -534,6 +534,20 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("t70b LSH-verify containment: same contract as t4b, both directions row-local") {
+    val p = finalizedPlan(TextQueries.t70bContainmentLsh.run(spark, sf))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ExistingRDD"), p)
+    // the direction split is a Union of row-local projections over the
+    // verified pair frame — no window, no extra shuffle for it
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("t66 report: rolls checkpointed manifest frames, no cartesian anywhere") {
     val p = finalizedPlan(TextQueries.t66SourceCuration.run(spark, sf))
     // the cluster side arrives as the memoized star-frame checkpoint
