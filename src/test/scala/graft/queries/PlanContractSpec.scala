@@ -723,17 +723,18 @@ class PlanContractSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("t71 DSIR: bucket models broadcast, tie-break window partitioned by value") {
+  test("t71 DSIR: bucket models broadcast, rank rides the RDD seam, no window") {
     val p = plan(CurationQueries.t71DsirWeights)
     // the 64-row bucket models and the scalar totals must broadcast —
     // the corpus instance stream never shuffles to meet a model
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the corpus-sized rank tie-break is PARTITIONED by logw_bits; the
-    // only unpartitioned window is over the bounded per-value frame,
-    // which sits downstream of an aggregation (model-sized by
-    // construction)
-    assert(p.contains("windowspecdefinition(logw_bits"), p)
+    // VERDICT r16 item 4: the rank is GlobalRank's range-partition +
+    // zipWithIndex (ExistingRDD) — t71b's contract, now shared; the
+    // former per-value-frame window (windowspecdefinition(logw_bits))
+    // is retired: 869 s → 523 s at ×1000 on the same core
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("windowspecdefinition"), p)
   }
 
   test("t71b Gumbel DSIR: rank rides the RDD seam, no corpus window, no cartesian") {

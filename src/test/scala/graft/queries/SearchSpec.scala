@@ -20,7 +20,7 @@ class SearchSpec extends SparkSpec {
     assert(perQ.nonEmpty)
     perQ.foreach { r =>
       assert(r.getAs[Long]("n") <= SearchQueries.TopK)
-      assert(r.getAs[Int]("mx").toLong === r.getAs[Long]("n"))
+      assert(r.getAs[Long]("mx") === r.getAs[Long]("n"))
     }
     // scores non-increasing in rank
     val w = org.apache.spark.sql.expressions.Window
