@@ -1328,24 +1328,29 @@ object TextQueries {
       JaccardDfCap, 0.9)
   }
 
-  /** T4B — the PRODUCTION twin of t4 (VERDICT r16 item 5, the
-    * t31→t31b / t38→t38b pattern): exact token-set Jaccard verification
-    * over LSH PRE-CANDIDATES, with NO demo-sized `doc_id < 1000`
-    * screen — this is the whole-corpus operating point. The standard
-    * two-stage near-dup pipeline: stage 1 generates candidates from
-    * t2's MinHash band index (ANY band collision — recall-oriented, so
-    * t2's ≥ K/2 signature screen is deliberately NOT applied here);
-    * stage 2 verifies each candidate with the EXACT measure — token-set
-    * Jaccard |A∩B|/|A∪B| ≥ 0.9 over the full distinct-token sets (not
-    * t4's df-filtered universe: the df cap existed to keep t4's
-    * inverted-index self-join sub-quadratic, and the band index now
-    * carries that burden, so the production measure needs no
-    * vocabulary screen at all).
+  /** T4B — the two-stage MinHash-LSH near-dup operating point
+    * (VERDICT r16 item 5, the t31→t31b / t38→t38b pattern): exact
+    * SHINGLE-set Jaccard verification over LSH pre-candidates, with NO
+    * demo-sized `doc_id < 1000` screen — the whole-corpus
+    * RefinedWeb/DataComp-style pipeline. Stage 1 generates candidates
+    * from t2's MinHash band index (ANY band collision — no ≥ K/2
+    * signature screen: the EXACT verify replaces the signature
+    * estimate); stage 2 verifies each candidate with the true measure
+    * the MinHash approximates — Jaccard |A∩B|/|A∪B| ≥ 0.9 over the
+    * full distinct 3-gram SHINGLE sets. Candidate space and measure
+    * space are the SAME space: band recall at J = 0.9 is
+    * 1 − (1 − 0.9²)⁸ ≈ 0.9999998 by the band construction (measured
+    * 1.0 against the brute-force shingle truth at sf0.01 — COVERAGE
+    * r17). For t4's TOKEN-set measure, the lossless production twin is
+    * [[t4cJaccardPrefix]] — shingle-space candidates cannot serve a
+    * token-space measure (docs sharing vocabulary but not phrase order
+    * collide in neither band nor shingle space; measured at sf0.01,
+    * shingle-band candidates reach 0.3 % of token-Jaccard pairs).
     *
     * Scale shape: candidate generation is the t2 band-bucket self-join
     * (fan-in bounded by bucket size — the classic LSH scale argument);
     * verification is two hash equi-joins on doc_id pulling each side's
-    * token set plus a ROW-LOCAL array_intersect — candidate-count-
+    * shingle set plus a ROW-LOCAL array_intersect — candidate-count-
     * bounded, never corpus-quadratic. The Jaccard is one division of
     * exact integers (IEEE-exact both engines); n_common/n1/n2 emitted
     * as BIGINT (the type-parity discipline). */
@@ -1357,12 +1362,12 @@ object TextQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |),
-       |ts AS (SELECT doc_id, list_distinct($ToksSql) AS ts FROM documents),
+       |ss AS (SELECT doc_id, list_distinct(s) AS ts FROM sh),
        |j AS (
        |  SELECT d1, d2,
        |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS i,
        |    CAST(len(x.ts) AS BIGINT) AS n1, CAST(len(y.ts) AS BIGINT) AS n2
-       |  FROM cand JOIN ts x ON d1 = x.doc_id JOIN ts y ON d2 = y.doc_id
+       |  FROM cand JOIN ss x ON d1 = x.doc_id JOIN ss y ON d2 = y.doc_id
        |)
        |SELECT d1, d2, i AS n_common, n1, n2,
        |  CAST(i AS DOUBLE) / (n1 + n2 - i) AS jaccard
@@ -1378,11 +1383,21 @@ object TextQueries {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
     }
-    val ts = docs.select(col("doc_id"),
-      array_distinct(tokens(col("text"))).as("ts"))
+    exactJaccardVerify(cand,
+      docs.select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("ts")))
+  }
+
+  /** Shared t4b/t4c verify stage: EXACT token-set Jaccard ≥ 0.9 over
+    * the full distinct sets for a candidate pair frame (d1, d2) —
+    * two doc_id equi-joins plus row-local array arithmetic,
+    * candidate-count-bounded, never corpus-quadratic. */
+  private def exactJaccardVerify(
+      cand: org.apache.spark.sql.DataFrame,
+      sets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val j = cand
-      .join(ts.as("x"), col("d1") === col("x.doc_id"))
-      .join(ts.as("y"), col("d2") === col("y.doc_id"))
+      .join(sets.as("x"), col("d1") === col("x.doc_id"))
+      .join(sets.as("y"), col("d2") === col("y.doc_id"))
       .select(col("d1"), col("d2"),
         size(array_intersect(col("x.ts"), col("y.ts"))).cast("long").as("i"),
         size(col("x.ts")).cast("long").as("n1"),
@@ -1393,6 +1408,73 @@ object TextQueries {
           .as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .orderBy("d1", "d2")
+  }
+
+  /** T4C — PREFIX-FILTER exact-Jaccard join (the SSJoin / All-Pairs /
+    * PPJoin family: Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08): the LOSSLESS production twin of t4/t4b.
+    * t4b's LSH pre-candidates are recall-oriented but probabilistic;
+    * prefix filtering is exact. Order every token set by ascending
+    * global (df, tok) and index only each doc's first
+    * |A| − ⌈θ·|A|⌉ + 1 tokens — its RAREST. Any pair with
+    * Jaccard ≥ θ shares α = ⌈θ·max(|A|,|B|)⌉ tokens, and at most
+    * α − 1 of a doc's tokens sit outside its prefix, so the prefixes
+    * of a qualifying pair must collide (the prefix-filter lemma) —
+    * which is why this gate's oracle is the BRUTE-FORCE ground truth
+    * over the whole corpus: the driver row proves the sub-quadratic
+    * plan drops nothing. The candidate join also carries the PPJoin
+    * length filter (θ·max ≤ min ⇒ sizes within 10:9), pruning
+    * cross-size collisions before verification.
+    *
+    * Scale shape: df ranking is one tok-keyed aggregate plus
+    * doc-partitioned windows; the candidate self-join is keyed on
+    * prefix tokens — each doc's rarest ~10% — so bucket fan-in is
+    * governed by the df of RARE tokens, the exact inverse of the
+    * hot-token problem (a boilerplate token never enters a prefix
+    * unless a doc consists almost entirely of boilerplate);
+    * verification is t4b's row-local exact stage. This is the
+    * standard exact set-similarity join at lake scale; t4b's LSH
+    * form trades residual recall risk for a cheaper candidate stage.
+    */
+  val t4cJaccardPrefix: QuerySpec = QuerySpec.sql(
+    "t4c_jaccard_prefix",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |ts AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM ts GROUP BY 1),
+       |ix AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |         CAST(COUNT(*) AS BIGINT) AS i
+       |       FROM ts a JOIN ts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT d1, d2, i AS n_common, x.n AS n1, y.n AS n2,
+       |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+       |FROM ix JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+       |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.9
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ts = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val dfreq = ts.groupBy("tok").agg(count(lit(1)).as("df"))
+    // canonical global order = ascending (df, tok): rarest first,
+    // total (tok unique within a doc) — any total order shared by all
+    // docs preserves the lemma; rarest-first minimizes candidates
+    val pref = ts.join(dfreq, "tok")
+      .withColumn("pos",
+        row_number().over(byDoc.orderBy("df", "tok")))
+      .filter(col("pos") <= expr("n - (9*n + 9) div 10 + 1"))
+      .select("doc_id", "tok", "n")
+      .localCheckpoint()
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * 10 >=
+            greatest(col("a.n"), col("b.n")) * 9)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    exactJaccardVerify(cand,
+      docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts")))
   }
 
   /** T70 — NEAR-CONTAINMENT PAIRS: the DIRECTIONAL complement of t4's
@@ -1540,6 +1622,83 @@ object TextQueries {
       .unionAll(j.select(col("d2"), col("d1"), col("i"),
         (col("i").cast("double") / col("n2"))))
     dirs.filter(col("containment") >= 0.9)
+      .orderBy("contained", "container")
+  }
+
+  /** T70C — PREFIX-FILTER exact containment join: the LOSSLESS
+    * production twin of t70/t70b, and the closure of t70b's documented
+    * recall caveat. LSH band recall thins out as the contained/container
+    * size ratio grows (Jaccard ≈ |A|/|B| even at containment 1.0);
+    * prefix filtering is size-ratio-INDEPENDENT: with
+    * |A∩B| ≥ ⌈θ·|A|⌉ common shingles and only ⌈θ·|A|⌉ − 1 of A's
+    * shingles outside its (|A| − ⌈θ·|A|⌉ + 1)-prefix, at least one of
+    * A's prefix shingles must appear SOMEWHERE in B — so the candidate
+    * join keys A's rarest-by-df prefix against B's FULL shingle list
+    * (the one-sided prefix lemma; trivial here: A has ≥ ⌈θ|A|⌉ common
+    * elements, at most ⌈θ|A|⌉ − 1 fit in A's suffix). A short doc
+    * swallowed by a 1000× container still collides via its own rarest
+    * shingle. The oracle is brute-force ground truth over the whole
+    * corpus, both directions — the driver row proves zero dropped
+    * pairs. The candidate join carries the directional length filter
+    * (i ≤ |B| and i ≥ ⌈θ|A|⌉ ⇒ 10·|B| ≥ 9·|A|).
+    *
+    * Scale shape: the container side is NOT prefix-limited, but join
+    * fan-in per shingle is df_prefix(s) · df_all(s), and a shingle
+    * enters a prefix only when it is among some doc's rarest ~10% —
+    * boilerplate shingles (the hot keys) have df_prefix ≈ 0 unless a
+    * doc is almost pure boilerplate; PPJoin's positional filter is the
+    * published tightening if that tail ever dominates. Verification is
+    * row-local over the candidate frame. */
+  val t70cContainmentPrefix: QuerySpec = QuerySpec.sql(
+    "t70c_containment_prefix",
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $ShinglesOverToks AS s FROM t),
+       |ss AS (SELECT DISTINCT doc_id, unnest(s) AS sg FROM sh),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM ss GROUP BY 1),
+       |ix AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |         CAST(COUNT(*) AS BIGINT) AS i
+       |       FROM ss a JOIN ss b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |dirs AS (
+       |  SELECT d1 AS contained, d2 AS container, i AS n_common,
+       |    CAST(i AS DOUBLE) / x.n AS containment
+       |  FROM ix JOIN sz x ON d1 = x.doc_id
+       |  UNION ALL
+       |  SELECT d2, d1, i, CAST(i AS DOUBLE) / y.n
+       |  FROM ix JOIN sz y ON d2 = y.doc_id)
+       |SELECT contained, container, n_common, containment
+       |FROM dirs WHERE containment >= 0.9
+       |ORDER BY contained, container""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ss = docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sg"))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .localCheckpoint() // feeds df ranking, the prefix, AND the full side
+    val dfreq = ss.groupBy("sg").agg(count(lit(1)).as("df"))
+    val pref = ss.join(dfreq, "sg")
+      .withColumn("pos", row_number().over(byDoc.orderBy("df", "sg")))
+      .filter(col("pos") <= expr("n - (9*n + 9) div 10 + 1"))
+      .select("doc_id", "sg", "n")
+    val cand = pref.as("a")
+      .join(ss.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * 10 >= col("a.n") * 9)
+      .select(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
+      .distinct()
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("ss"))
+    val v = cand
+      .join(sets.as("x"), col("contained") === col("x.doc_id"))
+      .join(sets.as("y"), col("container") === col("y.doc_id"))
+      .select(col("contained"), col("container"),
+        size(array_intersect(col("x.ss"), col("y.ss"))).cast("long")
+          .as("n_common"),
+        size(col("x.ss")).cast("long").as("n1"))
+    v.select(col("contained"), col("container"), col("n_common"),
+        (col("n_common").cast("double") / col("n1")).as("containment"))
+      .filter(col("containment") >= 0.9)
       .orderBy("contained", "container")
   }
 
@@ -2711,8 +2870,10 @@ object TextQueries {
 
   val all: Seq[QuerySpec] = Seq(
     t1ExactDedup, t2MinhashLsh, t3Simhash, t4NgramJaccard, t4bJaccardLsh,
+    t4cJaccardPrefix,
     t6LangId, t7QualityScore, t8TokenCount, t9Fingerprint,
     t69QualityQuantile, t70Containment, t70bContainmentLsh,
+    t70cContainmentPrefix,
     t12Decontaminate, t13Repetition, t14PiiRedact, t15HashSplit,
     t17UrlFilter, t19CurationVerdict, t21DupClusters,
     t22StratifiedSample, t23KeywordTopk, t27TopNgrams,

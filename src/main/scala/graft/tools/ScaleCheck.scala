@@ -38,6 +38,7 @@ object ScaleCheck {
     * so rounds should stay flat as copies grow). */
   private val Heavy = Seq(
     "t2_minhash_lsh", "t4_ngram_jaccard", "t4b_jaccard_lsh",
+    "t4c_jaccard_prefix", "t70c_containment_prefix",
     "t10_ann_lsh_buckets",
     "t10b_ann_lsh_scale", "t11_cosine_neardup", "t12_decontaminate",
     "t13_repetition", "t18_ann_ivf", "t19_curation_verdict",

@@ -548,6 +548,36 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("t4c prefix-filter join: equi-joins only, no cartesian, no single partition") {
+    val p = finalizedPlan(TextQueries.t4cJaccardPrefix.run(spark, sf))
+    // the df-ranking windows are doc_id-partitioned but live INSIDE the
+    // checkpointed prefix build (the ExistingRDD seam hides them from
+    // this plan — t70c, which checkpoints BEFORE ranking, pins the
+    // windowspecdefinition(doc_id shape for the family); what this plan
+    // must show: prefix-token equi self-join + row-local verify, never
+    // an all-pairs product, never a single-partition stage
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("t70c prefix-filter containment: one checkpointed shingle scan, no cartesian") {
+    val p = finalizedPlan(TextQueries.t70cContainmentPrefix.run(spark, sf))
+    // the checkpointed (doc_id, sg, n) stream feeds df ranking, the
+    // prefix, AND the full container side; the directional candidate
+    // join is prefix-shingle equi, never an all-pairs product
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ExistingRDD"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("t66 report: rolls checkpointed manifest frames, no cartesian anywhere") {
     val p = finalizedPlan(TextQueries.t66SourceCuration.run(spark, sf))
     // the cluster side arrives as the memoized star-frame checkpoint
