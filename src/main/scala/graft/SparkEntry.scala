@@ -16,7 +16,8 @@ object SparkEntry {
       ScalarQueries2.all ++ ParserQueries.all ++ TicketQueries.all ++
       PipelineE2EQueries.all ++ MultimodalQueries.all ++ LmQueries.all ++
       BpeQueries.all ++ SketchQueries.all ++ SearchQueries.all ++
-      ScorecardQueries.all ++ CurationQueries.all ++ WordPieceQueries.all
+      ScorecardQueries.all ++ CurationQueries.all ++ WordPieceQueries.all ++
+      GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

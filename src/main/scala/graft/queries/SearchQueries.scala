@@ -53,82 +53,108 @@ object SearchQueries {
     * words, so head terms have df ≈ N and floor(log2(N/df)) = 0. */
   private[queries] val QTermRanks = Seq(1, 2, 3, 4)
   private[queries] val TopK = 10
+  /** Per-scorer candidate-list depth feeding t80's fusion. */
+  private val FuseN = 20
+  /** RRF constant (Cormack et al. 2009) and the fixed-point scale:
+    * contribution of rank r is RrfScale div (RrfK + r) — integer
+    * truncating division, identical on both engines. */
+  private val RrfK = 60
+  private val RrfScale = 1000000L
 
-  val t53Bm25TopK: QuerySpec = {
+  /** DuckDB CTE chain ending in `sc(query_id, doc_id, score_u)` — the
+    * BM25-scored candidate set — with `tf` and `stats` still in scope
+    * for downstream scorers. Shared by the t53 oracle and t80's
+    * fusion oracle so the lexical leg cannot drift between them. */
+  private val Bm25CoreCtesSql: String = {
     import TextQueries.ToksSql
     val ranksIn = QTermRanks.mkString("(", ", ", ")")
+    s"""t AS (SELECT doc_id,
+       |    list_filter($ToksSql, x -> x <> '') AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |ti AS (SELECT doc_id, dl, unnest(toks) AS word FROM d),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+       |df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM ti GROUP BY 1),
+       |dfTop AS (SELECT word, df FROM df
+       |  ORDER BY df ASC, word LIMIT ${QTermRanks.max}),
+       |qt AS (SELECT word, df, rnk, CAST((rnk - ${QTermRanks.head}) // 2
+       |      AS BIGINT) AS query_id
+       |  FROM (SELECT word, df, ROW_NUMBER() OVER (
+       |      ORDER BY df ASC, word) AS rnk FROM dfTop)
+       |  WHERE rnk IN $ranksIn),
+       |tf AS (SELECT ti.doc_id, ti.dl, ti.word, qt.query_id, qt.df,
+       |    CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM ti JOIN qt USING (word)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |ts AS (SELECT query_id, doc_id,
+       |    ${ExactNum.rndSql(
+        s"""((CAST((length(bin(s.n_docs)) - length(bin(tf.df)))
+           | AS DOUBLE) * (tf.tf * (1 + $K1))
+           | / (tf.tf + $K1 * ((1 - $B) + $B
+           |   * (CAST(tf.dl AS DOUBLE) / s.avgdl)))) * 1e6)"""
+          .stripMargin.replace("\n", ""))} AS score_u
+       |  FROM tf, stats s),
+       |sc AS (SELECT query_id, doc_id,
+       |    CAST(SUM(score_u) AS BIGINT) AS score_u
+       |  FROM ts GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Spark twin of [[Bm25CoreCtesSql]]: the scored frames every
+    * retrieval gate builds on. `sc` is (query_id, doc_id, score_u);
+    * `tf`/`stats` feed t80's second scorer. */
+  private final case class Bm25Core(
+      tf: DataFrame, stats: DataFrame, sc: DataFrame)
+
+  private def bm25Core(s: SparkSession, d: String): Bm25Core = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(tokens(col("text")), w => w =!= "").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+      .localCheckpoint() // one tokenize pass: stats + df + postings
+    val ti = t.select(col("doc_id"), col("dl"),
+      explode(col("toks")).as("word"))
+    val stats = t.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val df = ti.groupBy("word")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    // distributed top-K first (TakeOrderedAndProject); the global
+    // row_number window then sorts ranks-many rows, not the vocab
+    val qt = df.orderBy(col("df").asc, col("word")).limit(QTermRanks.max)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("df").asc, col("word"))))
+      .filter(col("rnk").isin(QTermRanks: _*))
+      .select(col("word"), col("df"),
+        ((col("rnk") - QTermRanks.head) / 2).cast("long").as("query_id"))
+    val tf = ti.join(broadcast(qt), "word")
+      .groupBy("doc_id", "dl", "word", "query_id", "df")
+      .agg(count(lit(1)).as("tf"))
+    val idfBits =
+      (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("double")
+    val tfPart = (col("tf") * lit(1 + K1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) *
+        (col("dl").cast("double") / col("avgdl"))))
+    val ts = tf.crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        ExactNum.rnd((idfBits * tfPart) * lit(1e6)).cast("long")
+          .as("score_u"))
+    val sc = ts.groupBy("query_id", "doc_id")
+      .agg(sum("score_u").as("score_u"))
+    Bm25Core(tf, stats, sc)
+  }
+
+  val t53Bm25TopK: QuerySpec =
     QuerySpec.sql(
       "t53_bm25_topk",
-      s"""WITH t AS (SELECT doc_id,
-         |    list_filter($ToksSql, x -> x <> '') AS toks FROM documents),
-         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
-         |ti AS (SELECT doc_id, dl, unnest(toks) AS word FROM d),
-         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
-         |df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-         |  FROM ti GROUP BY 1),
-         |dfTop AS (SELECT word, df FROM df
-         |  ORDER BY df ASC, word LIMIT ${QTermRanks.max}),
-         |qt AS (SELECT word, df, rnk, CAST((rnk - ${QTermRanks.head}) // 2
-         |      AS BIGINT) AS query_id
-         |  FROM (SELECT word, df, ROW_NUMBER() OVER (
-         |      ORDER BY df ASC, word) AS rnk FROM dfTop)
-         |  WHERE rnk IN $ranksIn),
-         |tf AS (SELECT ti.doc_id, ti.dl, ti.word, qt.query_id, qt.df,
-         |    CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM ti JOIN qt USING (word)
-         |  GROUP BY 1, 2, 3, 4, 5),
-         |ts AS (SELECT query_id, doc_id,
-         |    ${ExactNum.rndSql(
-          s"""((CAST((length(bin(s.n_docs)) - length(bin(tf.df)))
-             | AS DOUBLE) * (tf.tf * (1 + $K1))
-             | / (tf.tf + $K1 * ((1 - $B) + $B
-             |   * (CAST(tf.dl AS DOUBLE) / s.avgdl)))) * 1e6)"""
-            .stripMargin.replace("\n", ""))} AS score_u
-         |  FROM tf, stats s),
-         |sc AS (SELECT query_id, doc_id,
-         |    CAST(SUM(score_u) AS BIGINT) AS score_u
-         |  FROM ts GROUP BY 1, 2),
+      s"""WITH $Bm25CoreCtesSql,
          |ranked AS (SELECT query_id, doc_id, score_u, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rank
          |  FROM sc)
          |SELECT query_id, rank, doc_id, score_u
          |FROM ranked WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"),
-          filter(tokens(col("text")), w => w =!= "").as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("long").as("dl"))
-        .localCheckpoint() // one tokenize pass: stats + df + postings
-      val ti = t.select(col("doc_id"), col("dl"),
-        explode(col("toks")).as("word"))
-      val stats = t.agg(count(lit(1)).as("n_docs"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val df = ti.groupBy("word")
-        .agg(count_distinct(col("doc_id")).as("df"))
-      // distributed top-K first (TakeOrderedAndProject); the global
-      // row_number window then sorts ranks-many rows, not the vocab
-      val qt = df.orderBy(col("df").asc, col("word")).limit(QTermRanks.max)
-        .withColumn("rnk",
-          row_number().over(Window.orderBy(col("df").asc, col("word"))))
-        .filter(col("rnk").isin(QTermRanks: _*))
-        .select(col("word"), col("df"),
-          ((col("rnk") - QTermRanks.head) / 2).cast("long").as("query_id"))
-      val tf = ti.join(broadcast(qt), "word")
-        .groupBy("doc_id", "dl", "word", "query_id", "df")
-        .agg(count(lit(1)).as("tf"))
-      val idfBits =
-        (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("double")
-      val tfPart = (col("tf") * lit(1 + K1)) /
-        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) *
-          (col("dl").cast("double") / col("avgdl"))))
-      val ts = tf.crossJoin(broadcast(stats))
-        .select(col("query_id"), col("doc_id"),
-          ExactNum.rnd((idfBits * tfPart) * lit(1e6)).cast("long")
-            .as("score_u"))
-      val sc = ts.groupBy("query_id", "doc_id")
-        .agg(sum("score_u").as("score_u"))
+      val sc = bm25Core(s, d).sc
       val w = Window.partitionBy("query_id")
         .orderBy(col("score_u").desc, col("doc_id"))
       sc.withColumn("rank", row_number().over(w).cast("long"))
@@ -136,7 +162,93 @@ object SearchQueries {
         .select("query_id", "rank", "doc_id", "score_u")
         .orderBy("query_id", "rank")
     }
-  }
 
-  val all: Seq[QuerySpec] = Seq(t53Bm25TopK)
+  /** T80 — RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009)
+    * of two retrieval scorers over the same query set: the BM25 leg
+    * ([[Bm25CoreCtesSql]], shared byte-for-byte with t53) and a
+    * linear weighted-TF dot-product leg (Σ tf·idf_bits² — the
+    * unnormalized inner product a sparse "dense-ish" retriever
+    * computes; linear tf and no length normalization make it rank
+    * genuinely differently from BM25's saturated tf). Each leg emits
+    * its top-[[FuseN]] list; fusion scores a doc
+    * Σ_legs RrfScale div (RrfK + rank) — integer truncating division
+    * on both engines, absent-in-list contributes 0 — and the fused
+    * top-[[TopK]] ships with both legs' ranks (0 = not retrieved by
+    * that leg) for auditability.
+    *
+    * Scale shape: both legs reuse ONE postings build (the `tf` frame
+    * — query terms broadcast-semi-joined before aggregation), each
+    * leg's rank window partitions by query_id over candidate docs
+    * only, and the fusion join is per-(query, doc) over ≤ 2·FuseN
+    * rows per query. At lake scale the legs would be served from the
+    * standing inverted/ANN indexes; the fusion operator itself never
+    * touches the corpus. */
+  val t80RrfFusion: QuerySpec =
+    QuerySpec.sql(
+      "t80_rrf_fusion",
+      s"""WITH $Bm25CoreCtesSql,
+         |ds AS (SELECT tf.query_id, tf.doc_id,
+         |    CAST(SUM(tf.tf
+         |      * (length(bin(s.n_docs)) - length(bin(tf.df)))
+         |      * (length(bin(s.n_docs)) - length(bin(tf.df))))
+         |      AS BIGINT) AS score2_u
+         |  FROM tf, stats s GROUP BY 1, 2),
+         |r1 AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rnk
+         |  FROM sc),
+         |r2 AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score2_u DESC, doc_id) AS rnk
+         |  FROM ds),
+         |c1 AS (SELECT * FROM r1 WHERE rnk <= $FuseN),
+         |c2 AS (SELECT * FROM r2 WHERE rnk <= $FuseN),
+         |fused AS (SELECT
+         |    COALESCE(c1.query_id, c2.query_id) AS query_id,
+         |    COALESCE(c1.doc_id, c2.doc_id) AS doc_id,
+         |    CAST(COALESCE($RrfScale // ($RrfK + c1.rnk), 0)
+         |       + COALESCE($RrfScale // ($RrfK + c2.rnk), 0)
+         |      AS BIGINT) AS rrf_u,
+         |    CAST(COALESCE(c1.rnk, 0) AS BIGINT) AS lex_rank,
+         |    CAST(COALESCE(c2.rnk, 0) AS BIGINT) AS tf_rank
+         |  FROM c1 FULL OUTER JOIN c2
+         |    ON c1.query_id = c2.query_id AND c1.doc_id = c2.doc_id),
+         |ranked AS (SELECT query_id, doc_id, rrf_u, lex_rank, tf_rank,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY rrf_u DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT query_id, rank, doc_id, rrf_u, lex_rank, tf_rank
+         |FROM ranked WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val core = bm25Core(s, d)
+      val bits = length(bin(col("n_docs"))) - length(bin(col("df")))
+      val ds = core.tf.crossJoin(broadcast(core.stats))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("tf") * bits * bits).as("score2_u"))
+      def topList(scored: DataFrame, scoreCol: String): DataFrame = {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col(scoreCol).desc, col("doc_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= FuseN)
+          .select("query_id", "doc_id", "rnk")
+      }
+      val c1 = topList(core.sc, "score_u")
+      val c2 = topList(ds, "score2_u")
+      val fused = c1.withColumnRenamed("rnk", "rnk1")
+        .join(c2.withColumnRenamed("rnk", "rnk2"),
+          Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(expr(s"$RrfScale div ($RrfK + rnk1)"), lit(0L)) +
+            coalesce(expr(s"$RrfScale div ($RrfK + rnk2)"), lit(0L)))
+            .as("rrf_u"),
+          coalesce(col("rnk1"), lit(0)).cast("long").as("lex_rank"),
+          coalesce(col("rnk2"), lit(0)).cast("long").as("tf_rank"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_u").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "doc_id", "rrf_u", "lex_rank",
+          "tf_rank")
+        .orderBy("query_id", "rank")
+    }
+
+  val all: Seq[QuerySpec] = Seq(t53Bm25TopK, t80RrfFusion)
 }

@@ -125,7 +125,7 @@ object TextQueries {
     * — the filtered MinHash-LSH near-dup pair set over `documents`.
     * Shared by the t2 oracle and t21's recursive-CTE clustering oracle
     * so the two can never disagree on what an edge is. */
-  private val NearDupPairsCtesSql: String =
+  private[queries] val NearDupPairsCtesSql: String =
     nearDupBaseCtes("documents") + ",\n" + NearDupPairCtes
 
   /** Spark twin of [[NearDupPairsCtesSql]]: the filtered near-dup pair
@@ -1142,6 +1142,97 @@ object TextQueries {
             .as("n_dup_tokens"),
           (coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
             col("n_toks")).as("dup_frac"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** T43B — EXACT SUBSTRING-DEDUP REWRITE (the transform behind t43's
+    * metric): every token position covered by a duplicated sliding
+    * W-window (W = 20, the Lee et al. ExactSubstr threshold shape) is
+    * REMOVED — from every occurrence, the strictest variant: repeated
+    * boilerplate contributes zero tokens to training — and the
+    * survivors reassemble in original order. The gate pins the exact
+    * rewrite (md5 of the reassembled text, t73/t72b-style), not just
+    * counts, so a one-token slip anywhere in the interval algebra
+    * reds the row.
+    *
+    * The covered-position set needs no ×W blowup: t43's per-position
+    * coverage `cov = least(next_pos − pos, W)` makes the intervals
+    * [pos, pos+cov) DISJOINT with union exactly the covered set, so
+    * exploding them materializes n_dup_tokens rows, not n_positions×W.
+    * Scale shape is t43's (the span-df groupBy and the join-back are
+    * the only corpus-wide shuffles) plus one per-doc left_anti join
+    * and the order-stable `array_sort(collect_list(struct(pos, tok)))`
+    * reassembly aggregate. */
+  val t43bDupSpanRewrite: QuerySpec = {
+    val W = 20
+    QuerySpec.sql(
+      "t43b_dup_span_rewrite",
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, len(toks) AS n_toks FROM t),
+         |sh AS (SELECT doc_id, i - 1 AS pos,
+         |         array_to_string(toks[i : i + $W - 1], ' ') AS s
+         |       FROM t, unnest(range(1, len(toks) - $W + 2)) AS u(i)),
+         |dup AS (SELECT s FROM sh GROUP BY s
+         |        HAVING COUNT(*) >= 2),
+         |dp AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+         |runs AS (SELECT doc_id, pos,
+         |    LEAST(COALESCE(LEAD(pos) OVER w - pos, $W), $W) AS cov
+         |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |covered AS (SELECT doc_id, pos + i AS tokpos
+         |            FROM runs, unnest(range(0, cov)) AS u(i)),
+         |tok AS (SELECT doc_id, i - 1 AS tokpos, toks[i] AS tok
+         |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |kept AS (SELECT tok.doc_id, tok.tokpos, tok.tok
+         |         FROM tok LEFT JOIN covered
+         |           ON tok.doc_id = covered.doc_id
+         |          AND tok.tokpos = covered.tokpos
+         |         WHERE covered.tokpos IS NULL),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |          md5(string_agg(tok, ' ' ORDER BY tokpos)) AS clean_md5
+         |        FROM kept GROUP BY doc_id)
+         |SELECT n.doc_id AS doc_id, n.n_toks,
+         |  COALESCE(a.n_kept, 0) AS n_kept,
+         |  COALESCE(a.clean_md5, md5('')) AS clean_md5
+         |FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
+         |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .localCheckpoint() // one tokenize pass feeds sh, tok, and n
+      val n = t.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"))
+      val positions = when(size(col("toks")) >= W,
+        sequence(lit(0), size(col("toks")) - W))
+        .otherwise(array().cast("array<int>"))
+      val sh = t.select(col("doc_id"),
+        explode(transform(positions,
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i + 1, lit(W))).as("s"))))
+          .as("e"))
+        .select(col("doc_id"), col("e.pos").as("pos"), col("e.s").as("s"))
+      val dup = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val runs = sh.join(dup, "s").select(col("doc_id"), col("pos"))
+        .withColumn("cov",
+          least(coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(W)),
+            lit(W)))
+      val covered = runs.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + col("cov") - 1))
+          .as("tokpos"))
+      val tok = t.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("tokpos", "tok")))
+      val kept = tok.join(covered, Seq("doc_id", "tokpos"), "left_anti")
+      val agg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("tokpos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("clean_md5"))
+      n.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
         .orderBy("doc_id")
     }
   }
@@ -2882,6 +2973,7 @@ object TextQueries {
     t37BlockBoilerplate, t38DeltaNearDup, t38bDeltaNearDupProd,
     t39BloomDecontaminate,
     t40MixRebalance, t41SequencePack, t41bPackBoundaries, t43DupSpans,
+    t43bDupSpanRewrite,
     t58SourceOverlap, t60Winnowing, t61WinnowPairs, t61bWinnowPairsProd,
     t64NgramNovelty, t66SourceCuration)
 }

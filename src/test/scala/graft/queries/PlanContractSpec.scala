@@ -877,4 +877,50 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("t43b rewrite: doc-partitioned windows/aggs, anti join is equi, no cartesian") {
+    val p = finalizedPlan(TextQueries.t43bDupSpanRewrite.run(spark, sf))
+    // the interval window and the reassembly aggregate both ride the
+    // doc_id partition; the kept-token screen is a (doc_id, tokpos)
+    // equi anti join — never a product, never a corpus-wide window
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("t81 propagation: checkpointed edge/base invariants, equi joins, no window") {
+    val p = finalizedPlan(GraphQueries.t81ScorePropagation.run(spark, sf))
+    // the final plan joins the checkpointed node base against the last
+    // iteration's checkpointed scores — the MinHash pipeline must NOT
+    // reappear (each iteration materialized, lineage truncated)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("t81b pagerank: same iteration discipline as t81") {
+    val p = finalizedPlan(GraphQueries.t81bGraphPagerank.run(spark, sf))
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("t80 fusion: query-partitioned rank windows; fusion join is equi") {
+    val df = SearchQueries.t80RrfFusion.run(spark, sf)
+    val p = finalizedPlan(df)
+    // both legs' candidate ranks and the fused rank partition by
+    // query_id — no global window anywhere; the scalar stats frame
+    // rides a broadcast (BNLJ over 1 row is the sanctioned shape,
+    // t74's precedent); the candidate merge is a (query_id, doc_id)
+    // equi full-outer join
+    assert(p.contains("windowspecdefinition(query_id"), p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
