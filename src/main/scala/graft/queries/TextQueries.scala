@@ -1163,7 +1163,15 @@ object TextQueries {
     * Scale shape is t43's (the span-df groupBy and the join-back are
     * the only corpus-wide shuffles) plus one per-doc left_anti join
     * and the order-stable `array_sort(collect_list(struct(pos, tok)))`
-    * reassembly aggregate. */
+    * reassembly aggregate.
+    *
+    * No streaming door, deliberately: removing a span from its FIRST
+    * occurrence requires knowing a future duplicate exists, so the
+    * transform is retroactive by definition — at the door only a
+    * second-sighting alert is expressible (StreamingLineDedup's
+    * keep-first contract, which IS streamable, is the line-tier
+    * analogue); the rewrite itself belongs to the periodic batch
+    * sweep. */
   val t43bDupSpanRewrite: QuerySpec = {
     val W = 20
     QuerySpec.sql(
@@ -1526,7 +1534,20 @@ object TextQueries {
     * verification is t4b's row-local exact stage. This is the
     * standard exact set-similarity join at lake scale; t4b's LSH
     * form trades residual recall risk for a cheaper candidate stage.
-    */
+    *
+    * Corpus caveat (measured, sf0.1): the synthetic vocabulary tops
+    * out at 31 distinct tokens per doc, so even the "rarest" prefix
+    * tokens carry corpus-scale df and the prefix filter degenerates —
+    * 13,971 prefix rows → 3.69 M distinct candidates, ~30 % of all
+    * C(5000,2) pairs — making this the bench's heaviest query
+    * (~9 s warm-min; the verify stage's row-local intersects dominate,
+    * not a shuffle). That is a property of the flat template corpus,
+    * not the mechanism: prefix selectivity is the df of rare tokens,
+    * and on a Zipf vocabulary (any real corpus) rare-token df is
+    * O(1), collapsing candidates. Collapsing identical token sets
+    * first (the t34 move) was measured and rejected: 5000 docs hold
+    * 3,935 distinct sets — a 21 % collapse, not worth the expand
+    * join. */
   val t4cJaccardPrefix: QuerySpec = QuerySpec.sql(
     "t4c_jaccard_prefix",
     s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
