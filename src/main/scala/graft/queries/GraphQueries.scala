@@ -70,13 +70,17 @@ object GraphQueries {
   /** Spark twin of [[GraphBaseCtesSql]]: (edges, base) both
     * checkpointed — each is consumed [[Iters]] times. */
   private def graphBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, d)
-    val pairs = TextQueries.nearDupPairsOf(docs).select("d1", "d2")
+    // ONE tokenize pass: the checkpointed toks frame feeds both the
+    // MinHash signature pipeline and the distinct-token seed
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val pairs = TextQueries.nearDupPairsOfToks(toks).select("d1", "d2")
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint()
-    val seeds = docs.select(col("doc_id"),
-      (size(array_distinct(tokens(col("text")))).cast("long") * Scale)
+    val seeds = toks.select(col("doc_id"),
+      (size(array_distinct(col("toks"))).cast("long") * Scale)
         .as("seed_s"))
     val deg = edges.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("deg"))
@@ -117,9 +121,11 @@ object GraphQueries {
       iters: Int = Iters): DataFrame = {
     var cur = base.select(col("doc_id"), col("deg"), lit(Scale).as("pr"))
     for (_ <- 1 to iters) {
+      // deg >= 1 for every edge src by construction (it has this
+      // edge), so `pr div deg` cannot divide by zero — mirroring the
+      // oracle, which carries no guard either
       val nb = edges
         .join(cur.withColumnRenamed("doc_id", "src"), "src")
-        .filter(col("deg") > 0) // deg > 0 holds for every edge src
         .groupBy(col("dst").as("doc_id"))
         .agg(sum(expr("pr div deg")).as("w"))
       cur = base.join(nb, Seq("doc_id"), "left")

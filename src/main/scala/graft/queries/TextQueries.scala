@@ -153,8 +153,16 @@ object TextQueries {
     * spec runs it over a readStream frame. */
   private def sigProjectionOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("s"))
+    sigProjectionOfToks(docs
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  /** [[sigProjectionOf]] over an ALREADY-TOKENIZED (doc_id, toks)
+    * frame — for callers that reuse one tokenize pass across the
+    * near-dup pipeline and their own derivations (t81's seed). */
+  private[queries] def sigProjectionOfToks(
+      toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    toks
+      .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
       .select(col("doc_id"), minhashBase(col("s")).as("hv"))
       .select(col("doc_id"),
         array((0 until K).map(i => minhashSig(col("hv"), i)): _*).as("sig"))
@@ -179,8 +187,19 @@ object TextQueries {
     size(filter(zip_with(col("sx"), col("sy"), (x, y) => x === y), b => b))
 
   private[queries] def nearDupPairsOf(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bands = nearDupBands(nearDupSigs(docs))
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    nearDupPairsOfBands(nearDupBands(nearDupSigs(docs)))
+
+  /** [[nearDupPairsOf]] over an already-tokenized frame — the
+    * checkpoint sits on the signature table exactly as in the docs
+    * path, so the band self-join still materializes it once. */
+  private[queries] def nearDupPairsOfToks(
+      toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    nearDupPairsOfBands(
+      nearDupBands(sigProjectionOfToks(toks).localCheckpoint()))
+
+  private def nearDupPairsOfBands(
+      bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -1080,23 +1099,69 @@ object TextQueries {
     * the join-back; windows are per-doc. Spark's `sequence(a, b)`
     * DESCENDS when b < a, so short docs (< W tokens) are screened to
     * an empty position array rather than a poisoned one. */
+  /** Sliding-window width shared by the t43 metric and the t43b
+    * rewrite — ONE operating point, both engines. */
+  private val DupSpanW = 20
+
+  /** Shared t43/t43b DuckDB CTE chain `t → sh → dup → dp → runs`:
+    * tokenized docs → sliding [[DupSpanW]]-windows → corpus-duplicated
+    * windows → per-doc duplicated positions → disjoint coverage
+    * intervals (`cov`) with run starts. One definition, so the metric
+    * and the rewrite can never disagree on what a duplicated span is. */
+  private val DupSpanCtesSql: String = {
+    val W = DupSpanW
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, i - 1 AS pos,
+       |         array_to_string(toks[i : i + $W - 1], ' ') AS s
+       |       FROM t, unnest(range(1, len(toks) - $W + 2)) AS u(i)),
+       |dup AS (SELECT s FROM sh GROUP BY s
+       |        HAVING COUNT(*) >= 2),
+       |dp AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+       |runs AS (SELECT doc_id, pos,
+       |    LEAST(COALESCE(LEAD(pos) OVER w - pos, $W), $W) AS cov,
+       |    CASE WHEN pos - COALESCE(LAG(pos) OVER w, -$W - 1) > $W
+       |         THEN 1 ELSE 0 END AS run_start
+       |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos))""".stripMargin
+  }
+
+  /** Spark twin of [[DupSpanCtesSql]]: the checkpointed tokenized
+    * frame (ONE tokenize pass feeds windows, counts, and — in t43b —
+    * the token join-back) plus the per-doc duplicated-position runs
+    * frame carrying `cov` and `run_start`. */
+  private def dupSpanRuns(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val W = DupSpanW
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val positions = when(size(col("toks")) >= W,
+      sequence(lit(0), size(col("toks")) - W))
+      .otherwise(array().cast("array<int>"))
+    val sh = t.select(col("doc_id"),
+      explode(transform(positions,
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("toks"), i + 1, lit(W))).as("s"))))
+        .as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.s").as("s"))
+    val dup = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("s")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runs = sh.join(dup, "s").select(col("doc_id"), col("pos"))
+      .withColumn("cov",
+        least(coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(W)),
+          lit(W)))
+      .withColumn("run_start",
+        when(col("pos") - coalesce(lag(col("pos"), 1).over(w), lit(-W - 1))
+          > W, 1).otherwise(0))
+    (t, runs)
+  }
+
   val t43DupSpans: QuerySpec = {
-    val W = 20
     QuerySpec.sql(
       "t43_dup_spans",
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+      s"""WITH $DupSpanCtesSql,
          |n AS (SELECT doc_id, len(toks) AS n_toks FROM t),
-         |sh AS (SELECT doc_id, i - 1 AS pos,
-         |         array_to_string(toks[i : i + $W - 1], ' ') AS s
-         |       FROM t, unnest(range(1, len(toks) - $W + 2)) AS u(i)),
-         |dup AS (SELECT s FROM sh GROUP BY s
-         |        HAVING COUNT(*) >= 2),
-         |dp AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
-         |runs AS (SELECT doc_id, pos,
-         |    LEAST(COALESCE(LEAD(pos) OVER w - pos, $W), $W) AS cov,
-         |    CASE WHEN pos - COALESCE(LAG(pos) OVER w, -$W - 1) > $W
-         |         THEN 1 ELSE 0 END AS run_start
-         |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
          |agg AS (SELECT doc_id, SUM(run_start) AS n_dup_spans,
          |          SUM(cov) AS n_dup_tokens
          |        FROM runs GROUP BY doc_id)
@@ -1107,30 +1172,9 @@ object TextQueries {
          |    AS dup_frac
          |FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
          |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val (t, runs) = dupSpanRuns(s, d)
       val n = t.select(col("doc_id"), size(col("toks")).cast("long")
         .as("n_toks"))
-      val positions = when(size(col("toks")) >= W,
-        sequence(lit(0), size(col("toks")) - W))
-        .otherwise(array().cast("array<int>"))
-      val sh = t.select(col("doc_id"),
-        explode(transform(positions,
-          i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("toks"), i + 1, lit(W))).as("s"))))
-          .as("e"))
-        .select(col("doc_id"), col("e.pos").as("pos"), col("e.s").as("s"))
-      val dup = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select("s")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val runs = sh.join(dup, "s").select(col("doc_id"), col("pos"))
-        .withColumn("cov",
-          least(coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(W)),
-            lit(W)))
-        .withColumn("run_start",
-          when(col("pos") - coalesce(lag(col("pos"), 1).over(w), lit(-W - 1))
-            > W, 1).otherwise(0))
       val agg = runs.groupBy("doc_id")
         .agg(sum("run_start").as("n_dup_spans"),
           sum("cov").as("n_dup_tokens"))
@@ -1173,20 +1217,10 @@ object TextQueries {
     * analogue); the rewrite itself belongs to the periodic batch
     * sweep. */
   val t43bDupSpanRewrite: QuerySpec = {
-    val W = 20
     QuerySpec.sql(
       "t43b_dup_span_rewrite",
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+      s"""WITH $DupSpanCtesSql,
          |n AS (SELECT doc_id, len(toks) AS n_toks FROM t),
-         |sh AS (SELECT doc_id, i - 1 AS pos,
-         |         array_to_string(toks[i : i + $W - 1], ' ') AS s
-         |       FROM t, unnest(range(1, len(toks) - $W + 2)) AS u(i)),
-         |dup AS (SELECT s FROM sh GROUP BY s
-         |        HAVING COUNT(*) >= 2),
-         |dp AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
-         |runs AS (SELECT doc_id, pos,
-         |    LEAST(COALESCE(LEAD(pos) OVER w - pos, $W), $W) AS cov
-         |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
          |covered AS (SELECT doc_id, pos + i AS tokpos
          |            FROM runs, unnest(range(0, cov)) AS u(i)),
          |tok AS (SELECT doc_id, i - 1 AS tokpos, toks[i] AS tok
@@ -1204,28 +1238,9 @@ object TextQueries {
          |  COALESCE(a.clean_md5, md5('')) AS clean_md5
          |FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
          |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .localCheckpoint() // one tokenize pass feeds sh, tok, and n
+      val (t, runs) = dupSpanRuns(s, d)
       val n = t.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"))
-      val positions = when(size(col("toks")) >= W,
-        sequence(lit(0), size(col("toks")) - W))
-        .otherwise(array().cast("array<int>"))
-      val sh = t.select(col("doc_id"),
-        explode(transform(positions,
-          i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("toks"), i + 1, lit(W))).as("s"))))
-          .as("e"))
-        .select(col("doc_id"), col("e.pos").as("pos"), col("e.s").as("s"))
-      val dup = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select("s")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val runs = sh.join(dup, "s").select(col("doc_id"), col("pos"))
-        .withColumn("cov",
-          least(coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(W)),
-            lit(W)))
       val covered = runs.select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + col("cov") - 1))
           .as("tokpos"))
