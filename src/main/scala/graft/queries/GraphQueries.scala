@@ -21,7 +21,9 @@ import graft.functions.TextAnalysis.tokens
   * never drift between the dedup gates and the analytics gates. Lake
   * scale: the full-pair build is the t2 operating point; the t32
   * star / t38b banded-index remedies apply unchanged because the
-  * propagation loop only consumes an (src, dst) frame.
+  * propagation loop only consumes an (src, dst) frame — and t81c
+  * GATES that claim by running the identical recurrence on the star
+  * edge set.
   *
   * Numeric discipline (the r16 lesson, applied from birth): ALL
   * arithmetic is fixed-point int64 — scores scaled by 2^20, damping
@@ -52,13 +54,14 @@ object GraphQueries {
   /** Fixed power-iteration depth (both gates, both engines). */
   private val Iters = 6
 
-  /** Shared oracle prefix: near-dup pairs (t2's own CTEs) → symmetric
-    * `edges`, distinct-token `seeds`, out-degree `deg`, node `base`. */
-  private val GraphBaseCtesSql: String =
-    s"""${TextQueries.NearDupPairsCtesSql},
-       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+  /** Shared oracle prefix over an edge relation `pairsRel(d1, d2)`
+    * delivered by `pairCtes`: symmetric `edges`, distinct-token
+    * `seeds`, out-degree `deg`, node `base`. */
+  private def graphBaseCtesSql(pairCtes: String, pairsRel: String): String =
+    s"""$pairCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM $pairsRel
        |          UNION ALL
-       |          SELECT d2 AS src, d1 AS dst FROM pairs),
+       |          SELECT d2 AS src, d1 AS dst FROM $pairsRel),
        |seeds AS (SELECT doc_id,
        |    CAST(len(list_distinct(toks)) AS BIGINT) * $Scale AS seed_s
        |  FROM t),
@@ -67,15 +70,27 @@ object GraphQueries {
        |base AS (SELECT s.doc_id, s.seed_s, COALESCE(dg.deg, 0) AS deg
        |         FROM seeds s LEFT JOIN dg USING (doc_id))""".stripMargin
 
-  /** Spark twin of [[GraphBaseCtesSql]]: (edges, base) both
-    * checkpointed — each is consumed [[Iters]] times. */
-  private def graphBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** t81/t81b's graph: t2's FULL filtered pair set. */
+  private val GraphBaseCtesSql: String =
+    graphBaseCtesSql(TextQueries.NearDupPairsCtesSql, "pairs")
+
+  /** t81c's graph: t32's STAR edge set — linear in duplication depth. */
+  private val GraphBaseStarCtesSql: String =
+    graphBaseCtesSql(TextQueries.NearDupStarCtesSql, "star_pairs")
+
+  /** Spark twin of [[graphBaseCtesSql]]: (edges, base) both
+    * checkpointed — each is consumed [[Iters]] times. `star` selects
+    * the t32 hub-topology edge build instead of the full pair set. */
+  private def graphBase(s: SparkSession, d: String,
+      star: Boolean = false): (DataFrame, DataFrame) = {
     // ONE tokenize pass: the checkpointed toks frame feeds both the
     // MinHash signature pipeline and the distinct-token seed
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .localCheckpoint()
-    val pairs = TextQueries.nearDupPairsOfToks(toks).select("d1", "d2")
+    val pairs =
+      (if (star) TextQueries.nearDupStarEdgesOfToks(toks)
+       else TextQueries.nearDupPairsOfToks(toks)).select("d1", "d2")
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint()
@@ -142,7 +157,10 @@ object GraphQueries {
     * its seed score and absorbs the rest from the truncated mean of
     * its neighbors' previous scores; isolated nodes keep the seed.
     * Seed = distinct-token count (lexical diversity), scaled 2^20. */
-  val t81ScorePropagation: QuerySpec = {
+  /** Full propagation oracle over a given graph-base CTE chain — the
+    * s0→s[[Iters]] unrolled recurrence plus the final projection,
+    * shared by t81 and t81c so the two graphs run ONE recurrence. */
+  private def propagationOracleSql(baseCtes: String): String = {
     val iterCtes = (1 to Iters).map { k =>
       s"""s$k AS (SELECT b.doc_id,
          |  CAST(CASE WHEN b.deg = 0 THEN b.seed_s
@@ -154,22 +172,45 @@ object GraphQueries {
          |    FROM edges e JOIN s${k - 1} p ON e.src = p.doc_id
          |    GROUP BY 1) nb USING (doc_id))""".stripMargin
     }.mkString(",\n")
+    s"""WITH $baseCtes,
+       |s0 AS (SELECT doc_id, seed_s AS s FROM base),
+       |$iterCtes
+       |SELECT b.doc_id AS doc_id, b.deg, b.seed_s,
+       |  f.s AS score_fp
+       |FROM base b JOIN s$Iters f ON b.doc_id = f.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** Shared t81/t81c Spark run: graph build → recurrence → projection. */
+  private def runPropagation(s: SparkSession, d: String,
+      star: Boolean): DataFrame = {
+    val (edges, base) = graphBase(s, d, star)
+    base.join(propagateScores(edges, base), Seq("doc_id"))
+      .select(col("doc_id"), col("deg"), col("seed_s"),
+        col("s").as("score_fp"))
+      .orderBy("doc_id")
+  }
+
+  val t81ScorePropagation: QuerySpec =
     QuerySpec.sql(
       "t81_score_propagation",
-      s"""WITH $GraphBaseCtesSql,
-         |s0 AS (SELECT doc_id, seed_s AS s FROM base),
-         |$iterCtes
-         |SELECT b.doc_id AS doc_id, b.deg, b.seed_s,
-         |  f.s AS score_fp
-         |FROM base b JOIN s$Iters f ON b.doc_id = f.doc_id
-         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
-      val (edges, base) = graphBase(s, d)
-      base.join(propagateScores(edges, base), Seq("doc_id"))
-        .select(col("doc_id"), col("deg"), col("seed_s"),
-          col("s").as("score_fp"))
-        .orderBy("doc_id")
-    }
-  }
+      propagationOracleSql(GraphBaseCtesSql))(
+      (s, d) => runPropagation(s, d, star = false))
+
+  /** T81C — the SAME propagation recurrence on t32's STAR edge set:
+    * the production-topology twin. The full-pair graph (t81) is
+    * quadratic in duplication depth — the t2 parity-side property —
+    * while the star graph is linear (m−1 hub edges per band bucket),
+    * which is what a 100 TB near-dup graph actually looks like; this
+    * gate proves the loop is edge-frame agnostic by RUNNING it there,
+    * not by claiming it. Scores differ from t81's by design (sparser
+    * neighborhoods average fewer neighbors); the recurrence, seeds,
+    * and fixed-point discipline are byte-shared. */
+  val t81cPropagationStar: QuerySpec =
+    QuerySpec.sql(
+      "t81c_propagation_star",
+      propagationOracleSql(GraphBaseStarCtesSql))(
+      (s, d) => runPropagation(s, d, star = true))
 
   /** T81B — PAGERANK on the same graph (Page et al. 1999; damping
     * 0.85 as the integer 85/100, uniform teleport mass 15 % of
@@ -204,5 +245,6 @@ object GraphQueries {
     }
   }
 
-  val all: Seq[QuerySpec] = Seq(t81ScorePropagation, t81bGraphPagerank)
+  val all: Seq[QuerySpec] =
+    Seq(t81ScorePropagation, t81bGraphPagerank, t81cPropagationStar)
 }

@@ -128,6 +128,13 @@ object TextQueries {
   private[queries] val NearDupPairsCtesSql: String =
     nearDupBaseCtes("documents") + ",\n" + NearDupPairCtes
 
+  /** CTE chain ending in `star_pairs(d1, d2)` — the hub-topology edge
+    * set (m−1 edges per bucket, linear in duplication depth), shared
+    * with t32 so t81c's "scalable graph" is exactly the one the CC
+    * production tier consumes. */
+  private[queries] val NearDupStarCtesSql: String =
+    nearDupBaseCtes("documents") + ",\n" + StarPairCtes
+
   /** Spark twin of [[NearDupPairsCtesSql]]: the filtered near-dup pair
     * set (d1 < d2), unordered.
     *
@@ -240,6 +247,13 @@ object TextQueries {
   private[queries] def nearDupStarEdgesOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     starEdgesOfBands(nearDupBands(nearDupSigs(docs)))
+
+  /** [[nearDupStarEdgesOf]] over an already-tokenized frame — the
+    * t81c seam, mirroring [[nearDupPairsOfToks]]. */
+  private[queries] def nearDupStarEdgesOfToks(
+      toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    starEdgesOfBands(
+      nearDupBands(sigProjectionOfToks(toks).localCheckpoint()))
 
   /** The hub-election + signature-screen half of the star-edge build,
     * over an ALREADY-MATERIALIZED (doc_id, sig, band, bkey) frame —

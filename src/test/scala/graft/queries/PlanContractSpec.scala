@@ -902,6 +902,15 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("t81c star propagation: same iteration discipline on the star graph") {
+    val p = finalizedPlan(GraphQueries.t81cPropagationStar.run(spark, sf))
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("t81b pagerank: same iteration discipline as t81") {
     val p = finalizedPlan(GraphQueries.t81bGraphPagerank.run(spark, sf))
     assert(p.contains("ExistingRDD"), p)
