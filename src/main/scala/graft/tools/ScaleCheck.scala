@@ -69,7 +69,9 @@ object ScaleCheck {
     "t74_curation_v2", "t75_wordpiece_vocab", "t76_wordpiece_segment",
     "t77_margin_mining", "t78_unigram_viterbi", "t79_unimax_mix",
     "t6b_langid_nb", "t71b_dsir_sample", "t72b_c4_rules",
-    "t57d_d4_prototypes")
+    "t57d_d4_prototypes", "t43b_dup_span_rewrite", "t80_rrf_fusion",
+    "t81_score_propagation", "t81b_graph_pagerank",
+    "t81c_propagation_star")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
