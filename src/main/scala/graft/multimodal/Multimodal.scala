@@ -1282,9 +1282,13 @@ object Multimodal {
     * [[dHashClusters]]' banded-join scale shape. */
   def audioManifest(keys: DataFrame): DataFrame = {
     val wSig = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    // checkpoint: the keeper-window frame feeds BOTH the cluster build
+    // (through dHashClusters' materialization) and the verdict join —
+    // without it the corpus-wide sig window computes twice per finalize
     val exact = keys
       .select(col("media_id"), col("sig"), col("ahash"))
       .withColumn("exact_keeper", min("media_id").over(wSig))
+      .localCheckpoint()
     val clusters = dHashClusters(
       exact.filter(col("media_id") === col("exact_keeper"))
         .select(col("media_id").as("mediaId"), col("ahash").as("dhash")),

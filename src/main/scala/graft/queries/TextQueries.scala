@@ -1502,23 +1502,32 @@ object TextQueries {
        |FROM j WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.9
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val cand = {
-      val bands = bandIndexOf(docs).select("doc_id", "band", "bkey")
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-    }
-    exactJaccardVerify(cand,
+    exactJaccardVerify(lshCandidatesOf(docs),
       docs.select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), 3)).as("ts")))
   }
 
-  /** Shared t4b/t4c verify stage: EXACT token-set Jaccard ≥ 0.9 over
-    * the full distinct sets for a candidate pair frame (d1, d2) —
-    * two doc_id equi-joins plus row-local array arithmetic,
+  /** ANY-band-collision candidate pairs (d1 < d2) from the standing
+    * band index — no ≥ K/2 signature screen: the callers' EXACT verify
+    * stage replaces the estimate. ONE definition shared by t4b/t70b so
+    * the candidate stage cannot drift between the Jaccard and
+    * containment twins. */
+  private def lshCandidatesOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = bandIndexOf(docs).select("doc_id", "band", "bkey")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Shared t4b/t4c verify stage: EXACT set Jaccard ≥ 0.9 over the
+    * full distinct sets for a candidate pair frame (d1, d2) — the SET
+    * SPACE is the caller's (t4b passes 3-gram shingle sets, t4c
+    * distinct-token sets; the measure is Jaccard over whatever `ts`
+    * holds). Two doc_id equi-joins plus row-local array arithmetic,
     * candidate-count-bounded, never corpus-quadratic. */
   private def exactJaccardVerify(
       cand: org.apache.spark.sql.DataFrame,
@@ -1594,9 +1603,13 @@ object TextQueries {
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // checkpoint: ts feeds BOTH the df aggregate and the prefix join —
+    // the two exchanges have different subtrees, so without it the
+    // tokenize+explode+window scan runs twice (t70c's ss precedent)
     val ts = docs.select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("n", count(lit(1)).over(byDoc))
+      .localCheckpoint()
     val dfreq = ts.groupBy("tok").agg(count(lit(1)).as("df"))
     // canonical global order = ascending (df, tok): rarest first,
     // total (tok unique within a doc) — any total order shared by all
@@ -1739,15 +1752,7 @@ object TextQueries {
        |FROM dirs WHERE containment >= 0.9
        |ORDER BY contained, container""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val cand = {
-      val bands = bandIndexOf(docs).select("doc_id", "band", "bkey")
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-    }
+    val cand = lshCandidatesOf(docs)
     val ss = docs.select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 3)).as("ss"))
     val j = cand

@@ -726,8 +726,11 @@ object VectorQueries {
       .join(broadcast(nn), "cid")
       .join(broadcast(sums), "cid")
       .withColumn("diff",
-        when(array_max(transform(col("eL"), v => abs(v))) <=
-            lit(DiffCap / 2) / greatest(col("n_cluster"), lit(1L)),
+        // coalesce(max|x|, 0): an empty embedding has NULL array_max,
+        // which would otherwise fall through when()'s false branch
+        // into the error — a degenerate row is in-bounds, not overflow
+        when(coalesce(array_max(transform(col("eL"), v => abs(v))), lit(0L))
+            <= lit(DiffCap / 2) / greatest(col("n_cluster"), lit(1L)),
           zip_with(col("eL"), col("sL"), (a, b) => col("n_cluster") * a - b))
           .otherwise(raise_error(lit(
             "t57d dist2 overflow: n_cluster * max|eL| exceeds the " +

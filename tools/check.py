@@ -101,7 +101,12 @@ def compare(got, want):
             # HUGEINT/decimal128): the driver's exact hash distinguishes
             # 2.0 from 2 AND Decimal(2) from 2 — Python's loose == is
             # True for both (Decimal(5) == 5 is how the r16 t71 red
-            # sailed through this mirror), so neither may pass it
+            # sailed through this mirror), so neither may pass it.
+            # NOTE: the Decimal arm is second-line defense only — the
+            # schema gate above already rejects any decimal COLUMN, so
+            # a Decimal cell can only reach here if a non-decimal Arrow
+            # column ever yields one (defense in depth, not the primary
+            # guard)
             for kind in (float, decimal.Decimal):
                 if isinstance(a, kind) != isinstance(b, kind) \
                         and a is not None and b is not None:
