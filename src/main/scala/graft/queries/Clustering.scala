@@ -54,8 +54,10 @@ private[queries] object Clustering {
     * failure) for any other plan shape: callers may record frames that
     * were never checkpointed, and releasing is an optimization, not a
     * correctness requirement. Deliberately non-blocking — the evicted
-    * blocks just become reclaimable. */
-  private def release(df: DataFrame): Unit =
+    * blocks just become reclaimable. Shared with the iterative loops
+    * (GraphQueries, which checkpoints per power-iteration round) so
+    * every superseded-checkpoint release goes through one definition. */
+  private[queries] def release(df: DataFrame): Unit =
     try df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

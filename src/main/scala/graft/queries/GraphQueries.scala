@@ -56,7 +56,11 @@ object GraphQueries {
 
   /** Shared oracle prefix over an edge relation `pairsRel(d1, d2)`
     * delivered by `pairCtes`: symmetric `edges`, distinct-token
-    * `seeds`, out-degree `deg`, node `base`. */
+    * `seeds`, out-degree `deg`, node `base`. The seeds CTE reads the
+    * tokenized-docs relation the near-dup chain exports by contract
+    * ([[TextQueries.NearDupToksRel]]), not a bare literal — a rename
+    * inside that chain now changes one constant instead of silently
+    * breaking this oracle (ADVICE r17). */
   private def graphBaseCtesSql(pairCtes: String, pairsRel: String): String =
     s"""$pairCtes,
        |edges AS (SELECT d1 AS src, d2 AS dst FROM $pairsRel
@@ -64,7 +68,7 @@ object GraphQueries {
        |          SELECT d2 AS src, d1 AS dst FROM $pairsRel),
        |seeds AS (SELECT doc_id,
        |    CAST(len(list_distinct(toks)) AS BIGINT) * $Scale AS seed_s
-       |  FROM t),
+       |  FROM ${TextQueries.NearDupToksRel}),
        |dg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
        |       FROM edges GROUP BY 1),
        |base AS (SELECT s.doc_id, s.seed_s, COALESCE(dg.deg, 0) AS deg
@@ -114,10 +118,11 @@ object GraphQueries {
   private[queries] def propagateScores(edges: DataFrame, base: DataFrame,
       iters: Int = Iters): DataFrame = {
     var cur = base.select(col("doc_id"), col("seed_s").as("s"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val nb = edges.join(cur.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(sum("s").as("sum_s"))
+      val prev = cur
       cur = base.join(nb, Seq("doc_id"), "left")
         .select(col("doc_id"),
           expr(s"""CASE WHEN deg = 0 THEN seed_s
@@ -125,6 +130,12 @@ object GraphQueries {
                   |       * (COALESCE(sum_s, 0) div deg)) div 100 END"""
             .stripMargin.replace("\n", "")).as("s"))
         .localCheckpoint()
+      // eager localCheckpoint: the new round is fully materialized, so
+      // the superseded round's blocks are dead — release them (the
+      // ADVICE-r14 discipline; round 1's `prev` is a plain projection
+      // over base, where release is a documented no-op), bounding the
+      // loop's footprint to O(1) iterations instead of O(iters)
+      if (round > 1) Clustering.release(prev)
     }
     cur
   }
@@ -135,7 +146,7 @@ object GraphQueries {
   private[queries] def pagerankScores(edges: DataFrame, base: DataFrame,
       iters: Int = Iters): DataFrame = {
     var cur = base.select(col("doc_id"), col("deg"), lit(Scale).as("pr"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       // deg >= 1 for every edge src by construction (it has this
       // edge), so `pr div deg` cannot divide by zero — mirroring the
       // oracle, which carries no guard either
@@ -143,11 +154,15 @@ object GraphQueries {
         .join(cur.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(sum(expr("pr div deg")).as("w"))
+      val prev = cur
       cur = base.join(nb, Seq("doc_id"), "left")
         .select(col("doc_id"), col("deg"),
           expr(s"(15 * $Scale + $Damp * COALESCE(w, 0)) div 100")
             .as("pr"))
         .localCheckpoint()
+      // release the superseded round once the new one materializes
+      // (see propagateScores) — O(1)-iteration footprint
+      if (round > 1) Clustering.release(prev)
     }
     cur
   }

@@ -103,33 +103,51 @@ object SearchQueries {
   /** Spark twin of [[Bm25CoreCtesSql]]: the scored frames every
     * retrieval gate builds on. `sc` is (query_id, doc_id, score_u);
     * `tf`/`stats` feed t80's second scorer. */
-  private final case class Bm25Core(
+  private[graft] final case class Bm25Core(
       tf: DataFrame, stats: DataFrame, sc: DataFrame)
 
-  private def bm25Core(s: SparkSession, d: String): Bm25Core = {
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"),
+  /** STREAMING-SAFE tokenize projection (doc_id, toks, dl) — pure
+    * shared expressions over any docs frame (batch or readStream):
+    * the batch core wraps it in a localCheckpoint; the streaming door
+    * applies it per micro-batch. */
+  private def tokenizeProjection(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         filter(tokens(col("text")), w => w =!= "").as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("dl"))
-      .localCheckpoint() // one tokenize pass: stats + df + postings
-    val ti = t.select(col("doc_id"), col("dl"),
-      explode(col("toks")).as("word"))
-    val stats = t.agg(count(lit(1)).as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val df = ti.groupBy("word")
-      .agg(count_distinct(col("doc_id")).as("df"))
-    // distributed top-K first (TakeOrderedAndProject); the global
-    // row_number window then sorts ranks-many rows, not the vocab
-    val qt = df.orderBy(col("df").asc, col("word")).limit(QTermRanks.max)
+
+  /** (doc_id, dl) — the doc-length half of the retrieval door. Kept
+    * separate from the postings half because a zero-token document
+    * counts in n_docs/avgdl but emits no posting row. */
+  private[graft] def docLengthsOf(docs: DataFrame): DataFrame =
+    tokenizeProjection(docs).select("doc_id", "dl")
+
+  /** (doc_id, dl, word, tf) token-count rows — the postings half of
+    * the retrieval door. A document arrives whole (one row), so its
+    * counts here are its FINAL tf: appended per micro-batch to a
+    * standing postings table, the deltas need no cross-batch merge. */
+  private[graft] def tokenCountsOf(docs: DataFrame): DataFrame =
+    tokenizeProjection(docs)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("word"))
+      .groupBy("doc_id", "dl", "word")
+      .agg(count(lit(1)).as("tf"))
+
+  /** df-ranked query terms (word, df, query_id) off a
+    * document-frequency frame — distributed top-K first
+    * (TakeOrderedAndProject); the global row_number window then sorts
+    * ranks-many rows, not the vocab. */
+  private def queryTerms(dfreq: DataFrame): DataFrame =
+    dfreq.orderBy(col("df").asc, col("word")).limit(QTermRanks.max)
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("df").asc, col("word"))))
       .filter(col("rnk").isin(QTermRanks: _*))
       .select(col("word"), col("df"),
         ((col("rnk") - QTermRanks.head) / 2).cast("long").as("query_id"))
-    val tf = ti.join(broadcast(qt), "word")
-      .groupBy("doc_id", "dl", "word", "query_id", "df")
-      .agg(count(lit(1)).as("tf"))
+
+  /** The scoring tail (tf, stats) → sc — ONE expression tree shared by
+    * the batch core and the standing-postings finalize, so the two
+    * compositions cannot drift on a single float op. */
+  private def scoredCore(tf: DataFrame, stats: DataFrame): Bm25Core = {
     val idfBits =
       (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("double")
     val tfPart = (col("tf") * lit(1 + K1)) /
@@ -144,6 +162,54 @@ object SearchQueries {
     Bm25Core(tf, stats, sc)
   }
 
+  private def bm25Core(s: SparkSession, d: String): Bm25Core = {
+    val t = tokenizeProjection(Tables.documents(s, d))
+      .localCheckpoint() // one tokenize pass: stats + df + postings
+    val ti = t.select(col("doc_id"), col("dl"),
+      explode(col("toks")).as("word"))
+    val stats = t.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val df = ti.groupBy("word")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val qt = queryTerms(df)
+    val tf = ti.join(broadcast(qt), "word")
+      .groupBy("doc_id", "dl", "word", "query_id", "df")
+      .agg(count(lit(1)).as("tf"))
+    scoredCore(tf, stats)
+  }
+
+  /** The STANDING-POSTINGS composition of the same core: scoring off
+    * accumulated (doc_id, dl) and (doc_id, dl, word, tf) tables —
+    * what a publish pass runs over the streaming door's output
+    * instead of re-scanning the corpus. df comes off the postings
+    * rows (exactly the batch value: tc is (doc_id, word)-unique);
+    * stats off the length table (zero-token docs included); the
+    * scoring tail is [[scoredCore]], byte-shared with the batch
+    * path. */
+  private[graft] def bm25CoreOfParts(dlen: DataFrame,
+      tc: DataFrame): Bm25Core = {
+    val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val df = tc.groupBy("word")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val qt = queryTerms(df)
+    val tf = tc.join(broadcast(qt), "word")
+      .select("doc_id", "dl", "word", "query_id", "df", "tf")
+    scoredCore(tf, stats)
+  }
+
+  /** t53's ranked-retrieval tail over a scored core — shared by the
+    * batch gate and the streaming finalize (StreamingRetrievalSpec)
+    * so the published top-k cannot drift between the two tiers. */
+  private[graft] def t53TailOf(core: Bm25Core): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_u").desc, col("doc_id"))
+    core.sc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "doc_id", "score_u")
+      .orderBy("query_id", "rank")
+  }
+
   val t53Bm25TopK: QuerySpec =
     QuerySpec.sql(
       "t53_bm25_topk",
@@ -154,13 +220,7 @@ object SearchQueries {
          |SELECT query_id, rank, doc_id, score_u
          |FROM ranked WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      val sc = bm25Core(s, d).sc
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("score_u").desc, col("doc_id"))
-      sc.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
-        .select("query_id", "rank", "doc_id", "score_u")
-        .orderBy("query_id", "rank")
+      t53TailOf(bm25Core(s, d))
     }
 
   /** T80 — RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009)
@@ -218,37 +278,43 @@ object SearchQueries {
          |SELECT query_id, rank, doc_id, rrf_u, lex_rank, tf_rank
          |FROM ranked WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      val core = bm25Core(s, d)
-      val bits = length(bin(col("n_docs"))) - length(bin(col("df")))
-      val ds = core.tf.crossJoin(broadcast(core.stats))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("tf") * bits * bits).as("score2_u"))
-      def topList(scored: DataFrame, scoreCol: String): DataFrame = {
-        val w = Window.partitionBy("query_id")
-          .orderBy(col(scoreCol).desc, col("doc_id"))
-        scored.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= FuseN)
-          .select("query_id", "doc_id", "rnk")
-      }
-      val c1 = topList(core.sc, "score_u")
-      val c2 = topList(ds, "score2_u")
-      val fused = c1.withColumnRenamed("rnk", "rnk1")
-        .join(c2.withColumnRenamed("rnk", "rnk2"),
-          Seq("query_id", "doc_id"), "full_outer")
-        .select(col("query_id"), col("doc_id"),
-          (coalesce(expr(s"$RrfScale div ($RrfK + rnk1)"), lit(0L)) +
-            coalesce(expr(s"$RrfScale div ($RrfK + rnk2)"), lit(0L)))
-            .as("rrf_u"),
-          coalesce(col("rnk1"), lit(0)).cast("long").as("lex_rank"),
-          coalesce(col("rnk2"), lit(0)).cast("long").as("tf_rank"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("rrf_u").desc, col("doc_id"))
-      fused.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
-        .select("query_id", "rank", "doc_id", "rrf_u", "lex_rank",
-          "tf_rank")
-        .orderBy("query_id", "rank")
+      t80TailOf(bm25Core(s, d))
     }
+
+  /** t80's fusion tail over a scored core (both scorers + RRF merge) —
+    * shared by the batch gate and the streaming finalize, like
+    * [[t53TailOf]]. */
+  private[graft] def t80TailOf(core: Bm25Core): DataFrame = {
+    val bits = length(bin(col("n_docs"))) - length(bin(col("df")))
+    val ds = core.tf.crossJoin(broadcast(core.stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tf") * bits * bits).as("score2_u"))
+    def topList(scored: DataFrame, scoreCol: String): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col(scoreCol).desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= FuseN)
+        .select("query_id", "doc_id", "rnk")
+    }
+    val c1 = topList(core.sc, "score_u")
+    val c2 = topList(ds, "score2_u")
+    val fused = c1.withColumnRenamed("rnk", "rnk1")
+      .join(c2.withColumnRenamed("rnk", "rnk2"),
+        Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"$RrfScale div ($RrfK + rnk1)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfK + rnk2)"), lit(0L)))
+          .as("rrf_u"),
+        coalesce(col("rnk1"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("rnk2"), lit(0)).cast("long").as("tf_rank"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "doc_id", "rrf_u", "lex_rank",
+        "tf_rank")
+      .orderBy("query_id", "rank")
+  }
 
   val all: Seq[QuerySpec] = Seq(t53Bm25TopK, t80RrfFusion)
 }

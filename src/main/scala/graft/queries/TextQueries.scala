@@ -64,6 +64,14 @@ object TextQueries {
     * rep-collapsed pipeline) builds on, parameterized so t34 can run
     * it over the exact-dedup representatives instead of raw
     * `documents`. */
+  /** Name of the tokenized-docs CTE `(doc_id, toks)` that
+    * [[nearDupBaseCtes]] opens its chain with — part of the EXPORTED
+    * contract of the near-dup CTE chains (GraphQueries' seeds CTE
+    * selects from it), not an internal detail: a rename inside the
+    * chain must change this constant, which downstream oracle SQL
+    * references instead of the bare literal (ADVICE r17). */
+  private[queries] val NearDupToksRel = "t"
+
   private def nearDupBaseCtes(rel: String): String = {
     val P = MinhashP
     val sigDefsSql = (0 until K).map(i =>
@@ -73,8 +81,8 @@ object TextQueries {
       val cols = (0 until R).map(r => s"sig_${b * R + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM $rel),
-       |sh AS (SELECT doc_id, $ShinglesOverToks AS s FROM t),
+    s"""$NearDupToksRel AS (SELECT doc_id, $ToksSql AS toks FROM $rel),
+       |sh AS (SELECT doc_id, $ShinglesOverToks AS s FROM $NearDupToksRel),
        |hvs AS (SELECT doc_id, list_transform(s,
        |  x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % $P) AS hv FROM sh),
        |sigs AS (SELECT doc_id,
@@ -1507,14 +1515,51 @@ object TextQueries {
         array_distinct(shingles(tokens(col("text")), 3)).as("ts")))
   }
 
+  /** Bucket membership above which [[lshCandidatesOf]] warns: a
+    * 4096-deep bucket contributes C(4096,2) ≈ 8.4 M candidate pairs to
+    * the verify stage ON ITS OWN — the quadratic-in-duplication-depth
+    * regime where t32/t34's star/rep routing (or a t38b-style
+    * retention cap) is the right tier, not the raw pair join. */
+  private[queries] val LshHotBucketWarn = 4096L
+
+  /** Band-bucket fan-in accounting over a (doc_id, band, bkey) index:
+    * (max bucket membership, Σ C(m,2) candidate mass). One aggregate
+    * pass over the ALREADY-CHECKPOINTED index — cheap next to the
+    * self-join it accounts for, and the number that decides whether
+    * that join is safe to run at all. */
+  private[graft] def bucketFanIn(
+      bands: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val row = bands.groupBy("band", "bkey").agg(count(lit(1)).as("m"))
+      .agg(coalesce(max("m"), lit(0L)).as("max_m"),
+        coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("cand_mass"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
   /** ANY-band-collision candidate pairs (d1 < d2) from the standing
     * band index — no ≥ K/2 signature screen: the callers' EXACT verify
     * stage replaces the estimate. ONE definition shared by t4b/t70b so
     * the candidate stage cannot drift between the Jaccard and
-    * containment twins. */
+    * containment twins.
+    *
+    * Fan-in accounting (VERDICT r17): within-bucket candidate mass is
+    * Σ C(m,2) — quadratic in duplication depth m, the same parity-side
+    * property as t2 — so the build MEASURES it off the checkpointed
+    * index and reports before the join runs: a `[lsh]` line always, a
+    * loud stderr WARNING when any bucket exceeds [[LshHotBucketWarn]]
+    * (an adversarial hot bucket is visible, never silent; the remedy
+    * at that depth is t32/t34 star/rep routing or a t38b-style cap). */
   private def lshCandidatesOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bands = bandIndexOf(docs).select("doc_id", "band", "bkey")
+    val (maxM, candMass) = bucketFanIn(bands)
+    println(s"[lsh] band-bucket fan-in: max_bucket=$maxM " +
+      s"candidate_mass=$candMass")
+    if (maxM > LshHotBucketWarn)
+      System.err.println(s"[lsh] WARNING: hot band bucket (m=$maxM > " +
+        s"$LshHotBucketWarn): within-bucket pairing is quadratic in " +
+        "duplication depth — route this corpus through star/rep " +
+        "clustering (t32/t34) or a capped index (t38b) instead")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -2967,7 +3012,15 @@ object TextQueries {
     * hundreds at any scale), cumulative-sum the per-df pair mass up
     * the tiny frame, take the largest df within budget. The corpus
     * count is read driver-side (a model-sized stat, like AQE's
-    * runtime statistics); everything else stays declarative. */
+    * runtime statistics); everything else stays declarative.
+    *
+    * Degeneracy pin (VERDICT r17 item 6): unlike t4c's prefix keys,
+    * these bucket keys CANNOT degenerate on a flat-vocabulary corpus —
+    * the budget cap measures the join's emission before running it, so
+    * an all-boilerplate corpus clamps the screen instead of squaring
+    * the join; ScaleGuardSpec pins exactly that worst case (40
+    * identical docs: t61's fixed cap emits C(40,2), this gate emits
+    * 0). */
   val t61bWinnowPairsProd: QuerySpec = QuerySpec.sql(
     "t61b_winnow_pairs_prod",
     s"""WITH fp AS (SELECT DISTINCT doc_id, h

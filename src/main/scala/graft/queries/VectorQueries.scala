@@ -191,14 +191,23 @@ object VectorQueries {
     * surviving candidates, top-3 per query vector. Candidate scoring
     * joins the (small) pair set back to the corpus by id — the
     * fetch-then-score shape every two-stage ANN retriever uses. */
-  private def annLshSpec(name: String, bits: Int, tables: Int,
-      cap: Int): QuerySpec = {
-    val keySql = (t: Int) => (0 until bits).map { i =>
+  /** DuckDB sign-bit key for table `t` — ONE generator shared by the
+    * t10 oracles and t82's seed CTEs so the bucket definition cannot
+    * drift between the ANN gates and the k-NN-graph gate. */
+  private def lshKeySql(bits: Int, tables: Int)(t: Int): String =
+    (0 until bits).map { i =>
       s"CASE WHEN embedding[${lshDim(i, t, tables) + 1}] >= 0 THEN '1' ELSE '0' END"
     }.mkString("concat(", ", ", ")")
-    val keysSql = (0 until tables).map(t =>
-      s"SELECT vec_id, $t AS tbl, ${keySql(t)} AS bkey FROM embeddings")
+
+  /** The per-table key UNION — body of the `keys` CTE. */
+  private def lshKeysSql(bits: Int, tables: Int): String =
+    (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${lshKeySql(bits, tables)(t)} AS bkey FROM embeddings")
       .mkString("\n  UNION ALL\n  ")
+
+  private def annLshSpec(name: String, bits: Int, tables: Int,
+      cap: Int): QuerySpec = {
+    val keysSql = lshKeysSql(bits, tables)
     QuerySpec.sql(
       name,
       s"""WITH sq AS ($NormsSql),
@@ -272,6 +281,161 @@ object VectorQueries {
     * per hyperplane), not just at the demo config. */
   val t10bAnnLshScale: QuerySpec =
     annLshSpec("t10b_ann_lsh_scale", 12, 4, LshBucketCap)
+
+  // ---- T82: k-NN graph construction (NN-Descent, fixed rounds) ----
+
+  /** Neighbors kept per node, and fixed refinement depth. K small and
+    * rounds FIXED (the t81 lesson: a fixed-depth recurrence is
+    * deterministic and unrolled-CTE-expressible; NN-Descent converges
+    * in 4-6 rounds on real data, and each round at lake scale costs
+    * one self-join of a k·N-row frame — rounds is the budget knob). */
+  private[queries] val KnnK = 5
+  private[queries] val KnnRounds = 2
+
+  /** Exact cosine scoring + per-node top-k — the verify stage of every
+    * round: two vec_id equi-joins pulling the pre-scaled vectors
+    * ([[dotL]]'s codegen'd long arithmetic — t57's exact-long-dot
+    * discipline), a qid-partitioned rank window. Candidate frame must
+    * be distinct (qid, nid) rows. */
+  private def knnScoreTopK(e: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
+    val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("eL").as("qL"),
+        col("ss").as("ss_a")), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("eL").as("nL"),
+        col("ss").as("ss_b")), "nid")
+      .select(col("qid"), col("nid"),
+        (dotL(col("qL"), col("nL")) /
+          (sqrt(col("ss_a")) * sqrt(col("ss_b")))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The NN-Descent recurrence (Dong, Moses & Li, WWW 2011) over an
+    * arbitrary seed edge frame — factored off the LSH seed so the
+    * fixed-point semantics are spec-testable on hand graphs: each
+    * round, every node's candidates are its current neighbors plus its
+    * neighbors-of-neighbors over the SYMMETRIZED graph (the paper's
+    * local-join, direction-blind), re-scored EXACTLY and cut back to
+    * top-[[KnnK]]. Each round's graph is localCheckpoint-ed (consumed
+    * by two self-join sides next round) and the superseded round's
+    * blocks released — O(1)-iteration footprint, the GraphQueries
+    * discipline. */
+  private[queries] def nnDescentFrom(e: DataFrame, seed: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    var g = knnScoreTopK(e, seed.select("qid", "nid").distinct(), k)
+      .select("qid", "nid", "cosine", "rank")
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val edges = g.select("qid", "nid")
+      val sym = edges
+        .union(edges.select(col("nid").as("qid"), col("qid").as("nid")))
+      val nn = sym.as("a")
+        .join(sym.as("b"),
+          col("a.nid") === col("b.qid") && col("a.qid") =!= col("b.nid"))
+        .select(col("a.qid"), col("b.nid"))
+      val cand = nn.union(edges).distinct()
+      val prev = g
+      g = knnScoreTopK(e, cand, k)
+        .select("qid", "nid", "cosine", "rank")
+        .localCheckpoint()
+      Clustering.release(prev)
+    }
+    g
+  }
+
+  /** T82 — K-NN GRAPH CONSTRUCTION (LSH seed + NN-Descent refinement):
+    * the standing primitive under SemDeDup/cluster/ANN-serve pipelines
+    * at lake scale — build, once, a graph holding each vector's
+    * [[KnnK]] nearest neighbors, sub-quadratically. Seed = t10's LSH
+    * candidate stage ([[annLshPairs]] at the t10 operating point — the
+    * shared definition, cap and all); refinement = [[KnnRounds]]
+    * NN-Descent rounds (neighbors-of-neighbors candidate join + exact
+    * long-dot rerank). The LSH seed finds same-bucket neighbors;
+    * NN-Descent recovers cross-bucket ones through transitivity (a
+    * neighbor's neighbor is likely a neighbor — the WWW'11 result),
+    * which is exactly what the capped, saturating bucket stage loses.
+    *
+    * Gate discipline: rounds are FIXED, so the oracle is a t81-style
+    * UNROLLED CTE chain — seed → score → top-k, then per round
+    * symmetrize → local-join → rescore → top-k, every stage ANSI SQL
+    * with the scoring text shared across rounds; ranks CAST to BIGINT
+    * (type parity). Cosines are the t5 discipline: exact int64 dots,
+    * one division, IEEE-identical on both engines.
+    *
+    * Scale shape: every stage is equi-keyed (bucket join, vec_id
+    * fetches, qid windows) — no corpus product anywhere; per-round
+    * candidate mass ≤ N·k·(2k+1) rows, linear in N with a k² constant;
+    * the vector table is fetched by id (two narrow hash joins per
+    * round). On a cluster both self-join sides hash on the same keys;
+    * the checkpointed graph is k·N rows — the smallest frame in the
+    * pipeline — so iteration state, as in t81, is the cheap part. */
+  private def knnGraphSpec(name: String, bits: Int, tables: Int,
+      cap: Int): QuerySpec = {
+    val scoreCtes = (candRel: String, tag: String) =>
+      s"""p$tag AS (
+         |  SELECT c.qid, c.nid,
+         |    ${prodLSql("a.embedding[i+1]", "b.embedding[i+1]")} AS p
+         |  FROM $candRel c JOIN embeddings a ON c.qid = a.vec_id
+         |    JOIN embeddings b ON c.nid = b.vec_id, range(0, 64) t(i)),
+         |d$tag AS (SELECT qid, nid, CAST(SUM(p) AS DOUBLE) / 1e12 AS dot
+         |  FROM p$tag GROUP BY 1, 2),
+         |sc$tag AS (SELECT qid, nid, dot / (sqrt(x.ss) * sqrt(y.ss)) AS cosine
+         |  FROM d$tag JOIN sq x ON qid = x.vec_id JOIN sq y ON nid = y.vec_id),
+         |g$tag AS (SELECT qid, nid, cosine, rnk FROM (
+         |    SELECT qid, nid, cosine, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+         |    FROM sc$tag)
+         |  WHERE rnk <= $KnnK)""".stripMargin
+    val roundCtes = (1 to KnnRounds).map { r =>
+      s"""sym$r AS (SELECT qid, nid FROM g${r - 1}
+         |  UNION SELECT nid, qid FROM g${r - 1}),
+         |cand$r AS (SELECT a.qid, b.nid FROM sym$r a JOIN sym$r b
+         |    ON a.nid = b.qid AND a.qid <> b.nid
+         |  UNION SELECT qid, nid FROM g${r - 1}),
+         |${scoreCtes(s"cand$r", r.toString)}""".stripMargin
+    }.mkString(",\n")
+    QuerySpec.sql(
+      name,
+      s"""WITH sq AS ($NormsSql),
+         |keys AS (
+         |  ${lshKeysSql(bits, tables)}
+         |),
+         |ok AS (SELECT tbl, bkey FROM keys GROUP BY tbl, bkey
+         |  HAVING COUNT(*) <= $cap),
+         |seed AS (
+         |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+         |  FROM keys x JOIN keys y ON x.tbl = y.tbl AND x.bkey = y.bkey
+         |    AND x.vec_id <> y.vec_id
+         |  JOIN ok o ON x.tbl = o.tbl AND x.bkey = o.bkey),
+         |${scoreCtes("seed", "0")},
+         |$roundCtes
+         |SELECT qid, CAST(rnk AS BIGINT) AS rank, nid, cosine
+         |FROM g$KnnRounds
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = embScaled(s, d).localCheckpoint() // scan once: keys + fetches
+      val seed = annLshPairs(e, bits, tables, cap)
+      nnDescentFrom(e, seed, KnnK, KnnRounds)
+        .select("qid", "rank", "nid", "cosine")
+        .orderBy("qid", "rank")
+    }
+  }
+
+  val t82KnnGraph: QuerySpec =
+    knnGraphSpec("t82_knn_graph", LshBits, LshTables, LshBucketCap)
+
+  /** T82b — the SCALE operating point (t10b's move applied to the
+    * graph build): the t10-config seed saturates by design as the
+    * corpus outgrows its 2×64 buckets (every bucket blows the cap and
+    * the seed empties — t10's ×100 record), so the decade ladder runs
+    * the SAME unrolled recurrence seeded at t10b's wider keys
+    * (bits=12 × tables=4, bucket occupancy bounded as the corpus
+    * grows). This is the config whose ×10/×100 points carry the
+    * family's lake-scale evidence; t82 pins the shared-definition
+    * seam with t10 at the gate config. */
+  val t82bKnnGraphScale: QuerySpec =
+    knnGraphSpec("t82b_knn_graph_scale", 12, 4, LshBucketCap)
 
   /** T16 — int8 VECTOR QUANTIZATION: per-vector absmax scale
     * (s = max|x|/127), round-half-away to int8, with a weighted
@@ -1388,5 +1552,5 @@ object VectorQueries {
       t18AnnIvf, t20AnnRecall, t24LabelCentroids, t25KmeansAssign,
       t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
       t57bSemDedupScale, t57cSemDedupProd, t57dD4Prototypes, t65IvfAssign, t65bIvfProbe2,
-      t68ClusterSample, t77MarginMining)
+      t68ClusterSample, t77MarginMining, t82KnnGraph, t82bKnnGraphScale)
 }

@@ -931,5 +931,12 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(query_id"), p)
     assert(p.contains("FullOuter"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // 'one postings build' (the scaladoc claim), pinned like the t81
+    // contracts: both legs hang off the checkpointed tokenize frame —
+    // the ExistingRDD seam — and the corpus parquet is NEVER re-scanned
+    // in the final plan (a regression rebuilding the scan per leg
+    // would reintroduce a parquet leaf) (ADVICE r17)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
   }
 }

@@ -77,4 +77,48 @@ class ScaleGuardSpec extends SparkSpec {
     val uncapped = TextQueries.ngramJaccardPairs(docs, dfCap = 1000, threshold = 0.0)
     assert(uncapped.count() == 30L * 29 / 2)
   }
+
+  test("t4b/t70b fan-in accounting: bucket mass is measured, not assumed") {
+    // a 5-deep bucket, a 2-deep bucket, a singleton: max m = 5,
+    // candidate mass = C(5,2) + C(2,2) + C(1,2) = 10 + 1 + 0
+    val idx = (
+      (0 until 5).map(i => (i.toLong, 0, "hot")) ++
+      Seq((10L, 0, "warm"), (11L, 0, "warm"), (20L, 1, "solo"))
+    ).toDF("doc_id", "band", "bkey")
+    assert(TextQueries.bucketFanIn(idx) == (5L, 11L))
+    // empty index: the accounting must not NPE on the null aggregates
+    assert(TextQueries.bucketFanIn(idx.filter(col("band") < 0)) == (0L, 0L))
+    // the C(m,2) arithmetic IS the self-join's output size — pin that
+    // equivalence on a real corpus-shaped index so the reported number
+    // can be trusted as the join's cost, not just a heuristic
+    val pairs = idx.as("a")
+      .join(idx.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(pairs == 11L)
+  }
+
+  test("t61b budget cap clamps on a fully degenerate corpus (t4c's failure mode)") {
+    // the t4c lesson: a flat template vocabulary collapses key
+    // selectivity and a fixed screen admits quadratic emission. The
+    // winnowing production twin must NOT share that failure mode: its
+    // pair-budget cap bounds the join's OUTPUT mass by construction,
+    // whatever the df distribution. Worst case — every doc IDENTICAL,
+    // every fingerprint hash corpus-hot (df = N):
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-winnow-degen").toString
+    (0 until 40).map(i => (i.toLong, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // t61's FIXED df cap (50 ≥ N = 40) admits every hash: the join
+    // emits all C(40,2) pairs — quadratic in duplication depth
+    assert(TextQueries.t61WinnowPairs.run(spark, dir).count() == 40L * 39 / 2)
+    // t61b's budget cap measures emission (every hash at df 40 costs
+    // C(40,2) = 780 pairs > budget 30·40) and clamps the screen to
+    // df ≤ 1 — ZERO pair emission, the query completes bounded
+    assert(TextQueries.t61bWinnowPairsProd.run(spark, dir).count() == 0)
+  }
 }
