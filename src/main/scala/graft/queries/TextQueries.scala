@@ -1520,7 +1520,7 @@ object TextQueries {
     * the verify stage ON ITS OWN — the quadratic-in-duplication-depth
     * regime where t32/t34's star/rep routing (or a t38b-style
     * retention cap) is the right tier, not the raw pair join. */
-  private[queries] val LshHotBucketWarn = 4096L
+  private[graft] val LshHotBucketWarn = 4096L
 
   /** Band-bucket fan-in accounting over a (doc_id, band, bkey) index:
     * (max bucket membership, Σ C(m,2) candidate mass). One aggregate

@@ -71,7 +71,8 @@ object ScaleCheck {
     "t6b_langid_nb", "t71b_dsir_sample", "t72b_c4_rules",
     "t57d_d4_prototypes", "t43b_dup_span_rewrite", "t80_rrf_fusion",
     "t81_score_propagation", "t81b_graph_pagerank",
-    "t81c_propagation_star", "t82_knn_graph", "t82b_knn_graph_scale")
+    "t81c_propagation_star", "t82_knn_graph", "t82b_knn_graph_scale",
+    "t83_knn_serve")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))

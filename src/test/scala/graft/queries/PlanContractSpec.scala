@@ -939,4 +939,15 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("Scan parquet"), p)
   }
+
+  test("t83 serve: qid-partitioned beam rank off checkpointed state, no corpus rescan") {
+    val p = finalizedPlan(VectorQueries.t83KnnServe.run(spark, sf))
+    // the final rerank windows per query over the checkpointed last
+    // beam; the corpus parquet never reappears (vectors come off the
+    // embScaled checkpoint, the graph off the per-round checkpoints)
+    assert(p.contains("windowspecdefinition(qid"), p)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
