@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /** Shared shapes for the cluster-resolution queries (t21/t26/t32/t35):
   * the output frame and the build-once-reuse registry, factored so the
   * lexical and semantic families cannot drift. */
-private[queries] object Clustering {
+private[graft] object Clustering {
 
   /** (idName, cluster_id, cluster_size, is_keeper) from a CC label
     * frame with columns (id, label). */
@@ -57,7 +57,7 @@ private[queries] object Clustering {
     * blocks just become reclaimable. Shared with the iterative loops
     * (GraphQueries, which checkpoints per power-iteration round) so
     * every superseded-checkpoint release goes through one definition. */
-  private[queries] def release(df: DataFrame): Unit =
+  private[graft] def release(df: DataFrame): Unit =
     try df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

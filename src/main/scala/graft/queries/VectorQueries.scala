@@ -121,9 +121,9 @@ object VectorQueries {
     * table loses; `LshBucketCap` drops degenerate hot buckets (near-
     * duplicate pile-ups, zero vectors) so no single key can go
     * quadratic regardless of data skew. */
-  private[queries] val LshBits = 6
-  private[queries] val LshTables = 2
-  private[queries] val LshBucketCap = 200
+  private[graft] val LshBits = 6
+  private[graft] val LshTables = 2
+  private[graft] val LshBucketCap = 200
 
   /** Dimension index for bit `i` of table `t`: stride the 64 dims so
     * tables use disjoint hyperplane sets (axis hyperplanes — for
@@ -199,10 +199,13 @@ object VectorQueries {
       s"CASE WHEN embedding[${lshDim(i, t, tables) + 1}] >= 0 THEN '1' ELSE '0' END"
     }.mkString("concat(", ", ", ")")
 
-  /** The per-table key UNION — body of the `keys` CTE. */
-  private def lshKeysSql(bits: Int, tables: Int): String =
+  /** The per-table key UNION — body of the `keys` CTE. `rel` is the
+    * vector relation (t84 keys its base subset, everything else the
+    * full table — same text when defaulted). */
+  private def lshKeysSql(bits: Int, tables: Int,
+      rel: String = "embeddings"): String =
     (0 until tables).map(t =>
-      s"SELECT vec_id, $t AS tbl, ${lshKeySql(bits, tables)(t)} AS bkey FROM embeddings")
+      s"SELECT vec_id, $t AS tbl, ${lshKeySql(bits, tables)(t)} AS bkey FROM $rel")
       .mkString("\n  UNION ALL\n  ")
 
   private def annLshSpec(name: String, bits: Int, tables: Int,
@@ -289,8 +292,8 @@ object VectorQueries {
     * deterministic and unrolled-CTE-expressible; NN-Descent converges
     * in 4-6 rounds on real data, and each round at lake scale costs
     * one self-join of a k·N-row frame — rounds is the budget knob). */
-  private[queries] val KnnK = 5
-  private[queries] val KnnRounds = 2
+  private[graft] val KnnK = 5
+  private[graft] val KnnRounds = 2
 
   /** Exact cosine scoring + per-node top-k — the verify stage of every
     * round: two vec_id equi-joins pulling the pre-scaled vectors
@@ -321,8 +324,11 @@ object VectorQueries {
     * top-[[KnnK]]. Each round's graph is localCheckpoint-ed (consumed
     * by two self-join sides next round) and the superseded round's
     * blocks released — O(1)-iteration footprint, the GraphQueries
-    * discipline. */
-  private[queries] def nnDescentFrom(e: DataFrame, seed: DataFrame,
+    * discipline. The FINAL round's checkpoint is the returned frame
+    * itself and must outlive the call (truncated lineage — the
+    * caller's action reads those blocks); a long-lived session that is
+    * done with the graph releases it via [[Clustering.release]]. */
+  private[graft] def nnDescentFrom(e: DataFrame, seed: DataFrame,
       k: Int, rounds: Int): DataFrame = {
     var g = knnScoreTopK(e, seed.select("qid", "nid").distinct(), k)
       .select("qid", "nid", "cosine", "rank")
@@ -343,6 +349,54 @@ object VectorQueries {
       Clustering.release(prev)
     }
     g
+  }
+
+  /** 48-bit deterministic hash of (id, i) — the md5-prefix convention
+    * [[graft.functions.TextAnalysis.idHashByte]] fixes, widened to 12
+    * hex chars (< 2^48, exact in BIGINT both engines) so the modulus
+    * stays uniform over corpus-scale N. */
+  private def hash48(id: Column, i: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":"),
+      i.cast("string"))), 1, 12), 16, 10).cast("long")
+
+  /** DuckDB twin of [[hash48]]. */
+  private def hash48Sql(idRef: String, iRef: String): String =
+    s"CAST(concat('0x', substr(md5(concat(CAST($idRef AS VARCHAR), " +
+      s"':', CAST($iRef AS VARCHAR))), 1, 12)) AS BIGINT)"
+
+  /** The NN-Descent SEED SUPPLEMENT (VERDICT r18 item 1 — the paper's
+    * random initialization, made deterministic and gateable): nodes
+    * the LSH seed left with NO outgoing pair ("starved" — isolated
+    * keys, or members of over-cap buckets the screen dropped) each get
+    * up to `k` pseudo-random partners, target = the corpus vector at
+    * dense position hash48(vec_id, i) mod N. Self-hits and hash
+    * collisions are dropped (a starved node may land < k fills — the
+    * documented property; one NN-Descent round multiplies candidates
+    * through the local join regardless). Without this, a corpus whose
+    * perturbation scatters families across sign buckets builds a graph
+    * covering only the seeded minority (t82b's measured ×1000 record:
+    * ~12 % of 2 M nodes); with it, every node enters round 0.
+    *
+    * Scale shape: the dense position index is [[graft.ops.GlobalRank]]
+    * (range-partitioned sort + partition-offset zip — NO
+    * single-partition window); starved detection is one left-anti
+    * join; the fill is an N·k-row equi-join against the position
+    * index. All linear in N. */
+  private[graft] def seedFill(e: DataFrame, seed: DataFrame,
+      k: Int): DataFrame = {
+    val n = e.count()
+    val pos = graft.ops.GlobalRank
+      .withGlobalRowNumber(e.select("vec_id"), "rk", col("vec_id"))
+      .select(col("vec_id").as("nid"), (col("rk") - 1).as("pos"))
+    val starved = e.select("vec_id")
+      .join(seed.select("qid").distinct(),
+        col("vec_id") === col("qid"), "left_anti")
+    val idx = e.sparkSession.range(k).select(col("id").as("i"))
+    starved.crossJoin(broadcast(idx))
+      .withColumn("tpos", hash48(col("vec_id"), col("i")) % lit(n))
+      .join(pos, col("tpos") === col("pos"))
+      .filter(col("nid") =!= col("vec_id"))
+      .select(col("vec_id").as("qid"), col("nid"))
   }
 
   /** T82 — K-NN GRAPH CONSTRUCTION (LSH seed + NN-Descent refinement):
@@ -394,10 +448,14 @@ object VectorQueries {
        |  WHERE rnk <= $cut)""".stripMargin
 
   /** The WITH-body of the whole k-NN-graph build (norms, LSH keys,
-    * capped seed, score-0, [[KnnRounds]] NN-Descent rounds), ending at
-    * relation `g$KnnRounds` — shared by the t82 gates and t83's serve
-    * oracle, which builds its beams over exactly this graph. */
-  private def knnGraphCtesSql(bits: Int, tables: Int, cap: Int): String = {
+    * capped seed, optional hash-random fill, score-0, [[KnnRounds]]
+    * NN-Descent rounds), ending at relation `g$KnnRounds` — shared by
+    * the t82 gates, t83's serve oracle, and t84's insert oracle (which
+    * builds over `rel` = its base subset). `fill = true` splices the
+    * [[seedFill]] CTEs (the NN-Descent random-init supplement) between
+    * seed and score-0. */
+  private def knnGraphCtesSql(bits: Int, tables: Int, cap: Int,
+      rel: String = "embeddings", fill: Boolean = false): String = {
     val roundCtes = (1 to KnnRounds).map { r =>
       s"""sym$r AS (SELECT qid, nid FROM g${r - 1}
          |  UNION SELECT nid, qid FROM g${r - 1}),
@@ -406,9 +464,24 @@ object VectorQueries {
          |  UNION SELECT qid, nid FROM g${r - 1}),
          |${knnScoreCtesSql(s"cand$r", r.toString, KnnK)}""".stripMargin
     }.mkString(",\n")
+    val fillCtes = if (!fill) "" else
+      s"""pos AS (SELECT vec_id,
+         |  ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pos FROM $rel),
+         |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $rel),
+         |starved AS (SELECT vec_id FROM $rel
+         |  WHERE vec_id NOT IN (SELECT qid FROM seed)),
+         |fill AS (
+         |  SELECT s.vec_id AS qid, p.vec_id AS nid
+         |  FROM starved s CROSS JOIN range(0, $KnnK) t(i) CROSS JOIN nv
+         |  JOIN pos p ON p.pos = ${hash48Sql("s.vec_id", "t.i")} % nv.n
+         |  WHERE p.vec_id <> s.vec_id),
+         |seedf AS (SELECT qid, nid FROM seed
+         |  UNION SELECT qid, nid FROM fill),
+         |""".stripMargin
+    val seedRel = if (fill) "seedf" else "seed"
     s"""sq AS ($NormsSql),
        |keys AS (
-       |  ${lshKeysSql(bits, tables)}
+       |  ${lshKeysSql(bits, tables, rel)}
        |),
        |ok AS (SELECT tbl, bkey FROM keys GROUP BY tbl, bkey
        |  HAVING COUNT(*) <= $cap),
@@ -417,22 +490,28 @@ object VectorQueries {
        |  FROM keys x JOIN keys y ON x.tbl = y.tbl AND x.bkey = y.bkey
        |    AND x.vec_id <> y.vec_id
        |  JOIN ok o ON x.tbl = o.tbl AND x.bkey = o.bkey),
-       |${knnScoreCtesSql("seed", "0", KnnK)},
+       |$fillCtes${knnScoreCtesSql(seedRel, "0", KnnK)},
        |$roundCtes""".stripMargin
   }
 
   private def knnGraphSpec(name: String, bits: Int, tables: Int,
-      cap: Int): QuerySpec =
+      cap: Int, fill: Boolean = false): QuerySpec =
     QuerySpec.sql(
       name,
-      s"""WITH ${knnGraphCtesSql(bits, tables, cap)}
+      s"""WITH ${knnGraphCtesSql(bits, tables, cap, fill = fill)}
          |SELECT qid, CAST(rnk AS BIGINT) AS rank, nid, cosine
          |FROM g$KnnRounds
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
       val e = embScaled(s, d).localCheckpoint() // scan once: keys + fetches
-      val seed = annLshPairs(e, bits, tables, cap)
-      nnDescentFrom(e, seed, KnnK, KnnRounds)
-        .select("qid", "rank", "nid", "cosine")
+      val lsh0 = annLshPairs(e, bits, tables, cap).select("qid", "nid")
+      // when filling, the LSH pair stage feeds BOTH the starved
+      // anti-join and the union arm — checkpointed so the band
+      // self-join doesn't run twice in round 0's plan
+      val lsh = if (fill) lsh0.localCheckpoint() else lsh0
+      val seed = if (fill) lsh.union(seedFill(e, lsh, KnnK)) else lsh
+      val g = nnDescentFrom(e, seed, KnnK, KnnRounds)
+      if (fill) Clustering.release(lsh) // round 0 consumed it (eager)
+      g.select("qid", "rank", "nid", "cosine")
         .orderBy("qid", "rank")
     }
 
@@ -451,6 +530,19 @@ object VectorQueries {
   val t82bKnnGraphScale: QuerySpec =
     knnGraphSpec("t82b_knn_graph_scale", 12, 4, LshBucketCap)
 
+  /** T82c — t82b's scale config PLUS the [[seedFill]] supplement (the
+    * NN-Descent random init, deterministic): the DENSE-SEED operating
+    * point. t82b's honest ×1000 record covered ~12 % of 2 M nodes —
+    * the scale-up's perturbation scatters families across sign buckets
+    * while the cap drops the still-deep ones, so a minority of nodes
+    * carried seeds. Here every starved node enters round 0 with k
+    * hash-random partners, so graph coverage is the corpus, not the
+    * seeded minority, at every decade — the ×1000 coverage row this
+    * config exists to carry. Same unrolled oracle (fill CTEs spliced
+    * between seed and score-0). */
+  val t82cKnnGraphFill: QuerySpec =
+    knnGraphSpec("t82c_knn_graph_fill", 12, 4, LshBucketCap, fill = true)
+
   // ---- T83: graph-based ANN serve (beam search over the k-NN graph) ----
 
   /** Serve parameters: fixed entry points (the [[ServeEntries]]
@@ -464,10 +556,10 @@ object VectorQueries {
     * for graph navigation — no cluster structure to exploit; per-query
     * cost stays O(rounds·beam·k) whatever the corpus size, which is
     * the entire point of serving from the graph). Gate point: 32/5. */
-  private[queries] val ServeEntries = 4
-  private[queries] val ServeBeam = 32
-  private[queries] val ServeRounds = 5
-  private[queries] val ServeK = 5
+  private[graft] val ServeEntries = 4
+  private[graft] val ServeBeam = 32
+  private[graft] val ServeRounds = 5
+  private[graft] val ServeK = 5
 
   /** The beam-search recurrence over an arbitrary (qid → nid) graph —
     * the serve half of the DiskANN/HNSW pattern, factored off the t82
@@ -482,12 +574,29 @@ object VectorQueries {
     * (rank, cosine). */
   private[queries] def knnServeFrom(e: DataFrame, edges: DataFrame,
       queryIds: DataFrame, entries: DataFrame,
-      beam: Int, rounds: Int, k: Int): DataFrame = {
+      beam: Int, rounds: Int, k: Int): DataFrame =
+    knnServeVecs(e, edges,
+      e.join(queryIds, e("vec_id") === queryIds("qid"))
+        .select(col("qid"), col("eL").as("qL"), col("ss").as("qss")),
+      entries, beam, rounds, k)
+
+  /** [[knnServeFrom]] with the query VECTORS supplied directly as a
+    * (qid, qL, qss) frame instead of looked up from the corpus — the
+    * entry the serve door ([[graft.streaming.KnnServeStream]]) and
+    * t84's insert walk use: their queries are NOT corpus members.
+    * `materialize = true` checkpoints the result and releases the walk
+    * state (final beam + query frame) before returning — the footprint
+    * a long-running caller (streaming door, insert loop) needs; the
+    * default lazy form leaves them persisted because the returned plan
+    * reads them. */
+  private[graft] def knnServeVecs(e: DataFrame, edges: DataFrame,
+      qvecs: DataFrame, entries: DataFrame,
+      beam: Int, rounds: Int, k: Int,
+      materialize: Boolean = false): DataFrame = {
     val sym = edges.select(col("qid").as("src"), col("nid").as("dst"))
       .union(edges.select(col("nid").as("src"), col("qid").as("dst")))
       .localCheckpoint() // consumed once per round
-    val q = e.join(queryIds, e("vec_id") === queryIds("qid"))
-      .select(col("qid"), col("eL").as("qL"), col("ss").as("qss"))
+    val q = qvecs.select(col("qid"), col("qL"), col("qss"))
       .localCheckpoint() // query-set-sized: the broadcast side of scoring
     def scoreBeam(cand: DataFrame, cut: Int): DataFrame = {
       val s = cand.join(broadcast(q), "qid")
@@ -500,7 +609,7 @@ object VectorQueries {
       s.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= cut)
     }
-    var cur = queryIds.crossJoin(broadcast(entries))
+    var cur = q.select("qid").crossJoin(broadcast(entries))
       .filter(col("nid") =!= col("qid"))
       .select("qid", "nid")
     for (_ <- 1 to rounds) {
@@ -513,8 +622,31 @@ object VectorQueries {
       cur = scoreBeam(cand, beam).select("qid", "nid").localCheckpoint()
       Clustering.release(prev) // round 1's prev is unpersisted — no-op
     }
-    scoreBeam(cur, k)
+    // sym is dead once the walk ends — the returned plan references
+    // only cur/q/e — so its blocks are released here (ADVICE r18: a
+    // long-lived session must not accumulate one dead graph copy per
+    // serve call). In the lazy form, q and the final beam (cur) MUST
+    // stay persisted: both sit inside the returned plan, and releasing
+    // a localCheckpoint before the caller's action runs would fail the
+    // job (truncated lineage cannot recompute). With `materialize`,
+    // the result is checkpointed here and both are released.
+    Clustering.release(sym)
+    val out = scoreBeam(cur, k)
+    if (!materialize) out
+    else {
+      val m = out.localCheckpoint()
+      Clustering.release(cur)
+      Clustering.release(q)
+      m
+    }
   }
+
+  /** A (vec_id, embedding) frame as the (qid, qL, qss) query shape
+    * [[knnServeVecs]] consumes — one definition so the door and the
+    * gates scale/norm queries identically. */
+  private[graft] def queryVecsOf(df: DataFrame): DataFrame =
+    df.select(col("vec_id").as("qid"), scaleL(col("embedding")).as("qL"))
+      .withColumn("qss", normSqL(col("qL")))
 
   /** T83 — GRAPH-BASED ANN SERVE (the DiskANN / HNSW-layer-0 pattern:
     * Malkov & Yashunin 2018, Subramanya et al. NeurIPS'19): answer
@@ -531,7 +663,7 @@ object VectorQueries {
     *
     * Gate discipline: the oracle unrolls the ENTIRE composition —
     * t82's graph chain ([[knnGraphCtesSql]], byte-shared with the t82
-    * gates) then three serve rounds, each `x$r` (beam ∪ expansion,
+    * gates) then [[ServeRounds]] serve rounds, each `x$r` (beam ∪ expansion,
     * UNION-deduped) → exact rerank ([[knnScoreCtesSql]], the build's
     * own scoring text at beam cut) — and the Spark side composes
     * [[nnDescentFrom]] + [[knnServeFrom]], so build and serve are one
@@ -580,6 +712,121 @@ object VectorQueries {
         .select(col("qid").as("query_id"), col("rank"), col("nid"),
           col("cosine"))
         .orderBy("query_id", "rank")
+    }
+  }
+
+  // ---- T84: delta insert into the standing k-NN graph ----
+
+  /** New vectors for t84 are the t5/t83 query convention (vec_id <
+    * 10); the standing graph is built over the REST — so the same
+    * corpus carries both tiers without a synthetic split column. */
+  private[graft] val InsertNewMax = 10
+
+  /** The DiskANN-style INSERT (Subramanya et al. NeurIPS'19 §4.2,
+    * FreshDiskANN arXiv:2105.09613): each new vector's candidate set
+    * is a SERVE WALK from the entry points over the standing graph
+    * (([[knnServeVecs]] — the gate-shared recurrence, materialized);
+    * its top-`k` results become its forward edges, and each touched
+    * base node receives the reverse edge, merged with its existing
+    * list under the DEGREE CAP `k` (re-rank by exact cosine, worst
+    * edge evicted — the back-edge cap KnnGraphSpec pins on a hand
+    * graph). Returns the UPDATED graph: capped base lists ∪ new
+    * vectors' forward lists, each row (qid, rank, nid, cosine).
+    *
+    * Scale shape: the walk is per-new-vector O(rounds·beam·k) —
+    * corpus-independent, the t83 property — and the merge is one
+    * qid-partitioned rank window over |graph| + |new|·k rows; no
+    * corpus rescan, no rebuild. This is the standing-index delta
+    * pattern t38b pins for band indexes, applied to the vector
+    * graph. */
+  private[graft] def graphInsert(e: DataFrame, g: DataFrame,
+      newVecs: DataFrame, entries: DataFrame, k: Int): DataFrame = {
+    val fwd = knnServeVecs(e, g.select("qid", "nid"), newVecs, entries,
+      ServeBeam, ServeRounds, k, materialize = true) // feeds BOTH arms
+    val backc = g.select("qid", "nid", "cosine")
+      .union(fwd.select(col("nid").as("qid"), col("qid").as("nid"),
+        col("cosine")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    val merged = backc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    merged.select("qid", "rank", "nid", "cosine")
+      .unionByName(fwd.select("qid", "rank", "nid", "cosine"))
+  }
+
+  /** T84 — DELTA INSERT into the standing k-NN graph: the production
+    * op every graph-ANN deployment needs between rebuilds — new
+    * vectors arrive, get connected, and the graph stays degree-capped,
+    * WITHOUT rebuilding (t38b's capped standing-index contract,
+    * vector-graph edition). Base graph = the t82c dense-seed build
+    * (scale config + [[seedFill]]) over vec_id ≥ [[InsertNewMax]];
+    * inserts = the t5 query set. Composition is entirely from gated
+    * parts: [[nnDescentFrom]] build, [[knnServeVecs]] walk,
+    * [[knnScoreCtesSql]] arithmetic.
+    *
+    * Gate discipline: the oracle unrolls the FULL composition — the
+    * dense-seed graph chain over `emb_base` ([[knnGraphCtesSql]] with
+    * fill, byte-shared with t82c's oracle), [[ServeRounds]] serve
+    * rounds (t83's MATERIALIZED-hint discipline), then the
+    * forward/back-edge merge as plain rank SQL. Disjoint qid spaces
+    * (new < 10 ≤ base) make (qid, rank) a total order across both
+    * arms. Ranks CAST to BIGINT. */
+  val t84GraphInsert: QuerySpec = {
+    val serveRounds = (1 to ServeRounds).map { r =>
+      val prev = if (r == 1) "ic0" else s"ib${r - 1}"
+      s"""ix$r AS (SELECT qid, nid FROM $prev
+         |  UNION
+         |  SELECT c.qid, g.dst AS nid FROM $prev c
+         |  JOIN gsym g ON c.nid = g.src
+         |  WHERE g.dst <> c.qid),
+         |${knnScoreCtesSql(s"ix$r", s"i$r", ServeBeam)},
+         |ib$r AS MATERIALIZED (SELECT qid, nid FROM gi$r)""".stripMargin
+    }.mkString(",\n")
+    QuerySpec.sql(
+      "t84_graph_insert",
+      s"""WITH emb_base AS (
+         |  SELECT * FROM embeddings WHERE vec_id >= $InsertNewMax),
+         |${knnGraphCtesSql(12, 4, LshBucketCap, rel = "emb_base",
+             fill = true)},
+         |gsym AS MATERIALIZED (
+         |  SELECT qid AS src, nid AS dst FROM g$KnnRounds
+         |  UNION SELECT nid, qid FROM g$KnnRounds),
+         |ent AS (SELECT vec_id FROM emb_base ORDER BY vec_id
+         |  LIMIT $ServeEntries),
+         |iqs AS (SELECT vec_id AS qid FROM embeddings
+         |  WHERE vec_id < $InsertNewMax),
+         |ic0 AS MATERIALIZED (
+         |  SELECT q.qid, e.vec_id AS nid FROM iqs q, ent e
+         |  WHERE e.vec_id <> q.qid),
+         |$serveRounds,
+         |fwd AS MATERIALIZED (SELECT qid, nid, cosine, rnk
+         |  FROM gi$ServeRounds WHERE rnk <= $KnnK),
+         |backc AS (SELECT qid, nid, cosine FROM g$KnnRounds
+         |  UNION ALL SELECT nid AS qid, qid AS nid, cosine FROM fwd),
+         |merged AS (SELECT qid, nid, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nid) AS rnk
+         |  FROM backc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rank, nid, cosine
+         |FROM merged WHERE rnk <= $KnnK
+         |UNION ALL
+         |SELECT qid, CAST(rnk AS BIGINT) AS rank, nid, cosine FROM fwd
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = embScaled(s, d).localCheckpoint()
+      val base = e.filter(col("vec_id") >= InsertNewMax)
+      val lsh = annLshPairs(base, 12, 4, LshBucketCap)
+        .select("qid", "nid").localCheckpoint()
+      val g = nnDescentFrom(base, lsh.union(seedFill(base, lsh, KnnK)),
+        KnnK, KnnRounds)
+      Clustering.release(lsh) // round 0 consumed it (eager)
+      val newVecs = e.filter(col("vec_id") < InsertNewMax)
+        .select(col("vec_id").as("qid"), col("eL").as("qL"),
+          col("ss").as("qss"))
+      val ents = base.select(col("vec_id").as("nid"))
+        .orderBy("nid").limit(ServeEntries)
+      graphInsert(e, g, newVecs, ents, KnnK)
+        .select("qid", "rank", "nid", "cosine")
+        .orderBy("qid", "rank")
     }
   }
 
@@ -1699,5 +1946,5 @@ object VectorQueries {
       t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
       t57bSemDedupScale, t57cSemDedupProd, t57dD4Prototypes, t65IvfAssign, t65bIvfProbe2,
       t68ClusterSample, t77MarginMining, t82KnnGraph, t82bKnnGraphScale,
-      t83KnnServe)
+      t82cKnnGraphFill, t83KnnServe, t84GraphInsert)
 }

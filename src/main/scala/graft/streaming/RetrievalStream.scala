@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 import graft.queries.SearchQueries
 
@@ -24,11 +25,22 @@ import graft.queries.SearchQueries
   * watermark state the door doesn't need):
   * {{{
   * stream.writeStream.trigger(Trigger.AvailableNow()).foreachBatch {
-  *   (b, _) =>
-  *     RetrievalStream.postingsDelta(b).write.mode("append").parquet(p)
-  *     RetrievalStream.docLengthDelta(b).write.mode("append").parquet(q)
+  *   (b, id) =>
+  *     RetrievalStream.writePostingsDelta(b, id, p)
+  *     RetrievalStream.writeDocLengthDelta(b, id, q)
   * }.start()
   * }}}
+  *
+  * EXACTLY-ONCE CONTRACT (ADVICE r18): foreachBatch is AT-LEAST-ONCE —
+  * a micro-batch that fails after a partial write is REPLAYED with the
+  * same batchId, and a plain `mode("append")` would re-append its
+  * deltas, silently inflating tf/df/n_docs/avgdl. The write helpers
+  * therefore partition every delta by the foreachBatch `batchId` and
+  * write with DYNAMIC partition overwrite: a replayed batch replaces
+  * exactly its own `batch_id=` partition (same inputs → same deltas,
+  * so the replay is a byte-identical overwrite), and the standing
+  * tables stay correct under any number of retries.
+  * StreamingRetrievalSpec replays every batch's write and pins parity.
   *
   * At lake scale the standing postings table is written bucketed by
   * `word` (the BucketedTables standing-index contract t38's band index
@@ -46,6 +58,34 @@ object RetrievalStream {
     * emits no posting row. */
   def docLengthDelta(docs: DataFrame): DataFrame =
     SearchQueries.docLengthsOf(docs)
+
+  /** Replay-safe delta write: the delta lands in its own
+    * `batch_id=<id>` partition via dynamic partition overwrite, so a
+    * foreachBatch retry (at-least-once delivery) REPLACES its prior
+    * partial write instead of appending a duplicate — the idempotence
+    * the scaladoc contract above requires. */
+  private def writeDelta(delta: DataFrame, batchId: Long,
+      path: String): Unit =
+    delta.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** foreachBatch door, postings half: idempotent per-batch write. */
+  def writePostingsDelta(docs: DataFrame, batchId: Long,
+      path: String): Unit =
+    writeDelta(postingsDelta(docs), batchId, path)
+
+  /** foreachBatch door, doc-length half: idempotent per-batch write. */
+  def writeDocLengthDelta(docs: DataFrame, batchId: Long,
+      path: String): Unit =
+    writeDelta(docLengthDelta(docs), batchId, path)
+
+  /** A standing delta table as the finalize tails consume it (the
+    * `batch_id` bookkeeping partition column dropped). */
+  def standing(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch_id")
 
   /** Publish-time finalize, BM25 leg: t53's own ranked-retrieval tail
     * over the standing tables. */

@@ -72,7 +72,7 @@ object ScaleCheck {
     "t57d_d4_prototypes", "t43b_dup_span_rewrite", "t80_rrf_fusion",
     "t81_score_propagation", "t81b_graph_pagerank",
     "t81c_propagation_star", "t82_knn_graph", "t82b_knn_graph_scale",
-    "t83_knn_serve")
+    "t82c_knn_graph_fill", "t83_knn_serve", "t84_graph_insert")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
@@ -113,6 +113,10 @@ object ScaleCheck {
     // --index-j3: the same standing-index treatment for j3's ×100
     // fact⋈fact upsert (bucket the standing sheet by its canonical key)
     else if (args.contains("--index-j3")) indexDemoJ3(spark, dst)
+    // --retrieval: the retrieval door's bucketed standing-postings
+    // demonstration (ingest the corpus via the door's deltas into a
+    // word-bucketed table; measure what each publish stops shuffling)
+    else if (args.contains("--retrieval")) retrievalDemo(spark, dst)
     else {
       val names = only match {
         case Some(o) => o.toSeq.sorted
@@ -449,6 +453,60 @@ object ScaleCheck {
     }
   }
 
+  /** Bucketed STANDING-POSTINGS demonstration (VERDICT r18 item 4) —
+    * the retrieval door's lake-scale layout claim, measured: the door
+    * ingests the corpus through its own delta projections
+    * ([[graft.streaming.RetrievalStream]]) into a postings table
+    * written BUCKETED BY `word` ([[graft.ops.BucketedTables]]); the
+    * publish-time t53/t80 finalize then plans its postings-side df
+    * aggregate with ZERO Exchange (the bucketed scan satisfies the
+    * distribution), so each publish stops re-shuffling the standing
+    * table — the same write-once/amortize contract indexDemo pins for
+    * t38's band index. A task listener sums per-publish shuffle-write
+    * bytes so the saving is measured, not read off the plan alone;
+    * published rankings must match between layouts. */
+  def retrievalDemo(spark: SparkSession, dir: String,
+      buckets: Int = 32): Unit = {
+    import graft.streaming.RetrievalStream
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val t0 = System.nanoTime()
+    val tc = RetrievalStream.postingsDelta(docs).localCheckpoint()
+    val dlen = RetrievalStream.docLengthDelta(docs).localCheckpoint()
+    val tIngest = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    graft.ops.BucketedTables.writeBucketed(
+      tc, "standing_postings", buckets, "word")
+    val tw = (System.nanoTime() - t1) / 1e9
+    def publish(label: String, postings: DataFrame): Long = {
+      val ((n, wall), tasks) = withTaskMetrics(spark) {
+        val t2 = System.nanoTime()
+        val df = RetrievalStream.finalizeBm25(dlen, postings)
+        val n = df.queryExecution.toRdd.count()
+        (n, (System.nanoTime() - t2) / 1e9)
+      }
+      val mb = tasks.map(_._4).sum / 1048576.0
+      println(f"[door] $label%-8s ranked=$n%6d wall=$wall%6.2fs " +
+        f"shuffleWrite=$mb%8.1fMB")
+      n
+    }
+    val adhoc = publish("adhoc", tc)
+    val indexed = publish("indexed", spark.table("standing_postings"))
+    require(adhoc == indexed,
+      s"layout changed the published ranking size: $adhoc != $indexed")
+    // the plan-level contract, asserted here as in the spec: the df
+    // aggregate over the bucketed table carries no hash exchange
+    val agg = spark.table("standing_postings").groupBy("word")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    agg.queryExecution.toRdd.count()
+    val p = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    require(!p.contains("Exchange hashpartitioning"),
+      s"bucketed df aggregate still shuffles:\n$p")
+    println(f"[door] ingest(deltas)=$tIngest%.2fs one-time bucketed " +
+      f"postings write: $tw%.2fs (amortized over every later publish)")
+  }
+
   /** Media-family heavy entries (VERDICT r14 item 8): the m8 / m9 /
     * m12 PIPELINE SHAPES — grouping window / perceptual grouping /
     * frame-key inverted-index pair join, not MediaBench's bare
@@ -774,7 +832,38 @@ object ScaleCheck {
         Heavy.filter(o.contains) ++ (o -- Heavy).toSeq.sorted
       case None => Heavy
     }
-    names.foreach { name =>
+    // Fan-in PRE-FLIGHT for the band-bucket twins (VERDICT r18 item 6):
+    // their self-join's output is Σ C(m,2) over bucket memberships —
+    // quadratic in duplication depth — so the sweep measures that mass
+    // off the band index FIRST (one aggregate, the FanIn CLI's number)
+    // and SKIPS the twin loudly above the hot-bucket threshold instead
+    // of relying on the operator to catch a mid-join stderr line. At
+    // ×1000 this is the measured difference between a 331 s accounting
+    // pass and ~90 GB of shuffle spill + ENOSPC.
+    val FanInGated = Set("t4b_jaccard_lsh", "t70b_containment_lsh")
+    lazy val fanIn: (Long, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val bands = graft.queries.TextQueries.bandIndexOf(docs)
+        .select("doc_id", "band", "bkey")
+      val r = graft.queries.TextQueries.bucketFanIn(bands)
+      println(s"[scale] lsh-preflight max_bucket=${r._1} " +
+        s"candidate_mass=${r._2}")
+      r
+    }
+    def hotSkip(name: String): Boolean =
+      FanInGated(name) && {
+        val (maxM, mass) = fanIn
+        val hot = maxM > graft.queries.TextQueries.LshHotBucketWarn
+        if (hot)
+          println(s"[scale] $name SKIPPED: VERDICT hot band bucket " +
+            s"(m=$maxM > ${graft.queries.TextQueries.LshHotBucketWarn}, " +
+            s"candidate_mass=$mass): the pair join is quadratic in " +
+            "duplication depth at this corpus — route through t32/t34 " +
+            "star/rep clustering or the t38b capped index")
+        hot
+      }
+    names.filterNot(hotSkip).foreach { name =>
       val fn = qs(name)
       def pass(): (Double, Long, org.apache.spark.sql.DataFrame) = {
         // timer wraps the BUILD too: iterative operators (t21's label

@@ -84,4 +84,36 @@ class KnnGraphSpec extends SparkSpec {
       .collect().toSet
     assert(s0 == s2)
   }
+
+  test("seed fill: starved nodes get the md5-derived partners, seeded nodes none") {
+    // 5 vectors, ids 0..4 (dense, so position == vec_id); the seed
+    // covers only 0 and 1 — 2, 3, 4 are starved and must each receive
+    // the deterministic hash-random partners, k = 3 probes apiece
+    val emb = (0 until 5).map(i => (i.toLong, v(i)))
+      .toDF("vec_id", "embedding")
+    val e = scored(emb)
+    val seed = Seq((0L, 1L), (1L, 0L)).toDF("qid", "nid")
+    val fill = VectorQueries.seedFill(e, seed, k = 3)
+      .as[(Long, Long)].collect().toSet
+    // INDEPENDENT derivation of the expected pairs — java MessageDigest,
+    // not the Spark expression under test: first 12 md5 hex chars of
+    // "id:i" as a long, mod N, self-hits dropped
+    def h48mod(id: Long, i: Long, n: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$i".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(6).map(b => f"$b%02x").mkString, 16) % n
+    }
+    val expected = (for {
+      s <- Seq(2L, 3L, 4L); i <- 0L until 3L
+      t = h48mod(s, i, 5)
+      if t != s
+    } yield (s, t)).toSet
+    assert(fill == expected, s"fill $fill != independent md5 $expected")
+    // no fill edge for covered nodes; targets are corpus members
+    assert(fill.forall { case (q, n) => q >= 2L && n >= 0L && n < 5L })
+    // deterministic: a second invocation is identical
+    assert(VectorQueries.seedFill(e, seed, k = 3)
+      .as[(Long, Long)].collect().toSet == fill)
+  }
 }

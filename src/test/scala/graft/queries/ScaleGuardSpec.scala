@@ -8,8 +8,26 @@ import graft.SparkSpec
   * hot LSH bucket (t10) and a stopword token key (t4). These pin the
   * bounded-fan-out behavior the 100 TB plan depends on — the caps must
   * actually remove the degenerate keys from the self-joins. */
-class ScaleGuardSpec extends SparkSpec {
+class ScaleGuardSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  private val tmpDirs = scala.collection.mutable.Buffer.empty[String]
+
+  override def afterAll(): Unit = {
+    tmpDirs.foreach { dir =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+    super.afterAll()
+  }
 
   test("t10 LSH: an over-cap hot bucket is dropped, bounding the self-join") {
     // 40 identical vectors → one hot bucket per table; 2 alternating
@@ -111,6 +129,7 @@ class ScaleGuardSpec extends SparkSpec {
       "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
     val dir = java.nio.file.Files
       .createTempDirectory("graft-winnow-degen").toString
+    tmpDirs += dir // removed in afterAll — repeated runs must not pile up /tmp
     (0 until 40).map(i => (i.toLong, text)).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // t61's FIXED df cap (50 ≥ N = 40) admits every hash: the join

@@ -13,7 +13,11 @@ import graft.queries.SearchQueries
   * (all output cells are integers, so parity is exact, not
   * approximate). The source is split into multiple files with
   * maxFilesPerTrigger=1, so the door genuinely accumulates across
-  * micro-batches rather than seeing the corpus in one. */
+  * micro-batches rather than seeing the corpus in one. Every batch's
+  * delta write is issued TWICE with the same batchId — the
+  * at-least-once replay foreachBatch can deliver — so the parity
+  * asserts also pin the door's idempotence contract (a retried batch
+  * must replace, not re-append, its deltas). */
 class StreamingRetrievalSpec extends SparkSpec
     with org.scalatest.BeforeAndAfterAll {
 
@@ -53,11 +57,15 @@ class StreamingRetrievalSpec extends SparkSpec
     val dlenDir = tmp("rs_dlen")
     var batches = 0
     val q = stream.writeStream.trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        RetrievalStream.postingsDelta(b)
-          .write.mode("append").parquet(postingsDir)
-        RetrievalStream.docLengthDelta(b)
-          .write.mode("append").parquet(dlenDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val bb = b.localCheckpoint() // one source read feeds both writes
+        // written TWICE per batch: the second call is the retry
+        // simulation — dynamic partition overwrite must land the
+        // replay on top of the first write, not beside it
+        RetrievalStream.writePostingsDelta(bb, id, postingsDir)
+        RetrievalStream.writePostingsDelta(bb, id, postingsDir)
+        RetrievalStream.writeDocLengthDelta(bb, id, dlenDir)
+        RetrievalStream.writeDocLengthDelta(bb, id, dlenDir)
         batches += 1
       }.start()
     q.awaitTermination()
@@ -66,10 +74,11 @@ class StreamingRetrievalSpec extends SparkSpec
     // the standing tables after ingest: localCheckpoint materializes
     // what a publish pass reads (and keeps the two finalize runs from
     // re-listing the append dirs)
-    val tc = spark.read.parquet(postingsDir).localCheckpoint()
-    val dlen = spark.read.parquet(dlenDir).localCheckpoint()
+    val tc = RetrievalStream.standing(spark, postingsDir).localCheckpoint()
+    val dlen = RetrievalStream.standing(spark, dlenDir).localCheckpoint()
     // exactly one length row and one posting row set per document —
-    // the per-batch deltas really were final, no doc split or repeat
+    // the per-batch deltas really were final AND the doubled writes
+    // really replaced (not re-appended): no doc split or repeat
     assert(dlen.count() == batch.count())
     assert(tc.groupBy("doc_id", "word").count()
       .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
