@@ -141,16 +141,23 @@ object VectorQueries {
     * the SAME key (tbl, bkey), so the exchange is computed once and
     * reused; the cap bounds every join partition's fan-out at
     * cap·(cap−1) regardless of skew. */
-  private[graft] def annLshPairs(emb: DataFrame, bits: Int, tables: Int,
-      bucketCap: Int): DataFrame = {
+  /** (vec_id, tbl, bkey) sign-bit key rows — ONE derivation shared by
+    * the pair stage and the entry-routing probe so the bucket
+    * definition cannot drift between them. */
+  private def lshKeyed(emb: DataFrame, bits: Int, tables: Int): DataFrame = {
     val keyCols = (0 until tables).map { t =>
       concat((0 until bits).map { i =>
         when(element_at(col("embedding"), lshDim(i, t, tables) + 1) >= 0, "1")
           .otherwise("0")
       }: _*)
     }
-    val keyed = emb
-      .select(col("vec_id"), posexplode(array(keyCols: _*)).as(Seq("tbl", "bkey")))
+    emb.select(col("vec_id"),
+      posexplode(array(keyCols: _*)).as(Seq("tbl", "bkey")))
+  }
+
+  private[graft] def annLshPairs(emb: DataFrame, bits: Int, tables: Int,
+      bucketCap: Int): DataFrame = {
+    val keyed = lshKeyed(emb, bits, tables)
     // the cap screen is a window count over the SAME (tbl, bkey)
     // partitioning the self-join needs — one exchange feeds both, no
     // separate count-aggregate + join-back
@@ -183,6 +190,37 @@ object VectorQueries {
     emb.select(posexplode(array(keyCols: _*)).as(Seq("tbl", "bkey")))
       .groupBy("tbl", "bkey").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > bucketCap)
+  }
+
+  /** ENTRY ROUTING for graph serve: each query's same-bucket corpus
+    * mates off the standing LSH index — per (tbl, bkey), corpus
+    * buckets over `bucketCap` are screened exactly as in
+    * [[annLshPairs]]; per query, the first `maxEntries` mates by nid
+    * are kept (deterministic). Queries whose every bucket is empty or
+    * over-cap emit nothing — callers union a fixed-entry backstop.
+    * This is the coarse-router half of a production graph-ANN serve
+    * (DiskANN routes via its quantizer, HNSW via its upper layers):
+    * a pure k-NN graph on a CLUSTERED corpus has no metric gradient
+    * between clusters, so fixed-entry greedy walks cannot navigate to
+    * the query's island — measured on the ×10 decade corpus: recall
+    * 0.00 from fixed entries, 1.00 routed (ServeLadder, COVERAGE
+    * r19). */
+  private[graft] def annLshEntries(corpus: DataFrame, queries: DataFrame,
+      bits: Int, tables: Int, bucketCap: Int, maxEntries: Int): DataFrame = {
+    val ck = lshKeyed(corpus, bits, tables)
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy("tbl", "bkey")))
+      .filter(col("bn") <= bucketCap).drop("bn")
+    val qk = lshKeyed(queries, bits, tables)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkey"))
+    val mates = qk.join(ck, Seq("tbl", "bkey"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy("nid")
+    mates.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxEntries)
+      .select("qid", "nid")
   }
 
   /** LSH-bucketed ANN at an arbitrary (bits, tables, cap) operating
@@ -588,11 +626,14 @@ object VectorQueries {
     * state (final beam + query frame) before returning — the footprint
     * a long-running caller (streaming door, insert loop) needs; the
     * default lazy form leaves them persisted because the returned plan
-    * reads them. */
+    * reads them. `routed` adds per-query (qid, nid) entry pairs (the
+    * [[annLshEntries]] router) to the round-0 beam alongside the fixed
+    * entries — navigability on clustered corpora, see t85. */
   private[graft] def knnServeVecs(e: DataFrame, edges: DataFrame,
       qvecs: DataFrame, entries: DataFrame,
       beam: Int, rounds: Int, k: Int,
-      materialize: Boolean = false): DataFrame = {
+      materialize: Boolean = false,
+      routed: Option[DataFrame] = None): DataFrame = {
     val sym = edges.select(col("qid").as("src"), col("nid").as("dst"))
       .union(edges.select(col("nid").as("src"), col("qid").as("dst")))
       .localCheckpoint() // consumed once per round
@@ -609,9 +650,15 @@ object VectorQueries {
       s.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= cut)
     }
+    // round-0 beam: global fixed entries fanned to every query, plus
+    // (routed serve) per-query (qid, nid) entry pairs from the router
     var cur = q.select("qid").crossJoin(broadcast(entries))
       .filter(col("nid") =!= col("qid"))
       .select("qid", "nid")
+    routed.foreach { r =>
+      cur = cur.union(r.filter(col("nid") =!= col("qid"))
+        .select("qid", "nid")).distinct()
+    }
     for (_ <- 1 to rounds) {
       val expand = cur.join(sym, col("nid") === col("src"))
         .select(col("qid"), col("dst"))
@@ -668,23 +715,29 @@ object VectorQueries {
     * own scoring text at beam cut) — and the Spark side composes
     * [[nnDescentFrom]] + [[knnServeFrom]], so build and serve are one
     * definition in BOTH engines. Ranks CAST to BIGINT. */
+  /** The [[ServeRounds]] unrolled serve-round CTEs (`x$r` beam ∪
+    * expansion → exact rerank at beam cut → `b$r`), walking `gsym`
+    * from relation `c0` — ONE text shared by t83 (fixed entries) and
+    * t85 (routed entries), so the walk cannot drift between them.
+    * Each beam feeds the next round TWICE (union arm + expansion arm)
+    * and gsym is probed every round: without MATERIALIZED hints an
+    * inlining planner re-evaluates the whole graph chain 2^rounds
+    * times (measured: the plain form ran >15 min at sf0.01, the
+    * hinted form seconds). MATERIALIZED is a DuckDB/Postgres hint —
+    * semantics identical, evaluation pinned to once per CTE. */
+  private def serveRoundsSql: String = (1 to ServeRounds).map { r =>
+    val prev = if (r == 1) "c0" else s"b${r - 1}"
+    s"""x$r AS (SELECT qid, nid FROM $prev
+       |  UNION
+       |  SELECT c.qid, g.dst AS nid FROM $prev c
+       |  JOIN gsym g ON c.nid = g.src
+       |  WHERE g.dst <> c.qid),
+       |${knnScoreCtesSql(s"x$r", s"s$r", ServeBeam)},
+       |b$r AS MATERIALIZED (SELECT qid, nid FROM gs$r)""".stripMargin
+  }.mkString(",\n")
+
   val t83KnnServe: QuerySpec = {
-    // each beam feeds the next round TWICE (union arm + expansion arm)
-    // and gsym is probed every round: without MATERIALIZED hints an
-    // inlining planner re-evaluates the whole graph chain 2^rounds
-    // times (measured: the plain form ran >15 min at sf0.01, the
-    // hinted form seconds). MATERIALIZED is a DuckDB/Postgres hint —
-    // semantics identical, evaluation pinned to once per CTE.
-    val serveRounds = (1 to ServeRounds).map { r =>
-      val prev = if (r == 1) "c0" else s"b${r - 1}"
-      s"""x$r AS (SELECT qid, nid FROM $prev
-         |  UNION
-         |  SELECT c.qid, g.dst AS nid FROM $prev c
-         |  JOIN gsym g ON c.nid = g.src
-         |  WHERE g.dst <> c.qid),
-         |${knnScoreCtesSql(s"x$r", s"s$r", ServeBeam)},
-         |b$r AS MATERIALIZED (SELECT qid, nid FROM gs$r)""".stripMargin
-    }.mkString(",\n")
+    val serveRounds = serveRoundsSql
     QuerySpec.sql(
       "t83_knn_serve",
       s"""WITH ${knnGraphCtesSql(LshBits, LshTables, LshBucketCap)},
@@ -713,6 +766,80 @@ object VectorQueries {
           col("cosine"))
         .orderBy("query_id", "rank")
     }
+  }
+
+  // ---- T85: ROUTED graph serve (coarse router + graph walk) ----
+
+  /** Per-query entry candidates kept from the LSH router. */
+  private[graft] val RouteEntries = 8
+
+  /** T85 — ROUTED GRAPH SERVE: the production serve composition a
+    * CLUSTERED corpus requires. A pure k-NN graph on clustered data
+    * is a set of metric ISLANDS — between clusters there is no cosine
+    * gradient for a greedy walk to climb, so t83's fixed-entry beam
+    * search cannot navigate to the query's island (measured on the
+    * ×10 decade corpus: recall 0.00 fixed-entry vs 1.00 routed —
+    * ServeLadder, COVERAGE r19; sf0.001's RANDOM embeddings are the
+    * easy case where fixed entries suffice). Every deployed graph-ANN
+    * system pairs the graph with a coarse router for exactly this
+    * reason (DiskANN's quantizer-selected entry, HNSW's upper-layer
+    * hierarchy); here the router is the engine's own standing LSH
+    * index ([[annLshEntries]] — the t10b keys, cap screen and all):
+    * each query's round-0 beam = its same-bucket mates (first
+    * [[RouteEntries]] by nid) ∪ the fixed entries as the backstop for
+    * queries whose buckets are empty or over-cap. The graph walk then
+    * refines: [[serveRoundsSql]]'s recurrence, byte-shared with t83.
+    *
+    * Gate discipline: the oracle unrolls the t82c dense-seed graph
+    * chain ([[knnGraphCtesSql]] with fill — the scale-config graph
+    * this serve tier belongs to), routes off the chain's own `keys` /
+    * `ok` CTEs (the bucket definition cannot drift from the build's),
+    * and walks the shared serve rounds. Ranks CAST to BIGINT. */
+  val t85RoutedServe: QuerySpec = QuerySpec.sql(
+    "t85_routed_serve",
+    s"""WITH ${knnGraphCtesSql(12, 4, LshBucketCap, fill = true)},
+       |gsym AS MATERIALIZED (
+       |  SELECT qid AS src, nid AS dst FROM g$KnnRounds
+       |  UNION SELECT nid, qid FROM g$KnnRounds),
+       |ent AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+       |  LIMIT $ServeEntries),
+       |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10),
+       |rq AS (SELECT DISTINCT k.vec_id AS qid, y.vec_id AS nid
+       |  FROM keys k JOIN keys y ON k.tbl = y.tbl AND k.bkey = y.bkey
+       |    AND y.vec_id <> k.vec_id
+       |  JOIN ok o ON k.tbl = o.tbl AND k.bkey = o.bkey
+       |  WHERE k.vec_id < 10),
+       |rcap AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (
+       |      PARTITION BY qid ORDER BY nid) AS rn FROM rq)
+       |  WHERE rn <= $RouteEntries),
+       |c0 AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id AS nid FROM qs q, ent e
+       |  WHERE e.vec_id <> q.qid
+       |  UNION SELECT qid, nid FROM rcap),
+       |$serveRoundsSql
+       |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid, cosine
+       |FROM gs$ServeRounds WHERE rnk <= $ServeK
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val e = embScaled(s, d).localCheckpoint()
+    val lsh = annLshPairs(e, 12, 4, LshBucketCap)
+      .select("qid", "nid").localCheckpoint()
+    val g = nnDescentFrom(e, lsh.union(seedFill(e, lsh, KnnK)),
+      KnnK, KnnRounds)
+    Clustering.release(lsh) // round 0 consumed it (eager)
+    val queries = e.filter(col("vec_id") < 10)
+    val routed = annLshEntries(e.select("vec_id", "embedding"),
+      queries.select("vec_id", "embedding"), 12, 4, LshBucketCap,
+      RouteEntries)
+    val qvecs = queries.select(col("vec_id").as("qid"),
+      col("eL").as("qL"), col("ss").as("qss"))
+    val ents = e.select(col("vec_id").as("nid"))
+      .orderBy("nid").limit(ServeEntries)
+    knnServeVecs(e, g.select("qid", "nid"), qvecs, ents,
+        ServeBeam, ServeRounds, ServeK, routed = Some(routed))
+      .select(col("qid").as("query_id"), col("rank"), col("nid"),
+        col("cosine"))
+      .orderBy("query_id", "rank")
   }
 
   // ---- T84: delta insert into the standing k-NN graph ----
@@ -1946,5 +2073,5 @@ object VectorQueries {
       t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
       t57bSemDedupScale, t57cSemDedupProd, t57dD4Prototypes, t65IvfAssign, t65bIvfProbe2,
       t68ClusterSample, t77MarginMining, t82KnnGraph, t82bKnnGraphScale,
-      t82cKnnGraphFill, t83KnnServe, t84GraphInsert)
+      t82cKnnGraphFill, t83KnnServe, t84GraphInsert, t85RoutedServe)
 }

@@ -86,17 +86,30 @@ object ServeLadder {
     println(f"[serve] brute truth: ${truth.size}%d pairs " +
       f"wall=${(System.nanoTime() - t1) / 1e9}%.1fs")
 
+    // per-query routed entries off the standing LSH index (the t85
+    // composition) — on a clustered corpus the fixed-entry walk has no
+    // gradient between islands; the routed one starts on the query's
+    val routed = VectorQueries.annLshEntries(
+        e.select("vec_id", "embedding"),
+        e.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+        12, 4, VectorQueries.LshBucketCap, VectorQueries.RouteEntries)
+      .localCheckpoint()
+
     points.foreach { case (beam, rounds) =>
-      val t2 = System.nanoTime()
-      val served: DataFrame = VectorQueries.knnServeVecs(
-        e, edges, qvecs, ents, beam, rounds, k, materialize = true)
-      val got = served.select("qid", "nid")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val wall = (System.nanoTime() - t2) / 1e9
-      val recall = (truth & got).size.toDouble / truth.size
-      println(f"[serve] beam=$beam%-3d rounds=$rounds%-2d rows=${got.size}%4d " +
-        f"recall@$k=$recall%.3f wall=$wall%.1fs")
-      graft.queries.Clustering.release(served)
+      Seq(("fixed", None), ("routed", Some(routed))).foreach {
+        case (mode, r) =>
+          val t2 = System.nanoTime()
+          val served: DataFrame = VectorQueries.knnServeVecs(
+            e, edges, qvecs, ents, beam, rounds, k,
+            materialize = true, routed = r)
+          val got = served.select("qid", "nid")
+            .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+          val wall = (System.nanoTime() - t2) / 1e9
+          val recall = (truth & got).size.toDouble / truth.size
+          println(f"[serve] $mode%-6s beam=$beam%-3d rounds=$rounds%-2d " +
+            f"rows=${got.size}%4d recall@$k=$recall%.3f wall=$wall%.1fs")
+          graft.queries.Clustering.release(served)
+      }
     }
     spark.stop()
   }

@@ -50,6 +50,52 @@ class KnnServeSpec extends SparkSpec {
       Seq((1L, 5L), (2L, 4L)))
   }
 
+  test("routed entries join the round-0 beam; fixed-only cannot reach what routing can") {
+    // same path graph 1–2–3–4–5 (similarity increases along the path);
+    // with ONE round from fixed entry 1 the walk sees only {1,2} — a
+    // routed entry pair (0→4) puts the query next to the good end, so
+    // the same single round reaches node 5 (the true best)
+    val emb = ((0L, v(0)) +: (1 to 5).map(i => (i.toLong, v(6 - i))))
+      .toDF("vec_id", "embedding")
+    val e = scored(emb)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("qid", "nid")
+    val qids = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("eL").as("qL"),
+        col("ss").as("qss"))
+    val ents = Seq(1L).toDF("nid")
+    def serve(routed: Option[org.apache.spark.sql.DataFrame]) =
+      VectorQueries.knnServeVecs(e, edges, qids, ents,
+          beam = 2, rounds = 1, k = 2, routed = routed)
+        .select("rank", "nid").as[(Long, Long)].collect().sorted.toSeq
+    assert(serve(None) == Seq((1L, 2L), (2L, 1L)))
+    assert(serve(Some(Seq((0L, 4L)).toDF("qid", "nid"))) ==
+      Seq((1L, 5L), (2L, 4L)))
+  }
+
+  test("annLshEntries: over-cap buckets screened, per-query entry cap holds") {
+    // 40 clones form one over-cap bucket per table; two distinct
+    // vectors share a small bucket in table 1 only (the ScaleGuard
+    // shape). A clone query gets NO routed entries (its buckets are
+    // all hot — the fixed-entry backstop's case); vector 100 routes to
+    // its small-bucket mate 101 and nothing else.
+    val corpus = ((0 until 40).map(i => (i.toLong, Array.fill(64)(1.0f))) ++
+      Seq((100L, Array.tabulate(64)(d => if (d % 2 == 0) 1.0f else -1.0f)),
+        (101L, Array.tabulate(64)(d => if (d % 2 == 0) 1.0f else -1.0f))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(0L, 100L))
+    val entries = VectorQueries.annLshEntries(corpus, queries,
+        bits = 4, tables = 2, bucketCap = 10, maxEntries = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(entries == Set((100L, 101L)), s"got $entries")
+    // with the cap relaxed, the clone query routes to its mates,
+    // capped at maxEntries by ascending nid — deterministic
+    val relaxed = VectorQueries.annLshEntries(corpus, queries,
+        bits = 4, tables = 2, bucketCap = 1000, maxEntries = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(relaxed.filter(_._1 == 0L) ==
+      Set((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)))
+  }
+
   test("serve recall vs the gated brute-force truth (t5 queries)") {
     val sf = "/root/testdata/sf0.001"
     val truth = VectorQueries.t5AnnBruteForce.run(spark, sf)
