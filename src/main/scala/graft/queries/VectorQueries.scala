@@ -333,18 +333,35 @@ object VectorQueries {
   private[graft] val KnnK = 5
   private[graft] val KnnRounds = 2
 
+  /** Row bound under which the corpus-vector FETCH side of a scoring
+    * join is broadcast instead of shuffled. The candidate set of a
+    * dense NN-Descent round is ~N·k·(2k+1) pairs; sort-merging the
+    * vector fetch ships ~0.6 KB of scaled vector PER PAIR through the
+    * exchange — measured at ×1000 (2 M vectors, dense seed): ~200 M
+    * candidates spilled >220 GB and died ENOSPC. Broadcasting the
+    * 2 M-row vector table (~1.2 GB — the DiskANN deployment model:
+    * vectors resident on every serving node) leaves only 16-byte
+    * (qid, nid) pairs in the shuffle. Above the bound (vectors no
+    * longer node-resident) the joins fall back to shuffles — the
+    * partition-the-corpus regime. */
+  private[graft] val VecBroadcastMaxRows = 4000000L
+
+  private def fetchSide(df: DataFrame, bcast: Boolean): DataFrame =
+    if (bcast) broadcast(df) else df
+
   /** Exact cosine scoring + per-node top-k — the verify stage of every
     * round: two vec_id equi-joins pulling the pre-scaled vectors
     * ([[dotL]]'s codegen'd long arithmetic — t57's exact-long-dot
     * discipline), a qid-partitioned rank window. Candidate frame must
-    * be distinct (qid, nid) rows. */
+    * be distinct (qid, nid) rows. `bcast` broadcasts the vector
+    * fetches (see [[VecBroadcastMaxRows]]). */
   private def knnScoreTopK(e: DataFrame, cand: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, bcast: Boolean = false): DataFrame = {
     val scored = cand
-      .join(e.select(col("vec_id").as("qid"), col("eL").as("qL"),
-        col("ss").as("ss_a")), "qid")
-      .join(e.select(col("vec_id").as("nid"), col("eL").as("nL"),
-        col("ss").as("ss_b")), "nid")
+      .join(fetchSide(e.select(col("vec_id").as("qid"), col("eL").as("qL"),
+        col("ss").as("ss_a")), bcast), "qid")
+      .join(fetchSide(e.select(col("vec_id").as("nid"), col("eL").as("nL"),
+        col("ss").as("ss_b")), bcast), "nid")
       .select(col("qid"), col("nid"),
         (dotL(col("qL"), col("nL")) /
           (sqrt(col("ss_a")) * sqrt(col("ss_b")))).as("cosine"))
@@ -368,7 +385,8 @@ object VectorQueries {
     * done with the graph releases it via [[Clustering.release]]. */
   private[graft] def nnDescentFrom(e: DataFrame, seed: DataFrame,
       k: Int, rounds: Int): DataFrame = {
-    var g = knnScoreTopK(e, seed.select("qid", "nid").distinct(), k)
+    val bcast = e.count() <= VecBroadcastMaxRows
+    var g = knnScoreTopK(e, seed.select("qid", "nid").distinct(), k, bcast)
       .select("qid", "nid", "cosine", "rank")
       .localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -381,7 +399,7 @@ object VectorQueries {
         .select(col("a.qid"), col("b.nid"))
       val cand = nn.union(edges).distinct()
       val prev = g
-      g = knnScoreTopK(e, cand, k)
+      g = knnScoreTopK(e, cand, k, bcast)
         .select("qid", "nid", "cosine", "rank")
         .localCheckpoint()
       Clustering.release(prev)
@@ -639,10 +657,11 @@ object VectorQueries {
       .localCheckpoint() // consumed once per round
     val q = qvecs.select(col("qid"), col("qL"), col("qss"))
       .localCheckpoint() // query-set-sized: the broadcast side of scoring
+    val bcast = e.count() <= VecBroadcastMaxRows
     def scoreBeam(cand: DataFrame, cut: Int): DataFrame = {
       val s = cand.join(broadcast(q), "qid")
-        .join(e.select(col("vec_id").as("nid"), col("eL").as("nL"),
-          col("ss").as("nss")), "nid")
+        .join(fetchSide(e.select(col("vec_id").as("nid"), col("eL").as("nL"),
+          col("ss").as("nss")), bcast), "nid")
         .select(col("qid"), col("nid"),
           (dotL(col("qL"), col("nL")) /
             (sqrt(col("qss")) * sqrt(col("nss")))).as("cosine"))
