@@ -886,7 +886,8 @@ object VectorQueries {
     * pattern t38b pins for band indexes, applied to the vector
     * graph. */
   private[graft] def graphInsert(e: DataFrame, g: DataFrame,
-      newVecs: DataFrame, entries: DataFrame, k: Int): DataFrame = {
+      newVecs: DataFrame, entries: DataFrame, k: Int,
+      materialize: Boolean = false): DataFrame = {
     val fwd = knnServeVecs(e, g.select("qid", "nid"), newVecs, entries,
       ServeBeam, ServeRounds, k, materialize = true) // feeds BOTH arms
     val backc = g.select("qid", "nid", "cosine")
@@ -896,8 +897,17 @@ object VectorQueries {
     val merged = backc
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-    merged.select("qid", "rank", "nid", "cosine")
+    val out = merged.select("qid", "rank", "nid", "cosine")
       .unionByName(fwd.select("qid", "rank", "nid", "cosine"))
+    // lazy form keeps fwd persisted (the returned plan reads it twice);
+    // materialize checkpoints the merged graph and releases it — the
+    // per-batch footprint the insert door needs
+    if (!materialize) out
+    else {
+      val m = out.localCheckpoint()
+      Clustering.release(fwd)
+      m
+    }
   }
 
   /** T84 — DELTA INSERT into the standing k-NN graph: the production
