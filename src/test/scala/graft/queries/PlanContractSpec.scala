@@ -950,4 +950,17 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("t84 insert / t85 routed serve inherit the serve contract: no corpus rescan, no cartesian") {
+    // both compose the same walk (knnServeVecs) over checkpointed
+    // state — the routed entries and the back-edge merge must not
+    // reintroduce a corpus scan or a pair product into the final plan
+    for (q <- Seq(VectorQueries.t84GraphInsert, VectorQueries.t85RoutedServe)) {
+      val p = finalizedPlan(q.run(spark, sf))
+      assert(p.contains("windowspecdefinition(qid"), s"${q.name}: $p")
+      assert(p.contains("ExistingRDD"), s"${q.name}: $p")
+      assert(!p.contains("Scan parquet"), s"${q.name}: $p")
+      assert(!p.contains("CartesianProduct"), s"${q.name}: $p")
+    }
+  }
 }
