@@ -986,6 +986,100 @@ object VectorQueries {
     }
   }
 
+  // ---- T86: delete from the standing k-NN graph (repair) ----
+
+  /** The FreshDiskANN-style DELETE (Singh et al. arXiv:2105.09613
+    * §4.1): remove `delIds` from the standing graph and REPAIR the
+    * survivors' lists instead of rebuilding. A deleted node's own rows
+    * drop; every live node that pointed at a deleted one re-ranks over
+    * (its remaining live neighbors) ∪ (each deleted neighbor's live
+    * neighbors) — the one-hop patch-through that preserves the deleted
+    * node's connectivity role — exact-scored, cut back to `k`.
+    * Untouched nodes pass through byte-identical (original ranks).
+    * Degree can DEGRADE when a repair's candidate pool is thin (a node
+    * whose every neighbor died keeps only patched-through candidates;
+    * none → it emits nothing) — the documented FreshDiskANN trade, the
+    * periodic full rebuild being the backstop.
+    *
+    * Scale shape: three anti/semi joins on ids + one candidate
+    * re-rank bounded by |touched|·k·(k+1) rows — no corpus rescan, no
+    * rebuild; with [[VecBroadcastMaxRows]] the re-rank shuffles only
+    * id pairs. */
+  private[graft] def graphDelete(e: DataFrame, g: DataFrame,
+      delIds: DataFrame, k: Int): DataFrame = {
+    val dset = delIds.select(col("vec_id").as("d")).localCheckpoint()
+    // live rows: survivor-owned edges (targets may still be deleted)
+    val live = g.join(dset, col("qid") === col("d"), "left_anti")
+      .localCheckpoint() // feeds touched, remv, untouched
+    val touched = live.join(dset, col("nid") === col("d"), "left_semi")
+      .select("qid").distinct()
+    // remaining live→live edges of touched nodes
+    val remv = live.join(dset, col("nid") === col("d"), "left_anti")
+      .join(touched, Seq("qid"), "left_semi")
+      .select("qid", "nid")
+    // patch-through: deleted neighbors' own live targets
+    val delOut = g.join(dset, col("qid") === col("d"), "left_semi")
+      .join(dset.select(col("d").as("d2")), col("nid") === col("d2"),
+        "left_anti")
+      .select(col("qid").as("mid"), col("nid").as("vnid"))
+    val via = live.join(dset, col("nid") === col("d"), "left_semi")
+      .select(col("qid"), col("nid").as("mid"))
+      .join(delOut, "mid")
+      .filter(col("vnid") =!= col("qid"))
+      .select(col("qid"), col("vnid").as("nid"))
+    val cand = remv.union(via).distinct()
+    val repaired = knnScoreTopK(e, cand, k,
+      e.count() <= VecBroadcastMaxRows)
+    val untouched = live.join(touched, Seq("qid"), "left_anti")
+    untouched.select("qid", "rank", "nid", "cosine")
+      .unionByName(repaired.select("qid", "rank", "nid", "cosine"))
+  }
+
+  /** T86 — GRAPH DELETE: the missing quarter of the standing-index
+    * CRUD story (build t82/t82c · serve t83/t85 · insert t84 · delete
+    * t86). Deletes the t5 id set (vec_id < [[InsertNewMax]]) from the
+    * t82c dense-seed graph over the full corpus and repairs via
+    * [[graphDelete]]. Oracle unrolls the graph chain (byte-shared with
+    * t82c) then the delete/repair as plain SQL: live/touched/remv/via
+    * CTEs and the build's own scoring text over the repair candidates.
+    * Disjointness of the untouched (original rnk) and repaired
+    * (re-ranked) arms keeps (qid, rank) a total order. */
+  val t86GraphDelete: QuerySpec = QuerySpec.sql(
+    "t86_graph_delete",
+    s"""WITH ${knnGraphCtesSql(12, 4, LshBucketCap, fill = true)},
+       |del AS (SELECT vec_id FROM embeddings
+       |  WHERE vec_id < $InsertNewMax),
+       |live AS (SELECT qid, nid, cosine, rnk FROM g$KnnRounds
+       |  WHERE qid NOT IN (SELECT vec_id FROM del)),
+       |touched AS (SELECT DISTINCT qid FROM live
+       |  WHERE nid IN (SELECT vec_id FROM del)),
+       |remv AS (SELECT qid, nid FROM live
+       |  WHERE nid NOT IN (SELECT vec_id FROM del)
+       |    AND qid IN (SELECT qid FROM touched)),
+       |via AS (SELECT DISTINCT p.qid, q.nid
+       |  FROM live p JOIN g$KnnRounds q ON p.nid = q.qid
+       |  WHERE p.nid IN (SELECT vec_id FROM del)
+       |    AND q.nid NOT IN (SELECT vec_id FROM del)
+       |    AND q.nid <> p.qid),
+       |rcand AS (SELECT qid, nid FROM remv UNION SELECT qid, nid FROM via),
+       |${knnScoreCtesSql("rcand", "rp", KnnK)}
+       |SELECT qid, CAST(rnk AS BIGINT) AS rank, nid, cosine FROM live
+       |WHERE qid NOT IN (SELECT qid FROM touched)
+       |UNION ALL
+       |SELECT qid, CAST(rnk AS BIGINT) AS rank, nid, cosine FROM grp
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val e = embScaled(s, d).localCheckpoint()
+    val lsh = annLshPairs(e, 12, 4, LshBucketCap)
+      .select("qid", "nid").localCheckpoint()
+    val g = nnDescentFrom(e, lsh.union(seedFill(e, lsh, KnnK)),
+      KnnK, KnnRounds)
+    Clustering.release(lsh) // round 0 consumed it (eager)
+    val dels = e.filter(col("vec_id") < InsertNewMax).select("vec_id")
+    graphDelete(e, g, dels, KnnK)
+      .select("qid", "rank", "nid", "cosine")
+      .orderBy("qid", "rank")
+  }
+
   /** T16 — int8 VECTOR QUANTIZATION: per-vector absmax scale
     * (s = max|x|/127), round-half-away to int8, with a weighted
     * checksum of the codes and the exact max reconstruction error per
@@ -2102,5 +2196,6 @@ object VectorQueries {
       t44PqEncode, t45PqAdcTopk, t46IvfPq, t47IvfPqRefine, t57SemDedup,
       t57bSemDedupScale, t57cSemDedupProd, t57dD4Prototypes, t65IvfAssign, t65bIvfProbe2,
       t68ClusterSample, t77MarginMining, t82KnnGraph, t82bKnnGraphScale,
-      t82cKnnGraphFill, t83KnnServe, t84GraphInsert, t85RoutedServe)
+      t82cKnnGraphFill, t83KnnServe, t84GraphInsert, t85RoutedServe,
+      t86GraphDelete)
 }
