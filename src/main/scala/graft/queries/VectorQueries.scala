@@ -871,7 +871,7 @@ object VectorQueries {
   /** The DiskANN-style INSERT (Subramanya et al. NeurIPS'19 §4.2,
     * FreshDiskANN arXiv:2105.09613): each new vector's candidate set
     * is a SERVE WALK from the entry points over the standing graph
-    * (([[knnServeVecs]] — the gate-shared recurrence, materialized);
+    * ([[knnServeVecs]] — the gate-shared recurrence, materialized);
     * its top-`k` results become its forward edges, and each touched
     * base node receives the reverse edge, merged with its existing
     * list under the DEGREE CAP `k` (re-rank by exact cosine, worst
