@@ -109,5 +109,17 @@ class KnnServeSpec extends SparkSpec {
     // 0.58/0.66/0.80/0.90 up the beam dial — is in the ServeBeam
     // scaladoc and COVERAGE r18); the assert is a regression floor
     assert(recall >= 0.65, f"recall $recall%.3f fell below the floor")
+
+    // t85's routed serve on the SAME (random-embedding) corpus: the
+    // easy case where fixed entries already navigate — routing must
+    // not fall below the fixed-entry floor here (its win is the
+    // clustered decade corpus: 0.000 fixed vs 1.000 routed, COVERAGE
+    // r19). Not strictly ≥ t83 point-for-point (a wider round-0 beam
+    // reshuffles survivors), but the floor must hold.
+    val gotR = VectorQueries.t85RoutedServe.run(spark, sf)
+      .select("query_id", "nid").as[(Long, Long)].collect().toSet
+    val recallR = (truth & gotR).size.toDouble / truth.size
+    info(f"t85 routed recall@5 vs t5 brute force: $recallR%.3f")
+    assert(recallR >= 0.65, f"routed recall $recallR%.3f below the floor")
   }
 }
