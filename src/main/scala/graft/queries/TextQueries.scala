@@ -1522,8 +1522,6 @@ object TextQueries {
     * retention cap) is the right tier, not the raw pair join. */
   private[graft] val LshHotBucketWarn = 4096L
 
-  private val LshLog = org.slf4j.LoggerFactory.getLogger("graft.lsh")
-
   /** Band-bucket fan-in accounting over a (doc_id, band, bkey) index:
     * (max bucket membership, Σ C(m,2) candidate mass). One aggregate
     * pass over the ALREADY-CHECKPOINTED index — cheap next to the
@@ -1544,33 +1542,18 @@ object TextQueries {
     * the candidate stage cannot drift between the Jaccard and
     * containment twins.
     *
-    * Fan-in accounting (VERDICT r17, deferred per ADVICE r18): the
-    * within-bucket candidate mass is Σ C(m,2) — quadratic in
-    * duplication depth m, the same parity-side property as t2. The
-    * accounting is OPT-IN (`account = true`): it runs an eager
-    * aggregate over the index, which gate construction (plan-only
-    * inspection, the sf≤0.1 bench) should not pay — the decade paths
-    * that actually face hot corpora run it as a pre-flight
-    * ([[graft.tools.ScaleCheck]]'s twin sweep, the
-    * [[graft.tools.FanIn]] CLI). When on, it reports through the
-    * logger BEFORE the join runs: an info line always, a WARN when any
-    * bucket exceeds [[LshHotBucketWarn]] (an adversarial hot bucket is
-    * visible, never silent; the remedy at that depth is t32/t34
-    * star/rep routing or a t38b-style cap). */
+    * Fan-in accounting (VERDICT r17 → ADVICE r19): the within-bucket
+    * candidate mass is Σ C(m,2) — quadratic in duplication depth m,
+    * the same parity-side property as t2. The accounting is NOT inline
+    * here (an eager aggregate over the index, which gate construction
+    * — plan-only inspection, the sf≤0.1 bench — should not pay):
+    * [[bucketFanIn]] is the single accounting entry point, run as a
+    * pre-flight by the decade paths that actually face hot corpora
+    * ([[graft.tools.ScaleCheck]]'s twin sweep SKIPs above
+    * [[LshHotBucketWarn]]; the [[graft.tools.FanIn]] CLI reports). */
   private def lshCandidatesOf(
-      docs: org.apache.spark.sql.DataFrame,
-      account: Boolean = false): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bands = bandIndexOf(docs).select("doc_id", "band", "bkey")
-    if (account) {
-      val (maxM, candMass) = bucketFanIn(bands)
-      LshLog.info(s"[lsh] band-bucket fan-in: max_bucket=$maxM " +
-        s"candidate_mass=$candMass")
-      if (maxM > LshHotBucketWarn)
-        LshLog.warn(s"[lsh] hot band bucket (m=$maxM > " +
-          s"$LshHotBucketWarn): within-bucket pairing is quadratic in " +
-          "duplication depth — route this corpus through star/rep " +
-          "clustering (t32/t34) or a capped index (t38b) instead")
-    }
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

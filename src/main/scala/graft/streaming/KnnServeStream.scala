@@ -36,17 +36,36 @@ object KnnServeStream {
 
   /** Serve one micro-batch of (vec_id, embedding) query rows against
     * the standing graph. `e` is the corpus in embScaled shape
-    * (vec_id, eL, ss), `edges` the standing (qid, nid) graph,
-    * `entries` the fixed entry points as a single `nid` column.
+    * (vec_id, eL, ss; plus `embedding` when `route = true`), `edges`
+    * the standing (qid, nid) graph, `entries` the fixed entry points
+    * as a single `nid` column. `route = true` adds per-query LSH
+    * entries ([[VectorQueries.annLshEntries]] at (routeBits,
+    * routeTables) — the t85 composition) to each batch's round-0
+    * beam: REQUIRED on clustered corpora, where the fixed-entry walk
+    * measures recall 0.000 at every decade (ServeLadder, COVERAGE
+    * r19). `corpusRows` pre-answers the broadcast-regime decision so
+    * a long-running stream doesn't run one corpus count job per
+    * micro-batch (ADVICE r19) — pass it once at door wiring time.
     * Output is t83's shape: (query_id, rank, nid, cosine). */
   def serveBatch(batch: DataFrame, e: DataFrame, edges: DataFrame,
       entries: DataFrame,
       beam: Int = VectorQueries.ServeBeam,
       rounds: Int = VectorQueries.ServeRounds,
-      k: Int = VectorQueries.ServeK): DataFrame = {
+      k: Int = VectorQueries.ServeK,
+      route: Boolean = false,
+      routeBits: Int = 12, routeTables: Int = 4,
+      corpusRows: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val routed =
+      if (!route) None
+      else Some(VectorQueries.annLshEntries(
+        e.select("vec_id", "embedding"),
+        batch.select("vec_id", "embedding"),
+        routeBits, routeTables, VectorQueries.LshBucketCap,
+        VectorQueries.RouteEntries))
     VectorQueries.knnServeVecs(e, edges, VectorQueries.queryVecsOf(batch),
-        entries, beam, rounds, k, materialize = true)
+        entries, beam, rounds, k, materialize = true, routed = routed,
+        corpusRows = corpusRows)
       .select(col("qid").as("query_id"), col("rank"), col("nid"),
         col("cosine"))
   }

@@ -73,7 +73,8 @@ object ScaleCheck {
     "t81_score_propagation", "t81b_graph_pagerank",
     "t81c_propagation_star", "t82_knn_graph", "t82b_knn_graph_scale",
     "t82c_knn_graph_fill", "t83_knn_serve", "t84_graph_insert",
-    "t85_routed_serve", "t86_graph_delete")
+    "t85_routed_serve", "t86_graph_delete", "t87_pq_serve",
+    "t88_graph_consolidate")
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))

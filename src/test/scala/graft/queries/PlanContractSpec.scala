@@ -951,11 +951,14 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("t84 insert / t85 routed serve inherit the serve contract: no corpus rescan, no cartesian") {
-    // both compose the same walk (knnServeVecs) over checkpointed
-    // state — the routed entries and the back-edge merge must not
-    // reintroduce a corpus scan or a pair product into the final plan
-    for (q <- Seq(VectorQueries.t84GraphInsert, VectorQueries.t85RoutedServe)) {
+  test("t84 insert / t85 routed serve / t87 PQ serve / t88 consolidate inherit the serve contract: no corpus rescan, no cartesian") {
+    // all compose walks/rebuilds over checkpointed state — routed
+    // entries, the back-edge merge, the ADC rounds + exact final
+    // rerank (t87), and the degraded-node candidate pools (t88) must
+    // not reintroduce a corpus scan or a pair product into the final
+    // plan
+    for (q <- Seq(VectorQueries.t84GraphInsert, VectorQueries.t85RoutedServe,
+        VectorQueries.t87PqServe, VectorQueries.t88GraphConsolidate)) {
       val p = finalizedPlan(q.run(spark, sf))
       assert(p.contains("windowspecdefinition(qid"), s"${q.name}: $p")
       assert(p.contains("ExistingRDD"), s"${q.name}: $p")

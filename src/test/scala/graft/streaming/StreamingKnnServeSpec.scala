@@ -89,4 +89,54 @@ class StreamingKnnServeSpec extends SparkSpec
     assert(streamed == batch,
       s"door drifted from t83: ${streamed.size} vs ${batch.size} rows")
   }
+
+  test("ROUTED micro-batches equal t85 row-for-row (per-batch LSH entries, hoisted count)") {
+    // the production serve tier: the door computes each batch's own
+    // LSH entry routing (the t85 composition) — REQUIRED on clustered
+    // corpora, where fixed entries measure recall 0.000 (COVERAGE
+    // r19). The corpus row count is hoisted to door wiring time
+    // (ADVICE r19): serveBatch never runs a per-batch count job.
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        VectorQueries.scaleL(col("embedding")).as("eL"))
+      .withColumn("ss",
+        call_function("long_dot", col("eL"), col("eL")).cast("double")
+          / lit(1e12))
+      .localCheckpoint()
+    val n = e.count() // once, at wiring time
+    val lsh = VectorQueries.annLshPairs(e, 12, 4,
+        VectorQueries.LshBucketCap)
+      .select("qid", "nid").localCheckpoint()
+    val edges = VectorQueries.nnDescentFrom(e,
+        lsh.union(VectorQueries.seedFill(e, lsh, VectorQueries.KnnK)),
+        VectorQueries.KnnK, VectorQueries.KnnRounds)
+      .select("qid", "nid")
+    val ents = e.select(col("vec_id").as("nid"))
+      .orderBy("nid").limit(VectorQueries.ServeEntries)
+      .localCheckpoint()
+
+    val queries = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+    val srcDir = tmp("ksr_src")
+    queries.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+
+    val outDir = tmp("ksr_out")
+    val q = stream.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        KnnServeStream.serveBatch(b, e, edges, ents,
+            route = true, corpusRows = Some(n))
+          .write.mode("append").parquet(outDir)
+      }.start()
+    q.awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    val streamed = rows(spark.read.parquet(outDir)
+      .select("query_id", "rank", "nid", "cosine"))
+    val batch = rows(VectorQueries.t85RoutedServe.run(spark, sf))
+    assert(streamed == batch,
+      s"routed door drifted from t85: ${streamed.size} vs ${batch.size} rows")
+  }
 }
