@@ -2320,8 +2320,7 @@ object VectorQueries {
       queries: DataFrame): (DataFrame, DataFrame) = {
     val emb = embL(s, d)
     val cb = pqCodebook(s, d, emb)
-    val enc = pqEncode(emb, cb).select("vec_id", "sub", "code")
-      .localCheckpoint()
+    val enc = pqPacked(pqEncode(emb, cb)).localCheckpoint()
     val lut = pqSubvecs(queries.select(col("vec_id"),
         scaleL(col("embedding")).as("eL")))
       .withColumnRenamed("vec_id", "qid")
@@ -2330,6 +2329,19 @@ object VectorQueries {
         graft.ops.KMeans.distq(col("sv"), col("cL")).as("ldist"))
     (enc, lut)
   }
+
+  /** PACK the long-form encode rows to ONE row per vector —
+    * (vec_id, codes), codes ordered by subspace. The resident serve
+    * artifact: the long form carries ~90 B of row overhead per
+    * (vec_id, sub, code) row (measured ×7 the packed footprint at
+    * ×10); the walk's ADC stage re-derives (sub, code) pairs with a
+    * transient posexplode, so residency pays [[PqM]] ints per vector
+    * and nothing else. */
+  private def pqPacked(enc: DataFrame): DataFrame =
+    enc.groupBy("vec_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code")))),
+        t => t.getField("code")).as("codes"))
 
   /** The PQ-resident serve walk — [[knnServeVecs]]'s recurrence with
     * the beam rounds scored by ASYMMETRIC DISTANCE (each candidate =
@@ -2344,9 +2356,9 @@ object VectorQueries {
     * bound (the measured ×1000 ENOSPC), while the codes frame is
     * [[PqM]] small ints per vector — broadcastable at ANY realistic
     * corpus — and the exact fetch happens once, for beam-width rows
-    * per query. `enc` = (vec_id, sub, code) resident codes, `lut` =
-    * (qid, sub, cid, ldist) per-query tables; walk/routing/release
-    * semantics exactly as [[knnServeVecs]]. */
+    * per query. `enc` = (vec_id, codes) PACKED resident codes
+    * ([[pqPacked]]), `lut` = (qid, sub, cid, ldist) per-query tables;
+    * walk/routing/release semantics exactly as [[knnServeVecs]]. */
   private[graft] def knnServePqVecs(e: DataFrame, edges: DataFrame,
       enc: DataFrame, lut: DataFrame,
       qvecs: DataFrame, entries: DataFrame,
@@ -2367,9 +2379,13 @@ object VectorQueries {
     def adcBeam(cand: DataFrame, cut: Int): DataFrame = {
       val lutR = lutC.select(col("qid").as("lqid"), col("sub").as("lsub"),
         col("cid").as("lcid"), col("ldist"))
+      // codes always resident (broadcast); the (sub, code) pairs are
+      // re-derived transiently — residency stays PqM ints per vector
       val s = cand
-        .join(fetchSide(enc.select(col("vec_id").as("nid"), col("sub"),
-          col("code")), bcast = true), "nid") // codes: always resident
+        .join(fetchSide(enc.select(col("vec_id").as("nid"),
+          col("codes")), bcast = true), "nid")
+        .select(col("qid"), col("nid"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
         .join(broadcast(lutR),
           col("qid") === col("lqid") && col("sub") === col("lsub") &&
             col("code") === col("lcid"))
@@ -2493,7 +2509,7 @@ object VectorQueries {
     Clustering.release(lsh) // round 0 consumed it (eager)
     val emb = e.select(col("vec_id"), col("eL"))
     val cb = pqCodebook(s, d, emb)
-    val enc = pqEncode(emb, cb).select("vec_id", "sub", "code")
+    val enc = pqPacked(pqEncode(emb, cb))
       .localCheckpoint() // the resident codes — built once, walked often
     val queries = e.filter(col("vec_id") < PqNq)
     val lut = pqSubvecs(queries.select(col("vec_id"), col("eL")))

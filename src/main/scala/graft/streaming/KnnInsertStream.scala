@@ -96,13 +96,20 @@ final class KnnInsertStream(corpus: DataFrame, initial: DataFrame,
   def insertBatch(batch: DataFrame): DataFrame = synchronized {
     val b = batch.select("vec_id", "embedding").localCheckpoint()
     val bn = b.count()
-    val pre = liveCorpus // routing + walk run over the PRE-batch view
+    val pre = liveCorpus // routing runs over the PRE-batch view
+    // MATERIALIZED before the corpus swap below: the router output
+    // references the current `added` checkpoint, which the swap
+    // releases — a lazy routed frame would hit a truncated-lineage
+    // block-not-found in the walk (surfaced by the ×10 CRUD ladder;
+    // the single-batch routed spec cannot, its pre-swap `added` is
+    // empty)
     val routed =
       if (!route) None
       else Some(VectorQueries.annLshEntries(
-        pre.select("vec_id", "embedding"), b,
-        routeBits, routeTables, VectorQueries.LshBucketCap,
-        VectorQueries.RouteEntries))
+          pre.select("vec_id", "embedding"), b,
+          routeBits, routeTables, VectorQueries.LshBucketCap,
+          VectorQueries.RouteEntries)
+        .localCheckpoint())
     // fold the batch's vectors in: scoring fetches BOTH ends of a back
     // edge by id, and later batches route through these rows
     val scaledB = VectorQueries.embScaledOf(b)
@@ -114,6 +121,7 @@ final class KnnInsertStream(corpus: DataFrame, initial: DataFrame,
     val merged = VectorQueries.graphInsert(liveCorpus, graph, newVecs,
       entries, k, materialize = true, routed = routed,
       corpusRows = Some(nRows))
+    routed.foreach(Clustering.release) // walk materialized — done with it
     val prev = graph
     graph = merged
     Clustering.release(prev)

@@ -176,4 +176,34 @@ class StreamingKnnInsertSpec extends SparkSpec {
       .select("embedding").as[Array[Float]].collect()
     assert(emb30.length == 1 && emb30.head.count(_ < 0) == 7)
   }
+
+  test("ROUTED multi-batch CRUD survives corpus-state swaps (the released-router regression)") {
+    // three routed batches with a NON-EMPTY `added` state at batch 2+:
+    // the router output references the pre-swap corpus checkpoints, so
+    // a lazily-held routed frame dies with a truncated-lineage
+    // block-not-found once the swap releases them (found by the ×10
+    // CRUD ladder — the single-batch parity test can't see it, its
+    // pre-swap added frame is empty)
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val e = scored(emb).localCheckpoint()
+    val base = e.filter(col("vec_id") >= VectorQueries.InsertNewMax)
+    val lsh = VectorQueries.annLshPairs(base, 12, 4,
+        VectorQueries.LshBucketCap)
+      .select("qid", "nid").localCheckpoint()
+    val g = VectorQueries.nnDescentFrom(base,
+      lsh.union(VectorQueries.seedFill(base, lsh, VectorQueries.KnnK)),
+      VectorQueries.KnnK, VectorQueries.KnnRounds)
+    val ents = base.select(col("vec_id").as("nid"))
+      .orderBy("nid").limit(VectorQueries.ServeEntries)
+    val door = new KnnInsertStream(base, g, ents) // route = true
+    val raw = emb.select("vec_id", "embedding")
+    val b1 = door.insertBatch(raw.filter(col("vec_id") < 5))
+    assert(b1.select("qid").distinct().count() == 5)
+    door.deleteBatch(raw.filter(col("vec_id") === 42L).select("vec_id"))
+    val b2 = door.insertBatch(
+      raw.filter(col("vec_id") >= 5 && col("vec_id") < 10))
+    assert(b2.select("qid").distinct().count() == 5)
+    assert(door.liveRows == e.count() - 1)
+  }
 }
