@@ -1658,15 +1658,75 @@ object TextQueries {
         row_number().over(byDoc.orderBy("df", "tok")))
       .filter(col("pos") <= expr("n - (9*n + 9) div 10 + 1"))
       .select("doc_id", "tok", "n")
+      // spread BEFORE the checkpoint: AQE coalesces the ~14k prefix
+      // rows to one partition, but the self-join below explodes them
+      // ~600× — without this the 8.8 M-pair stage runs single-task
+      // (guide §2.5 "input skew"; explode-under-parallelism). Keyed on
+      // doc_id (deterministic), sized by the scheduler's own
+      // parallelism — scale-adaptive, not a local[32] constant.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .localCheckpoint()
-    val cand = pref.as("a")
+    val candRaw = pref.as("a")
       .join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) * 10 >=
             greatest(col("a.n"), col("b.n")) * 9)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    exactJaccardVerify(cand,
+    // Verify stage (r20, guide §1.2 "per-task work"): the degenerate
+    // prefix selectivity on this corpus (scaladoc above) makes the
+    // verify the wall — 3.69 M candidate pairs each paying a string
+    // array_intersect (hash-set build + probe per pair, ~8 s warm).
+    // When the GLOBAL vocabulary is small, the same |A∩B| is a popcount
+    // over per-doc BITMASKS: tok → dense id (GlobalRank — no
+    // single-partition window), doc → ⌈V/64⌉ packed words, and each
+    // pair costs W AND+bit_count codegen ops instead of a hash set.
+    // Integers i/n1/n2 are identical, so jaccard and the output hash
+    // are bit-identical to the set form. V is corpus-derived (one
+    // model-sized count job); above the cutover the mask row outgrows
+    // the token sets themselves and the set path stays the right plan
+    // — on a Zipf vocabulary prefix selectivity collapses candidates
+    // long before V matters anyway.
+    //
+    // Dedup placement: verify-then-dedup was MEASURED SLOWER (9.6 s vs
+    // 7.0 s — the duplicated 8.8 M verify rows cost more than the
+    // distinct's partial-aggregate shuffle saves), so distinct-first
+    // stays.
+    val vocabSize = dfreq.count()
+    val cand = candRaw.distinct()
+    if (vocabSize <= 4096) {
+      val w = ((vocabSize + 63) / 64).toInt.max(1)
+      val vocabIds = graft.ops.GlobalRank
+        .withGlobalRowNumber(dfreq.select("tok"), "tid", col("tok"))
+      val masks = ts.join(vocabIds, "tok")
+        .select(col("doc_id"), col("n"),
+          expr("CAST((tid - 1) DIV 64 AS INT)").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST((tid - 1) % 64 AS INT))")
+            .as("bit"))
+        .groupBy("doc_id", "n", "w").agg(expr("bit_or(bit)").as("bits"))
+        .groupBy("doc_id", "n")
+        .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+          .as("wm"))
+        .select(col("doc_id"), col("n"),
+          transform(sequence(lit(0), lit(w - 1)),
+            i => coalesce(element_at(col("wm"), i), lit(0L))).as("mask"))
+        .localCheckpoint() // doc-sized; feeds both join sides
+      val mx = masks.select(col("doc_id").as("d1"), col("n").as("n1"),
+        col("mask").as("m1"))
+      val my = masks.select(col("doc_id").as("d2"), col("n").as("n2"),
+        col("mask").as("m2"))
+      // explicit hints: the checkpointed masks frame is an ExistingRDD
+      // scan with no size stats, which would otherwise plan sort-merge
+      cand.join(broadcast(mx), "d1").join(broadcast(my), "d2")
+        .select(col("d1"), col("d2"),
+          expr("CAST(aggregate(zip_with(m1, m2, (a, b) -> bit_count(a & b))," +
+            " 0, (acc, v) -> acc + v) AS BIGINT)").as("n_common"),
+          col("n1"), col("n2"))
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")))
+        .filter(col("jaccard") >= 0.9)
+        .orderBy("d1", "d2")
+    } else exactJaccardVerify(cand,
       docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts")))
   }
 
