@@ -390,20 +390,31 @@ object VectorQueries {
     * caller's action reads those blocks); a long-lived session that is
     * done with the graph releases it via [[Clustering.release]]. */
   private[graft] def nnDescentFrom(e: DataFrame, seed: DataFrame,
-      k: Int, rounds: Int): DataFrame = {
-    val bcast = e.count() <= VecBroadcastMaxRows
-    var g = knnScoreTopK(e, seed.select("qid", "nid").distinct(), k, bcast)
+      k: Int, rounds: Int, corpusRows: Option[Long] = None): DataFrame = {
+    val bcast = corpusRows.getOrElse(e.count()) <= VecBroadcastMaxRows
+    // Exchange discipline (r20, guide §2.4): dedup the candidate set
+    // under an EXPLICIT qid repartition — hash(qid) satisfies both the
+    // (qid, nid) distinct aggregate (subset rule) and the downstream
+    // top-k window, so each round pays ONE exchange instead of a
+    // (qid, nid) dedup shuffle followed by a qid window shuffle.
+    def dedupByQid(cand: DataFrame): DataFrame =
+      cand.repartition(col("qid")).distinct()
+    var g = knnScoreTopK(e, dedupByQid(seed.select("qid", "nid")), k, bcast)
       .select("qid", "nid", "cosine", "rank")
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       val edges = g.select("qid", "nid")
       val sym = edges
         .union(edges.select(col("nid").as("qid"), col("qid").as("nid")))
+      // under the broadcast regime the local-join's probe side rides
+      // the same bound as the vector fetch (edges ≤ 2·k·corpusRows
+      // narrow rows — the DiskANN model keeps the graph resident
+      // alongside the vectors); above it both sides shuffle as before
       val nn = sym.as("a")
-        .join(sym.as("b"),
+        .join(fetchSide(sym.as("b"), bcast),
           col("a.nid") === col("b.qid") && col("a.qid") =!= col("b.nid"))
         .select(col("a.qid"), col("b.nid"))
-      val cand = nn.union(edges).distinct()
+      val cand = dedupByQid(nn.union(edges))
       val prev = g
       g = knnScoreTopK(e, cand, k, bcast)
         .select("qid", "nid", "cosine", "rank")
@@ -679,6 +690,10 @@ object VectorQueries {
     val q = qvecs.select(col("qid"), col("qL"), col("qss"))
       .localCheckpoint() // query-set-sized: the broadcast side of scoring
     val bcast = corpusRows.getOrElse(e.count()) <= VecBroadcastMaxRows
+    // one exchange per round (r20, guide §2.4): hash(qid) satisfies the
+    // (qid, nid) distinct AND the beam window — see nnDescentFrom
+    def dedupByQid(cand: DataFrame): DataFrame =
+      cand.repartition(col("qid")).distinct()
     def scoreBeam(cand: DataFrame, cut: Int): DataFrame = {
       val s = cand.join(broadcast(q), "qid")
         .join(fetchSide(e.select(col("vec_id").as("nid"), col("eL").as("nL"),
@@ -700,11 +715,14 @@ object VectorQueries {
         .select("qid", "nid")).distinct()
     }
     for (_ <- 1 to rounds) {
-      val expand = cur.join(sym, col("nid") === col("src"))
+      // graph probe side broadcast under the same regime as the vector
+      // fetch (sym = 2·k·corpusRows narrow rows — graph-resident serve,
+      // the DiskANN deployment shape); above the bound it shuffles
+      val expand = cur.join(fetchSide(sym, bcast), col("nid") === col("src"))
         .select(col("qid"), col("dst"))
         .filter(col("dst") =!= col("qid"))
         .select(col("qid"), col("dst").as("nid"))
-      val cand = cur.union(expand).distinct()
+      val cand = dedupByQid(cur.union(expand))
       val prev = cur
       cur = scoreBeam(cand, beam).select("qid", "nid").localCheckpoint()
       Clustering.release(prev) // round 1's prev is unpersisted — no-op
@@ -2414,12 +2432,17 @@ object VectorQueries {
       cur = cur.union(r.filter(col("nid") =!= col("qid"))
         .select("qid", "nid")).distinct()
     }
+    // one exchange per round (r20, guide §2.4): hash(qid) satisfies the
+    // (qid, nid) distinct, the ADC groupBy AND the beam window; the
+    // graph probe side broadcasts under the vector-fetch regime
+    def dedupByQid(cand: DataFrame): DataFrame =
+      cand.repartition(col("qid")).distinct()
     for (_ <- 1 to rounds) {
-      val expand = cur.join(sym, col("nid") === col("src"))
+      val expand = cur.join(fetchSide(sym, bcast), col("nid") === col("src"))
         .select(col("qid"), col("dst"))
         .filter(col("dst") =!= col("qid"))
         .select(col("qid"), col("dst").as("nid"))
-      val cand = cur.union(expand).distinct()
+      val cand = dedupByQid(cur.union(expand))
       val prev = cur
       cur = adcBeam(cand, beam).select("qid", "nid").localCheckpoint()
       Clustering.release(prev)
