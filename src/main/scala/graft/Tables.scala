@@ -45,6 +45,35 @@ object Tables {
         "(expected int64-ns, TIMESTAMP, or TIMESTAMP_NTZ)")
   }
 
+  /** Single-row-group guard (r20, guide §2.5 "input skew" / §6): the
+    * driver's testdata ships each table as ONE parquet row group, so
+    * every scan is one task and every scan-local stage (tokenize, md5,
+    * shingle windows, vector scaling) runs on one core of the host.
+    * Below [[SpreadMaxBytes]] the loader repartitions by the table's
+    * key to the scheduler's parallelism — a shuffle of the (tiny) file
+    * that buys back the machine. At lake scale files carry many row
+    * groups, the scan is already parallel, and the gate is off by
+    * construction, so no production plan ever pays a corpus shuffle.
+    * Filters/pruning still reach the scan: Catalyst pushes both
+    * through RepartitionByExpression. */
+  private val SpreadMaxBytes = 256L << 20
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def spread(s: SparkSession, d: String, name: String,
+      df: DataFrame, key: Column): DataFrame = {
+    val path = s"$d/$name.parquet"
+    val bytes = sizeCache.computeIfAbsent(path, { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        java.lang.Long.valueOf(fs.getContentSummary(hp).getLength)
+      } catch { case _: Throwable => java.lang.Long.valueOf(Long.MaxValue) }
+    })
+    if (bytes < SpreadMaxBytes)
+      df.repartition(s.sparkContext.defaultParallelism, key)
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
@@ -59,8 +88,12 @@ object Tables {
     * either. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
-    raw.withColumn("ts", tsNanos(raw.schema("ts").dataType, col("ts")))
+    spread(s, d, "events",
+      raw.withColumn("ts", tsNanos(raw.schema("ts").dataType, col("ts"))),
+      col("event_id"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "documents", apply(s, d, "documents"), col("doc_id"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "embeddings", apply(s, d, "embeddings"), col("vec_id"))
 }

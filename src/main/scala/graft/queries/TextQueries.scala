@@ -2931,22 +2931,28 @@ object TextQueries {
       x => SketchQueries.baseHash(x))
     val nw = when(size(col("hs")) === 0, 0)
       .otherwise(greatest(size(col("hs")) - WinnowW + 1, lit(1)))
-    val win = (i: Column) => slice(col("hs"), i, lit(WinnowW))
+    // rightmost-min tie rule, single-pass form (r20, guide §1.2 per-task
+    // work): zip each hash with its NEGATED 1-based index ONCE per doc;
+    // a window's fingerprint is then array_min(slice) over (h, -idx)
+    // structs — lexicographic min = smallest h, ties to the LARGEST
+    // index, i.e. the rightmost minimum. Replaces the former
+    // slice+array_min+reverse+array_position per window (four array
+    // traversals, three allocations) with slice+array_min (one each);
+    // pos/h values are identical, so t60/t61/t61b outputs are
+    // bit-identical. Short docs get one sub-W window, as before.
     val fp = (i: Column) => {
-      val sl = win(i)
-      val m = array_min(sl)
-      // rightmost-min tie rule: first occurrence in the REVERSED window
-      // is the last in the original; short docs get one sub-W window,
-      // so the span is size(sl), not W
-      struct(
-        (i + size(sl) - array_position(reverse(sl), m)).cast("long").as("pos"),
-        m.as("h"))
+      val m = array_min(slice(col("hz"), i, lit(WinnowW)))
+      struct((-m.getField("nj")).cast("long").as("pos"),
+        m.getField("h").as("h"))
     }
     winnowFpMemo.record(docsPrefix(s, d), docsStamp(d),
       Tables.documents(s, d)
         .select(col("doc_id"), hs.as("hs"))
         .withColumn("nw", nw)
         .filter(col("nw") > 0)
+        .withColumn("hz", zip_with(col("hs"),
+          sequence(lit(1), size(col("hs"))),
+          (h, j) => struct(h.as("h"), (-j).as("nj"))))
         .select(col("doc_id"),
           explode(transform(sequence(lit(1), col("nw")), fp)).as("fp"))
         .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))

@@ -29,6 +29,15 @@ class PlanContractSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
+  /** Exchange count EXCLUDING the small-file input spread
+    * (Tables.spread's REPARTITION_BY_NUM over the scan, r20): contracts
+    * below bound the ALGORITHM's shuffles; the spread is a demo-scale
+    * input-parallelism guard that vanishes at lake scale (gated on
+    * file size), so it must not count against them. */
+  private def algoExchanges(p: String): Int =
+    "Exchange".r.findAllIn(p).size -
+      "REPARTITION_BY_NUM".r.findAllIn(p).size
+
   test("j1 enrich join broadcasts the dimension side") {
     assert(plan(CoreQueries.j1EnrichJoin).contains("BroadcastHashJoin"))
   }
@@ -95,13 +104,14 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("whole-stage codegen covers the scalar pipelines") {
-    // a pure scalar projection (no exchange → no AQE wrapper): the
-    // normalizer pack must stay inside one codegen stage
+    // the normalizer pack must stay inside one codegen stage; the
+    // input-spread repartition (r20) makes the plan adaptive, so the
+    // codegen markers appear on the FINALIZED plan
     import org.apache.spark.sql.functions.col
     val df = graft.Tables.documents(spark, sf)
       .select(graft.functions.Normalize.severityFromProblem(col("text")))
     // "*(n)" is the WholeStageCodegenExec marker in plan toString
-    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    assert(finalizedPlan(df).contains("*(1)"))
   }
 
   test("x4 decide chain stays keyed by device (single agg, no global sort before it)") {
@@ -458,7 +468,7 @@ class PlanContractSpec extends SparkSpec {
     val regs = SketchQueries.hllRegisters(si, "source")
     val p = regs.queryExecution.executedPlan.toString
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
-    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(algoExchanges(p) == 1, p)
   }
 
   test("t63 fertility: vocab joins broadcast; source rides the explode (no doc join)") {
@@ -782,16 +792,16 @@ class PlanContractSpec extends SparkSpec {
     val p = plan(CurationQueries.t72GopherRules)
     assert(AnyJoin.findAllIn(p).isEmpty, p)
     assert(!p.contains("HashAggregate"), p)
-    // one scan, one projection pipeline; the only exchange is the
-    // presentation sort's range partitioning
-    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    // one scan, one projection pipeline; the only algorithmic exchange
+    // is the presentation sort's range partitioning
+    assert(algoExchanges(p) <= 1, p)
   }
 
   test("t72b C4 rules: row-local — no joins, no aggregation exchange") {
     val p = plan(CurationQueries.t72bC4Rules)
     assert(AnyJoin.findAllIn(p).isEmpty, p)
     assert(!p.contains("HashAggregate"), p)
-    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(algoExchanges(p) <= 1, p)
   }
 
   test("t79 unimax: one two-phase corpus aggregate; scalar frames broadcast") {
