@@ -94,6 +94,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame =
     spread(s, d, "documents", apply(s, d, "documents"), col("doc_id"))
+  // embeddings are NOT spread (r20, measured): the vector tier's heavy
+  // work (candidate scoring) sits AFTER exchanges that already
+  // parallelize it, while its iterative gates run dozens of tiny
+  // stages whose per-task overhead a 32-way scan multiplies — the
+  // bench showed every embeddings consumer 0.7–2.3 s SLOWER spread
+  // (t84/t85/t65/t26) and none faster. Scan-local embedding work is
+  // 64 scalar ops per row; the text tier's md5/tokenize mass is what
+  // the spread exists for.
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(s, d, "embeddings", apply(s, d, "embeddings"), col("vec_id"))
+    apply(s, d, "embeddings")
 }
