@@ -577,6 +577,69 @@ object VectorQueries {
        |$roundCtes""".stripMargin
   }
 
+  // ---- standing-artifact memos (r20 — the dupClustersMemo/winnowFpMemo
+  // pattern applied to the graph family). PRODUCTION SEMANTICS: the
+  // k-NN graph is built ONCE at curation time and every serve/CRUD op
+  // composes on the standing artifact (t83's scaladoc; DiskANN's whole
+  // design) — before r20 each gate rebuilt it in-process, paying the
+  // LSH seed + NN-Descent rounds five times per pass. Discipline is
+  // buildDupClusters': the BUILDER gates (t82/t82b/t82c, whose output
+  // IS the graph) always rebuild and re-record, so their bench numbers
+  // stay honest; the composing gates (t83 serve, t85 routed serve,
+  // t86 delete, t87 PQ serve, t88 consolidate) reuse the recorded
+  // checkpoint exactly as t28/t33 reuse t21's clusters. Keys carry the
+  // embeddings.parquet content fingerprint — an in-process rewrite
+  // rebuilds, never serves stale; record releases superseded blocks.
+  // t84 keeps a direct build: its base-SUBSET graph has no other
+  // consumer, so a memo there would cache the gate's own work rather
+  // than share a standing artifact.
+
+  private val embMemo = new Clustering.Memo[(SparkSession, String)]
+  private def embStamp(d: String) = Clustering.fingerprint(d, "embeddings")
+
+  /** The checkpointed (vec_id, embedding, eL, ss) corpus every graph
+    * gate fetches vectors from — scan+scale paid once per process per
+    * corpus fingerprint (first caller builds, the winnowDocHash
+    * discipline; the frame is corpus-resident by the same argument as
+    * [[VecBroadcastMaxRows]]). */
+  private def embCheckpointed(s: SparkSession, d: String): DataFrame =
+    embMemo.reuse((s, d), embStamp(d)) {
+      embMemo.record((s, d), embStamp(d), embScaled(s, d).localCheckpoint())
+    }
+
+  private val graphMemo = new Clustering.Memo[(SparkSession, String)]
+  private def graphKey(d: String, bits: Int, tables: Int, cap: Int,
+      fill: Boolean) = s"$d|$bits:$tables:$cap:$fill"
+
+  /** One graph build (LSH seed [+ fill] + NN-Descent) over `e`. */
+  private def buildKnnGraph(e: DataFrame, bits: Int, tables: Int,
+      cap: Int, fill: Boolean): DataFrame = {
+    val lsh0 = annLshPairs(e, bits, tables, cap).select("qid", "nid")
+    // when filling, the LSH pair stage feeds BOTH the starved
+    // anti-join and the union arm — checkpointed so the band
+    // self-join doesn't run twice in round 0's plan
+    val lsh = if (fill) lsh0.localCheckpoint() else lsh0
+    val seed = if (fill) lsh.union(seedFill(e, lsh, KnnK)) else lsh
+    val g = nnDescentFrom(e, seed, KnnK, KnnRounds)
+    if (fill) Clustering.release(lsh) // round 0 consumed it (eager)
+    g
+  }
+
+  /** Fresh standing-graph build at a config, recorded for reuse —
+    * the builder-gate entry (always rebuilds). */
+  private def standingGraphRecord(s: SparkSession, d: String, bits: Int,
+      tables: Int, cap: Int, fill: Boolean): DataFrame =
+    graphMemo.record((s, graphKey(d, bits, tables, cap, fill)), embStamp(d),
+      buildKnnGraph(embCheckpointed(s, d), bits, tables, cap, fill))
+
+  /** The composing-gate entry: the recorded standing graph if this
+    * process already built it at this config and fingerprint, else a
+    * fresh recorded build. */
+  private def standingGraphReused(s: SparkSession, d: String, bits: Int,
+      tables: Int, cap: Int, fill: Boolean): DataFrame =
+    graphMemo.reuse((s, graphKey(d, bits, tables, cap, fill)), embStamp(d))(
+      standingGraphRecord(s, d, bits, tables, cap, fill))
+
   private def knnGraphSpec(name: String, bits: Int, tables: Int,
       cap: Int, fill: Boolean = false): QuerySpec =
     QuerySpec.sql(
@@ -585,16 +648,8 @@ object VectorQueries {
          |SELECT qid, CAST(rnk AS BIGINT) AS rank, nid, cosine
          |FROM g$KnnRounds
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
-      val e = embScaled(s, d).localCheckpoint() // scan once: keys + fetches
-      val lsh0 = annLshPairs(e, bits, tables, cap).select("qid", "nid")
-      // when filling, the LSH pair stage feeds BOTH the starved
-      // anti-join and the union arm — checkpointed so the band
-      // self-join doesn't run twice in round 0's plan
-      val lsh = if (fill) lsh0.localCheckpoint() else lsh0
-      val seed = if (fill) lsh.union(seedFill(e, lsh, KnnK)) else lsh
-      val g = nnDescentFrom(e, seed, KnnK, KnnRounds)
-      if (fill) Clustering.release(lsh) // round 0 consumed it (eager)
-      g.select("qid", "rank", "nid", "cosine")
+      standingGraphRecord(s, d, bits, tables, cap, fill)
+        .select("qid", "rank", "nid", "cosine")
         .orderBy("qid", "rank")
     }
 
@@ -812,10 +867,9 @@ object VectorQueries {
          |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid, cosine
          |FROM gs$ServeRounds WHERE rnk <= $ServeK
          |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-      val e = embScaled(s, d).localCheckpoint()
-      val edges = nnDescentFrom(e,
-        annLshPairs(e, LshBits, LshTables, LshBucketCap), KnnK, KnnRounds)
-        .select("qid", "nid")
+      val e = embCheckpointed(s, d)
+      val edges = standingGraphReused(s, d, LshBits, LshTables,
+        LshBucketCap, fill = false).select("qid", "nid")
       val qids = e.select(col("vec_id").as("qid")).filter(col("qid") < 10)
       val ents = e.select(col("vec_id").as("nid"))
         .orderBy("nid").limit(ServeEntries)
@@ -879,12 +933,8 @@ object VectorQueries {
        |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid, cosine
        |FROM gs$ServeRounds WHERE rnk <= $ServeK
        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val e = embScaled(s, d).localCheckpoint()
-    val lsh = annLshPairs(e, 12, 4, LshBucketCap)
-      .select("qid", "nid").localCheckpoint()
-    val g = nnDescentFrom(e, lsh.union(seedFill(e, lsh, KnnK)),
-      KnnK, KnnRounds)
-    Clustering.release(lsh) // round 0 consumed it (eager)
+    val e = embCheckpointed(s, d)
+    val g = standingGraphReused(s, d, 12, 4, LshBucketCap, fill = true)
     val queries = e.filter(col("vec_id") < 10)
     val routed = annLshEntries(e.select("vec_id", "embedding"),
       queries.select("vec_id", "embedding"), 12, 4, LshBucketCap,
@@ -1036,7 +1086,10 @@ object VectorQueries {
          |UNION ALL
          |SELECT qid, CAST(rnk AS BIGINT) AS rank, nid, cosine FROM fwd
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
-      val e = embScaled(s, d).localCheckpoint()
+      // e via the shared memo; the base-SUBSET graph stays a direct
+      // per-gate build — no other consumer, so a memo would cache the
+      // gate's own work rather than share a standing artifact
+      val e = embCheckpointed(s, d)
       val base = e.filter(col("vec_id") >= InsertNewMax)
       val lsh = annLshPairs(base, 12, 4, LshBucketCap)
         .select("qid", "nid").localCheckpoint()
@@ -1166,12 +1219,8 @@ object VectorQueries {
        |$graphDeleteCtesSql
        |SELECT qid, CAST(rnk AS BIGINT) AS rank, nid, cosine FROM pd
        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
-    val e = embScaled(s, d).localCheckpoint()
-    val lsh = annLshPairs(e, 12, 4, LshBucketCap)
-      .select("qid", "nid").localCheckpoint()
-    val g = nnDescentFrom(e, lsh.union(seedFill(e, lsh, KnnK)),
-      KnnK, KnnRounds)
-    Clustering.release(lsh) // round 0 consumed it (eager)
+    val e = embCheckpointed(s, d)
+    val g = standingGraphReused(s, d, 12, 4, LshBucketCap, fill = true)
     val dels = e.filter(col("vec_id") < InsertNewMax).select("vec_id")
     graphDelete(e, g, dels, KnnK)
       .select("qid", "rank", "nid", "cosine")
@@ -1289,12 +1338,8 @@ object VectorQueries {
        |UNION ALL
        |SELECT qid, CAST(rnk AS BIGINT) AS rank, nid, cosine FROM gcc
        |ORDER BY qid, rank""".stripMargin) { (s, d) =>
-    val e = embScaled(s, d).localCheckpoint()
-    val lsh = annLshPairs(e, 12, 4, LshBucketCap)
-      .select("qid", "nid").localCheckpoint()
-    val g = nnDescentFrom(e, lsh.union(seedFill(e, lsh, KnnK)),
-      KnnK, KnnRounds)
-    Clustering.release(lsh) // round 0 consumed it (eager)
+    val e = embCheckpointed(s, d)
+    val g = standingGraphReused(s, d, 12, 4, LshBucketCap, fill = true)
     // the surgical del set: node 0's out-neighbors and THEIR
     // out-neighbors (never 0 itself) — kills 0's whole repair pool
     val n1 = g.filter(col("qid") === 0L).select(col("nid").as("vec_id"))
@@ -2524,12 +2569,8 @@ object VectorQueries {
        |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid, cosine
        |FROM gfx WHERE rnk <= $ServeK
        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val e = embScaled(s, d).localCheckpoint()
-    val lsh = annLshPairs(e, 12, 4, LshBucketCap)
-      .select("qid", "nid").localCheckpoint()
-    val g = nnDescentFrom(e, lsh.union(seedFill(e, lsh, KnnK)),
-      KnnK, KnnRounds)
-    Clustering.release(lsh) // round 0 consumed it (eager)
+    val e = embCheckpointed(s, d)
+    val g = standingGraphReused(s, d, 12, 4, LshBucketCap, fill = true)
     val emb = e.select(col("vec_id"), col("eL"))
     val cb = pqCodebook(s, d, emb)
     val enc = pqPacked(pqEncode(emb, cb))
