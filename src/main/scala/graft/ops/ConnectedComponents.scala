@@ -49,9 +49,15 @@ object ConnectedComponents {
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String, maxRounds: Int = 50,
       escalateToStar: Boolean = true): DataFrame = {
+    // one exchange establishes hash(src) (r20, guide §2.4): the
+    // explicit src repartition satisfies the (src, dst) distinct
+    // (subset rule), the node-set distinct below, AND the per-round
+    // edge⋈label probe — the dedup no longer pays its own (src, dst)
+    // shuffle and the loop joins start co-partitioned
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .repartition(col("src"))
       .distinct()
       .localCheckpoint()
     var labels = sym

@@ -79,13 +79,20 @@ object CurationQueries {
     val inst = docs
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("bucket"))
-    val db = inst.groupBy("doc_id", "bucket").agg(count(lit(1)).as("k"))
-    val ct = inst.filter(col("lang") === "en")
-      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
-    val cr = inst.groupBy("bucket").agg(count(lit(1)).as("c_r"))
-    val tot = inst.agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_t"),
-      count(lit(1)).as("t_r"))
+    // ONE corpus explode (r20, guide §1.2): the lazy `inst` fed four
+    // consumers, so the tokenize+md5 scan ran four times per gate. All
+    // four are aggregates of the (doc, lang, bucket) counts (lang is
+    // functional on doc_id), so they now derive from one checkpointed
+    // doc×bucket-sized frame — same counts, same types, same outputs.
+    val db2 = inst.groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("k")).localCheckpoint()
+    val db = db2.select("doc_id", "bucket", "k")
+    val ct = db2.filter(col("lang") === "en")
+      .groupBy("bucket").agg(sum("k").as("c_t"))
+    val cr = db2.groupBy("bucket").agg(sum("k").as("c_r"))
+    val tot = db2.agg(
+      sum(when(col("lang") === "en", col("k")).otherwise(0L)).as("t_t"),
+      sum("k").as("t_r"))
     val sc = db
       .join(broadcast(ct), Seq("bucket"), "left")
       .join(broadcast(cr), Seq("bucket"))

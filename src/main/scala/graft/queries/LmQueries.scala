@@ -390,12 +390,17 @@ object LmQueries {
         explode(col("toks")).as("word"))
         .filter(col("word") =!= "")
       val train = ti.filter(col("is_train"))
+      // t6b's scan discipline applied here too (r20): lab and voc are
+      // AGGREGATES OF cwl — deriving them from the model-sized frame
+      // instead of re-running the corpus explode cuts the instance
+      // passes 4 → 2 (cwl + nb); counts and types are identical
       val cwl = train.groupBy("label", "word").agg(count(lit(1)).as("c"))
-      val lab = train.groupBy("label").agg(count(lit(1)).as("t_l"))
+        .localCheckpoint()
+      val lab = cwl.groupBy("label").agg(sum("c").as("t_l"))
       val pri = t.filter(col("is_train"))
         .groupBy("label").agg(count(lit(1)).as("n_l"))
       val nd = t.filter(col("is_train")).agg(count(lit(1)).as("n_docs"))
-      val voc = train.agg(count_distinct(col("word")).as("v"))
+      val voc = cwl.agg(count_distinct(col("word")).as("v"))
       val cost = FixedLog.withLog2(
         cwl.join(lab, "label").crossJoin(broadcast(voc))
           .select(col("label"), col("word"),
