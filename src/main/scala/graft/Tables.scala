@@ -57,16 +57,23 @@ object Tables {
     * Filters/pruning still reach the scan: Catalyst pushes both
     * through RepartitionByExpression. */
   private val SpreadMaxBytes = 256L << 20
+  // keyed on (path, mtime) so an in-process rewrite of the backing
+  // parquet re-evaluates the gate (ADVICE r20 — the Clustering
+  // fingerprint discipline applied to the size probe)
   private val sizeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
   private def spread(s: SparkSession, d: String, name: String,
       df: DataFrame, key: Column): DataFrame = {
     val path = s"$d/$name.parquet"
-    val bytes = sizeCache.computeIfAbsent(path, { p =>
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val (mtime, fsOpt) =
       try {
-        val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        java.lang.Long.valueOf(fs.getContentSummary(hp).getLength)
+        (fs.getFileStatus(hp).getModificationTime, Some(fs))
+      } catch { case _: Throwable => (0L, None) }
+    val bytes = sizeCache.computeIfAbsent((path, mtime), { _ =>
+      try {
+        java.lang.Long.valueOf(fsOpt.get.getContentSummary(hp).getLength)
       } catch { case _: Throwable => java.lang.Long.valueOf(Long.MaxValue) }
     })
     if (bytes < SpreadMaxBytes)
@@ -86,11 +93,19 @@ object Tables {
     * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) physical types across
     * regenerations; every consumer keeps identical semantics under
     * either. */
+  // events are NOT spread (r21, measured — VERDICT r20 item 2): every
+  // events consumer does trivial per-row work (pivots, argmax windows,
+  // dedup elections — no tokenize/md5 mass), so the spread's exchange
+  // + 32-task fixed cost bought nothing and cost the whole tier
+  // 1.2–2× at 32 cores (a1 0.33→0.64, s1 0.34→0.66, x4 0.23→0.61 …,
+  // ≈3–4 s across the tier, driver-confirmed r20 and re-measured this
+  // round); at 8 cores the tier sat back at anchor level — per-task
+  // overhead, not compute. The documents spread stays: its consumers'
+  // scan-local tokenize/md5 stages are exactly the heavy mass the
+  // spread exists for.
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
-    spread(s, d, "events",
-      raw.withColumn("ts", tsNanos(raw.schema("ts").dataType, col("ts"))),
-      col("event_id"))
+    raw.withColumn("ts", tsNanos(raw.schema("ts").dataType, col("ts")))
   }
   def documents(s: SparkSession, d: String): DataFrame =
     spread(s, d, "documents", apply(s, d, "documents"), col("doc_id"))

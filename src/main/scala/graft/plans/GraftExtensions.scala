@@ -70,6 +70,28 @@ object GraftExtensions {
         require(args.length == 2, "long_distsq(array<bigint>, array<bigint>)")
         LongArrayDistSq(args.head, args(1))
       }),
+    (FunctionIdentifier("long_and_popcount"),
+      new ExpressionInfo(classOf[LongArrayAndPopcount].getName,
+        "long_and_popcount"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "long_and_popcount(array<bigint>, array<bigint>)")
+        LongArrayAndPopcount(args.head, args(1))
+      }),
+    (FunctionIdentifier("long_lut_sum"),
+      new ExpressionInfo(classOf[LongArrayLutSum].getName, "long_lut_sum"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "long_lut_sum(codes array<bigint>, lut array<bigint>, k int)")
+        LongArrayLutSum(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("winnow_min_windows"),
+      new ExpressionInfo(classOf[WinnowMinWindows].getName,
+        "winnow_min_windows"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "winnow_min_windows(hs array<bigint>, w int)")
+        WinnowMinWindows(args.head, args(1))
+      }),
     // Spark ships distributed bloom-sketch expressions for its own
     // runtime row-level filtering but does not expose them as SQL
     // functions; surfacing them gives the engine a fixed-size set

@@ -169,8 +169,14 @@ object SearchQueries {
       explode(col("toks")).as("word"))
     val stats = t.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val df = ti.groupBy("word")
-      .agg(count_distinct(col("doc_id")).as("df"))
+    // df off the per-doc DISTINCT token arrays (r21): the dedup is
+    // row-local (array_distinct over the checkpointed toks), so the
+    // aggregate is a plain map-side-combinable count over ~|vocab|·docs
+    // rows instead of a two-phase COUNT(DISTINCT doc_id) over every
+    // token instance — same integers (a word counts once per doc
+    // containing it either way).
+    val df = t.select(explode(array_distinct(col("toks"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
     val qt = queryTerms(df)
     val tf = ti.join(broadcast(qt), "word")
       .groupBy("doc_id", "dl", "word", "query_id", "df")

@@ -1715,12 +1715,24 @@ object TextQueries {
         col("mask").as("m1"))
       val my = masks.select(col("doc_id").as("d2"), col("n").as("n2"),
         col("mask").as("m2"))
-      // explicit hints: the checkpointed masks frame is an ExistingRDD
-      // scan with no size stats, which would otherwise plan sort-merge
-      cand.join(broadcast(mx), "d1").join(broadcast(my), "d2")
+      // broadcast bound (r21, VERDICT r20 item 1): the masks frame is
+      // CORPUS-sized (one row per doc) — vocab bounds the row WIDTH,
+      // not the row count, so a small-vocab corpus at lake scale must
+      // not force-broadcast it. Budget ~512 MB of mask payload
+      // (w longs + key/count per row); above the bound the popcount
+      // verify stays but the fetch joins shuffle (AQE plans them off
+      // real stats). masks is checkpointed, so the count is free.
+      val bcastMasks = masks.count() <= (512L << 20) / (w * 8L + 24L)
+      def side(df: org.apache.spark.sql.DataFrame) =
+        if (bcastMasks) broadcast(df) else df
+      // codegen'd verify kernel (r21): Σ bit_count(m1[i] & m2[i]) as a
+      // primitive loop — the former aggregate(zip_with(...)) HOF paid
+      // an interpreted lambda + zipped-array alloc per candidate pair
+      // (3.69 M pairs on this corpus). Identical integers, so jaccard
+      // and the output hash are bit-identical.
+      cand.join(side(mx), "d1").join(side(my), "d2")
         .select(col("d1"), col("d2"),
-          expr("CAST(aggregate(zip_with(m1, m2, (a, b) -> bit_count(a & b))," +
-            " 0, (acc, v) -> acc + v) AS BIGINT)").as("n_common"),
+          expr("long_and_popcount(m1, m2)").as("n_common"),
           col("n1"), col("n2"))
         .withColumn("jaccard", col("n_common").cast("double") /
           (col("n1") + col("n2") - col("n_common")))
@@ -2929,32 +2941,22 @@ object TextQueries {
       d: String): org.apache.spark.sql.DataFrame = {
     val hs = transform(shingles(tokens(col("text")), 3),
       x => SketchQueries.baseHash(x))
-    val nw = when(size(col("hs")) === 0, 0)
-      .otherwise(greatest(size(col("hs")) - WinnowW + 1, lit(1)))
-    // rightmost-min tie rule, single-pass form (r20, guide §1.2 per-task
-    // work): zip each hash with its NEGATED 1-based index ONCE per doc;
-    // a window's fingerprint is then array_min(slice) over (h, -idx)
-    // structs — lexicographic min = smallest h, ties to the LARGEST
-    // index, i.e. the rightmost minimum. Replaces the former
-    // slice+array_min+reverse+array_position per window (four array
-    // traversals, three allocations) with slice+array_min (one each);
-    // pos/h values are identical, so t60/t61/t61b outputs are
-    // bit-identical. Short docs get one sub-W window, as before.
-    val fp = (i: Column) => {
-      val m = array_min(slice(col("hz"), i, lit(WinnowW)))
-      struct((-m.getField("nj")).cast("long").as("pos"),
-        m.getField("h").as("h"))
-    }
+    // rightmost-min tie rule, CODEGEN form (r21, VERDICT r20 item 3):
+    // the r20 single-pass HOF (zip_with (h, −idx) structs +
+    // array_min(slice) per window) still ran through the lambda
+    // interpreter with a slice allocation per window — the largest
+    // non-structural cost in the text tier. `winnow_min_windows`
+    // ([[graft.plans.WinnowMinWindows]]) fuses the whole per-doc window
+    // scan into one primitive loop inside whole-stage codegen; pos/h
+    // values are identical (lexicographic min of (h, −idx) ≡ ascending
+    // scan with `h ≤ best` updates; empty-shingle docs yield an empty
+    // array ≡ the former filter(nw > 0)), so t60/t61/t61b outputs are
+    // bit-identical — WinnowExprSpec pins the equivalence.
     winnowFpMemo.record(docsPrefix(s, d), docsStamp(d),
       Tables.documents(s, d)
-        .select(col("doc_id"), hs.as("hs"))
-        .withColumn("nw", nw)
-        .filter(col("nw") > 0)
-        .withColumn("hz", zip_with(col("hs"),
-          sequence(lit(1), size(col("hs"))),
-          (h, j) => struct(h.as("h"), (-j).as("nj"))))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), col("nw")), fp)).as("fp"))
+          explode(call_function("winnow_min_windows", hs, lit(WinnowW)))
+            .as("fp"))
         .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
         .distinct()
         .localCheckpoint()) // one winnowing scan serves t60/t61/t61b
