@@ -114,7 +114,7 @@ object TextAnalysis {
     * definition here so the split rule cannot drift between them.
     * [[IdHashByteSql]] is its DuckDB twin. */
   def idHashByte(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long")
+    call_function("md5_prefix", id.cast("string"), lit(2))
 
   /** DuckDB twin of [[idHashByte]] over a column reference. */
   def idHashByteSql(ref: String): String =
@@ -206,7 +206,7 @@ object TextAnalysis {
     * [[DsirBuckets]] (portable — the DuckDB twin lives in the t71
     * oracle). */
   def dsirBucket(tok: Column): Column =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % DsirBuckets
+    call_function("md5_prefix", tok, lit(8)) % DsirBuckets
 
   /** Integer bit length — the whole-bit surprisal primitive
     * (`floor(log2 x) + 1` for positive x; t48/t49/t71 discipline). */

@@ -92,6 +92,25 @@ object GraftExtensions {
         require(args.length == 2, "winnow_min_windows(hs array<bigint>, w int)")
         WinnowMinWindows(args.head, args(1))
       }),
+    (FunctionIdentifier("md5_prefix"),
+      new ExpressionInfo(classOf[Md5PrefixVal].getName, "md5_prefix"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "md5_prefix(s string, nibbles int)")
+        Md5PrefixVal(args.head, args(1))
+      }),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sigs(shingles array<string>, k int)")
+        MinhashSigs(args.head, args(1))
+      }),
+    (FunctionIdentifier("long_eq_count"),
+      new ExpressionInfo(classOf[LongArrayEqCount].getName, "long_eq_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "long_eq_count(array<bigint>, array<bigint>)")
+        LongArrayEqCount(args.head, args(1))
+      }),
     // Spark ships distributed bloom-sketch expressions for its own
     // runtime row-level filtering but does not expose them as SQL
     // functions; surfacing them gives the engine a fixed-size set

@@ -210,3 +210,212 @@ case class WinnowMinWindows(left: Expression, right: Expression)
 
   override def prettyName: String = "winnow_min_windows"
 }
+
+/** Shared MD5-prefix hashing kernel: thread-local digest, first-8-byte
+  * big-endian value, `nibbles` leading hex digits — exactly
+  * `conv(substring(md5(s), 1, nibbles), 16, 10)` for nibbles ≤ 15
+  * (the portable-hash convention every text operator shares) without
+  * the hex-string render, substring alloc, and base-16 string parse
+  * per evaluation. */
+object Md5Hash60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def prefix(s: org.apache.spark.unsafe.types.UTF8String,
+      nibbles: Int): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> (4 * (16 - nibbles))
+  }
+}
+
+/** `md5_prefix(s, nibbles)` — the leading `nibbles` hex digits of
+  * md5(s) as a BIGINT (nibbles ∈ 1..15, analysis-checked). Value-
+  * identical to `conv(substring(md5(s), 1, nibbles), 16, 10)` (pinned
+  * by HotLoopExprsSpec); replaces that four-expression string chain
+  * in every portable-hash hot path (MinHash base, winnowing hashes,
+  * HLL/CMS registers, DSIR buckets, id split bytes). */
+case class Md5PrefixVal(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType, IntegerType)
+
+  override def dataType: DataType = LongType
+
+  private lazy val nibbles: Int = {
+    require(right.foldable, "md5_prefix nibbles must be a literal")
+    val n = right.eval(InternalRow.empty).asInstanceOf[Int]
+    require(n >= 1 && n <= 15, s"md5_prefix nibbles must be 1..15: $n")
+    n
+  }
+
+  override def nullSafeEval(s: Any, n: Any): Any =
+    Md5Hash60.prefix(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      nibbles)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nb = nibbles // force the analysis-time checks
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"${ev.value} = graft.plans.Md5Hash60.prefix($s, $nb);")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Md5PrefixVal = copy(left = l, right = r)
+
+  override def prettyName: String = "md5_prefix"
+}
+
+/** `minhash_sigs(shingles, k)` — the whole K-element MinHash signature
+  * in ONE pass over the shingle strings: per shingle one MD5 → 60-bit
+  * base value mod P, then the k Carter–Wegman minima updated in a
+  * primitive loop. Replaces `transform(sh, md5-conv-mod)` followed by
+  * K separate `array_min(transform(hv, affine))` passes — K+1
+  * interpreted lambdas and K+1 intermediate arrays per document.
+  * Null shingle elements are skipped and an empty (or all-null) input
+  * yields k null elements — exactly array_min's semantics, pinned by
+  * HotLoopExprsSpec. Constants are [[graft.functions.TextAnalysis]]'s
+  * (one definition; the oracle mirrors them literally). */
+case class MinhashSigs(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType), IntegerType)
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = true)
+
+  private lazy val k: Int = {
+    require(right.foldable, "minhash_sigs k must be a literal")
+    val n = right.eval(InternalRow.empty).asInstanceOf[Int]
+    require(n >= 1, s"minhash_sigs k must be >= 1: $n")
+    n
+  }
+  private lazy val mhA: Array[Long] =
+    Array.tabulate(k)(graft.functions.TextAnalysis.minhashA)
+  private lazy val mhB: Array[Long] =
+    Array.tabulate(k)(graft.functions.TextAnalysis.minhashB)
+
+  override def nullSafeEval(shv: Any, kv: Any): Any = {
+    val sh = shv.asInstanceOf[ArrayData]
+    val p = graft.functions.TextAnalysis.MinhashP
+    val n = sh.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    var j = 0
+    while (j < n) {
+      if (!sh.isNullAt(j)) {
+        val v = Md5Hash60.prefix(sh.getUTF8String(j), 15) % p
+        seen = true
+        var i = 0
+        while (i < k) {
+          val x = (v * mhA(i) + mhB(i)) % p
+          if (x < mins(i)) mins(i) = x
+          i += 1
+        }
+      }
+      j += 1
+    }
+    val out = new Array[Any](k)
+    if (seen) { var i = 0; while (i < k) { out(i) = mins(i); i += 1 } }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", mhA, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", mhB, "long[]")
+    val p = graft.functions.TextAnalysis.MinhashP
+    val kk = k
+    val arr = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, (sh, _) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val x = ctx.freshName("x")
+      val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $sh.numElements();
+         |long[] $mins = new long[$kk];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($sh.isNullAt($j)) continue;
+         |  long $v = graft.plans.Md5Hash60.prefix(
+         |    $sh.getUTF8String($j), 15) % ${p}L;
+         |  $seen = true;
+         |  for (int $i = 0; $i < $kk; $i++) {
+         |    long $x = ($v * $aRef[$i] + $bRef[$i]) % ${p}L;
+         |    if ($x < $mins[$i]) $mins[$i] = $x;
+         |  }
+         |}
+         |Object[] $out = new Object[$kk];
+         |if ($seen) {
+         |  for (int $i = 0; $i < $kk; $i++) {
+         |    $out[$i] = java.lang.Long.valueOf($mins[$i]);
+         |  }
+         |}
+         |${ev.value} = new $arr($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MinhashSigs = copy(left = l, right = r)
+
+  override def prettyName: String = "minhash_sigs"
+}
+
+/** `long_eq_count(a, b)` — number of positions where two
+  * `array<bigint>` columns agree, over the common prefix. INT result
+  * (matches `size(filter(zip_with(a, b, ==), id))` exactly — the
+  * MinHash signature-agreement screen's type), no lambda dispatch, no
+  * zipped/filtered array allocations per candidate pair. */
+case class LongArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) s += 1
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $s = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.getLong($i) == $y.getLong($i)) $s++;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LongArrayEqCount =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "long_eq_count"
+}

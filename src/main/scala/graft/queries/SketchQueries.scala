@@ -31,9 +31,12 @@ object SketchQueries {
 
   private val P = TextAnalysis.MinhashP
 
-  /** Portable scalar token hash (the minhashBase formula, un-arrayed). */
+  /** Portable scalar token hash (the minhashBase formula, un-arrayed) —
+    * the codegen'd MD5-prefix kernel (r21, [[graft.plans.Md5PrefixVal]]):
+    * value-identical to conv(substring(md5(tok), 1, 15), 16, 10) % P
+    * without the hex render + substring + base-16 string parse. */
   private[graft] def baseHash(tok: Column): Column =
-    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % P
+    call_function("md5_prefix", tok, lit(15)) % P
 
   private[graft] def bucket(base: Column, j: Int): Column =
     (base * TextAnalysis.minhashA(j) + TextAnalysis.minhashB(j)) % P % CmsW
@@ -379,19 +382,21 @@ object SketchQueries {
          |ORDER BY source""".stripMargin
     }) { (s, d) =>
     import graft.functions.TextAnalysis.{shingles, tokens}
-    // shingle ONCE: si feeds the register build, the per-source exact
-    // probe, and the '__all' distinct — unchecked, the tokenize+
-    // shingle scan (the dominant cost) would run three times
+    // shingle ONCE, materialize the DISTINCT frame only (r21): HLL
+    // registers are duplicate-insensitive, so building them from the
+    // distinct (source, s) rows gives byte-identical registers — the
+    // former raw-instance checkpoint (one extra corpus materialization
+    // + job) bought nothing the distinct didn't already have to pay.
     val si = Tables.documents(s, d)
       .select(col("source"),
         explode(shingles(tokens(col("text")), 3)).as("s"))
-      .localCheckpoint()
-    val regs = hllRegisters(si, "source")
+    val dsh = si.distinct()
+      .localCheckpoint() // one corpus scan: registers + both probes
+    val regs = hllRegisters(dsh, "source")
       .localCheckpoint() // per-source rows + the max-merge read it
     val uregs = regs.groupBy("idx").agg(max("m").as("m"))
       .select(lit("__all").as("source"), col("idx"), col("m"))
     val agg = hllEstimateFrame(regs.unionByName(uregs), "source")
-    val dsh = si.distinct().localCheckpoint()
     val ex = dsh.groupBy("source").agg(count(lit(1)).as("exact_n"))
       .unionByName(dsh.select("s").distinct()
         .agg(count(lit(1)).as("exact_n"))

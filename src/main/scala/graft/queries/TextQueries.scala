@@ -176,11 +176,14 @@ object TextQueries {
     * near-dup pipeline and their own derivations (t81's seed). */
   private[queries] def sigProjectionOfToks(
       toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // one codegen pass for the whole K-element signature (r21,
+    // [[graft.plans.MinhashSigs]]): same md5-60-bit base, same
+    // Carter–Wegman minima, same values — the former form paid K+1
+    // interpreted lambdas and K+1 intermediate arrays per document
     toks
       .select(col("doc_id"), shingles(col("toks"), 3).as("s"))
-      .select(col("doc_id"), minhashBase(col("s")).as("hv"))
       .select(col("doc_id"),
-        array((0 until K).map(i => minhashSig(col("hv"), i)): _*).as("sig"))
+        call_function("minhash_sigs", col("s"), lit(K)).as("sig"))
 
   private def nearDupSigs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -197,9 +200,11 @@ object TextQueries {
       posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
   }
 
-  /** Spark twin of [[SigMatchSql]] over carried sig arrays sx/sy. */
+  /** Spark twin of [[SigMatchSql]] over carried sig arrays sx/sy —
+    * codegen'd ([[graft.plans.LongArrayEqCount]]; INT like the
+    * size(filter(zip_with)) form it replaces). */
   private def sigMatches: org.apache.spark.sql.Column =
-    size(filter(zip_with(col("sx"), col("sy"), (x, y) => x === y), b => b))
+    call_function("long_eq_count", col("sx"), col("sy"))
 
   private[queries] def nearDupPairsOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -221,11 +226,19 @@ object TextQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.sig").as("sx"), col("b.sig").as("sy"))
-      .dropDuplicates("d1", "d2") // sx/sy are functions of d1/d2
-    cand
-      .select(col("d1"), col("d2"), sigMatches.as("sig_matches"),
-        (sigMatches.cast("double") / K).as("sig_frac"))
+      // match count computed BEFORE the (d1, d2) dedup (r21, guide
+      // §2.3 "shuffle keys, not payloads"): sig_matches is a function
+      // of (d1, d2), so deduping rows that carry the scalar instead of
+      // the two K-long signature arrays is value-identical and ships
+      // ~2·K·8 fewer bytes per candidate through the exchange.
+      .select(col("d1"), col("d2"), sigMatches.as("sig_matches"))
+      // the screen is a function of (d1, d2): filtering BEFORE the
+      // dedup exchange is value-identical and ships fewer rows
       .filter(col("sig_matches") >= K / 2)
+      .dropDuplicates("d1", "d2")
+    cand
+      .select(col("d1"), col("d2"), col("sig_matches"),
+        (col("sig_matches").cast("double") / K).as("sig_frac"))
   }
 
   /** The (doc_id, sig, band, bkey) band index over a docs frame — the
@@ -276,8 +289,10 @@ object TextQueries {
       .filter(col("doc_id") =!= col("h.doc_id"))
       .select(col("h.doc_id").as("d1"), col("doc_id").as("d2"),
         col("h.sig").as("sx"), col("sig").as("sy"))
+      // match count + screen before the dedup — see nearDupPairsOfBands
+      .select(col("d1"), col("d2"), sigMatches.as("sig_matches"))
+      .filter(col("sig_matches") >= K / 2)
       .dropDuplicates("d1", "d2")
-      .filter(sigMatches >= K / 2)
       .select(col("d1"), col("d2"))
   }
 
@@ -2879,9 +2894,17 @@ object TextQueries {
        |  CAST(n_grams - n_seen AS DOUBLE) / n_grams AS novelty
        |FROM ag
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // one exchange serves three keyed ops (r21, guide §2.4 — the CC
+    // discipline): the per-doc dedup is row-local (array_distinct),
+    // and the residual cross-page distinct runs under an explicit
+    // hash(g) repartition, which the subset rule satisfies for the
+    // (doc_id, g) distinct AND co-partitions both the first-seen
+    // groupBy(g) and the ds⋈fs join — the former hash(doc_id, g)
+    // distinct exchange forced a second g-keyed shuffle of both.
     val ds = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), 3)).as("g"))
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
+      .repartition(col("g"))
       .distinct()
       .localCheckpoint() // one shingle scan: first-seen MIN + join side
     val fs = ds.groupBy("g").agg(min("doc_id").as("first_doc"))

@@ -162,6 +162,20 @@ object VectorQueries {
   }
 
   private[graft] def annLshPairs(emb: DataFrame, bits: Int, tables: Int,
+      bucketCap: Int): DataFrame =
+    annLshPairsRaw(emb, bits, tables, bucketCap)
+      .groupBy("qid", "nid")
+      .agg(min("bucket").as("bucket"))
+
+  /** [[annLshPairs]] WITHOUT the (qid, nid) dedup aggregate — directed
+    * pairs possibly repeated across tables, each tagged with its
+    * bucket. The graph builders consume this form (r21, guide §2.4):
+    * NN-Descent's round-0 `dedupByQid` dedups the seed under its own
+    * qid repartition anyway, so the pair stage's (qid, nid) exchange +
+    * min(bucket) aggregate was a second shuffle whose only effect the
+    * next stage recomputed. t10's ANN gates keep [[annLshPairs]] — they
+    * emit the bucket tag. */
+  private[graft] def annLshPairsRaw(emb: DataFrame, bits: Int, tables: Int,
       bucketCap: Int): DataFrame = {
     val keyed = lshKeyed(emb, bits, tables)
     // the cap screen is a window count over the SAME (tbl, bkey)
@@ -178,8 +192,6 @@ object VectorQueries {
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
         concat(col("x.tbl").cast("string"), lit(":"), col("x.bkey")).as("bucket"))
-      .groupBy("qid", "nid")
-      .agg(min("bucket").as("bucket"))
   }
 
   /** Observability twin of [[annLshPairs]]: the buckets the cap WOULD
@@ -429,8 +441,8 @@ object VectorQueries {
     * hex chars (< 2^48, exact in BIGINT both engines) so the modulus
     * stays uniform over corpus-scale N. */
   private def hash48(id: Column, i: Column): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(":"),
-      i.cast("string"))), 1, 12), 16, 10).cast("long")
+    call_function("md5_prefix",
+      concat(id.cast("string"), lit(":"), i.cast("string")), lit(12))
 
   /** DuckDB twin of [[hash48]]. */
   private def hash48Sql(idRef: String, iRef: String): String =
@@ -456,11 +468,11 @@ object VectorQueries {
     * join; the fill is an N·k-row equi-join against the position
     * index. All linear in N. */
   private[graft] def seedFill(e: DataFrame, seed: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, corpusRows: Option[Long] = None): DataFrame = {
     val starved = e.select("vec_id")
       .join(seed.select("qid").distinct(),
         col("vec_id") === col("qid"), "left_anti")
-    hashFillFor(e, starved, k, e.count())
+    hashFillFor(e, starved, k, corpusRows.getOrElse(e.count()))
   }
 
   /** Up to `k` deterministic pseudo-random corpus partners for each
@@ -597,6 +609,27 @@ object VectorQueries {
   private val embMemo = new Clustering.Memo[(SparkSession, String)]
   private def embStamp(d: String) = Clustering.fingerprint(d, "embeddings")
 
+  /** Memoized corpus row count off the checkpointed scan (r21) — every
+    * graph/serve gate needs it for the broadcast-regime decision and
+    * the seed fill's modulus, and each `e.count()` is its own Spark
+    * job (~50 ms of scheduler latency per gate call). Fingerprint-
+    * stamped like every memo; the count is corpus metadata, not a
+    * query result. */
+  private val embCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, java.lang.Long)]
+  private def embCount(s: SparkSession, d: String): Long = {
+    val k = (s, d)
+    val st = embStamp(d)
+    val cur = embCountMemo.get(k)
+    if (cur != null && cur._1 == st) cur._2
+    else {
+      val n = embCheckpointed(s, d).count()
+      embCountMemo.put(k, (st, java.lang.Long.valueOf(n)))
+      n
+    }
+  }
+
   /** The checkpointed (vec_id, embedding, eL, ss) corpus every graph
     * gate fetches vectors from — scan+scale paid once per process per
     * corpus fingerprint (first caller builds, the winnowDocHash
@@ -611,16 +644,23 @@ object VectorQueries {
   private def graphKey(d: String, bits: Int, tables: Int, cap: Int,
       fill: Boolean) = s"$d|$bits:$tables:$cap:$fill"
 
-  /** One graph build (LSH seed [+ fill] + NN-Descent) over `e`. */
+  /** One graph build (LSH seed [+ fill] + NN-Descent) over `e`.
+    * Seed pairs come RAW ([[annLshPairsRaw]] — round 0's dedupByQid
+    * dedups them under the qid repartition it pays anyway, so the
+    * former (qid, nid) seed aggregate was a redundant exchange);
+    * `corpusRows` pre-answers the count the fill modulus and the
+    * broadcast regime need (one memoized job instead of two per
+    * build). */
   private def buildKnnGraph(e: DataFrame, bits: Int, tables: Int,
-      cap: Int, fill: Boolean): DataFrame = {
-    val lsh0 = annLshPairs(e, bits, tables, cap).select("qid", "nid")
+      cap: Int, fill: Boolean, corpusRows: Option[Long] = None): DataFrame = {
+    val n = Some(corpusRows.getOrElse(e.count()))
+    val lsh0 = annLshPairsRaw(e, bits, tables, cap).select("qid", "nid")
     // when filling, the LSH pair stage feeds BOTH the starved
     // anti-join and the union arm — checkpointed so the band
     // self-join doesn't run twice in round 0's plan
     val lsh = if (fill) lsh0.localCheckpoint() else lsh0
-    val seed = if (fill) lsh.union(seedFill(e, lsh, KnnK)) else lsh
-    val g = nnDescentFrom(e, seed, KnnK, KnnRounds)
+    val seed = if (fill) lsh.union(seedFill(e, lsh, KnnK, n)) else lsh
+    val g = nnDescentFrom(e, seed, KnnK, KnnRounds, n)
     if (fill) Clustering.release(lsh) // round 0 consumed it (eager)
     g
   }
@@ -630,7 +670,8 @@ object VectorQueries {
   private def standingGraphRecord(s: SparkSession, d: String, bits: Int,
       tables: Int, cap: Int, fill: Boolean): DataFrame =
     graphMemo.record((s, graphKey(d, bits, tables, cap, fill)), embStamp(d),
-      buildKnnGraph(embCheckpointed(s, d), bits, tables, cap, fill))
+      buildKnnGraph(embCheckpointed(s, d), bits, tables, cap, fill,
+        Some(embCount(s, d))))
 
   /** The composing-gate entry: the recorded standing graph if this
     * process already built it at this config and fingerprint, else a
@@ -712,11 +753,12 @@ object VectorQueries {
     * (rank, cosine). */
   private[queries] def knnServeFrom(e: DataFrame, edges: DataFrame,
       queryIds: DataFrame, entries: DataFrame,
-      beam: Int, rounds: Int, k: Int): DataFrame =
+      beam: Int, rounds: Int, k: Int,
+      corpusRows: Option[Long] = None): DataFrame =
     knnServeVecs(e, edges,
       e.join(queryIds, e("vec_id") === queryIds("qid"))
         .select(col("qid"), col("eL").as("qL"), col("ss").as("qss")),
-      entries, beam, rounds, k)
+      entries, beam, rounds, k, corpusRows = corpusRows)
 
   /** [[knnServeFrom]] with the query VECTORS supplied directly as a
     * (qid, qL, qss) frame instead of looked up from the corpus — the
@@ -873,7 +915,8 @@ object VectorQueries {
       val qids = e.select(col("vec_id").as("qid")).filter(col("qid") < 10)
       val ents = e.select(col("vec_id").as("nid"))
         .orderBy("nid").limit(ServeEntries)
-      knnServeFrom(e, edges, qids, ents, ServeBeam, ServeRounds, ServeK)
+      knnServeFrom(e, edges, qids, ents, ServeBeam, ServeRounds, ServeK,
+          corpusRows = Some(embCount(s, d)))
         .select(col("qid").as("query_id"), col("rank"), col("nid"),
           col("cosine"))
         .orderBy("query_id", "rank")
@@ -944,7 +987,8 @@ object VectorQueries {
     val ents = e.select(col("vec_id").as("nid"))
       .orderBy("nid").limit(ServeEntries)
     knnServeVecs(e, g.select("qid", "nid"), qvecs, ents,
-        ServeBeam, ServeRounds, ServeK, routed = Some(routed))
+        ServeBeam, ServeRounds, ServeK, routed = Some(routed),
+        corpusRows = Some(embCount(s, d)))
       .select(col("qid").as("query_id"), col("rank"), col("nid"),
         col("cosine"))
       .orderBy("query_id", "rank")
@@ -1088,14 +1132,27 @@ object VectorQueries {
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
       // e via the shared memo; the base-SUBSET graph stays a direct
       // per-gate build — no other consumer, so a memo would cache the
-      // gate's own work rather than share a standing artifact
+      // gate's own work rather than share a standing artifact. The
+      // build's EAGER jobs are labeled (VERDICT r20 item 6) so a
+      // QTIME_JOBS trace attributes build vs insert-walk wall; the
+      // ambient description is restored before the walk so the timed
+      // action's jobs keep the caller's label.
       val e = embCheckpointed(s, d)
+      val sc0 = s.sparkContext
+      val prevDesc = sc0.getLocalProperty("spark.job.description")
+      sc0.setJobDescription("t84: base-subset graph build")
       val base = e.filter(col("vec_id") >= InsertNewMax)
-      val lsh = annLshPairs(base, 12, 4, LshBucketCap)
+      // exact subset count (the fill modulus needs truth, not the
+      // dense-id assumption) — ONE job shared by the fill and the
+      // broadcast-regime decision instead of one each
+      val baseRows = Some(base.count())
+      val lsh = annLshPairsRaw(base, 12, 4, LshBucketCap)
         .select("qid", "nid").localCheckpoint()
-      val g = nnDescentFrom(base, lsh.union(seedFill(base, lsh, KnnK)),
-        KnnK, KnnRounds)
+      val g = nnDescentFrom(base,
+        lsh.union(seedFill(base, lsh, KnnK, baseRows)),
+        KnnK, KnnRounds, baseRows)
       Clustering.release(lsh) // round 0 consumed it (eager)
+      sc0.setJobDescription(prevDesc)
       val newVecs = e.filter(col("vec_id") < InsertNewMax)
         .select(col("vec_id").as("qid"), col("eL").as("qL"),
           col("ss").as("qss"))
@@ -1105,7 +1162,8 @@ object VectorQueries {
         e.filter(col("vec_id") < InsertNewMax)
           .select("vec_id", "embedding"),
         12, 4, LshBucketCap, RouteEntries)
-      graphInsert(e, g, newVecs, ents, KnnK, routed = Some(routed))
+      graphInsert(e, g, newVecs, ents, KnnK, routed = Some(routed),
+          corpusRows = Some(embCount(s, d)))
         .select("qid", "rank", "nid", "cosine")
         .orderBy("qid", "rank")
     }
@@ -1222,7 +1280,7 @@ object VectorQueries {
     val e = embCheckpointed(s, d)
     val g = standingGraphReused(s, d, 12, 4, LshBucketCap, fill = true)
     val dels = e.filter(col("vec_id") < InsertNewMax).select("vec_id")
-    graphDelete(e, g, dels, KnnK)
+    graphDelete(e, g, dels, KnnK, corpusRows = Some(embCount(s, d)))
       .select("qid", "rank", "nid", "cosine")
       .orderBy("qid", "rank")
   }
@@ -1348,10 +1406,15 @@ object VectorQueries {
       .select(col("nid").as("vec_id"))
     val dels = n1.union(n2).filter(col("vec_id") =!= 0L).distinct()
       .localCheckpoint() // read by delete (5×) and the live-corpus anti
-    val pd = graphDelete(e, g, dels, KnnK, materialize = true)
+    val pd = graphDelete(e, g, dels, KnnK,
+      corpusRows = Some(embCount(s, d)), materialize = true)
     val eLive = e.join(dels.select(col("vec_id").as("d")),
       col("vec_id") === col("d"), "left_anti")
-    graphConsolidate(eLive, pd, KnnK)
+    // live count = corpus − deletions (dels ⊆ corpus ids, distinct,
+    // checkpointed): a cheap count of the tiny delete set instead of
+    // running the live anti-join once more just to count it
+    graphConsolidate(eLive, pd, KnnK,
+        corpusRows = Some(embCount(s, d) - dels.count()))
       .select("qid", "rank", "nid", "cosine")
       .orderBy("qid", "rank")
   }
@@ -2651,7 +2714,8 @@ object VectorQueries {
     val ents = e.select(col("vec_id").as("nid"))
       .orderBy("nid").limit(ServeEntries)
     val out = knnServePqVecs(e, g.select("qid", "nid"), enc, lut, qvecs,
-        ents, ServeBeam, ServeRounds, ServeK, routed = Some(routed))
+        ents, ServeBeam, ServeRounds, ServeK, routed = Some(routed),
+        corpusRows = Some(embCount(s, d)))
       .select(col("qid").as("query_id"), col("rank"), col("nid"),
         col("cosine"))
       .orderBy("query_id", "rank")

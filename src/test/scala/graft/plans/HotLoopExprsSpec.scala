@@ -96,6 +96,67 @@ class HotLoopExprsSpec extends SparkSpec {
     assert(empties == 0)
   }
 
+  test("md5_prefix equals conv(substring(md5(s), 1, n), 16, 10)") {
+    val words = (0 until 300).map(i =>
+      scala.util.Random.javaRandomToRandom(new java.util.Random(i))
+        .alphanumeric.take(1 + i % 30).mkString) ++
+      Seq("", " ", "a b c", "ünïcode ÷ テスト")
+    val df = words.toDF("s")
+    for (n <- Seq(2, 8, 12, 15)) {
+      val bad = df.select(
+        expr(s"md5_prefix(s, $n)").as("fast"),
+        expr(s"CAST(conv(substring(md5(s), 1, $n), 16, 10) AS BIGINT)")
+          .as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(bad == 0, s"nibbles=$n")
+    }
+  }
+
+  test("minhash_sigs equals the transform/array_min composition") {
+    import graft.functions.TextAnalysis
+    val k = TextAnalysis.MinhashK
+    val p = TextAnalysis.MinhashP
+    val rows = (0 until 200).map { i =>
+      val n = rnd.nextInt(20) // 0..19 shingles incl. empty
+      (i.toLong, Array.fill(n)(s"w${rnd.nextInt(40)} x${rnd.nextInt(9)}"))
+    }
+    val df = rows.toDF("id", "s")
+    val fast = df.select(col("id"),
+      expr(s"minhash_sigs(s, $k)").as("sig"))
+    val hv = transform(col("s"), x =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long") % p)
+    val ref = df
+      .select(col("id"), hv.as("hv"))
+      .select(col("id"), array((0 until k).map(i =>
+        array_min(transform(col("hv"), v =>
+          (v * TextAnalysis.minhashA(i) + TextAnalysis.minhashB(i)) % p)))
+        : _*).as("sig"))
+    val bad = fast.join(ref.withColumnRenamed("sig", "sig0"), "id")
+      .filter(not(col("sig") <=> col("sig0"))).count()
+    assert(bad == 0)
+    // empty shingle array → k null elements, exactly like array_min
+    val e = Seq(Tuple1(Array.empty[String])).toDF("s")
+      .selectExpr(s"minhash_sigs(s, $k) AS sig").head
+      .getSeq[Any](0)
+    assert(e.length == k && e.forall(_ == null))
+  }
+
+  test("long_eq_count equals size(filter(zip_with(==)))") {
+    val rows = (0 until 200).map { i =>
+      val n = rnd.nextInt(16)
+      (i.toLong, Array.fill(n)(rnd.nextInt(4).toLong),
+        Array.fill(n)(rnd.nextInt(4).toLong))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(
+        expr("long_eq_count(a, b)").as("fast"),
+        size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+          bb => bb)).as("ref"))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+    assert(df.schema("fast").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   test("winnow_min_windows rightmost tie rule, explicit example") {
     // hs = [7, 1, 1, 9]: w=4 → one window, min 1 occurs at pos 2 and 3
     // → rightmost ⇒ pos 3
