@@ -100,6 +100,16 @@ object TextAnalysis {
       s"THEN 1 ELSE -1 END")
   }
 
+  /** [[simhashContrib]] over an md5 bit-FIELD column `v` (the
+    * `md5_prefix(tok, width/4)` value; bit 0 = MSB) — pure long
+    * arithmetic (r21): hex digit b/4's bit (3−b%4) IS bit b of md5's
+    * bit string, so `(v >> (width−1−b)) & 1` extracts the same bit the
+    * hex form decodes with an instr+substring per bit per token. ±1
+    * values identical; the Spark SimHash builds (t3/t31/t31b/t42) use
+    * this, the DuckDB oracles keep the portable hex text. */
+  def simhashContribBits(v: Column, b: Int, width: Int): Column =
+    shiftright(v, width - 1 - b).bitwiseAND(1).cast("int") * 2 - 1
+
   /** English stopword heuristic set for language ID / quality scoring. */
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "in", "and", "to", "is", "it", "for",

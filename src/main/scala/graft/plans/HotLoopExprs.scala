@@ -235,11 +235,15 @@ object Md5Hash60 {
 }
 
 /** `md5_prefix(s, nibbles)` — the leading `nibbles` hex digits of
-  * md5(s) as a BIGINT (nibbles ∈ 1..15, analysis-checked). Value-
-  * identical to `conv(substring(md5(s), 1, nibbles), 16, 10)` (pinned
-  * by HotLoopExprsSpec); replaces that four-expression string chain
-  * in every portable-hash hot path (MinHash base, winnowing hashes,
-  * HLL/CMS registers, DSIR buckets, id split bytes). */
+  * md5(s) as a BIGINT (nibbles ∈ 1..16, analysis-checked). For
+  * nibbles ≤ 15 this is value-identical to
+  * `conv(substring(md5(s), 1, nibbles), 16, 10)` (pinned by
+  * HotLoopExprsSpec); nibbles = 16 yields the raw first-8-bytes value
+  * as a SIGNED long (the conv form would overflow a BIGINT there —
+  * engine-internal bit-extraction use only, e.g. the 64-bit SimHash).
+  * Replaces that four-expression string chain in every portable-hash
+  * hot path (MinHash base, winnowing hashes, HLL/CMS registers, DSIR
+  * buckets, id split bytes, SimHash bit fields). */
 case class Md5PrefixVal(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
@@ -251,7 +255,7 @@ case class Md5PrefixVal(left: Expression, right: Expression)
   private lazy val nibbles: Int = {
     require(right.foldable, "md5_prefix nibbles must be a literal")
     val n = right.eval(InternalRow.empty).asInstanceOf[Int]
-    require(n >= 1 && n <= 15, s"md5_prefix nibbles must be 1..15: $n")
+    require(n >= 1 && n <= 16, s"md5_prefix nibbles must be 1..16: $n")
     n
   }
 

@@ -628,14 +628,18 @@ object TextQueries {
     * 5 narrow cols per doc, bounded, not corpus-sized. */
   private def simhashWideFptOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val aggs = (0 until 64).map(b => sum(simhashContrib("hh", b)).as(s"s_$b"))
+    // bit field form (r21): one md5_prefix long per shingle feeds all
+    // 64 ±1 contributions as shifts — the hex form paid an
+    // instr+substring per BIT per shingle (64 string ops each)
+    val aggs = (0 until 64).map(b =>
+      sum(simhashContribBits(col("hv"), b, 64)).as(s"s_$b"))
     def bandCol(i: Int): org.apache.spark.sql.Column = (0 until 16).map { j =>
       when(col(s"s_${16 * i + j}") > 0, lit(1L << (15 - j))).otherwise(0L)
     }.reduce(_ + _)
     docs
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), 3)).as("tok"))
-      .withColumn("hh", md5(col("tok")))
+      .withColumn("hv", call_function("md5_prefix", col("tok"), lit(16)))
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id") +: (0 until 4).map(i => bandCol(i).as(s"b$i")): _*)
@@ -1324,8 +1328,10 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val h = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .withColumn("hh", md5(col("tok")))
-      val aggs = (0 until 32).map(b => sum(simhashContrib("hh", b)).as(s"s_$b"))
+        .withColumn("hv", call_function("md5_prefix", col("tok"), lit(8)))
+      // bit-field contributions (r21) — see simhashWideFptOf
+      val aggs = (0 until 32).map(b =>
+        sum(simhashContribBits(col("hv"), b, 32)).as(s"s_$b"))
       val fp = concat((0 until 32).map(b =>
         when(col(s"s_$b") > 0, "1").otherwise("0")): _*)
       h.groupBy("doc_id")
@@ -1377,10 +1383,12 @@ object TextQueries {
       val fpL = (0 until 32)
         .map(b => when(col(s"s_$b") > 0, lit(1L << (31 - b))).otherwise(0L))
         .reduce(_ + _)
-      val aggs = (0 until 32).map(b => sum(simhashContrib("hh", b)).as(s"s_$b"))
+      // bit-field contributions (r21) — see simhashWideFptOf
+      val aggs = (0 until 32).map(b =>
+        sum(simhashContribBits(col("hv"), b, 32)).as(s"s_$b"))
       val fpt = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .withColumn("hh", md5(col("tok")))
+        .withColumn("hv", call_function("md5_prefix", col("tok"), lit(8)))
         .groupBy("doc_id")
         .agg(aggs.head, aggs.tail: _*)
         .select(col("doc_id"), fpL.as("fp"))
@@ -1420,9 +1428,15 @@ object TextQueries {
   private[graft] def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame,
       dfCap: Int, threshold: Double): org.apache.spark.sql.DataFrame = {
     // (doc, token) incidence is reused by the df screen and the join
-    // sides with different downstream partitionings — materialize once
+    // sides — materialize once, under ONE exchange that serves every
+    // keyed consumer (r21, the t64 move): per-doc dedup is row-local
+    // (array_distinct), and hash(lang, tok) satisfies the residual
+    // distinct (subset rule), the df groupBy(lang, tok), the dt⋈rare
+    // join AND the inverted-index self-join on (tok, lang).
     val dt0 = docs
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .repartition(col("lang"), col("tok"))
       .distinct()
       .localCheckpoint()
     val rare = dt0.groupBy("lang", "tok").agg(count(lit(1)).as("df"))
@@ -1525,6 +1539,10 @@ object TextQueries {
        |FROM j WHERE CAST(i AS DOUBLE) / (n1 + n2 - i) >= 0.9
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // verify sets deliberately NOT checkpointed (r21, measured): the
+    // spread scan recompute is cheaper at sf0.1 than the eager
+    // materialization job (1.03 vs 1.12 s A/B) — and at lake scale the
+    // two sides read different column subsets off the same scan anyway
     exactJaccardVerify(lshCandidatesOf(docs),
       docs.select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), 3)).as("ts")))
@@ -1800,9 +1818,13 @@ object TextQueries {
        |SELECT contained, container, n_common, containment
        |FROM dirs WHERE containment >= 0.9
        |ORDER BY contained, container""".stripMargin) { (s, d) =>
+    // one exchange serves the df screen, its join AND the inverted-
+    // index self-join on (sh, lang) (r21, the t64/ngramJaccardPairs
+    // move); per-doc dedup row-local
     val dt0 = Tables.documents(s, d).filter(col("doc_id") < 1000)
       .select(col("doc_id"), col("lang"),
-        explode(shingles(tokens(col("text")), 3)).as("sh"))
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+      .repartition(col("lang"), col("sh"))
       .distinct()
       .localCheckpoint() // one shingle scan feeds the screen + both sides
     val rare = dt0.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
@@ -1879,6 +1901,7 @@ object TextQueries {
        |ORDER BY contained, container""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val cand = lshCandidatesOf(docs)
+    // not checkpointed — the t4b measurement (see there)
     val ss = docs.select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 3)).as("ss"))
     val j = cand
@@ -1959,6 +1982,10 @@ object TextQueries {
           col("b.n") * 10 >= col("a.n") * 9)
       .select(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
       .distinct()
+    // verify sets stay a fresh scan projection (r21, measured):
+    // reassembling them from the checkpointed shingle rows via
+    // collect_list was 0.4 s SLOWER at sf0.1 (the agg + row shuffle of
+    // reassembly outweighs the spread scan's recompute)
     val sets = docs.select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 3)).as("ss"))
     val v = cand

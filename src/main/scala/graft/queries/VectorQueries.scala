@@ -403,7 +403,12 @@ object VectorQueries {
     * done with the graph releases it via [[Clustering.release]]. */
   private[graft] def nnDescentFrom(e: DataFrame, seed: DataFrame,
       k: Int, rounds: Int, corpusRows: Option[Long] = None): DataFrame = {
-    val bcast = corpusRows.getOrElse(e.count()) <= VecBroadcastMaxRows
+    val nRows = corpusRows.getOrElse(e.count())
+    val bcast = nRows <= VecBroadcastMaxRows
+    // the symmetrized graph side carries ~2·k rows per corpus row —
+    // gate ITS broadcast on the edge count, not the vector count
+    // (ADVICE r20: near the vector bound the edge frame is ~2k× it)
+    val bcastGraph = 2L * k * nRows <= VecBroadcastMaxRows
     // Exchange discipline (r20, guide §2.4): dedup the candidate set
     // under an EXPLICIT qid repartition — hash(qid) satisfies both the
     // (qid, nid) distinct aggregate (subset rule) and the downstream
@@ -423,7 +428,7 @@ object VectorQueries {
       // narrow rows — the DiskANN model keeps the graph resident
       // alongside the vectors); above it both sides shuffle as before
       val nn = sym.as("a")
-        .join(fetchSide(sym.as("b"), bcast),
+        .join(fetchSide(sym.as("b"), bcastGraph),
           col("a.nid") === col("b.qid") && col("a.qid") =!= col("b.nid"))
         .select(col("a.qid"), col("b.nid"))
       val cand = dedupByQid(nn.union(edges))
@@ -786,7 +791,11 @@ object VectorQueries {
       .localCheckpoint() // consumed once per round
     val q = qvecs.select(col("qid"), col("qL"), col("qss"))
       .localCheckpoint() // query-set-sized: the broadcast side of scoring
-    val bcast = corpusRows.getOrElse(e.count()) <= VecBroadcastMaxRows
+    val nRows = corpusRows.getOrElse(e.count())
+    val bcast = nRows <= VecBroadcastMaxRows
+    // the graph side is ~2·KnnK rows per corpus row — its broadcast
+    // gates on the EDGE count (ADVICE r20), not the vector count
+    val bcastGraph = 2L * KnnK * nRows <= VecBroadcastMaxRows
     // one exchange per round (r20, guide §2.4): hash(qid) satisfies the
     // (qid, nid) distinct AND the beam window — see nnDescentFrom
     def dedupByQid(cand: DataFrame): DataFrame =
@@ -812,10 +821,11 @@ object VectorQueries {
         .select("qid", "nid")).distinct()
     }
     for (_ <- 1 to rounds) {
-      // graph probe side broadcast under the same regime as the vector
-      // fetch (sym = 2·k·corpusRows narrow rows — graph-resident serve,
+      // graph probe side broadcast under the EDGE-count regime
+      // (sym = 2·k·corpusRows narrow rows — graph-resident serve,
       // the DiskANN deployment shape); above the bound it shuffles
-      val expand = cur.join(fetchSide(sym, bcast), col("nid") === col("src"))
+      val expand = cur.join(fetchSide(sym, bcastGraph),
+          col("nid") === col("src"))
         .select(col("qid"), col("dst"))
         .filter(col("dst") =!= col("qid"))
         .select(col("qid"), col("dst").as("nid"))
@@ -2565,7 +2575,10 @@ object VectorQueries {
       "packed ADC LUT needs dense per-sub cids 0..k-1, identical across " +
         s"queries; got ${lutMeta.mkString(";")}")
     val kLut = lutMeta(0).getLong(0).toInt
-    val bcast = corpusRows.getOrElse(e.count()) <= VecBroadcastMaxRows
+    val nRows = corpusRows.getOrElse(e.count())
+    val bcast = nRows <= VecBroadcastMaxRows
+    // graph side gated on EDGE count, as in knnServeVecs (ADVICE r20)
+    val bcastGraph = 2L * KnnK * nRows <= VecBroadcastMaxRows
     // ADC beam scoring: M integer lookups + adds per candidate —
     // ranks ASCENDING by approximate distance
     def adcBeam(cand: DataFrame, cut: Int): DataFrame = {
@@ -2602,12 +2615,13 @@ object VectorQueries {
         .select("qid", "nid")).distinct()
     }
     // one exchange per round (r20, guide §2.4): hash(qid) satisfies the
-    // (qid, nid) distinct, the ADC groupBy AND the beam window; the
-    // graph probe side broadcasts under the vector-fetch regime
+    // (qid, nid) distinct, the ADC projection AND the beam window; the
+    // graph probe side broadcasts under the edge-count regime
     def dedupByQid(cand: DataFrame): DataFrame =
       cand.repartition(col("qid")).distinct()
     for (_ <- 1 to rounds) {
-      val expand = cur.join(fetchSide(sym, bcast), col("nid") === col("src"))
+      val expand = cur.join(fetchSide(sym, bcastGraph),
+        col("nid") === col("src"))
         .select(col("qid"), col("dst"))
         .filter(col("dst") =!= col("qid"))
         .select(col("qid"), col("dst").as("nid"))

@@ -59,6 +59,8 @@ object QTime {
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
       plans.foreach { p =>
+        require(p.contains("/"),
+          s"--plans expects DIR/SUFFIX (e.g. r21/after), got: $p")
         val Array(dir, suffix) = p.split("/", 2)
         val out = Paths.get("plans", dir, s"${n}_$suffix.txt")
         Files.createDirectories(out.getParent)

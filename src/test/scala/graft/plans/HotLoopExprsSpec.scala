@@ -157,6 +157,26 @@ class HotLoopExprsSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("simhashContribBits over md5_prefix equals simhashContrib over md5 hex") {
+    import graft.functions.TextAnalysis.{simhashContrib, simhashContribBits}
+    val words = (0 until 150).map(i => s"tok$i word${i * 7} x") :+ ""
+    val df = words.toDF("s")
+      .withColumn("hh", md5(col("s")))
+      .withColumn("v8", expr("md5_prefix(s, 8)"))
+      .withColumn("v16", expr("md5_prefix(s, 16)"))
+    for (width <- Seq(32, 64)) {
+      val vcol = if (width == 32) "v8" else "v16"
+      val bits = Seq(0, 1, width / 2, width - 2, width - 1)
+      val checks = bits.map(b =>
+        (simhashContribBits(col(vcol), b, width) ===
+          simhashContrib("hh", b)).as(s"ok_$b"))
+      val bad = df.select(checks: _*)
+        .filter(not(checks.indices.map(i => col(s"ok_${bits(i)}"))
+          .reduce(_ && _))).count()
+      assert(bad == 0, s"width=$width")
+    }
+  }
+
   test("winnow_min_windows rightmost tie rule, explicit example") {
     // hs = [7, 1, 1, 9]: w=4 → one window, min 1 occurs at pos 2 and 3
     // → rightmost ⇒ pos 3

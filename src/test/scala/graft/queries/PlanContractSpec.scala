@@ -33,10 +33,16 @@ class PlanContractSpec extends SparkSpec {
     * (Tables.spread's REPARTITION_BY_NUM over the scan, r20): contracts
     * below bound the ALGORITHM's shuffles; the spread is a demo-scale
     * input-parallelism guard that vanishes at lake scale (gated on
-    * file size), so it must not count against them. */
-  private def algoExchanges(p: String): Int =
-    "Exchange".r.findAllIn(p).size -
-      "REPARTITION_BY_NUM".r.findAllIn(p).size
+    * file size), so it must not count against them. Matched PRECISELY
+    * (ADVICE r20): only a numbered repartition hashing on the spread's
+    * own key (documents.doc_id — events are unspread since r21) is
+    * subtracted, so an algorithmic `repartition(n, otherKey)` added
+    * later still counts as the shuffle regression it would be. */
+  private def algoExchanges(p: String): Int = {
+    val spread =
+      "Exchange hashpartitioning\\(doc_id[^\\n]*REPARTITION_BY_NUM".r
+    "Exchange".r.findAllIn(p).size - spread.findAllIn(p).size
+  }
 
   test("j1 enrich join broadcasts the dimension side") {
     assert(plan(CoreQueries.j1EnrichJoin).contains("BroadcastHashJoin"))
