@@ -416,11 +416,6 @@ object LmQueries {
         .select(col("label"), col("den"),
           (col("lnd") - col("lnl")).as("pbits")))
       val nb = ti.groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
-      // t56 deliberately KEEPS the dense form (r21, measured): with
-      // L = 2 labels and the template corpus's ~31-word vocabulary the
-      // |nb|×L fan-out is trivial, and the t6b delta rewrite's extra
-      // stages (delta aggregate + state join) cost ~1 s more than the
-      // fan-out here (same-session A/B 3.7 s dense vs 4.8 s delta).
       val sc = nb.crossJoin(labf)
         .join(broadcast(cost), Seq("word", "label"), "left")
         .groupBy(col("doc_id"), col("label"), col("pbits"))
@@ -597,30 +592,12 @@ object LmQueries {
         .select(col("label"), col("den"),
           (col("lnd") - col("lnl")).as("pbits")))
       val nb = ch.groupBy("doc_id", "gram").agg(count(lit(1)).as("k"))
-      // Dense-scoring identity (r21, VERDICT r20 item 7): bits_l =
-      // den_l·K_doc + Σ_{gram∈model_l} k·(cost_l−den_l) + pbits_l —
-      // exact long algebra (k·coalesce(cost,den) = k·den + k·(cost−den)
-      // when the model has the gram, k·den when not), so bits are
-      // bit-identical to the dense form. This collapses the |nb|×L
-      // cross-join fan-out to an INNER join against the model's matched
-      // grams only; K_doc = len(text2)−1 is ROW-LOCAL off the
-      // checkpointed scan (every position emits one bigram), so no
-      // extra corpus pass anywhere.
-      val costD = cost
-        .join(labf.select(col("label"), col("den").as("den0")), "label")
-        .select(col("gram"), col("label"),
-          (col("cost") - col("den0")).as("dcost"))
-      val kdoc = syn.filter(length(col("text2")) >= 2)
-        .select(col("doc_id"),
-          (length(col("text2")) - 1).cast("long").as("ktot"))
-      val delta = nb.join(broadcast(costD), "gram")
-        .groupBy("doc_id", "label")
-        .agg(sum(col("k") * col("dcost")).as("dbits"))
-      val sc = kdoc.crossJoin(labf)
-        .join(delta, Seq("doc_id", "label"), "left")
+      val sc = nb.crossJoin(labf)
+        .join(broadcast(cost), Seq("gram", "label"), "left")
+        .groupBy(col("doc_id"), col("label"), col("pbits"))
+        .agg(sum(col("k") * coalesce(col("cost"), col("den"))).as("wbits"))
         .select(col("doc_id"), col("label"),
-          (col("den") * col("ktot") + coalesce(col("dbits"), lit(0L)) +
-            col("pbits")).as("bits"))
+          (col("wbits") + col("pbits")).as("bits"))
       val sc0 = syn.filter(length(col("text2")) < 2)
         .select(col("doc_id")).crossJoin(labf)
         .select(col("doc_id"), col("label"), col("pbits").as("bits"))
